@@ -1,0 +1,115 @@
+"""Dataset loading conventions (Cubert LOAD / STORE, SURVEY.md §2.1).
+
+Cubert LOADs datasets by path + format with a declared schema
+(reference: src/io/StorageFactory.java:21-62); our canonical store is
+Parquet, where schema, column pruning and predicate pushdown are native.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated star schema (TESTDATA.md).
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table from a scale-factor directory.
+
+    TIMESTAMP(NANOS) parquet columns arrive as long nanos (see
+    session.SCALE_DEFAULTS) and are converted to TIMESTAMP_NTZ at
+    micro precision, truncating like DuckDB/Arrow do.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES
+) -> dict[str, DataFrame]:
+    """Load the star schema as a dict of DataFrames."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+@dataclass
+class Catalog:
+    """Lazy star-schema catalog bound to one scale-factor directory.
+
+    Keeps DataFrames lazy (no caching): at 100 TB the tables are
+    re-scanned with per-query pushed filters, not pinned in memory.
+    """
+
+    spark: SparkSession
+    sf_dir: str = DEFAULT_SF_DIR
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in STAR_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql use."""
+        for n in STAR_TABLES:
+            self.table(n).createOrReplaceTempView(n)
+
+
+def load(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Cubert ``LOAD "path" USING fmt(params)``.
+
+    Formats (SURVEY.md §1.4): TEXT -> csv, AVRO -> avro, RUBIX ->
+    parquet (block-aligned binary store replaced by parquet + optional
+    bucketing, see operators.blockgen). ``schema`` accepts the Cubert
+    schema string grammar, e.g. ``"STRING word, INT count"``.
+    """
+    fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    reader = spark.read
+    if schema is not None:
+        from cubert_spark.schema import parse_schema
+
+        reader = reader.schema(parse_schema(schema))
+    if fmt == "csv":
+        options.setdefault("sep", "\t")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def store(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
+    """Cubert ``STORE x INTO "path" USING fmt()`` (overwrite analyzer ->
+    mode). RUBIX storage maps to parquet."""
+    fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    df.write.format(fmt).mode(mode).options(**options).save(path)

@@ -1,0 +1,18 @@
+"""Large-scale training-data pipeline operators (BASELINE.json north
+star; beyond the reference's surface).
+
+- ``dedup``      — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+- ``similarity`` — embedding cosine top-k (exact + fast paths).
+- ``textstats``  — token counts, quality scores, language ID,
+  document fingerprints.
+- ``multimodal`` — opaque binary columns with typed metadata; decode /
+  resize / frame-sample plumbing (decode stubbed: media libs are not
+  in this container; the Spark-side schema/batching is real).
+
+Determinism doctrine: every hash used for bucketing/signatures is
+md5-based (cross-engine reproducible), never engine-internal hash().
+All Python-side work is Arrow-batched (mapInPandas/pandas_udf) — no
+row-at-a-time UDFs.
+"""
+
+from cubert_spark.datapipe import dedup, similarity, textstats, multimodal  # noqa: F401

@@ -1,0 +1,279 @@
+"""Training-data pipeline queries over documents/embeddings, each with
+a DuckDB oracle that reproduces the engine's md5-based hashing
+bit-for-bit (see datapipe.__init__ determinism doctrine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubert_spark.catalog import load_table
+from cubert_spark.datapipe import dedup, similarity, textstats
+from cubert_spark.datapipe.multimodal import attach_blob_metadata, text_as_blob
+
+# Shared SQL fragment: the shingle inverted index (mirrors
+# datapipe.textstats.shingles with k=3: distinct word 3-grams).
+_SH_CTE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i+2), ' ') AS shingle
+  FROM w, LATERAL UNNEST(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.exact_dedup(d)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS rep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = _SH_CTE + """
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.2, num_hashes=8, band_size=2)
+
+
+_SIG_COLS = ",\n       ".join(
+    f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_key FROM sig"
+    for b in range(4)
+)
+
+SQL_MINHASH_LSH = _SH_CTE + f""",
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+FROM inter i
+JOIN cand USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+"""
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 32-bit SimHash fingerprint (stronger than a
+    cluster-count check: every fingerprint compared)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", dedup.simhash32(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = []
+    for j in range(32):
+        nib, bit = divmod(j, 4)
+        val = f"((strpos('0123456789abcdef', substr(h, {nib + 1}, 1)) - 1) >> {bit}) & 1"
+        bit_sums.append(
+            f"CASE WHEN SUM(CASE WHEN ({val}) = 1 THEN 1 ELSE -1 END) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        )
+    total = " + ".join(bit_sums)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+),
+h AS (SELECT doc_id, md5(t) AS h FROM tok)
+SELECT doc_id, {total} AS simhash
+FROM h GROUP BY doc_id
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return textstats.quality_features(d).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_punct", "punct_ratio",
+        "stopword_ratio", "mean_token_len",
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_calc,
+       LEN(string_split_regex(text, '\\s+')) AS n_tokens,
+       LEN(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+       CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+       CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
+            w -> lower(w) IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+         / LEN(string_split_regex(text, '\\s+')) AS stopword_ratio,
+       CAST(LENGTH(text) - LEN(string_split_regex(text, '\\s+')) + 1 AS DOUBLE)
+         / LEN(string_split_regex(text, '\\s+')) AS mean_token_len
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return textstats.language_id(d).select("doc_id", "lang_pred")
+
+
+_HIT = {
+    lang: f"LEN(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ({', '.join(repr(w) for w in ws)})))"
+    for lang, ws in textstats.STOPWORDS.items()
+}
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+       CASE WHEN {_HIT['en']} >= {_HIT['es']} AND {_HIT['en']} >= {_HIT['fr']} AND {_HIT['en']} > 0 THEN 'en'
+            WHEN {_HIT['es']} >= {_HIT['fr']} AND {_HIT['es']} > 0 THEN 'es'
+            WHEN {_HIT['fr']} > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count(t).alias("ws_tokens"),
+        textstats.bpe_ish_token_count(t).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       LEN(string_split_regex(text, '\\s+')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return textstats.fingerprint(d).select("doc_id", "fp")
+
+
+SQL_FINGERPRINT = """
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id, ANY_VALUE(text) AS text,
+         MIN(md5(array_to_string(list_slice(words, i, i+3), ' '))) AS min_h
+  FROM w, LATERAL UNNEST(range(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 4
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(sh.min_h, 'empty') || '-' ||
+         CAST(LEN(string_split_regex(w.text, '\\s+')) AS VARCHAR) AS fp
+FROM w LEFT JOIN sh ON w.doc_id = sh.doc_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 5 (decimal-exact
+    dot products; see datapipe.similarity)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(qv[i] * cv[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(qv[i] * qv[i] AS DECIMAL(38,18))) AS qq,
+         SUM(CAST(cv[i] * cv[i] AS DECIMAL(38,18))) AS cc
+  FROM q, c, LATERAL UNNEST(range(1, len(qv) + 1)) AS t(i)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+                    neighbor_id
+         ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: blob byte length + content hash (the
+    JVM-side metadata pass; decode kernels are stubbed, tested in
+    tests/test_datapipe.py)."""
+    d = load_table(spark, sf, "documents")
+    return attach_blob_metadata(text_as_blob(d), "blob", "id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

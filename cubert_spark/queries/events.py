@@ -1,0 +1,146 @@
+"""Event-stream queries (batch form): tumbling windows,
+sessionization, JSON props — the batch semantics that
+cubert_spark.streaming mirrors on readStream (SURVEY.md §2.10: new
+capability, the reference is batch-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cubert_spark.catalog import load_table
+from cubert_spark.queries._util import dsum, dsum_sql
+
+
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — ``window()`` in batch; the
+    identical expression runs under readStream with a watermark
+    (streaming.windows.tumbling)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_TUMBLING = f"""
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (1 day, slide 12h) — Expand-based window
+    assignment; each event lands in 2 windows."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+
+
+SQL_SLIDING = """
+SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts)/43200)*43200 - i*43200 AS BIGINT) * 1000000) AS win_start,
+       COUNT(*) AS n
+FROM events, (VALUES (0), (1)) t(i)
+GROUP BY 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user, batch
+    form: lag + cumulative session counter — the batch equivalent of
+    ``session_window`` / applyInPandasWithState. Returns per-user
+    session count and the largest session size."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # session tz = UTC
+    gap = us - F.lag(us).over(w)
+    sess = (
+        e.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("sess_id").alias("n_sessions"),
+            F.max("sz").alias("max_session_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+), sizes AS (
+  SELECT user_id, sess_id, COUNT(*) AS sz FROM s GROUP BY 1, 2
+)
+SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, MAX(sz) AS max_session_events
+FROM sizes GROUP BY user_id
+"""
+
+
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props column: JSON field extraction (engine
+    extension; reference has no JSON functions, SURVEY.md §2.8)."""
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       MAX(CAST(props->>'$.k' AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "sessionize": q_sessionize,
+    "json_props": q_json_props,
+}
+
+ORACLES = {
+    "tumbling_window": SQL_TUMBLING,
+    "sliding_window": SQL_SLIDING,
+    "sessionize": SQL_SESSIONIZE,
+    "json_props": SQL_JSON_PROPS,
+}

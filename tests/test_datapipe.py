@@ -1,0 +1,111 @@
+"""Datapipe operator tests: dedup funnel, similarity search paths,
+multimodal plumbing (fake decode), text stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cubert_spark.datapipe import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_rep = {r["rep_id"]: r["n_copies"] for r in out}
+    assert by_rep[1] == 2 and by_rep[2] == 1 and by_rep[3] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jac"] for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert (1, 4) in pairs  # exact dup always collides in every band
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash(docs):
+    out = {r["doc_id"]: r["simhash"] for r in
+           docs.select("doc_id", dedup.simhash32(F.col("text")).alias("simhash")).collect()}
+    assert out[1] == out[4]  # identical text -> identical fingerprint
+    # near-dup hamming distance small
+    ham = bin(out[1] ^ out[2]).count("1")
+    assert ham <= 8
+    assert 0 <= out[3] < 2 ** 32
+
+
+def test_similarity_paths_agree(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = similarity.cosine_topk(df, df.filter("vec_id < 3"), k=3)
+    got = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in exact.collect()}
+    assert len(got) == 9
+    fast = similarity.cosine_topk_fast(df, df.filter("vec_id < 3").toPandas(), k=3)
+    got_fast = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in fast.collect()}
+    assert got == got_fast  # float64 GEMM agrees with decimal-exact path on ranks
+
+
+def test_lsh_bucketed_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(10, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in v + rng.normal(scale=0.01, size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.lsh_bucketed_topk(df, df.filter("vec_id % 2 = 0"), k=1, num_planes=4)
+    got = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    hits = sum(1 for q, n in got.items() if n == q + 1)
+    assert hits >= 6  # near-identical twin lands in the same bucket usually
+
+
+def test_multimodal_fake_decode(docs):
+    blobs = multimodal.text_as_blob(docs)
+    meta = multimodal.attach_blob_metadata(blobs, "blob", "id")
+    m = {r["id"]: r for r in meta.collect()}
+    assert m[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    decoded = multimodal.decode_images(blobs, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 4
+    assert all(len(r["feature"]) == 4 and r["width"] == 32 for r in rows)
+    d = {r["id"]: r for r in rows}
+    assert d[1]["sha256"] == d[4]["sha256"]
+    frames = multimodal.sample_frames(blobs, every_nth=10, fake=True)
+    assert frames.count() >= 4
+
+
+def test_multimodal_real_decode_raises(docs):
+    blobs = multimodal.text_as_blob(docs)
+    with pytest.raises(Exception, match="NotImplementedError|codec unavailable"):
+        multimodal.decode_images(blobs, fake=False).collect()
+
+
+def test_textstats(docs):
+    q = textstats.quality_features(docs)
+    r = {x["doc_id"]: x for x in q.collect()}
+    assert r[1]["n_tokens"] == 9
+    assert r[1]["stopword_ratio"] == pytest.approx(2 / 9)
+    lang = {x["doc_id"]: x["lang_pred"] for x in textstats.language_id(docs).collect()}
+    assert lang[1] == "en"
+    fp = {x["doc_id"]: x["fp"] for x in textstats.fingerprint(docs).collect()}
+    assert fp[1] == fp[4] and fp[1] != fp[3]
