@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "embedding_topk",
     "sessionize",
+    "asof_join",
+    "summary_rewrite",
 ]
 
 

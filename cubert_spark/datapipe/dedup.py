@@ -198,10 +198,19 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification on candidates only
+    # Exact verification restricted to candidate docs BEFORE the
+    # inverted-index self-join: semi-join the shingle table down to
+    # docs that appear in any candidate pair, so the quadratic step
+    # runs on the (tiny) near-dup population, not the whole corpus.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -1,0 +1,95 @@
+"""As-of (temporal) join and range join — engine extensions beyond the
+reference (SURVEY.md §2.3 lists theta/range/as-of joins as absent;
+Cubert users approximate them with scripted BLOCKGEN+MergeJoin
+chains).
+
+``asof_join`` uses the union-and-carry algorithm: tag both sides,
+union, sort within (key) partitions by event time, and carry the most
+recent right-side payload forward with ``last(ignorenulls)``. ONE
+shuffle on the key (the same shuffle a join would need), no range
+explosion, no per-key driver loop — the formulation that scales to
+billions of rows per side. This is exactly the partitioned-sorted
+block discipline Cubert's merge-join relies on, expressed as a window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` and equal keys (backward as-of, ties
+    included). Right payload columns come back NULL when no match.
+
+    ``right_cols``: right payload columns to carry (default: all
+    non-key, non-ts). ``tolerance``: optional max age (e.g.
+    ``F.expr("INTERVAL 1 HOUR")``) — matches older than it are nulled.
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    carried = [f"__asof_{c}" for c in right_cols]
+
+    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for c, cc in zip(right_cols, carried):
+        l_tag = l_tag.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+    l_tag = l_tag.withColumn("__rts", F.lit(None).cast(right.schema[right_ts].dataType))
+
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
+        F.col(right_ts).alias("__rts"),
+    )
+    for c in left.columns:
+        if c not in on:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r_tag = r_tag.select(*l_tag.columns)
+
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal __ts => ties match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for cc in carried + ["__rts"]:
+        u = u.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        stale = F.col("__rts") < (F.col("__ts") - tolerance)
+        for cc in carried:
+            out = out.withColumn(cc, F.when(stale, F.lit(None)).otherwise(F.col(cc)))
+    out = out.drop("__ts", "__side", "__rts")
+    for c, cc in zip(right_cols, carried):
+        out = out.withColumnRenamed(cc, c)
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows to [lo, hi) buckets. The ranges side is expected small
+    (banding tables) and is broadcast — a BroadcastNestedLoopJoin with
+    a cheap predicate, which is the right physical plan; for two large
+    interval sets, pre-bucket both sides instead."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return left.join(F.broadcast(ranges), cond, how)

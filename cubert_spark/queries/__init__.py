@@ -8,18 +8,20 @@ sides (the driver hash-compares after sorting columns by name).
 
 from __future__ import annotations
 
-from cubert_spark.queries import core, olap, events, datapipe
+from cubert_spark.queries import core, olap, events, datapipe, extensions
+
+_MODULES = (core, olap, events, datapipe, extensions)
 
 
 def all_queries():
     out = {}
-    for mod in (core, olap, events, datapipe):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (core, olap, events, datapipe):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,122 @@
+"""Extension queries: as-of join, range join, incremental summary
+rewrite — capabilities beyond the reference surface, oracle-checked.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubert_spark.catalog import load_table
+from cubert_spark.operators.asof import asof_join, range_join
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase event: the most recent prior-or-equal click by
+    the same user (backward as-of join; union-and-carry, one shuffle).
+    """
+    e = load_table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], left_ts="ts", right_ts="click_ts",
+        right_cols=["click_value"],
+    )
+    return out.select("event_id", "user_id", "click_value")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id, p.user_id, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Band events by value ranges (broadcast nested-loop range join)."""
+    e = load_table(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 40.0), ("mid", 40.0, 80.0), ("high", 80.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    j = range_join(e, bands, "value")
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("uniq_users"),
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT band, COUNT(*) AS n, COUNT(DISTINCT user_id) AS uniq_users
+FROM events
+JOIN (VALUES ('low', 0.0, 40.0), ('mid', 40.0, 80.0), ('high', 80.0, 1e9)) b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def q_summary_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental summary rewrite (plans.summary — Cubert's
+    SummaryRewriter/CountDistinctRewriter): summarize orders days
+    before 1999, answer a 1996-2000 query by merging summary partials
+    with spliced fact days. The oracle is the DIRECT aggregation — the
+    rewrite must be result-identical."""
+    from cubert_spark.plans.summary import SummarySpec, SummaryStore
+
+    o = load_table(spark, sf, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    spec = SummarySpec(
+        time_col="o_orderdate",
+        dims=("o_orderpriority",),
+        measures=(("SUM", "price_dec"), ("COUNT", "o_orderkey")),
+        distinct_col="o_custkey",
+    )
+    tmp = tempfile.mkdtemp(prefix="cubert_summary_")
+    try:
+        store = SummaryStore(tmp, spec)
+        store.build(o.filter(F.to_date("o_orderdate") < F.lit("1999-01-01")))
+        out = store.rewrite(spark, o, "1996-01-01", "2000-12-31", ["o_orderpriority"])
+        result = out.select(
+            "o_orderpriority",
+            F.col("sum__price_dec").cast("double").alias("sum_price"),
+            F.col("count__o_orderkey").alias("n_orders"),
+            F.col("count_distinct__o_custkey").alias("uniq_customers"),
+        )
+        # materialize before deleting the scratch summary
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+SQL_SUMMARY_REWRITE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS uniq_customers
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '2000-12-31'
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "summary_rewrite": q_summary_rewrite,
+}
+
+ORACLES = {
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "summary_rewrite": SQL_SUMMARY_REWRITE,
+}
