@@ -112,4 +112,6 @@ def store(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite
     """Cubert ``STORE x INTO "path" USING fmt()`` (overwrite analyzer ->
     mode). RUBIX storage maps to parquet."""
     fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    if fmt == "csv":
+        options.setdefault("sep", "\t")
     df.write.format(fmt).mode(mode).options(**options).save(path)

@@ -27,10 +27,10 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
-    return explain_str(df).count("Exchange hashpartitioning") + explain_str(df).count(
-        "Exchange rangepartitioning"
-    )
+    """Number of shuffle exchanges in the physical plan (simple mode
+    keeps 'Exchange <partitioning>' on one line)."""
+    s = explain_str(df, mode="simple")
+    return s.count("Exchange hashpartitioning") + s.count("Exchange rangepartitioning")
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
@@ -53,7 +53,7 @@ def scan_read_schema(df: DataFrame) -> list[list[str]]:
 def assert_partitioned_on(df: DataFrame, keys: list[str]) -> None:
     """NO_OP ASSERT PARTITIONED ON k: verify the plan's output comes
     from a hash partitioning on (a superset order of) ``keys``."""
-    s = explain_str(df)
+    s = explain_str(df, mode="simple")
     pats = [re.escape(k) for k in keys]
     if not re.search(r"hashpartitioning\(" + r"[^)]*".join(pats), s):
         raise AssertionError(

@@ -109,14 +109,49 @@ GROUP BY o_orderpriority
 """
 
 
+def q_sparse_matmul(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked sparse matrix multiply (CollateVectorBlockOperator
+    analog, operators.matrix): A (order-bucket x part-bucket) times
+    B (part-bucket x supp-bucket), both aggregated from lineitem."""
+    from cubert_spark.operators.matrix import sparse_matmul
+
+    li = load_table(spark, sf, "lineitem")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    a = li.groupBy(
+        (F.col("l_orderkey") % 100).alias("i"), (F.col("l_partkey") % 50).alias("j")
+    ).agg(F.sum(qdec).cast("double").alias("v"))
+    b = li.groupBy(
+        (F.col("l_partkey") % 50).alias("i"), (F.col("l_suppkey") % 40).alias("j")
+    ).agg(F.sum(qdec).cast("double").alias("v"))
+    return sparse_matmul(a, b)
+
+
+SQL_SPARSE_MATMUL = """
+WITH a AS (
+  SELECT l_orderkey % 100 AS i, l_partkey % 50 AS k,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM lineitem GROUP BY 1, 2
+), b AS (
+  SELECT l_partkey % 50 AS k, l_suppkey % 40 AS j,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT a.i, b.j, CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,6))) AS DOUBLE) AS v
+FROM a JOIN b ON a.k = b.k
+GROUP BY a.i, b.j
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "summary_rewrite": q_summary_rewrite,
+    "sparse_matmul": q_sparse_matmul,
 }
 
 ORACLES = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "summary_rewrite": SQL_SUMMARY_REWRITE,
+    "sparse_matmul": SQL_SPARSE_MATMUL,
 }

@@ -1,0 +1,186 @@
+"""JSON physical-plan frontend.
+
+Cubert's IR is a JSON tree (SURVEY.md §3: program -> jobs[] ->
+{map[]{input, operators[]}, shuffle, reduce[], output}, built by
+PhysicalParser.java:88 and annotated by the analyzers). This module
+executes a simplified single-pipeline form of that IR on Spark: one
+``inputs`` list, a flat ``operators`` chain (each op names its input
+relation(s) and output relation), and an optional ``output`` sink.
+
+Where Cubert needs explicit SHUFFLE/BLOCKGEN operators between map and
+reduce phases, the Spark plan needs nothing — Catalyst inserts
+exchanges — so those operators are accepted and mapped to their
+declarative equivalents (SHUFFLE -> repartition+sort, BLOCKGEN ->
+repartition_blocks) to preserve script meaning.
+
+Operator names follow OperatorType.java:20-61. Example (wordcount,
+mirroring release/examples/wordcount.cmr):
+
+    {"inputs": [{"name": "words", "path": ".../docs.parquet",
+                 "format": "parquet"}],
+     "operators": [
+       {"operator": "FLATTEN", "input": "words", "output": "w",
+        "flatten": [["word_list", "BAG"]]},
+       {"operator": "GROUP_BY", "input": "w", "output": "counts",
+        "groupBy": ["word"],
+        "aggregates": [{"type": "COUNT", "input": "word",
+                        "output": "count"}]}
+     ],
+     "output": {"name": "counts", "path": "/tmp/out", "format": "parquet"}}
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubert_spark import catalog
+from cubert_spark.operators import (
+    cube,
+    distinct,
+    duplicate,
+    filter_by,
+    flatten,
+    gather,
+    generate,
+    group_by,
+    grouping_sets,
+    join,
+    limit,
+    rank,
+    sort,
+    sort_within_blocks,
+    top_n,
+)
+from cubert_spark.operators.blockgen import BlockSpec, repartition_blocks
+from cubert_spark.operators.dictionary import build_dictionary, decode, encode
+
+
+class PlanError(ValueError):
+    pass
+
+
+def _aggs(specs: list[dict]) -> list[tuple]:
+    return [(s["type"], s.get("input", "*"), s.get("output")) for s in specs]
+
+
+def _agg_tuples(specs: list[dict]) -> list[tuple]:
+    out = []
+    for s in specs:
+        name = s["type"]
+        col = s.get("input", "*")
+        alias = s.get("output") or f"{name.lower()}_{col}"
+        out.append((name, col, alias))
+    return out
+
+
+def run_plan(
+    spark: SparkSession, plan: dict, relations: dict[str, DataFrame] | None = None
+) -> dict[str, DataFrame]:
+    """Execute a JSON plan; returns the relation environment (every
+    named intermediate), after writing ``output`` if present."""
+    env: dict[str, DataFrame] = dict(relations or {})
+
+    for inp in plan.get("inputs", []):
+        env[inp["name"]] = catalog.load(
+            spark,
+            inp["path"],
+            fmt=inp.get("format", "parquet"),
+            schema=inp.get("schema"),
+            **inp.get("options", {}),
+        )
+
+    for op in plan.get("operators", []):
+        kind = op["operator"].upper()
+        out_name = op.get("output") or op.get("input")
+        src = env[op["input"]] if "input" in op else None
+
+        if kind == "FILTER":
+            res = filter_by(src, op["filterExpr"])
+        elif kind in ("GENERATE", "PROJECT"):
+            res = generate(src, *op["outputExpressions"])
+        elif kind == "GROUP_BY":
+            res = group_by(src, op.get("groupBy", []), *_agg_tuples(op["aggregates"]))
+        elif kind == "CUBE":
+            dims = op["dimensions"]
+            if "groupingSets" in op:
+                res = grouping_sets(src, op["groupingSets"], *_agg_tuples(op["aggregates"]))
+            else:
+                res = cube(src, dims, *_agg_tuples(op["aggregates"]))
+        elif kind in ("JOIN", "MERGE_JOIN", "HASHJOIN", "REDUCE_JOIN"):
+            right = env[op["rightBlock"]]
+            left = env[op.get("leftBlock", op.get("input"))]
+            res = join(left, right, op["joinKeys"], op.get("joinType", "INNER"))
+        elif kind == "FLATTEN":
+            specs = [tuple(s) for s in op["flatten"]]
+            res = flatten(src, *specs, aliases=op.get("aliases"))
+        elif kind == "DISTINCT":
+            res = distinct(src)
+        elif kind == "LIMIT":
+            res = limit(src, int(op["maxTuples"]))
+        elif kind == "SORT":
+            res = sort_within_blocks(src, *op["sortBy"])
+        elif kind == "SHUFFLE":
+            spec = BlockSpec(
+                partition_keys=tuple(op["partitionKeys"]),
+                sort_keys=tuple(op.get("pivotKeys", ())),
+                num_buckets=int(op.get("numReducers", 32)),
+            )
+            res = repartition_blocks(src, spec)
+            if op.get("aggregates"):
+                # SHUFFLE ... AGGREGATES: combiner+reducer GROUP BY
+                res = group_by(res, op["partitionKeys"], *_agg_tuples(op["aggregates"]))
+        elif kind in ("BLOCKGEN", "CREATE_BLOCK"):
+            spec = BlockSpec(
+                partition_keys=tuple(op["partitionKeys"]),
+                sort_keys=tuple(op.get("sortKeys", ())),
+                num_buckets=int(op.get("numBlocks", 32)),
+            )
+            res = repartition_blocks(src, spec)
+        elif kind == "DUPLICATE":
+            res = duplicate(src, int(op["times"]), op.get("counter"))
+        elif kind == "GATHER":
+            res = gather(*[env[n] for n in op["inputs"]])
+        elif kind == "RANK":
+            res = rank(src, op.get("output_column", "rank"), op.get("groupBy", []), op.get("orderBy", []))
+        elif kind == "TOP_N":
+            res = top_n(src, int(op["n"]), op.get("groupBy", []), op.get("orderBy", []))
+        elif kind == "ENCODE":
+            d = env[op["dictionary"]] if "dictionary" in op else build_dictionary(src, op["columns"][0])
+            res = encode(src, d, op["columns"])
+        elif kind == "DECODE":
+            res = decode(src, env[op["dictionary"]], op["columns"])
+        elif kind in ("NO_OP", "NOOP"):
+            res = src
+        elif kind == "TEE":
+            from cubert_spark.operators import tee
+
+            res = tee(
+                src,
+                op["path"],
+                fmt=op.get("format", "parquet"),
+                predicate=op.get("filterExpr"),
+                split=bool(op.get("split", False)),
+            )
+        else:
+            raise PlanError(f"unsupported operator {kind!r}")
+        env[out_name] = res
+
+    out = plan.get("output")
+    if out:
+        catalog.store(
+            env[out["name"]],
+            out["path"],
+            fmt=out.get("format", "parquet"),
+            **out.get("options", {}),
+        )
+    return env
+
+
+def run_plan_file(
+    spark: SparkSession, path: str, relations: dict[str, DataFrame] | None = None
+) -> dict[str, DataFrame]:
+    with open(path) as f:
+        return run_plan(spark, json.load(f), relations)

@@ -9,12 +9,19 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
     from cubert_spark import get_session
 
-    s = get_session("cubert-tests")
+    scratch = tmp_path_factory.mktemp("spark_scratch")
+    s = get_session(
+        "cubert-tests",
+        extra_conf={
+            "spark.sql.warehouse.dir": str(scratch / "warehouse"),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={scratch / 'derby'}",
+        },
+    )
     yield s
     s.stop()
 

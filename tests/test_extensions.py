@@ -1,0 +1,150 @@
+"""Extension-surface tests: UDF/UDAF/UDTF helpers, multipass/pivot/
+validate, sparse matmul, as-of join edge cases, source formats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cubert_spark.functions.udf import (
+    cube_udaf,
+    grouped_agg_udaf,
+    scalar_udf,
+    transform_batches,
+    transform_groups,
+)
+from cubert_spark.operators.asof import asof_join
+from cubert_spark.operators.matrix import sparse_matmul, vector_block_multiply
+from cubert_spark.operators.pivot import multipass, pivot_apply, validate
+
+
+def test_scalar_udf(spark):
+    df = spark.createDataFrame([(1.0,), (2.5,)], "x double")
+    doubled = scalar_udf(lambda s: s * 2, "double")
+    out = sorted(r[0] for r in df.select(doubled("x")).collect())
+    assert out == [2.0, 5.0]
+
+
+def test_grouped_agg_udaf(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 4.0), ("b", 9.0)], "g string, x double")
+    gmean = grouped_agg_udaf(lambda s: float(np.exp(np.log(s).mean())), "double")
+    got = {r["g"]: r["gm"] for r in df.groupBy("g").agg(gmean("x").alias("gm")).collect()}
+    assert got["a"] == pytest.approx(2.0)
+    assert got["b"] == pytest.approx(9.0)
+
+
+def test_cube_udaf(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 4.0), ("y", "p", 16.0)], "d1 string, d2 string, v double"
+    )
+    gmean = grouped_agg_udaf(lambda s: float(np.exp(np.log(s).mean())), "double")
+    out = cube_udaf(df, ["d1", "d2"], [gmean("v").alias("gm")])
+    got = {(r["d1"], r["d2"]): r["gm"] for r in out.collect()}
+    assert got[(None, None)] == pytest.approx(4.0)  # grand total over all 3
+    assert got[("x", None)] == pytest.approx(2.0)
+    assert len(got) == 8  # 3 cells + 2 d1 rollups + 2 d2 rollups + grand total
+
+
+def test_transform_batches_and_groups(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a int, b int")
+
+    def add_col(batches):
+        for pdf in batches:
+            pdf["c"] = pdf.a + pdf.b
+            yield pdf
+
+    out = transform_batches(df, add_col, "a int, b int, c int")
+    assert {r["c"] for r in out.collect()} == {3, 7}
+
+    df2 = spark.createDataFrame([("g1", 1), ("g1", 2), ("g2", 5)], "g string, v int")
+
+    def summarize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"g": [pdf.g.iloc[0]], "total": [int(pdf.v.sum())]})
+
+    out2 = transform_groups(df2, ["g"], summarize, "g string, total long")
+    assert {r["g"]: r["total"] for r in out2.collect()} == {"g1": 3, "g2": 5}
+
+
+def test_multipass(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    s, c = multipass(
+        df,
+        lambda d: d.agg(F.sum("x").alias("v")),
+        lambda d: d.agg(F.count(F.lit(1)).alias("v")),
+    )
+    assert s.collect()[0]["v"] == 45 and c.collect()[0]["v"] == 10
+    df.unpersist()
+
+
+def test_pivot_apply(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([("a", 2), ("a", 1), ("b", 7)], "g string, v int")
+
+    def spread(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"g": [pdf.g.iloc[0]], "spread": [int(pdf.v.max() - pdf.v.min())]}
+        )
+
+    out = pivot_apply(df, ["g"], spread, "g string, spread long")
+    assert {r["g"]: r["spread"] for r in out.collect()} == {"a": 1, "b": 0}
+
+
+def test_validate_passes_and_fails(spark):
+    df = spark.createDataFrame([(i % 4, i) for i in range(100)], "k int, v int")
+    good = df.repartition(4, "k").sortWithinPartitions("k", "v")
+    validate(good, partitioned_on=["k"], sorted_on=["k", "v"])  # no raise
+    bad = df.repartition(4)  # round-robin: keys span partitions
+    with pytest.raises(AssertionError, match="spans multiple partitions"):
+        validate(bad, partitioned_on=["k"])
+    unsorted = spark.createDataFrame([(0, 5), (0, 3)], "k int, v int").coalesce(1)
+    with pytest.raises(Exception, match="not sorted"):
+        validate(unsorted, sorted_on=["v"])
+
+
+def test_sparse_matmul_identity(spark):
+    # multiply by identity -> original
+    a = spark.createDataFrame([(0, 0, 2.0), (0, 1, 3.0), (1, 1, 5.0)], "i int, j int, v double")
+    ident = spark.createDataFrame([(0, 0, 1.0), (1, 1, 1.0)], "i int, j int, v double")
+    got = {(r["i"], r["j"]): r["v"] for r in sparse_matmul(a, ident).collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 1): 5.0}
+
+
+def test_vector_block_multiply(spark):
+    a = spark.createDataFrame([(0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0)], "i int, j int, v double")
+    x = spark.createDataFrame([(0, 10.0), (1, 100.0)], "j int, v double")
+    got = {r["i"]: r["v"] for r in vector_block_multiply(a, x).collect()}
+    assert got == {0: 210.0, 1: 300.0}
+
+
+def test_asof_tolerance_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 1000, "p2"), (2, 50, "p3")], "k int, t long, name string"
+    )
+    right = spark.createDataFrame([(1, 90, 9.0), (1, 200, 2.0)], "k int, t long, val double")
+    out = asof_join(left, right, ["k"], "t", "t", right_cols=["val"])
+    got = {r["name"]: r["val"] for r in out.collect()}
+    assert got == {"p1": 9.0, "p2": 2.0, "p3": None}
+    # with tolerance 50: p2's match (t=200, age 800) is nulled
+    out2 = asof_join(left, right, ["k"], "t", "t", right_cols=["val"], tolerance=F.lit(50))
+    got2 = {r["name"]: r["val"] for r in out2.collect()}
+    assert got2 == {"p1": 9.0, "p2": None, "p3": None}
+
+
+def test_csv_and_virtual_sources(spark, tmp_path):
+    from cubert_spark.catalog import load, store
+
+    df = spark.createDataFrame([("hello", 1), ("world", 2)], "word string, n int")
+    store(df, str(tmp_path / "t.csv"), fmt="text", header="true")
+    back = load(
+        spark, str(tmp_path / "t.csv"), fmt="text", schema="STRING word, INT n", header="true"
+    )
+    assert {(r["word"], r["n"]) for r in back.collect()} == {("hello", 1), ("world", 2)}
+    # VIRTUAL input (VirtualStorage.java:43) == spark.range
+    assert spark.range(100).count() == 100

@@ -178,6 +178,16 @@ def test_dictionary_refresh(spark):
     assert codes == {"a": 1, "b": 2, "z": 3}  # old codes stable, new appended
 
 
+def test_tee_with_split(spark, tmp_path):
+    from cubert_spark.operators import tee
+
+    df = spark.createDataFrame([(1, "keep"), (2, "side"), (3, "side")], "id int, tag string")
+    main = tee(df, str(tmp_path / "side"), predicate=F.col("tag") == "side", split=True)
+    side = spark.read.parquet(str(tmp_path / "side"))
+    assert side.count() == 2
+    assert [r["id"] for r in main.collect()] == [1]  # WITH SPLIT removes teed rows
+
+
 def test_limit_and_sort_within(spark):
     df = spark.createDataFrame([(3,), (1,), (2,)], "x int").repartition(1)
     assert limit(df, 2).count() == 2

@@ -1,0 +1,95 @@
+"""Plan-hygiene tests: the engine's scale doctrine, checked against
+actual physical plans (SURVEY.md 'Optimize for scale'). Correct
+results with a bad plan are a failure here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cubert_spark.catalog import load_table
+from cubert_spark.plans import (
+    explain_str,
+    has_pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from cubert_spark.queries.core import q_generate_filter
+
+    df = q_generate_filter(spark, SF)
+    assert has_pushed_filters(df), explain_str(df)
+
+
+def test_column_pruning(spark):
+    from cubert_spark.queries.core import q_generate_filter
+
+    df = q_generate_filter(spark, SF)
+    (cols,) = scan_read_schema(df)
+    # 16-column lineitem scan must read only the 6 referenced columns
+    assert set(cols) == {
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_returnflag", "l_quantity",
+    }, cols
+
+
+def test_mesh_join_broadcasts_dims(spark):
+    from cubert_spark.queries.core import q_mesh_join
+
+    s = explain_str(q_mesh_join(spark, SF))
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s, s
+
+
+def test_topn_plans_window_group_limit(spark):
+    from cubert_spark.queries.core import q_topn
+
+    s = explain_str(q_topn(spark, SF))
+    # Spark >= 3.5 pushes a partial top-k below the shuffle
+    assert "WindowGroupLimit" in s, s
+
+
+def test_groupby_single_shuffle(spark):
+    from cubert_spark.queries.core import q1_groupby_agg
+
+    df = q1_groupby_agg(spark, SF)
+    assert shuffle_count(df) == 1, explain_str(df)
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    s = explain_str(df)
+    # partial_sum (the Cubert combiner) must appear below the exchange
+    assert "partial_sum" in s, s
+
+
+def test_blockgen_coloc_join_no_extra_shuffle(spark, tmp_path):
+    """Two tables blockgen'd with the same BlockSpec join without
+    re-shuffling either side (the MeshJoin / LOAD BLOCK MATCHING
+    contract, SURVEY.md §2.7)."""
+    from cubert_spark.operators import BlockSpec, blockgen, load_block
+
+    spec = BlockSpec(partition_keys=("o_custkey",), num_buckets=4)
+    orders = load_table(spark, SF, "orders")
+    agg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    blockgen(orders.limit(5000), "bg_orders", spec)
+    blockgen(agg.limit(5000), "bg_counts", spec)
+    a = load_block(spark, "bg_orders")
+    b = load_block(spark, "bg_counts")
+    j = a.join(b, "o_custkey")
+    s = explain_str(j)
+    assert j.count() > 0
+    assert "Exchange hashpartitioning" not in s, s
+
+
+def test_sort_uses_range_partitioning(spark):
+    from cubert_spark.queries.core import q_sort_limit
+
+    s = explain_str(q_sort_limit(spark, SF))
+    # global sort+limit should plan TakeOrderedAndProject (no full sort)
+    assert "TakeOrderedAndProject" in s, s
