@@ -105,7 +105,48 @@ def load(
         reader = reader.schema(parse_schema(schema))
     if fmt == "csv":
         options.setdefault("sep", "\t")
-    return reader.format(fmt).options(**options).load(path)
+    try:
+        return reader.format(fmt).options(**options).load(path)
+    except Exception as e:  # noqa: BLE001
+        if fmt == "avro" and "Failed to find data source" in str(e):
+            raise RuntimeError(
+                "AVRO requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "it is an external module and not bundled in this environment"
+            ) from e
+        raise
+
+
+def load_date_range(
+    spark: SparkSession,
+    path_pattern: str,
+    start: str,
+    end: str,
+    fmt: str = "parquet",
+    **options: str,
+) -> DataFrame:
+    """Cubert date-range LOAD: ``LOAD "(path, startDate, endDate)"``
+    (grammar CubertPhysical.g4:180-181) over daily-partitioned
+    datasets. ``path_pattern`` contains ``{date}`` substituted with
+    yyyy-MM-dd for each day in [start, end]; missing days are skipped
+    (the reference tolerates absent daily folders via #LATEST tags).
+    """
+    import datetime as dt
+    import glob as _glob
+
+    d0 = dt.date.fromisoformat(start)
+    d1 = dt.date.fromisoformat(end)
+    paths = []
+    cur = d0
+    while cur <= d1:
+        p = path_pattern.format(date=cur.isoformat())
+        if _glob.glob(p):
+            paths.append(p)
+        cur += dt.timedelta(days=1)
+    if not paths:
+        raise FileNotFoundError(f"no inputs for {path_pattern} in [{start}, {end}]")
+    fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    return spark.read.format(fmt).options(**options).load(paths)
 
 
 def store(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:

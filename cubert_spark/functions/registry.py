@@ -108,6 +108,17 @@ def cubert_expr(df: DataFrame, expression: str) -> Column:
     return F.expr(sql)
 
 
+def yyyymmdd_to_date(col: Column) -> Column:
+    """Cubert int dates (yyyyMMdd, src/utils/DateTimeUtilities.java:25)
+    -> DateType."""
+    return F.to_date(col.cast("string"), "yyyyMMdd")
+
+
+def date_to_yyyymmdd(col: Column) -> Column:
+    """DateType -> Cubert int date."""
+    return F.date_format(col, "yyyyMMdd").cast("int")
+
+
 def sizeof(col: Column) -> Column:
     """SIZEOF for array/map columns (use F.length for strings)."""
     return F.size(col)

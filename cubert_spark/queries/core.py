@@ -528,6 +528,45 @@ GROUP BY word
 """
 
 
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT (SURVEY.md §2.6 'Not present' in the
+    reference — free in Spark): customers ordering in both 1995 and
+    1996 vs only 1995."""
+    o = load_table(spark, sf, "orders")
+    y = o.withColumn("yr", F.year("o_orderdate"))
+    k95 = y.filter("yr = 1995").select("o_custkey")
+    k96 = y.filter("yr = 1996").select("o_custkey")
+    both = k95.intersect(k96)
+    only95 = k95.distinct().exceptAll(k96.distinct())
+    return gather(
+        group_by(both, [], F.count(F.lit(1)).alias("n")).withColumn("set_op", F.lit("both_years")),
+        group_by(only95, [], F.count(F.lit(1)).alias("n")).withColumn("set_op", F.lit("only_1995")),
+    )
+
+
+SQL_SET_OPS = """
+WITH k95 AS (SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995),
+     k96 AS (SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996)
+SELECT COUNT(*) AS n, 'both_years' AS set_op FROM (SELECT * FROM k95 INTERSECT SELECT * FROM k96)
+UNION ALL
+SELECT COUNT(*) AS n, 'only_1995' AS set_op FROM (SELECT DISTINCT o_custkey FROM k95 EXCEPT SELECT DISTINCT o_custkey FROM k96)
+"""
+
+
+def q_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL-sketch count-distinct — the 100 TB scale path where exact
+    distinct is unnecessary (rows-only check: sketch estimates are
+    engine-specific, so no value oracle; the driver records the weaker
+    row-count match)."""
+    o = load_table(spark, sf, "orders")
+    return group_by(
+        o,
+        ["o_orderpriority"],
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
 QUERIES = {
     "generate_filter": q_generate_filter,
     "q1_groupby_agg": q1_groupby_agg,
@@ -550,9 +589,14 @@ QUERIES = {
     "dict_encode": q_dict_encode,
     "scalar_functions": q_scalar_functions,
     "wordcount": q_wordcount,
+    "set_ops": q_set_ops,
+    "approx_count_distinct": q_approx_count_distinct,
 }
 
 ORACLES = {
+    "set_ops": SQL_SET_OPS,
+    # approx_count_distinct: intentionally no oracle (sketch values are
+    # engine-specific); driver records rows-only.
     "generate_filter": SQL_GENERATE_FILTER,
     "q1_groupby_agg": SQL_Q1,
     "groupby_all": SQL_GROUPBY_ALL,

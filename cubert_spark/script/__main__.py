@@ -1,0 +1,34 @@
+"""CLI: execute a JSON physical plan.
+
+    python -m cubert_spark.script plan.json [--show RELATION]
+
+The Spark analog of ``$CUBERT_HOME/bin/cubert script.cmr``
+(reference: src/ScriptExecutor.java:94) for plans in the JSON IR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cubert_spark.script")
+    ap.add_argument("plan", help="path to a JSON plan file")
+    ap.add_argument("--show", help="print this relation (20 rows) after execution")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from cubert_spark import get_session
+    from cubert_spark.script import run_plan_file
+
+    spark = get_session("cubert-script", master=args.master)
+    env = run_plan_file(spark, args.plan)
+    if args.show:
+        env[args.show].show(20, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
