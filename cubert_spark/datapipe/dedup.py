@@ -187,6 +187,11 @@ def minhash_lsh_pairs(
     key-equi joins on hash values; skew bounded by band collision
     rates + ``max_doc_freq``.
     """
+    # The shingle table feeds three consumers (signatures, sizes, the
+    # verify join). Recomputing it is cheaper than caching here: the
+    # verify branch is semi-join-pruned to candidate docs, so each
+    # consumer scans less than a persisted full table would cost.
+    # (At corpus scale, write it once as a checkpointed dataset.)
     sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
     sig = minhash_signature(sh, id_col, num_hashes)
     bands = lsh_bands(sig, id_col, num_hashes, band_size)

@@ -57,16 +57,29 @@ def cosine_topk(
     queries is expected small -> broadcast; the corpus is scanned once
     with no shuffle until the final per-query top-k (WindowGroupLimit
     pushes the k-cut map-side)."""
+    # Norms are per-vector, so compute them once per side BEFORE the
+    # pair cross-join — at |Q| x |C| pairs, recomputing norms per pair
+    # triples the work.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.sqrt(_dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__qnorm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(_dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__cnorm"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cos",
+            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -163,16 +176,27 @@ def lsh_bucketed_topk(
     bucket (equi-join on bucket id — the shape that scales when both
     sides are large). Recall tuned by num_planes; multi-probe left as
     a follow-up."""
+    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
     cb = hyperplane_buckets(corpus, id_col, vec_col, num_planes, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+        "bucket",
     )
     qb = hyperplane_buckets(queries, id_col, vec_col, num_planes, seed).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+        "bucket",
     )
     scored = (
         qb.join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cos",
+            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

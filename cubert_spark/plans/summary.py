@@ -137,29 +137,37 @@ class SummaryStore:
                 self.members_path
             )
 
-    def summarized_days(self, spark: SparkSession) -> set:
+    def _days_df(self, spark: SparkSession) -> DataFrame | None:
+        """Distinct summarized days as a (small) DataFrame — day
+        membership is always handled with joins against this relation,
+        never literal IN-lists (thousands of literals wreck both
+        planning time and codegen; a broadcast join does not)."""
         if not os.path.exists(self.additive_path):
+            return None
+        return spark.read.parquet(self.additive_path).select("__day").distinct()
+
+    def summarized_days(self, spark: SparkSession) -> set:
+        days = self._days_df(spark)
+        if days is None:
             return set()
-        rows = (
-            spark.read.parquet(self.additive_path).select("__day").distinct().collect()
-        )
-        return {r["__day"] for r in rows}
+        return {r["__day"] for r in days.collect()}
 
     def incremental_update(self, spark: SparkSession, fact: DataFrame) -> int:
-        """Append summary partitions for fact days not yet summarized
+        """Append summary rows for fact days not yet summarized
         (SummaryRewriter's only-new-days consumption). Returns the
-        number of new days. The day list is small driver-side metadata
-        (like Cubert's CubertMD), never the data itself."""
-        have = self.summarized_days(spark)
+        number of new days. Day membership via broadcast anti-join."""
         s = self.spec
-        all_days = {
-            r["__day"]
-            for r in fact.select(_day(F.col(s.time_col)).alias("__day")).distinct().collect()
-        }
-        new_days = sorted(all_days - have)
-        if not new_days:
+        delta = fact
+        have = self._days_df(spark)
+        if have is not None:
+            delta = fact.join(
+                F.broadcast(have),
+                _day(F.col(s.time_col)) == F.col("__day"),
+                "left_anti",
+            )
+        new_days = delta.select(_day(F.col(s.time_col)).alias("__day")).distinct().count()
+        if new_days == 0:
             return 0
-        delta = fact.filter(_day(F.col(s.time_col)).isin(new_days))
         additive, members = self._partials(delta)
         additive.sortWithinPartitions("__day").write.mode("append").parquet(
             self.additive_path
@@ -168,7 +176,7 @@ class SummaryStore:
             members.sortWithinPartitions("__day").write.mode("append").parquet(
                 self.members_path
             )
-        return len(new_days)
+        return new_days
 
     # -- rewrite ----------------------------------------------------------
     def rewrite(
@@ -192,22 +200,23 @@ class SummaryStore:
         start_d = F.lit(start).cast("date")
         end_d = F.lit(end).cast("date")
 
-        have = self.summarized_days(spark)
-        in_range_summary = [d for d in have if str(start) <= str(d) <= str(end)]
-
+        days = self._days_df(spark)
         day = _day(F.col(s.time_col))
-        missing_fact = fact.filter(
-            day.between(start_d, end_d) & ~day.isin(list(have)) if have else
-            day.between(start_d, end_d)
-        )
+        missing_fact = fact.filter(day.between(start_d, end_d))
+        if days is not None:
+            # days NOT in the summary: broadcast anti-join, never an
+            # IN-list of dates (range pruning on the scan still applies)
+            missing_fact = missing_fact.join(
+                F.broadcast(days), day == F.col("__day"), "left_anti"
+            )
 
         # additive side: summary partials for covered days + fresh
         # partials for missing days, merged with the merge fn
         add_parts = []
-        if in_range_summary:
+        if days is not None:
             add_parts.append(
                 spark.read.parquet(self.additive_path).filter(
-                    F.col("__day").isin(in_range_summary)
+                    F.col("__day").between(start_d, end_d)
                 )
             )
         miss_additive, miss_members = self._partials(missing_fact)
@@ -223,10 +232,10 @@ class SummaryStore:
 
         if s.distinct_col:
             mem_parts = []
-            if in_range_summary:
+            if days is not None:
                 mem_parts.append(
                     spark.read.parquet(self.members_path).filter(
-                        F.col("__day").isin(in_range_summary)
+                        F.col("__day").between(start_d, end_d)
                     )
                 )
             mem_parts.append(miss_members)
