@@ -1,0 +1,80 @@
+"""Connected components over near-duplicate pair graphs — the step
+that turns pairwise dedup output (minhash/jaccard pairs) into
+duplicate CLUSTERS with one representative per cluster.
+
+Algorithm: iterative min-label propagation (the simplified
+large-star/small-star scheme): every node repeatedly adopts the
+minimum label among itself and its neighbors until fixpoint. Each
+iteration is one join + one groupBy — all shuffle-on-key, no driver
+data. Converges in O(diameter) rounds; dedup graphs are
+near-clique bundles, so 2-4 rounds in practice. ``max_iter`` bounds
+pathological chains; at true scale, checkpoint every few rounds to cut
+lineage (parameter ``checkpoint_every``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Label every vertex of the undirected pair graph with the MIN
+    vertex id of its component. Output: (id, component).
+
+    Vertices are those appearing in any edge; singletons (no edges)
+    are their own components and can be unioned in by the caller.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+
+    for i in range(max_iter):
+        # candidate labels: my own + the label of every neighbor
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .select(F.col("u"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("u", "label")
+            .union(neighbor_labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster docs by near-dup pairs; output one row per doc in a
+    multi-doc cluster: (doc_id, rep_id) with rep = min id of the
+    cluster. Docs not in any pair are implicitly their own cluster."""
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("rep_id")
+    )

@@ -1,0 +1,63 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random `df.sample()` is nondeterministic across runs/partitionings —
+useless for reproducible corpus construction. These operators key the
+sampling decision on a content/id hash (md5, engine-portable): the
+same row is in or out of the sample forever, across engines, retries
+and re-partitions. This is the standard trick for holdout splits and
+downsampling at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bits of hash used for the sampling decision (16 bits = 1/65536
+#: granularity; plenty for corpus fractions).
+_SPACE = 1 << 16
+
+
+def hash16(col: Column, salt: str = "") -> Column:
+    """First 16 bits of md5(salt || value) as an int — portable to
+    any engine with md5+substring (see the DuckDB oracle mirror)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, key: str | Column, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows where hash16(key) < fraction * 2^16. Deterministic,
+    reproducible, partition-independent; ``salt`` decorrelates
+    independent samples over the same keys."""
+    col = F.col(key) if isinstance(key, str) else key
+    return df.filter(hash16(col, salt) < int(fraction * _SPACE))
+
+
+def train_test_split(
+    df: DataFrame, key: str | Column, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic split keyed on content —
+    the leak-proof way to hold out eval data (same document always
+    lands on the same side, even across dataset versions)."""
+    col = F.col(key) if isinstance(key, str) else key
+    cut = int(test_fraction * _SPACE)
+    is_test = hash16(col, salt) < cut
+    return df.filter(~is_test), df.filter(is_test)
+
+
+def stratified_deterministic_sample(
+    df: DataFrame, key: str | Column, strata_col: str, fractions: dict, salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic fractions (e.g. downsample by
+    language): ``fractions`` maps stratum value -> fraction; missing
+    strata keep everything."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = hash16(col, salt)
+    cond = F.lit(True)
+    expr = None
+    for value, frac in fractions.items():
+        branch = (F.col(strata_col) == value) & (h >= int(frac * _SPACE))
+        expr = branch if expr is None else (expr | branch)
+    return df.filter(~expr) if expr is not None else df

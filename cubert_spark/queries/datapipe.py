@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubert_spark.catalog import load_table
-from cubert_spark.datapipe import dedup, similarity, textstats
+from cubert_spark.datapipe import components, dedup, sampling, similarity, textstats
 from cubert_spark.datapipe.multimodal import attach_blob_metadata, text_as_blob
 
 # Shared SQL fragment: the shingle inverted index (mirrors
@@ -236,6 +236,84 @@ SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs (n-gram Jaccard >= 0.2) → duplicate clusters via
+    distributed connected components (min-label propagation)."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    return components.dedup_clusters(d, pairs)
+
+
+# Oracle: transitive closure by recursive label propagation — every
+# vertex collects all reachable labels; MIN = the component representative.
+SQL_DEDUP_CLUSTERS = _SH_CTE.replace("WITH w", "WITH RECURSIVE w", 1) + """,
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY id
+"""
+
+
+def _hash16_sql(key_expr: str, salt: str) -> str:
+    """DuckDB mirror of datapipe.sampling.hash16 (first 16 bits of
+    md5(salt || value))."""
+    h = f"md5('{salt}' || CAST({key_expr} AS VARCHAR))"
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+def q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 25% sample of documents keyed on doc_id — the
+    reproducible, partition-independent alternative to df.sample()."""
+    d = load_table(spark, sf, "documents")
+    out = sampling.deterministic_sample(d, "doc_id", 0.25, salt="bench")
+    return out.select(
+        "doc_id", sampling.hash16(F.col("doc_id"), "bench").alias("h16")
+    )
+
+
+SQL_DET_SAMPLE = f"""
+SELECT doc_id, CAST({_hash16_sql('doc_id', 'bench')} AS INT) AS h16
+FROM documents
+WHERE {_hash16_sql('doc_id', 'bench')} < {int(0.25 * 65536)}
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leak-proof content-keyed holdout split (same doc always lands on
+    the same side across dataset versions)."""
+    d = load_table(spark, sf, "documents")
+    train, test = sampling.train_test_split(d, "doc_id", test_fraction=0.1)
+    return train.select("doc_id", F.lit("train").alias("side")).unionByName(
+        test.select("doc_id", F.lit("test").alias("side"))
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_hash16_sql('doc_id', 'split')} < {int(0.1 * 65536)}
+            THEN 'test' ELSE 'train' END AS side
+FROM documents
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column plumbing: blob byte length + content hash (the
     JVM-side metadata pass; decode kernels are stubbed, tested in
@@ -263,6 +341,9 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "embedding_topk": q_embedding_topk,
     "multimodal_meta": q_multimodal_meta,
+    "dedup_clusters": q_dedup_clusters,
+    "det_sample": q_det_sample,
+    "train_test_split": q_train_test_split,
 }
 
 ORACLES = {
@@ -276,4 +357,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "det_sample": SQL_DET_SAMPLE,
+    "train_test_split": SQL_TRAIN_TEST_SPLIT,
 }

@@ -109,3 +109,67 @@ def test_textstats(docs):
     assert lang[1] == "en"
     fp = {x["doc_id"]: x["fp"] for x in textstats.fingerprint(docs).collect()}
     assert fp[1] == fp[4] and fp[1] != fp[3]
+
+
+def test_connected_components(spark):
+    from cubert_spark.datapipe import components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["component"] for r in
+           components.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_chain(spark, docs):
+    """A chain a-b, b-c must collapse into ONE cluster even though a-c
+    was never emitted as a pair (the transitive case pairwise dedup
+    alone gets wrong)."""
+    from cubert_spark.datapipe import components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["rep_id"] for r in
+           components.dedup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 4: 1}
+
+
+def test_deterministic_sample_stable(spark):
+    from cubert_spark.datapipe import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in sampling.deterministic_sample(df, "k", 0.3).collect())
+    b = sorted(
+        r["k"]
+        for r in sampling.deterministic_sample(df.repartition(7), "k", 0.3).collect()
+    )
+    assert a == b  # partition-independent
+    assert 0.25 < len(a) / 2000 < 0.35
+    # salt decorrelates
+    c = sorted(r["k"] for r in sampling.deterministic_sample(df, "k", 0.3, "x").collect())
+    assert a != c
+
+
+def test_train_test_split_disjoint_exhaustive(spark):
+    from cubert_spark.datapipe import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    train, test = sampling.train_test_split(df, "k", 0.2)
+    tr = {r["k"] for r in train.collect()}
+    te = {r["k"] for r in test.collect()}
+    assert tr.isdisjoint(te) and len(tr) + len(te) == 1000
+    assert 0.15 < len(te) / 1000 < 0.25
+
+
+def test_stratified_sample(spark):
+    from cubert_spark.datapipe import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = sampling.stratified_deterministic_sample(df, "k", "s", {"true": 0.1})
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["false"] == 1000  # untouched stratum
+    assert 50 < counts["true"] < 150
