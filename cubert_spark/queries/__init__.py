@@ -8,9 +8,9 @@ sides (the driver hash-compares after sorting columns by name).
 
 from __future__ import annotations
 
-from cubert_spark.queries import core, olap, events, datapipe, extensions
+from cubert_spark.queries import core, olap, events, datapipe, extensions, scriptq
 
-_MODULES = (core, olap, events, datapipe, extensions)
+_MODULES = (core, olap, events, datapipe, extensions, scriptq)
 
 
 def all_queries():

@@ -1,0 +1,54 @@
+"""Cubert-script-frontend queries: the DECLARED query goes through the
+full .cmr text -> parser -> JSON IR -> DataFrame pipeline, so the
+script language itself is DuckDB-oracle-verified end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cubert_spark.script import run_script
+
+# Mirrors the reference's script shape (PROGRAM/JOB/MAP/SHUFFLE/REDUCE;
+# release/examples/wordcount.cmr) over the star schema: filter with
+# Cubert `==`, GENERATE with CASE(cond,val,...), shuffle + reduce-side
+# GROUP BY with exact aggregates.
+_SCRIPT = """
+PROGRAM "script oracle";
+
+JOB "urgent order buckets"
+    REDUCERS 8;
+    MAP {
+        orders = LOAD "$SF/orders.parquet" USING PARQUET();
+        keep = FILTER orders BY o_orderpriority == "1-URGENT" AND o_totalprice > 1000.0;
+        proj = FROM keep GENERATE o_orderkey, o_totalprice,
+               CASE(o_totalprice > 200000.0, "big", o_totalprice > 50000.0, "mid", true, "small") AS bucket;
+    }
+    SHUFFLE proj PARTITIONED ON bucket;
+    REDUCE {
+        agg = GROUP proj BY bucket AGGREGATES COUNT(o_orderkey) AS n,
+              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price;
+    }
+END
+"""
+
+
+def q_script_bucket_agg(spark: SparkSession, sf: str) -> DataFrame:
+    env = run_script(spark, _SCRIPT, params={"SF": sf})
+    return env["agg"]
+
+
+SQL_SCRIPT_BUCKET_AGG = """
+SELECT CASE WHEN o_totalprice > 200000.0 THEN 'big'
+            WHEN o_totalprice > 50000.0 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       COUNT(o_orderkey) AS n,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0
+GROUP BY 1
+"""
+
+QUERIES = {"script_bucket_agg": q_script_bucket_agg}
+ORACLES = {"script_bucket_agg": SQL_SCRIPT_BUCKET_AGG}

@@ -1,0 +1,954 @@
+"""Cubert-script (.cmr) frontend: tokenizer + recursive-descent parser
+lowering script text to the JSON physical-plan IR executed by
+``script.plan.run_plan``.
+
+Grammar parity: src/main/antlr4/CubertPhysical.g4 (reference). The
+program/job/MAP/SHUFFLE/REDUCE/STORE shape (g4:36-55), the operator
+statements (g4:81-133) and the expression language (g4:149-180) are
+supported; physical-only knobs (MAPPERS/REDUCERS counts, HTSIZE, INNER
+cube dims, BLOCKGEN cost values) are accepted and recorded but the
+physical strategy is Catalyst's — that is the point of the engine.
+
+Expression translation (g4:149-180 -> Spark SQL): ``==`` -> ``=``,
+``MATCHES`` -> ``RLIKE``, ``a#"k"`` map access -> ``a['k']``,
+``CASE(c1,v1,...)`` -> ``CASE WHEN c1 THEN v1 ... END``, double-quoted
+strings -> SQL single-quoted, CASTTO*/NVL/SIZEOF/etc (FunctionType.java)
+-> Spark SQL builtins. Everything lands in ``selectExpr``/``filter`` —
+JVM-side, codegen'd, no Python in the row path.
+
+``$var`` substitution mirrors the reference's preprocessor
+(CmrExecutor.java:117-240; JavaScript macro blocks are not supported).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------- tokens
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
+  | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<num>\d+\.\d+|\d+[Ll]?)
+  | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>==|!=|<=|>=|[-+*/%<>=(){},;:#.$\[\]])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+#: Cubert builtin -> Spark SQL function name (FunctionType.java:20-67).
+_FN_MAP = {
+    "CASTTOINT": "int",
+    "CASTTOLONG": "bigint",
+    "CASTTOFLOAT": "float",
+    "CASTTODOUBLE": "double",
+    "CASTTOSTRING": "string",
+    "NVL": "nvl",
+    "CONCAT": "concat",
+    "SIZEOF": "size",
+    "TOBYTEARRAY": "to_binary",
+    "UNIQUEID": "monotonically_increasing_id",
+    "SEQNO": "monotonically_increasing_id",
+}
+
+
+class ScriptError(ValueError):
+    pass
+
+
+def tokenize(text: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ScriptError(f"bad character at {text[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append(m.group())
+    return out
+
+
+def substitute(text: str, params: dict[str, str] | None) -> str:
+    """$name / ${name} substitution (CmrExecutor preprocessor)."""
+    for k, v in (params or {}).items():
+        text = text.replace("${%s}" % k, str(v)).replace("$" + k, str(v))
+    return text
+
+
+def _unquote(tok: str) -> str:
+    return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+
+def _sql_str(tok: str) -> str:
+    return "'" + _unquote(tok).replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------- parser
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers ---------------------------------------------------
+    def peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def peek_kw(self, ahead: int = 0) -> str:
+        t = self.peek(ahead)
+        return t.upper() if t else ""
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ScriptError("unexpected end of script")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, *want: str) -> str:
+        t = self.next()
+        if t.upper() not in tuple(w.upper() for w in want):
+            raise ScriptError(f"expected {want}, got {t!r} near token {self.i}")
+        return t
+
+    def accept(self, *want: str) -> bool:
+        if self.peek_kw() in tuple(w.upper() for w in want):
+            self.i += 1
+            return True
+        return False
+
+    def kw(self) -> str:
+        """Next token as an upper-cased keyword; joins LOAD-CACHED /
+        HASH-JOIN style hyphenated keywords."""
+        t = self.next().upper()
+        if self.peek() == "-" and self.peek_kw(1) in ("CACHED", "JOIN"):
+            self.next()
+            t = t + "-" + self.next().upper()
+        return t
+
+    # -- small rules -----------------------------------------------------
+    def path(self) -> str:
+        return _unquote(self.expect_string())
+
+    def expect_string(self) -> str:
+        t = self.next()
+        if not t.startswith('"'):
+            raise ScriptError(f"expected string, got {t!r}")
+        return t
+
+    def columns(self) -> list[str]:
+        cols = [self.next()]
+        while self.accept(","):
+            cols.append(self.next())
+        return cols
+
+    def params(self) -> dict[str, str]:
+        """("k": "v", ...) option map (may be absent)."""
+        opts: dict[str, str] = {}
+        if not self.accept("("):
+            return opts
+        while not self.accept(")"):
+            k = _unquote(self.expect_string())
+            self.expect(":")
+            opts[k] = _unquote(self.expect_string())
+            self.accept(",")
+        return opts
+
+    def agg_list(self, bracketed_ok: bool = True) -> list[dict]:
+        """aggregate: FN(cols?) [AS alias] (g4:182-186)."""
+        if bracketed_ok and self.accept("["):
+            aggs = self.agg_list(bracketed_ok=False)
+            self.expect("]")
+            return aggs
+        aggs = []
+        while True:
+            fn = self.next().upper()
+            self.expect("(")
+            cols = []
+            while self.peek() != ")":
+                cols.append(self.next())
+                self.accept(",")
+            self.expect(")")
+            alias = self.next() if self.accept("AS") else None
+            aggs.append(
+                {
+                    "type": fn,
+                    "input": cols[0] if cols else "*",
+                    "output": alias or (fn.lower() + ("_" + cols[0] if cols else "")),
+                }
+            )
+            if not self.accept(","):
+                return aggs
+
+    def cuboids(self) -> list[list[str]]:
+        sets = []
+        while True:
+            self.expect("(")
+            sets.append([] if self.peek() == ")" else self.columns())
+            self.expect(")")
+            if not self.accept(","):
+                return sets
+
+    # -- expressions -----------------------------------------------------
+    def expression(self, stop: tuple[str, ...]) -> str:
+        """Translate an expression to Spark SQL text, consuming tokens
+        until a top-level ``stop`` keyword/symbol."""
+        parts: list[str] = []
+        depth = 0
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            up = t.upper()
+            if depth == 0 and (up in stop or (up == "AS" and "AS" in stop)):
+                break
+            self.next()
+            if t == "(":
+                depth += 1
+                parts.append("(")
+            elif t == ")":
+                if depth == 0:
+                    self.i -= 1
+                    break
+                depth -= 1
+                parts.append(")")
+            elif t == "==":
+                parts.append("=")
+            elif up == "MATCHES":
+                # Pig/Cubert MATCHES is FULL-string match (CompiledRegex
+                # .matches()); Spark RLIKE is find() — anchor literals
+                nxt = self.peek()
+                if nxt and nxt.startswith('"'):
+                    self.next()
+                    pat = _unquote(nxt).replace("'", "''")
+                    parts.append(f"RLIKE '^(?:{pat})$'")
+                else:
+                    parts.append("RLIKE")
+            elif t == "#":
+                key = self.expect_string()
+                parts.append("[" + _sql_str(key) + "]")
+            elif t.startswith('"'):
+                parts.append(_sql_str(t))
+            elif up == "CASE" and self.peek() == "(":
+                parts.append(self._case_expr())
+            elif up in _FN_MAP and self.peek() == "(":
+                parts.append(_FN_MAP[up])
+            elif t == "$":
+                raise ScriptError("positional $N references are not supported")
+            elif t == ".":
+                # nested projection / uri: strip function package prefix
+                nxt = self.peek()
+                if parts and nxt and re.match(r"[A-Za-z_]", nxt or ""):
+                    # lookahead: com.foo.Bar( -> keep only last segment
+                    j = self.i
+                    while (
+                        j + 1 < len(self.toks)
+                        and self.toks[j + 1] == "."
+                        and re.match(r"[A-Za-z_]", self.toks[j + 2])
+                    ):
+                        j += 2
+                    if j + 1 < len(self.toks) and self.toks[j + 1] == "(":
+                        name = self.toks[j]
+                        self.i = j + 1
+                        parts.pop()  # drop package head; keep class name
+                        parts.append(_FN_MAP.get(name.upper(), name))
+                        continue
+                parts.append(".")
+            else:
+                parts.append(t)
+        expr = " ".join(parts)
+        return re.sub(r"\s+\.\s+", ".", expr)
+
+    def _case_expr(self) -> str:
+        """CASE(c1, v1, c2, v2, ...) -> CASE WHEN c1 THEN v1 ... END
+        (Case.java:30; pairs per caseFunctionCallExpression g4:172)."""
+        self.expect("(")
+        args = []
+        while True:
+            args.append(self.expression(stop=(",",)))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        if len(args) % 2:
+            raise ScriptError("CASE needs (condition, value) pairs")
+        whens = " ".join(
+            f"WHEN {c} THEN {v}" for c, v in zip(args[::2], args[1::2])
+        )
+        return f"CASE {whens} END"
+
+    def generate_list(self) -> list[str]:
+        exprs = []
+        while True:
+            e = self.expression(stop=(",", ";", "IF", "AS"))
+            if self.accept("AS"):
+                e = f"{e} AS {self.next()}"
+            exprs.append(e)
+            if not self.accept(","):
+                return exprs
+
+    # -- program ---------------------------------------------------------
+    def program(self) -> dict:
+        prog: dict = {"name": None, "sets": {}, "jobs": []}
+        if self.accept("PROGRAM"):
+            prog["name"] = _unquote(self.expect_string())
+            self.expect(";")
+        while self.peek() is not None:
+            up = self.peek_kw()
+            if up == "SET":
+                self.next()
+                key = self.next()
+                prog["sets"][key] = self.next().strip('"')
+                self.expect(";")
+            elif up in ("REGISTER", "FUNCTION"):
+                # jar registration / function-by-uri: resolved from our
+                # registry by bare name, nothing to load
+                while self.next() != ";":
+                    pass
+            elif up == "JOB":
+                prog["jobs"].append(self.job())
+            else:
+                raise ScriptError(f"unexpected token {self.peek()!r} at top level")
+        return prog
+
+    def job(self) -> dict:
+        self.expect("JOB")
+        plan: dict = {
+            "name": _unquote(self.expect_string()),
+            "inputs": [],
+            "operators": [],
+            "output": None,
+            "onCompletion": [],
+        }
+        while self.accept("SET"):
+            self.next(), self.next()
+            self.expect(";")
+        for knob in ("MAPPERS", "REDUCERS"):
+            if self.accept(knob):
+                plan[knob.lower()] = int(self.next())
+                self.expect(";")
+        defined: set[str] = set()
+        while self.accept("MAP"):
+            self.map_block(plan, defined)
+        self.shuffle_section(plan)
+        if self.accept("REDUCE"):
+            self.expect("{")
+            while not self.accept("}"):
+                self.statement(plan)
+        if self.peek_kw() == "STORE":  # mandatory in the grammar; optional
+            self.store(plan)  # here so library callers can read relations
+        if self.accept("ONCOMPLETION"):
+            self.on_completion(plan)
+        self.expect("END")
+        return plan
+
+    def map_block(self, plan: dict, defined: set[str]) -> None:
+        """MAP { input; statements } — a second MAP block redefining an
+        existing relation unions into it (MultiMapperSplit semantics:
+        several inputs feeding one shuffle)."""
+        self.expect("{")
+        name = self.next()
+        self.expect("=")
+        kw = self.kw()
+        if kw != "LOAD":
+            raise ScriptError("MAP block must start with LOAD")
+        inp = self.load_stmt(name)
+        if name in defined:
+            tmp = f"__{name}_{len(plan['inputs'])}"
+            inp["name"] = tmp
+            plan["inputs"].append(inp)
+            plan["operators"].append(
+                {"operator": "GATHER", "inputs": [name, tmp], "output": name}
+            )
+        else:
+            plan["inputs"].append(inp)
+            defined.add(name)
+        while not self.accept("}"):
+            self.statement(plan)
+
+    def load_stmt(self, name: str) -> dict:
+        paths = [self.path()]
+        while self.accept(","):
+            paths.append(self.path())
+        self.expect("USING")
+        fmt = self.next()
+        opts = self.params()
+        self.expect(";")
+        inp: dict = {
+            "name": name,
+            "path": paths[0] if len(paths) == 1 else paths,
+            "format": fmt,
+        }
+        if "schema" in opts:
+            inp["schema"] = opts.pop("schema")
+        if opts:
+            inp["options"] = opts
+        return inp
+
+    def shuffle_section(self, plan: dict) -> None:
+        """macroShuffleCommand (g4:45-65)."""
+        up = self.peek_kw()
+        ops = plan["operators"]
+        if up == "SHUFFLE":
+            self.next()
+            rel = self.next()
+            self.expect("PARTITIONED")
+            self.expect("ON")
+            op = {
+                "operator": "SHUFFLE",
+                "input": rel,
+                "output": rel,
+                "partitionKeys": self.columns(),
+                "numReducers": plan.get("reducers", 32),
+            }
+            if self.accept("SORTED"):
+                self.expect("ON")
+                op["pivotKeys"] = self.columns()
+            if self.accept("AGGREGATES"):
+                op["aggregates"] = self.agg_list()
+            self.expect(";")
+            ops.append(op)
+        elif up == "BLOCKGEN":
+            self.next()
+            distinct = self.accept("DISTINCT")
+            rel = self.next()
+            self.expect("BY")
+            btype = self.next().upper()
+            value = None
+            if btype in ("ROW", "SIZE") or self.peek_kw() not in ("PARTITIONED",):
+                if self.peek_kw() != "PARTITIONED":
+                    value = self.next()
+            self.expect("PARTITIONED")
+            self.expect("ON")
+            op = {
+                "operator": "BLOCKGEN",
+                "input": rel,
+                "output": rel,
+                "blockgenType": btype,
+                "blockgenValue": value,
+                "partitionKeys": self.columns(),
+                "numBlocks": plan.get("reducers", 32),
+            }
+            if self.accept("SORTED"):
+                self.expect("ON")
+                op["sortKeys"] = self.columns()
+            self.expect(";")
+            ops.append(op)
+            if distinct:
+                ops.append({"operator": "DISTINCT", "input": rel, "output": rel})
+        elif up == "DISTINCT":
+            self.next()
+            rel = self.next()
+            self.expect(";")
+            ops.append({"operator": "DISTINCT", "input": rel, "output": rel})
+        elif up == "DICTIONARY":
+            self.next()
+            rel = self.next()
+            self.expect("ON")
+            cols = self.columns()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "CREATE_DICTIONARY",
+                    "input": rel,
+                    "output": rel,
+                    "columns": cols,
+                }
+            )
+        elif up == "JOIN":
+            self.next()
+            jt = self.join_type()
+            rel = self.next()
+            self.expect("ON")
+            cols = self.columns()
+            if self.accept("PARTITIONED"):
+                self.expect("ON")
+                self.columns()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "JOIN",
+                    "input": rel,
+                    "rightBlock": rel,
+                    "joinKeys": cols,
+                    "joinType": jt,
+                    "output": rel,
+                    "_shuffle_join_marker": True,
+                }
+            )
+        elif up == "CUBE":
+            self.cube_stmt(None, plan)
+
+    def join_type(self) -> str:
+        if self.peek_kw() in ("LEFT", "RIGHT", "FULL"):
+            side = self.next().upper()
+            self.expect("OUTER")
+            return f"{side} OUTER"
+        return "INNER"
+
+    def cube_stmt(self, lhs: str | None, plan: dict) -> None:
+        self.expect("CUBE")
+        rel = self.next()
+        self.expect("BY")
+        dims = self.columns()
+        if self.accept("INNER"):
+            self.columns()  # physical hint: Catalyst's distinct-agg rewrite
+        self.expect("AGGREGATES")
+        aggs = self.agg_list()
+        op: dict = {
+            "operator": "CUBE",
+            "input": rel,
+            "output": lhs or rel,
+            "dimensions": dims,
+            "aggregates": aggs,
+        }
+        if self.accept("GROUPING"):
+            which = self.next().upper()
+            if which == "SETS":
+                op["groupingSets"] = self.cuboids()
+            elif which == "COMBOS":
+                op["groupingCombos"] = int(self.next())
+            else:
+                raise ScriptError(f"GROUPING {which}?")
+        elif self.accept("ROLLUPS"):
+            op["rollups"] = self.cuboids()
+        if self.accept("HTSIZE"):
+            self.next()
+        self.expect(";")
+        plan["operators"].append(op)
+
+    def store(self, plan: dict) -> None:
+        self.expect("STORE")
+        rel = self.next()
+        self.expect("INTO")
+        path = self.path()
+        self.expect("USING")
+        fmt = self.next()
+        opts = self.params()
+        self.expect(";")
+        plan["output"] = {"name": rel, "path": path, "format": fmt, "options": opts}
+
+    def on_completion(self, plan: dict) -> None:
+        self.expect("{")
+        while not self.accept("}"):
+            verb = self.next().upper()
+            paths = []
+            while self.peek() != ";":
+                paths.append(self.path())
+            self.expect(";")
+            plan["onCompletion"].append({"task": verb, "paths": paths})
+
+    # -- statements ------------------------------------------------------
+    def statement(self, plan: dict) -> None:
+        if self.peek_kw() == "MULTIPASS":
+            # semantics = several chains over one input; env-based
+            # execution makes inlining exact (persist is an optimization)
+            self.next()
+            while self.accept("{"):
+                while not self.accept("}"):
+                    self.statement(plan)
+            return
+        lhs = self.next()
+        self.expect("=")
+        kw = self.kw()
+        ops = plan["operators"]
+
+        if kw == "LOAD":
+            plan["inputs"].append(self.load_stmt(lhs))
+            return
+        if kw == "LOAD-CACHED":
+            path = self.path()
+            self.expect("USING")
+            fmt = self.next()
+            opts = self.params()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "LOAD_CACHED",
+                    "output": lhs,
+                    "path": path,
+                    "format": fmt,
+                    "options": opts,
+                }
+            )
+            return
+        if kw == "FROM":
+            rel = self.next()
+            self.expect("GENERATE")
+            exprs = self.generate_list()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "GENERATE",
+                    "input": rel,
+                    "output": lhs,
+                    "outputExpressions": exprs,
+                }
+            )
+            return
+        if kw == "FILTER":
+            rel = self.next()
+            self.expect("BY")
+            pred = self.expression(stop=(";",))
+            self.expect(";")
+            ops.append(
+                {"operator": "FILTER", "input": rel, "output": lhs, "filterExpr": pred}
+            )
+            return
+        if kw == "GROUP":
+            rel = self.next()
+            self.expect("BY")
+            cols = [] if self.accept("ALL") else self.columns()
+            aggs = self.agg_list() if self.accept("AGGREGATES") else []
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "GROUP_BY",
+                    "input": rel,
+                    "output": lhs,
+                    "groupBy": cols,
+                    "aggregates": aggs,
+                }
+            )
+            return
+        if kw in ("JOIN", "HASH-JOIN"):
+            jt = self.join_type()
+            left = self.next()
+            self.expect("BY")
+            # left key list ends at the ", rel BY" separator (lookahead)
+            lkeys = [self.next()]
+            while self.peek() == "," and self.peek_kw(2) != "BY":
+                self.next()
+                lkeys.append(self.next())
+            self.expect(",")
+            right = self.next()
+            self.expect("BY")
+            rkeys = self.columns()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "JOIN",
+                    "input": left,
+                    "rightBlock": right,
+                    "joinKeys": lkeys,
+                    "rightKeys": rkeys,
+                    "joinType": jt,
+                    "output": lhs,
+                }
+            )
+            return
+        if kw == "CUBE":
+            self.i -= 1
+            self.cube_stmt(lhs, plan)
+            return
+        if kw == "FLATTEN":
+            rel = self.next()
+            self.expect("BY")
+            specs, aliases = [], {}
+            while True:
+                col = self.next()
+                ftype = self.kw()
+                if ftype == "BAG" and self.peek() == "_":  # BAG_TUPLE forms
+                    ftype = "BAG_TUPLE"
+                self.expect("AS")
+                self.expect("(")
+                names = []
+                while not self.accept(")"):
+                    names.append(self.next())
+                    self.expect(":")
+                    self.next()  # declared type: Spark infers from data
+                    self.accept(",")
+                specs.append((col, ftype))
+                aliases[col] = names
+                if not self.accept(","):
+                    break
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "FLATTEN",
+                    "input": rel,
+                    "output": lhs,
+                    "flatten": specs,
+                    "aliases": aliases,
+                }
+            )
+            return
+        if kw == "DISTINCT":
+            rel = self.next()
+            self.expect(";")
+            ops.append({"operator": "DISTINCT", "input": rel, "output": lhs})
+            return
+        if kw == "LIMIT":
+            rel = self.next()
+            n = int(self.next())
+            self.expect(";")
+            ops.append(
+                {"operator": "LIMIT", "input": rel, "output": lhs, "maxTuples": n}
+            )
+            return
+        if kw == "SORT":
+            rel = self.next()
+            self.expect("ON")
+            cols = self.columns()
+            self.expect(";")
+            ops.append(
+                {"operator": "SORT", "input": rel, "output": lhs, "sortBy": cols}
+            )
+            return
+        if kw == "DUPLICATE":
+            rel = self.next()
+            n = int(self.next())
+            self.expect("TIMES")
+            counter = None
+            if self.accept("COUNTER"):
+                self.expect("AS")
+                counter = self.next()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "DUPLICATE",
+                    "input": rel,
+                    "output": lhs,
+                    "times": n,
+                    "counter": counter,
+                }
+            )
+            return
+        if kw == "RANK":
+            rel = self.next()
+            self.expect("AS")
+            col = self.next()
+            group, order = [], []
+            if self.accept("GROUP"):
+                self.expect("BY")
+                group = self.columns()
+                self.expect("ORDER")
+                self.expect("BY")
+                order = self.columns()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "RANK",
+                    "input": rel,
+                    "output": lhs,
+                    "output_column": col,
+                    "groupBy": group,
+                    "orderBy": order,
+                }
+            )
+            return
+        if kw == "TOP":
+            n = int(self.next())
+            self.expect("FROM")
+            rel = self.next()
+            self.expect("GROUP")
+            self.expect("BY")
+            group = self.columns()
+            self.expect("ORDER")
+            self.expect("BY")
+            order = self.columns()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "TOP_N",
+                    "input": rel,
+                    "output": lhs,
+                    "n": n,
+                    "groupBy": group,
+                    "orderBy": order,
+                }
+            )
+            return
+        if kw == "GATHER":
+            rels = self.columns()
+            self.expect(";")
+            ops.append({"operator": "GATHER", "inputs": rels, "output": lhs})
+            return
+        if kw == "COMBINE":
+            rels = [self.next()]
+            while self.accept(","):
+                rels.append(self.next())
+            self.expect("SORTED")
+            self.expect("ON")
+            cols = self.columns()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "COMBINE",
+                    "inputs": rels,
+                    "output": lhs,
+                    "sortedOn": cols,
+                }
+            )
+            return
+        if kw == "TEE":
+            split = False
+            if self.accept("WITH"):
+                self.expect("SPLIT")
+                split = True
+            rel = self.next()
+            self.expect("INTO")
+            path = self.path()
+            self.expect("USING")
+            fmt = self.next()
+            self.params()
+            gen = None
+            if self.accept("GENERATE"):
+                gen = self.generate_list()
+            pred = None
+            if self.accept("IF"):
+                pred = self.expression(stop=(";",))
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "TEE",
+                    "input": rel,
+                    "output": lhs,
+                    "path": path,
+                    "format": fmt,
+                    "filterExpr": pred,
+                    "generate": gen,
+                    "split": split,
+                }
+            )
+            return
+        if kw == "NO_OP":
+            rel = self.next()
+            op = {"operator": "NO_OP", "input": rel, "output": lhs}
+            if self.accept("ASSERT"):
+                self.expect("PARTITIONED")
+                self.expect("ON")
+                op["partitionKeys"] = self.columns()
+                self.expect("SORTED")
+                self.expect("ON")
+                op["sortKeys"] = self.columns()
+            self.expect(";")
+            ops.append(op)
+            return
+        if kw in ("ENCODE", "DECODE"):
+            rel = self.next()
+            self.expect("ON")
+            cols = self.columns()
+            self.expect("USING")
+            t = self.next()
+            op = {
+                "operator": kw,
+                "input": rel,
+                "output": lhs,
+                "columns": cols,
+            }
+            if t.startswith('"'):
+                op["dictionaryPath"] = _unquote(t)
+            else:
+                op["dictionary"] = t
+            while self.peek() != ";":  # NULLS AS / UNKNOWNS AS
+                self.next()
+            self.expect(";")
+            ops.append(op)
+            return
+        if kw == "LOAD" and self.peek_kw() == "BLOCK":  # pragma: no cover
+            raise ScriptError("unreachable")
+        if kw == "LOADBLOCK" or kw == "BLOCK":
+            raise ScriptError(
+                "LOAD BLOCK: use blockgen'd bucketed tables via the API "
+                "(operators.blockgen.load_block)"
+            )
+        if kw == "PIVOT":
+            self.accept("IN")
+            self.accept("MEMORY")
+            rel = self.next()
+            cols: list[str] = []
+            if self.accept("ON"):
+                cols = self.columns()
+            elif self.accept("BY"):
+                self.next(), self.next()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "SHUFFLE",
+                    "input": rel,
+                    "output": lhs,
+                    "partitionKeys": cols,
+                    "pivotKeys": cols,
+                    "numReducers": plan.get("reducers", 32),
+                }
+                if cols
+                else {"operator": "NO_OP", "input": rel, "output": lhs}
+            )
+            return
+        if kw == "VALIDATE":
+            rel = self.next()
+            self.expect("BY")
+            self.next()  # blockgen type
+            if self.peek_kw() not in ("PARTITIONED",):
+                self.next()
+            self.expect("PARTITIONED")
+            self.expect("ON")
+            pk = self.columns()
+            sk = []
+            if self.accept("SORTED"):
+                self.expect("ON")
+                sk = self.columns()
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "VALIDATE",
+                    "input": rel,
+                    "output": lhs,
+                    "partitionKeys": pk,
+                    "sortKeys": sk,
+                }
+            )
+            return
+        raise ScriptError(f"unsupported operator {kw!r}")
+
+
+# ------------------------------------------------------------------ API
+
+
+def compile_script(text: str, params: dict[str, str] | None = None) -> dict:
+    """Parse .cmr text -> {"name", "sets", "jobs": [json plan, ...]}."""
+    return _Parser(tokenize(substitute(text, params))).program()
+
+
+def run_script(
+    spark: SparkSession,
+    text: str,
+    params: dict[str, str] | None = None,
+    relations: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Execute a .cmr script: jobs run in order (the reference's
+    sequential ExecutorService mode; Spark's scheduler parallelizes
+    stages within each job), sharing one relation environment. Returns
+    the final environment."""
+    import os
+    import shutil
+
+    from cubert_spark.script.plan import run_plan
+
+    prog = compile_script(text, params)
+    env: dict[str, DataFrame] = dict(relations or {})
+    for job in prog["jobs"]:
+        env = run_plan(spark, job, env)
+        for task in job.get("onCompletion", []):
+            verb, paths = task["task"], task["paths"]
+            if verb == "RM":
+                for p in paths:
+                    shutil.rmtree(p, ignore_errors=True)
+            elif verb == "MV":
+                os.replace(paths[0], paths[1])
+            elif verb == "MKDIR":
+                for p in paths:
+                    os.makedirs(p, exist_ok=True)
+    return env
+
+
+def run_script_file(
+    spark: SparkSession, path: str, params: dict[str, str] | None = None
+) -> dict[str, DataFrame]:
+    with open(path) as f:
+        return run_script(spark, f.read(), params)

@@ -46,6 +46,7 @@ from cubert_spark.operators import (
     gather,
     generate,
     group_by,
+    grouping_combos,
     grouping_sets,
     join,
     limit,
@@ -105,13 +106,30 @@ def run_plan(
             res = group_by(src, op.get("groupBy", []), *_agg_tuples(op["aggregates"]))
         elif kind == "CUBE":
             dims = op["dimensions"]
+            aggs = _agg_tuples(op["aggregates"])
             if "groupingSets" in op:
-                res = grouping_sets(src, op["groupingSets"], *_agg_tuples(op["aggregates"]))
+                res = grouping_sets(src, op["groupingSets"], *aggs)
+            elif "groupingCombos" in op:
+                res = grouping_combos(src, dims, int(op["groupingCombos"]), *aggs)
+            elif "rollups" in op:
+                # ROLLUPS (a,b),(c): union of each cuboid's prefix chain
+                sets: list[list[str]] = []
+                for cuboid in op["rollups"]:
+                    for k in range(len(cuboid) + 1):
+                        pref = list(cuboid[:k])
+                        if pref not in sets:
+                            sets.append(pref)
+                res = grouping_sets(src, sets, *aggs)
             else:
-                res = cube(src, dims, *_agg_tuples(op["aggregates"]))
+                res = cube(src, dims, *aggs)
         elif kind in ("JOIN", "MERGE_JOIN", "HASHJOIN", "REDUCE_JOIN"):
             right = env[op["rightBlock"]]
             left = env[op.get("leftBlock", op.get("input"))]
+            rkeys = op.get("rightKeys")
+            if rkeys and list(rkeys) != list(op["joinKeys"]):
+                # JOIN x BY a, y BY b: align right key names to left's
+                for lk, rk in zip(op["joinKeys"], rkeys):
+                    right = right.withColumnRenamed(rk, lk)
             res = join(left, right, op["joinKeys"], op.get("joinType", "INNER"))
         elif kind == "FLATTEN":
             specs = [tuple(s) for s in op["flatten"]]
@@ -147,12 +165,20 @@ def run_plan(
             res = rank(src, op.get("output_column", "rank"), op.get("groupBy", []), op.get("orderBy", []))
         elif kind == "TOP_N":
             res = top_n(src, int(op["n"]), op.get("groupBy", []), op.get("orderBy", []))
-        elif kind == "ENCODE":
-            d = env[op["dictionary"]] if "dictionary" in op else build_dictionary(src, op["columns"][0])
-            res = encode(src, d, op["columns"])
-        elif kind == "DECODE":
-            res = decode(src, env[op["dictionary"]], op["columns"])
+        elif kind in ("ENCODE", "DECODE"):
+            if "dictionary" in op:
+                d = env[op["dictionary"]]
+            elif "dictionaryPath" in op:
+                d = catalog.load(spark, op["dictionaryPath"])
+            else:
+                d = build_dictionary(src, op["columns"][0])
+            fn = encode if kind == "ENCODE" else decode
+            res = fn(src, d, op["columns"])
         elif kind in ("NO_OP", "NOOP"):
+            if op.get("partitionKeys"):
+                from cubert_spark.plans.assertions import assert_partitioned_on
+
+                assert_partitioned_on(src, list(op["partitionKeys"]))
             res = src
         elif kind == "TEE":
             from cubert_spark.operators import tee
@@ -162,7 +188,35 @@ def run_plan(
                 op["path"],
                 fmt=op.get("format", "parquet"),
                 predicate=op.get("filterExpr"),
+                project=op.get("generate"),
                 split=bool(op.get("split", False)),
+            )
+        elif kind == "LOAD_CACHED":
+            # LOAD-CACHED = DistributedCache block -> broadcast hint
+            res = F.broadcast(
+                catalog.load(
+                    spark,
+                    op["path"],
+                    fmt=op.get("format", "parquet"),
+                    schema=op.get("schema"),
+                    **op.get("options", {}),
+                )
+            )
+        elif kind == "COMBINE":
+            from cubert_spark.operators import combine
+
+            res = combine(*[env[n] for n in op["inputs"]], sorted_on=op["sortedOn"])
+        elif kind == "CREATE_DICTIONARY":
+            if len(op["columns"]) != 1:
+                raise PlanError("CREATE_DICTIONARY supports one column per relation")
+            res = build_dictionary(src, op["columns"][0])
+        elif kind == "VALIDATE":
+            from cubert_spark.operators.pivot import validate
+
+            res = validate(
+                src,
+                partitioned_on=op.get("partitionKeys", ()),
+                sorted_on=op.get("sortKeys", ()),
             )
         else:
             raise PlanError(f"unsupported operator {kind!r}")

@@ -1,0 +1,210 @@
+"""Cubert-script (.cmr) frontend tests — the reference's own example
+script runs verbatim (release/examples/wordcount.cmr), plus coverage of
+the operator statements and the expression language translation."""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import pytest
+
+from cubert_spark.script import compile_script, run_script
+from cubert_spark.script.cmr import ScriptError
+
+REF_EXAMPLES = "/root/reference/release/examples"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_EXAMPLES}/wordcount.cmr"),
+    reason="reference examples not present",
+)
+def test_reference_wordcount_runs_verbatim(spark, tmp_path):
+    """The reference's shipped example script, parsed from its own
+    text: PROGRAM/SET/JOB/REDUCERS/MAP{LOAD TEXT+GENERATE}/SHUFFLE
+    AGGREGATES/REDUCE{GROUP BY}/STORE TEXT."""
+    with open(f"{REF_EXAMPLES}/wordcount.cmr") as f:
+        text = f.read()
+    out = str(tmp_path / "wc_out")
+    text = text.replace('"output"', f'"{out}"')
+    env = run_script(
+        spark, text, params={"CUBERT_HOME": os.path.dirname(REF_EXAMPLES)}
+    )
+    got = {r["word"]: r["count"] for r in env["counted"].collect()}
+    with open(f"{REF_EXAMPLES}/words.txt") as f:
+        want = collections.Counter(w.strip() for w in f if w.strip())
+    assert got == dict(want)
+    assert os.path.isdir(out)  # STORE ... USING TEXT() wrote csv
+
+
+def test_expression_language(spark):
+    d = spark.createDataFrame(
+        [("alpha", 1, {"k": "x"}), ("beta", 2, {"k": "y"}), (None, 3, None)],
+        "name string, v int, tags map<string,string>",
+    )
+    script = """
+    JOB "exprs"
+      REDUCE {
+        out = FROM d GENERATE name, v * 2 + 1 AS v2,
+              CASE(v > 1, "hi", true, "lo") AS c,
+              tags#"k" AS tk,
+              name MATCHES "a.*" AS m,
+              v IN (1, 2) AS iv,
+              name IS NOT NULL AS nn,
+              CASTTODOUBLE(v) AS vd,
+              NVL(name, "missing") AS nm;
+        f = FILTER out BY name == "alpha" OR name IS NULL;
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    rows = {r["v2"]: r for r in env["out"].collect()}
+    assert rows[3]["c"] == "lo" and rows[5]["c"] == "hi"
+    assert rows[3]["tk"] == "x" and rows[7]["tk"] is None
+    assert rows[3]["m"] is True
+    assert rows[5]["m"] is False  # full-string match: "beta" !~ ^a.*$
+    assert rows[7]["m"] is None  # null propagates
+    assert rows[3]["iv"] is True and rows[7]["iv"] is False
+    assert rows[7]["nn"] is False
+    assert rows[3]["vd"] == 1.0
+    assert rows[7]["nm"] == "missing"
+    assert {r["v2"] for r in env["f"].collect()} == {3, 7}
+
+
+def test_join_topn_rank_distinct(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, name string")
+    b = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0), (2, 7.0), (2, 3.0)], "k2 int, v double"
+    )
+    script = """
+    JOB "joins"
+      REDUCE {
+        j = JOIN LEFT OUTER a BY k, b BY k2;
+        inner = JOIN a BY k, b BY k2;
+        t = TOP 2 FROM inner GROUP BY k ORDER BY v;
+        r = RANK t AS rnk GROUP BY k ORDER BY v;
+        d = DISTINCT a;
+        lim = LIMIT d 2;
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"a": a, "b": b})
+    assert env["j"].count() == 6  # k=3 survives LEFT OUTER
+    assert env["inner"].count() == 5
+    per_group = collections.Counter(r["k"] for r in env["t"].collect())
+    assert per_group == {1: 2, 2: 2}
+    ranks = {(r["k"], r["v"]): r["rnk"] for r in env["r"].collect()}
+    assert ranks[(1, 5.0)] == 1 and ranks[(1, 10.0)] == 2
+    assert env["lim"].count() == 2
+
+
+def test_cube_grouping_sets_script(spark):
+    d = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], "d1 string, d2 string, v int"
+    )
+    script = """
+    JOB "cube"
+      REDUCE {
+        c = CUBE d BY d1, d2 AGGREGATES [SUM(v) AS s] GROUPING SETS (d1, d2), (d1), ();
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    got = {(r["d1"], r["d2"]): r["s"] for r in env["c"].collect()}
+    assert got[("a", "x")] == 1 and got[("a", None)] == 3 and got[(None, None)] == 7
+    assert len(got) == 3 + 2 + 1
+
+
+def test_multi_map_blocks_union(spark, tmp_path):
+    """Two MAP clauses feeding one shuffle = MultiMapperSplit: the
+    second LOAD of the same relation name unions into the first."""
+    p1, p2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    with open(p1, "w") as f:
+        f.write("x\nx\ny\n")
+    with open(p2, "w") as f:
+        f.write("y\nz\n")
+    script = f"""
+    JOB "mm"
+      MAP {{
+        w = LOAD "{p1}" USING TEXT("schema": "STRING word");
+      }}
+      MAP {{
+        w = LOAD "{p2}" USING TEXT("schema": "STRING word");
+      }}
+      SHUFFLE w PARTITIONED ON word AGGREGATES COUNT(word) AS n;
+    END
+    """
+    env = run_script(spark, script)
+    got = {r["word"]: r["n"] for r in env["w"].collect()}
+    assert got == {"x": 2, "y": 2, "z": 1}
+
+
+def test_tee_flatten_duplicate_gather(spark, tmp_path):
+    d = spark.createDataFrame([("a b",), ("c",)], "text string")
+    side = str(tmp_path / "tee_out")
+    script = f"""
+    JOB "rowops"
+      REDUCE {{
+        w = FROM d GENERATE SPLIT(text, " ") AS words;
+        fl = FLATTEN w BY words BAG AS (word: STRING);
+        dup = DUPLICATE fl 2 TIMES COUNTER AS c;
+        t = TEE fl INTO "{side}" USING PARQUET() IF word == "a";
+        g = GATHER fl, fl;
+      }}
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    assert env["fl"].count() == 3
+    assert env["dup"].count() == 6
+    assert env["g"].count() == 6
+    teed = spark.read.parquet(side)
+    assert [r["word"] for r in teed.collect()] == ["a"]
+
+
+def test_compile_only_shuffle_macros():
+    """BLOCKGEN / DISTINCT / DICTIONARY / JOIN shuffle forms parse to
+    the documented IR."""
+    script = """
+    JOB "bg"
+      MAP { x = LOAD "p" USING PARQUET(); }
+      BLOCKGEN x BY ROW 1000 PARTITIONED ON k SORTED ON k, t;
+    END
+    JOB "d"
+      MAP { y = LOAD "p" USING PARQUET(); }
+      DISTINCT y;
+    END
+    """
+    prog = compile_script(script)
+    bg = prog["jobs"][0]["operators"][0]
+    assert bg["operator"] == "BLOCKGEN" and bg["partitionKeys"] == ["k"]
+    assert bg["sortKeys"] == ["k", "t"] and bg["blockgenValue"] == "1000"
+    assert prog["jobs"][1]["operators"][0]["operator"] == "DISTINCT"
+
+
+def test_unsupported_operator_raises():
+    with pytest.raises(ScriptError, match="unsupported operator"):
+        compile_script('JOB "x" REDUCE { y = FROBNICATE z; } END')
+
+
+def test_sort_encode_noop(spark):
+    d = spark.createDataFrame(
+        [(2, "b"), (1, "a"), (3, "a")], "k int, name string"
+    )
+    script = """
+    JOB "misc"
+      REDUCE {
+        s = SORT d ON k;
+        e = ENCODE s ON name USING namedict;
+        dec = DECODE e ON name USING namedict;
+        n = NO_OP dec;
+      }
+    END
+    """
+    from cubert_spark.operators.dictionary import build_dictionary
+
+    env = run_script(
+        spark, script, relations={"d": d, "namedict": build_dictionary(d, "name")}
+    )
+    assert dict(env["e"].dtypes)["name"] in ("int", "bigint")
+    assert sorted(r["name"] for r in env["dec"].collect()) == ["a", "a", "b"]
+    assert env["n"].count() == 3
