@@ -314,6 +314,15 @@ FROM documents
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (approximate, KMeans quantizer -> rows-only check: no
+    cross-engine oracle for an approximate index)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, n_lists=8, nprobe=3
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column plumbing: blob byte length + content hash (the
     JVM-side metadata pass; decode kernels are stubbed, tested in
@@ -344,6 +353,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "det_sample": q_det_sample,
     "train_test_split": q_train_test_split,
+    "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
 }
 
 ORACLES = {

@@ -173,3 +173,45 @@ def test_stratified_sample(spark):
     counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert counts["false"] == 1000  # untouched stratum
     assert 50 < counts["true"] < 150
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: on well-separated clusters, probing nprobe lists must
+    recover (nearly) the exact brute-force neighbors."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 10
+    vecs = []
+    for i in range(80):
+        c = centers[i % 4]
+        vecs.append((i, [float(x) for x in c + rng.normal(size=16)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id < 4")
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(df, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(df, qs, k=5, n_lists=4, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_ivf_build_reuse(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    assigned, centroids = similarity.ivf_build(df, n_lists=3)
+    assert len(centroids) == 3 and len(centroids[0]) == 8
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= {0, 1, 2}
+    out = similarity.ivf_topk(
+        df, df.filter("vec_id < 2"), k=3, assigned=assigned, centroids=centroids
+    )
+    assert out.groupBy("query_id").count().count() == 2
