@@ -137,6 +137,21 @@ class SummaryStore:
                 self.members_path
             )
 
+    def append_partials(self, fact: DataFrame) -> None:
+        """Append per-(day, dims) partial summary rows for ``fact``
+        WITHOUT the new-day skip — the micro-batch ingestion path
+        (a batch may carry a fraction of a day; ``rewrite`` merge-
+        aggregates partial rows, so appends are additive). The caller
+        owns exactly-once delivery (streaming checkpoint)."""
+        additive, members = self._partials(fact)
+        additive.sortWithinPartitions("__day").write.mode("append").parquet(
+            self.additive_path
+        )
+        if members is not None:
+            members.sortWithinPartitions("__day").write.mode("append").parquet(
+                self.members_path
+            )
+
     def _days_df(self, spark: SparkSession) -> DataFrame | None:
         """Distinct summarized days as a (small) DataFrame — day
         membership is always handled with joins against this relation,

@@ -1,17 +1,23 @@
 from cubert_spark.streaming.windows import (
+    dedup_stream,
+    maintain_summary,
     read_parquet_stream,
-    tumbling_agg,
-    sliding_agg,
-    session_agg,
     run_to_memory,
+    session_agg,
+    sliding_agg,
+    stream_stream_join,
+    tumbling_agg,
 )
 from cubert_spark.streaming.stateful import running_counts
 
 __all__ = [
+    "dedup_stream",
+    "maintain_summary",
     "read_parquet_stream",
-    "tumbling_agg",
-    "sliding_agg",
-    "session_agg",
     "run_to_memory",
+    "session_agg",
+    "sliding_agg",
+    "stream_stream_join",
+    "tumbling_agg",
     "running_counts",
 ]

@@ -111,3 +111,78 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys``.
+
+    With a watermark, uses ``dropDuplicatesWithinWatermark`` so state
+    for a key is dropped once it ages past the horizon — the form that
+    runs forever on an unbounded stream (unbounded-state dedup is a
+    memory leak at scale). Batch inputs degrade to ``dropDuplicates``
+    (same semantics, no state).
+    """
+    if df.isStreaming and watermark and ts_col:
+        df = _with_watermark(df, ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    max_skew: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded event-time
+    skew (``right_ts BETWEEN left_ts - max_skew AND left_ts +
+    max_skew``). The interval condition is what lets Spark expire join
+    state — an unconstrained stream-stream join buffers both sides
+    forever. Works identically on batch inputs (condition only)."""
+    lw = _with_watermark(left, left_ts, watermark)
+    rw = _with_watermark(right, right_ts, watermark)
+    cond = None
+    for k in on:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else (cond & c)
+    interval = (
+        (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_skew}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_skew}"))
+    )
+    joined = lw.join(rw, cond & interval, how)
+    # drop the duplicated equi-key columns from the right side
+    for k in on:
+        joined = joined.drop(rw[k])
+    return joined
+
+
+def maintain_summary(stream_df: DataFrame, store) -> "object":
+    """Incrementally maintain a :class:`cubert_spark.plans.summary.
+    SummaryStore` from a stream: each micro-batch appends its partial
+    (day, dims) summary rows (the streaming form of Cubert's
+    SummaryRewriter consumption loop — AggregateRewriter.java:54).
+    Partials, not whole days: a micro-batch can carry a fraction of a
+    day, and ``SummaryStore.rewrite`` merge-aggregates partial rows.
+    Exactly-once comes from the streaming checkpoint.
+
+    Returns the started StreamingQuery (availableNow trigger: one
+    incremental catch-up pass, the scheduled-ingest pattern)."""
+
+    def update(batch_df: DataFrame, _batch_id: int) -> None:
+        store.append_partials(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store.path + "/_stream_checkpoint")
+        .start()
+    )

@@ -77,3 +77,90 @@ def test_running_counts_stateful(spark, events_dir):
         for r in out.groupBy("key").agg(F.max("total").alias("mx")).collect()
     }
     assert finals == expected
+
+
+def test_dedup_stream_within_watermark(spark, events_dir):
+    from cubert_spark.streaming import dedup_stream
+
+    batch = _batch_events(spark, events_dir)
+    expected = batch.dropDuplicates(["user_id", "event_type"]).count()
+    stream = read_parquet_stream(spark, events_dir, batch.schema, max_files_per_trigger=1)
+    got = run_to_memory(
+        dedup_stream(stream, ["user_id", "event_type"], ts_col="ts", watermark="10 years"),
+        "dedup_stream_test",
+        output_mode="append",
+    ).count()
+    # watermark far wider than the data span -> exact streaming dedup
+    assert got == expected
+    # batch passthrough path
+    assert dedup_stream(batch, ["user_id", "event_type"]).count() == expected
+
+
+def test_stream_stream_join(spark, events_dir):
+    from cubert_spark.streaming import stream_stream_join
+
+    batch = _batch_events(spark, events_dir)
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    views = batch.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    expected = (
+        clicks.join(views, "user_id")
+        .filter(
+            (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes"))
+        )
+        .count()
+    )
+    s = read_parquet_stream(spark, events_dir, batch.schema)
+    sc = s.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    sv = s.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    got = run_to_memory(
+        stream_stream_join(
+            sc, sv, ["user_id"], "click_ts", "view_ts",
+            watermark="10 years", max_skew="30 minutes",
+        ),
+        "ssjoin_test",
+        output_mode="append",
+    ).count()
+    assert got == expected
+
+
+def test_maintain_summary_from_stream(spark, events_dir, tmp_path):
+    """foreachBatch incremental maintenance: after one availableNow
+    pass over the stream, the store's summary answers match a direct
+    batch aggregation of the same fact data."""
+    from cubert_spark.plans.summary import SummarySpec, SummaryStore
+    from cubert_spark.streaming import maintain_summary
+
+    batch = _batch_events(spark, events_dir)
+    spec = SummarySpec(
+        time_col="ts",
+        dims=("event_type",),
+        measures=(("COUNT", "user_id"),),
+        distinct_col=None,
+    )
+    store = SummaryStore(str(tmp_path / "ev_summary"), spec)
+    stream = read_parquet_stream(spark, events_dir, batch.schema, max_files_per_trigger=1)
+    q = maintain_summary(stream, store)
+    q.awaitTermination()
+    summarized = spark.read.parquet(store.additive_path)
+    got = {
+        (r["__day"], r["event_type"]): r["count__user_id"]
+        for r in summarized.groupBy("__day", "event_type")
+        .agg(F.sum("count__user_id").alias("count__user_id"))
+        .collect()
+    }
+    expected = {
+        (r["__day"], r["event_type"]): r["n"]
+        for r in batch.groupBy(F.to_date("ts").alias("__day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
