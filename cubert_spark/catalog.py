@@ -87,6 +87,22 @@ class Catalog:
             self.table(n).createOrReplaceTempView(n)
 
 
+def resolve_latest(path: str) -> str:
+    """``#LATEST`` path tag (FileSystemUtils.java:247-271 /
+    CHANGELOG:45): each #LATEST globs to the lexicographically
+    greatest match — the newest dated directory under date-named
+    layouts. Local-FS resolution here; on a cluster this is one
+    fs.globStatus against the object store."""
+    if "#LATEST" not in path:
+        return path
+    import glob as _glob
+
+    matches = _glob.glob(path.replace("#LATEST", "*"))
+    if not matches:
+        raise FileNotFoundError(f"no paths match {path!r}")
+    return max(matches)
+
+
 def load(
     spark: SparkSession,
     path: str,
@@ -102,6 +118,8 @@ def load(
     schema string grammar, e.g. ``"STRING word, INT count"``.
     """
     fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    if isinstance(path, str):
+        path = resolve_latest(path)
     reader = spark.read
     if schema is not None:
         from cubert_spark.schema import parse_schema

@@ -311,9 +311,36 @@ class _Parser:
                     pass
             elif up == "JOB":
                 prog["jobs"].append(self.job())
+            elif up == "CREATE" and self.peek_kw(1) == "DICTIONARY":
+                prog["jobs"].append(self.create_dictionary())
             else:
                 raise ScriptError(f"unexpected token {self.peek()!r} at top level")
         return prog
+
+    def create_dictionary(self) -> dict:
+        """CREATE DICTIONARY name COLUMN c VALUES "a", "b" ...;
+        (grammar:30-32) — an inline dictionary relation: codes are
+        1-based in listed order (GenerateDictionary.java:50)."""
+        self.next(), self.next()
+        name = self.next()
+        cols: dict[str, list[str]] = {}
+        while self.accept("COLUMN"):
+            col = self.next()
+            self.expect("VALUES")
+            vals = [_unquote(self.expect_string())]
+            while self.accept(","):
+                vals.append(_unquote(self.expect_string()))
+            cols[col] = vals
+        self.expect(";")
+        return {
+            "name": f"create dictionary {name}",
+            "inputs": [],
+            "operators": [
+                {"operator": "INLINE_DICTIONARY", "output": name, "columns": cols}
+            ],
+            "output": None,
+            "onCompletion": [],
+        }
 
     def job(self) -> dict:
         self.expect("JOB")

@@ -173,7 +173,20 @@ def run_plan(
             else:
                 d = build_dictionary(src, op["columns"][0])
             fn = encode if kind == "ENCODE" else decode
-            res = fn(src, d, op["columns"])
+            if "colname" in d.columns:  # per-column inline dictionary
+                res = src
+                for c in op["columns"]:
+                    dc = d.filter(F.col("colname") == c).select("value", "code")
+                    res = fn(res, dc, [c])
+            else:
+                res = fn(src, d, op["columns"])
+        elif kind == "INLINE_DICTIONARY":
+            rows = [
+                (c, v, i + 1)
+                for c, vals in op["columns"].items()
+                for i, v in enumerate(vals)
+            ]
+            res = spark.createDataFrame(rows, "colname string, value string, code int")
         elif kind in ("NO_OP", "NOOP"):
             if op.get("partitionKeys"):
                 from cubert_spark.plans.assertions import assert_partitioned_on

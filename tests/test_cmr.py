@@ -208,3 +208,44 @@ def test_sort_encode_noop(spark):
     assert dict(env["e"].dtypes)["name"] in ("int", "bigint")
     assert sorted(r["name"] for r in env["dec"].collect()) == ["a", "a", "b"]
     assert env["n"].count() == 3
+
+
+def test_create_dictionary_and_encode(spark):
+    d = spark.createDataFrame(
+        [("red", 1), ("blue", 2), ("green", 3), (None, 4)], "color string, v int"
+    )
+    script = """
+    CREATE DICTIONARY colors
+        COLUMN color VALUES "red", "blue", "green";
+    JOB "enc"
+      REDUCE {
+        e = ENCODE d ON color USING colors;
+        back = DECODE e ON color USING colors;
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    codes = {r["v"]: r["color"] for r in env["e"].collect()}
+    assert codes[1] == 1 and codes[2] == 2 and codes[3] == 3  # listed order
+    back = {r["v"]: r["color"] for r in env["back"].collect()}
+    assert back[1] == "red" and back[2] == "blue"
+
+
+def test_latest_path_tag(spark, tmp_path):
+    from cubert_spark.catalog import resolve_latest
+
+    for day in ("2024-01-01", "2024-02-15", "2024-02-03"):
+        p = tmp_path / day
+        p.mkdir()
+        (p / "part.csv").write_text("x\n")
+    pat = str(tmp_path / "#LATEST" / "part.csv")
+    assert resolve_latest(pat) == str(tmp_path / "2024-02-15" / "part.csv")
+    script = f"""
+    JOB "latest"
+      MAP {{
+        w = LOAD "{tmp_path}/#LATEST/part.csv" USING TEXT("schema": "STRING word");
+      }}
+    END
+    """
+    env = run_script(spark, script)
+    assert [r["word"] for r in env["w"].collect()] == ["x"]

