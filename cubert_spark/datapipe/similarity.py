@@ -300,11 +300,15 @@ def ivf_topk(
     probe_lists = pandas_udf(_probe_lists, "array<int>")
 
     norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        norm(F.col(vec_col)).alias("__qnorm"),
-        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    # query side is |Q| * nprobe rows — broadcast so the corpus-side
+    # inverted lists never shuffle (bucketed-by-list_id at scale)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
+            F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+        )
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),

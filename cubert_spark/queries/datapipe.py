@@ -339,6 +339,47 @@ FROM documents
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-corpus construction: exact-dedup to one
+    representative per distinct text -> English only -> minimum token
+    count -> deterministic train/test split. Every stage is one of the
+    engine's datapipe operators composed in a single Catalyst plan (one
+    scan of documents feeds hash, lang and token expressions; the only
+    shuffle is the dedup groupBy)."""
+    d = load_table(spark, sf, "documents")
+    reps = dedup.exact_dedup(d).select(F.col("rep_id").alias("doc_id"))
+    kept = (
+        textstats.language_id(d)
+        .join(reps, "doc_id", "left_semi")
+        .filter(F.col("lang_pred") == "en")
+        .withColumn("n_tok", textstats.token_count(F.col("text")))
+        .filter(F.col("n_tok") >= 5)
+    )
+    h = sampling.hash16(F.col("doc_id"), "split")
+    return kept.select(
+        "doc_id",
+        "n_tok",
+        F.when(h < int(0.1 * 65536), F.lit("test")).otherwise(F.lit("train")).alias("side"),
+    )
+
+
+SQL_CORPUS_PIPELINE = f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+lang AS ({SQL_LANG_ID})
+SELECT d.doc_id,
+       LEN(string_split_regex(d.text, '\\s+')) AS n_tok,
+       CASE WHEN {_hash16_sql('d.doc_id', 'split')} < {int(0.1 * 65536)}
+            THEN 'test' ELSE 'train' END AS side
+FROM documents d
+JOIN reps USING (doc_id)
+JOIN lang ON lang.doc_id = d.doc_id
+WHERE lang.lang_pred = 'en'
+  AND LEN(string_split_regex(d.text, '\\s+')) >= 5
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -354,6 +395,7 @@ QUERIES = {
     "det_sample": q_det_sample,
     "train_test_split": q_train_test_split,
     "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
+    "corpus_pipeline": q_corpus_pipeline,
 }
 
 ORACLES = {
@@ -370,4 +412,5 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "det_sample": SQL_DET_SAMPLE,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "corpus_pipeline": SQL_CORPUS_PIPELINE,
 }
