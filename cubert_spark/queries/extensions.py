@@ -142,11 +142,128 @@ GROUP BY a.i, b.j
 """
 
 
+def q_combine_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """COMBINE two sorted relations (order-preserving union; the
+    compare is order-insensitive, so the oracle is the UNION ALL)."""
+    from cubert_spark.operators import combine
+
+    o = load_table(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey", "o_totalprice")
+    lo = o.filter(F.col("o_totalprice") <= 150000).select("o_orderkey", "o_totalprice")
+    return combine(hi, lo, sorted_on=["o_orderkey"])
+
+
+SQL_COMBINE_SORTED = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 150000
+"""
+
+
+def q_salted_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-spread exact count-distinct (member-hash salting) — must
+    equal the plain COUNT(DISTINCT)."""
+    from cubert_spark.operators.skew import salted_count_distinct
+
+    li = load_table(spark, sf, "lineitem")
+    return salted_count_distinct(li, ["l_returnflag"], "l_orderkey", num_salts=16)
+
+
+SQL_SALTED_COUNT_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS count_distinct_l_orderkey
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_salted_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-tolerant per-key top-n (salt + two-level cut) — must equal
+    the plain window top-n."""
+    from cubert_spark.operators.skew import salted_topn
+
+    o = load_table(spark, sf, "orders")
+    return salted_topn(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        3,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        num_salts=8,
+    )
+
+
+SQL_SALTED_TOPN = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_dict_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary refresh: codes for existing values stay stable, new
+    values appended after the max (DictionaryRefreshMapSideOperator)."""
+    from cubert_spark.operators.dictionary import build_dictionary, refresh_dictionary
+
+    n = load_table(spark, sf, "nation")
+    base = build_dictionary(n.filter(F.col("n_nationkey") < 10), "n_name")
+    return refresh_dictionary(base, n, "n_name")
+
+
+SQL_DICT_REFRESH = """
+WITH base AS (
+  SELECT n_name AS value,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INT) AS code
+  FROM (SELECT DISTINCT n_name FROM nation WHERE n_nationkey < 10)
+),
+novel AS (
+  SELECT n_name AS value FROM (SELECT DISTINCT n_name FROM nation)
+  WHERE n_name NOT IN (SELECT value FROM base)
+)
+SELECT value, code FROM base
+UNION ALL
+SELECT value,
+       CAST((SELECT MAX(code) FROM base)
+            + ROW_NUMBER() OVER (ORDER BY value) AS INT) AS code
+FROM novel
+"""
+
+
+def q_udaf_geomean(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (the AggregationFunction extension
+    surface) computing a geometric mean, checked against DuckDB's
+    closed form exp(avg(ln x)) — rounded to 6dp on both sides (float
+    reduction order differs by engine)."""
+    import numpy as np
+
+    from cubert_spark.functions.udf import grouped_agg_udaf
+
+    gmean = grouped_agg_udaf(
+        lambda s: float(np.exp(np.log(s.to_numpy(dtype="float64")).mean())), "double"
+    )
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.round(gmean(F.col("o_totalprice")), 6).alias("gm_price"))
+    )
+
+
+SQL_UDAF_GEOMEAN = """
+SELECT o_orderpriority, ROUND(EXP(AVG(LN(o_totalprice))), 6) AS gm_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "summary_rewrite": q_summary_rewrite,
     "sparse_matmul": q_sparse_matmul,
+    "combine_sorted": q_combine_sorted,
+    "salted_count_distinct": q_salted_count_distinct,
+    "salted_topn": q_salted_topn,
+    "dict_refresh": q_dict_refresh,
+    "udaf_geomean": q_udaf_geomean,
 }
 
 ORACLES = {
@@ -154,4 +271,9 @@ ORACLES = {
     "range_join": SQL_RANGE_JOIN,
     "summary_rewrite": SQL_SUMMARY_REWRITE,
     "sparse_matmul": SQL_SPARSE_MATMUL,
+    "combine_sorted": SQL_COMBINE_SORTED,
+    "salted_count_distinct": SQL_SALTED_COUNT_DISTINCT,
+    "salted_topn": SQL_SALTED_TOPN,
+    "dict_refresh": SQL_DICT_REFRESH,
+    "udaf_geomean": SQL_UDAF_GEOMEAN,
 }
