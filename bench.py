@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "sort_limit",
     "wordcount",
     "minhash_lsh",
+    "minhash_lsh_fast",
     "embedding_topk",
     "sessionize",
     "asof_join",

@@ -142,28 +142,50 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH ----------------------------------------------------------
 
 def minhash_signature(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of
-    md5(i || '|' || shingle). One groupBy computes all hashes
-    (num_hashes min-aggregates, map-side partial)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    hash(i, shingle). One groupBy computes all hashes (num_hashes
+    min-aggregates, map-side partial).
+
+    hash_fn: "md5" (default — engine-portable, the DuckDB oracle
+    reproduces it bit-for-bit) or "xxhash64" (JVM-native 64-bit, ~1.5x
+    faster end-to-end measured at sf0.1 — the production setting when
+    cross-engine reproducibility is not required)."""
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_bands(sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_size: int = 2) -> DataFrame:
-    """Band the signature: band key = md5(concat of band's hashes).
-    Output: (id, band_idx, band_key) — the LSH bucket join key."""
+def lsh_bands(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Band the signature: band key = hash of the band's signature
+    slice. Output: (id, band_idx, band_key) — the LSH bucket join key."""
     assert num_hashes % band_size == 0
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_key"))
-        )
+        if hash_fn == "xxhash64":
+            key = F.xxhash64(*cols).cast("string")
+        else:
+            key = F.md5(F.concat(*cols))
+        bands.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
     return sig.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
@@ -178,6 +200,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_doc_freq: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -193,8 +216,8 @@ def minhash_lsh_pairs(
     # consumer scans less than a persisted full table would cost.
     # (At corpus scale, write it once as a checkpointed dataset.)
     sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
-    sig = minhash_signature(sh, id_col, num_hashes)
-    bands = lsh_bands(sig, id_col, num_hashes, band_size)
+    sig = minhash_signature(sh, id_col, num_hashes, hash_fn)
+    bands = lsh_bands(sig, id_col, num_hashes, band_size, hash_fn)
     ca = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     cb = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     cand = (

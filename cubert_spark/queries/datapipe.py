@@ -90,6 +90,17 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
 """
 
 
+def q_minhash_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-hash (xxhash64) MinHash-LSH — rows-only check (band
+    keys are JVM-specific; the md5 variant above is the oracle path).
+    Final pairs are still exact-Jaccard verified, so output differs
+    from minhash_lsh only where band collisions differ."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, threshold=0.2, num_hashes=8, band_size=2, hash_fn="xxhash64"
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc 32-bit SimHash fingerprint (stronger than a
     cluster-count check: every fingerprint compared)."""
@@ -343,9 +354,11 @@ def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-corpus construction: exact-dedup to one
     representative per distinct text -> English only -> minimum token
     count -> deterministic train/test split. Every stage is one of the
-    engine's datapipe operators composed in a single Catalyst plan (one
-    scan of documents feeds hash, lang and token expressions; the only
-    shuffle is the dedup groupBy)."""
+    engine's datapipe operators composed in one Catalyst plan: two
+    documents scans (dedup branch + main branch), the dedup groupBy's
+    shuffle, and a semi-join against the representative set (AQE picks
+    broadcast at test scale, shuffle semi-join at corpus scale) —
+    lang/token/split are pure expressions on the main scan."""
     d = load_table(spark, sf, "documents")
     reps = dedup.exact_dedup(d).select(F.col("rep_id").alias("doc_id"))
     kept = (
@@ -384,6 +397,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_lsh_fast": q_minhash_lsh_fast,  # rows-only: JVM hash
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

@@ -59,6 +59,16 @@ class ScriptError(ValueError):
     pass
 
 
+#: operator statement keywords handled natively; anything else on the
+#: RHS of `lhs = ...` is parsed as a uriOperator (user operator)
+_KNOWN_OPS = {
+    "LOAD", "LOAD-CACHED", "FROM", "FILTER", "GROUP", "JOIN", "HASH-JOIN",
+    "CUBE", "FLATTEN", "DISTINCT", "LIMIT", "SORT", "DUPLICATE", "RANK",
+    "TOP", "GATHER", "COMBINE", "TEE", "NO_OP", "ENCODE", "DECODE",
+    "LOADBLOCK", "BLOCK", "PIVOT", "VALIDATE",
+}
+
+
 def tokenize(text: str) -> list[str]:
     out, pos = [], 0
     while pos < len(text):
@@ -581,6 +591,7 @@ class _Parser:
             return
         lhs = self.next()
         self.expect("=")
+        raw = self.peek()  # original casing, for uriOperator names
         kw = self.kw()
         ops = plan["operators"]
 
@@ -931,6 +942,35 @@ class _Parser:
                 }
             )
             return
+        # uriOperator (g4:133): `lhs = com.example.MyOp rel1, rel2
+        # {"k": "v"};` — a user operator resolved from the registry
+        # passed to run_script/run_plan (USER_DEFINED_TUPLE/BLOCK
+        # operator, OperatorType.java:59-60)
+        if kw not in _KNOWN_OPS:
+            uri = raw
+            while self.accept("."):
+                uri += "." + self.next()
+            rels = [self.next()]
+            while self.accept(","):
+                rels.append(self.next())
+            uparams: dict[str, str] = {}
+            if self.accept("{"):
+                while not self.accept("}"):
+                    pk = _unquote(self.expect_string())
+                    self.expect(":")
+                    uparams[pk] = _unquote(self.expect_string())
+                    self.accept(",")
+            self.expect(";")
+            ops.append(
+                {
+                    "operator": "URI_OPERATOR",
+                    "uri": uri,
+                    "inputs": rels,
+                    "params": uparams,
+                    "output": lhs,
+                }
+            )
+            return
         raise ScriptError(f"unsupported operator {kw!r}")
 
 
@@ -947,6 +987,7 @@ def run_script(
     text: str,
     params: dict[str, str] | None = None,
     relations: dict[str, DataFrame] | None = None,
+    operators: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a .cmr script: jobs run in order (the reference's
     sequential ExecutorService mode; Spark's scheduler parallelizes
@@ -960,7 +1001,7 @@ def run_script(
     prog = compile_script(text, params)
     env: dict[str, DataFrame] = dict(relations or {})
     for job in prog["jobs"]:
-        env = run_plan(spark, job, env)
+        env = run_plan(spark, job, env, operators=operators)
         for task in job.get("onCompletion", []):
             verb, paths = task["task"], task["paths"]
             if verb == "RM":

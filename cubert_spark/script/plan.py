@@ -78,11 +78,20 @@ def _agg_tuples(specs: list[dict]) -> list[tuple]:
 
 
 def run_plan(
-    spark: SparkSession, plan: dict, relations: dict[str, DataFrame] | None = None
+    spark: SparkSession,
+    plan: dict,
+    relations: dict[str, DataFrame] | None = None,
+    operators: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a JSON plan; returns the relation environment (every
-    named intermediate), after writing ``output`` if present."""
+    named intermediate), after writing ``output`` if present.
+
+    ``operators`` registers user operators for URI_OPERATOR nodes
+    (Cubert USER_DEFINED_TUPLE/BLOCK_OPERATOR, OperatorType.java:59-60):
+    name -> fn(dfs: list[DataFrame], params: dict) -> DataFrame,
+    resolvable by full dotted uri or bare class name."""
     env: dict[str, DataFrame] = dict(relations or {})
+    operators = operators or {}
 
     for inp in plan.get("inputs", []):
         env[inp["name"]] = catalog.load(
@@ -231,6 +240,15 @@ def run_plan(
                 partitioned_on=op.get("partitionKeys", ()),
                 sorted_on=op.get("sortKeys", ()),
             )
+        elif kind == "URI_OPERATOR":
+            uri = op["uri"]
+            fn = operators.get(uri) or operators.get(uri.rsplit(".", 1)[-1])
+            if fn is None:
+                raise PlanError(
+                    f"user operator {uri!r} is not registered "
+                    "(pass operators={name: fn} to run_plan/run_script)"
+                )
+            res = fn([env[n] for n in op["inputs"]], op.get("params", {}))
         else:
             raise PlanError(f"unsupported operator {kind!r}")
         env[out_name] = res

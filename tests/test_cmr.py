@@ -181,9 +181,42 @@ def test_compile_only_shuffle_macros():
     assert prog["jobs"][1]["operators"][0]["operator"] == "DISTINCT"
 
 
-def test_unsupported_operator_raises():
-    with pytest.raises(ScriptError, match="unsupported operator"):
-        compile_script('JOB "x" REDUCE { y = FROBNICATE z; } END')
+def test_unregistered_user_operator_raises(spark):
+    """Unknown operator names parse as uriOperator calls (grammar:133)
+    and fail at run time unless registered."""
+    from cubert_spark.script.plan import PlanError
+
+    prog = compile_script('JOB "x" REDUCE { y = FROBNICATE z; } END')
+    assert prog["jobs"][0]["operators"][0]["operator"] == "URI_OPERATOR"
+    d = spark.range(1)
+    with pytest.raises(PlanError, match="not registered"):
+        run_script(spark, 'JOB "x" REDUCE { y = FROBNICATE z; } END',
+                   relations={"z": d})
+
+
+def test_uri_operator_registered(spark):
+    """com.example.Enrich a { "factor": "3" }: user operator resolved
+    from the registry — the script form of TupleOperator/BlockOperator."""
+    from pyspark.sql import functions as F
+
+    def enrich(dfs, params):
+        (df,) = dfs
+        return df.withColumn("v2", F.col("v") * int(params["factor"]))
+
+    d = spark.createDataFrame([(1,), (2,)], "v int")
+    script = """
+    JOB "uri"
+      REDUCE {
+        out = com.example.Enrich d { "factor": "3" };
+        out2 = Enrich out { "factor": "10" };
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d},
+                     operators={"Enrich": enrich})
+    assert {r["v2"] for r in env["out"].collect()} == {3, 6}
+    # second call recomputes v2 from v on the enriched relation
+    assert {r["v2"] for r in env["out2"].collect()} == {10, 20}
 
 
 def test_sort_encode_noop(spark):

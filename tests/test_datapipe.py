@@ -215,3 +215,15 @@ def test_ivf_build_reuse(spark):
         df, df.filter("vec_id < 2"), k=3, assigned=assigned, centroids=centroids
     )
     assert out.groupBy("query_id").count().count() == 2
+
+
+def test_minhash_hash_fn_variants_agree(docs):
+    """xxhash64 and md5 LSH paths verify with exact Jaccard, so both
+    must find the exact-dup and near-dup pairs on clean fixtures."""
+    for fn in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(docs, 0.5, hash_fn=fn).collect()
+        }
+        assert (1, 4) in pairs, fn
+        assert all(3 not in p for p in pairs), fn
