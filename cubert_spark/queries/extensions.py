@@ -254,6 +254,92 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+
+
+def q_scalar_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (the Function extension surface):
+    a Python string-normalization kernel, checked against the SQL
+    closed form on DuckDB."""
+    from cubert_spark.functions.udf import scalar_udf
+
+    norm = scalar_udf(lambda s: s.str.strip().str.lower().str[:8], "string")
+    n = load_table(spark, sf, "customer")
+    return n.select(
+        "c_custkey", norm(F.col("c_mktsegment")).alias("seg_norm")
+    )
+
+
+SQL_SCALAR_UDF = """
+SELECT c_custkey, substr(lower(trim(c_mktsegment)), 1, 8) AS seg_norm
+FROM customer
+"""
+
+
+def q_cube_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """EasyCubeAggregator analog: a GROUPED_AGG pandas UDAF (sum of
+    squares) over every cuboid of two dims — Catalyst's Expand feeds
+    the UDAF per grouping set exactly like built-ins."""
+    import decimal
+
+    from cubert_spark.functions.udf import cube_udaf, grouped_agg_udaf
+
+    def ssq_cents(s):
+        # exact: integer cents squared, summed in Python bignums —
+        # float reduction order would differ between engines at 1e13+
+        cents = (s.to_numpy(dtype="float64") * 100).round().astype("int64")
+        return decimal.Decimal(sum(int(c) * int(c) for c in cents))
+
+    ss = grouped_agg_udaf(ssq_cents, "decimal(38,0)")
+    o = load_table(spark, sf, "orders")
+    out = cube_udaf(
+        o.withColumn("__p", F.col("o_totalprice").cast("double")),
+        ["o_orderpriority", "o_orderstatus"],
+        [ss(F.col("__p")).alias("sum_sq")],
+    )
+    return out.select("o_orderpriority", "o_orderstatus", "sum_sq")
+
+
+SQL_CUBE_UDAF = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                * CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0))
+         AS sum_sq
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT + per-pivot operator chain (PivotedBlock pattern via
+    applyInPandas): per-priority price centering, oracle = the window
+    closed form."""
+    import pandas as pd
+
+    from cubert_spark.operators.pivot import pivot_apply
+
+    def center(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.copy()
+        pdf["price_dev"] = (pdf.o_totalprice - pdf.o_totalprice.mean()).round(3)
+        return pdf[["o_orderkey", "o_orderpriority", "price_dev"]]
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return pivot_apply(
+        o,
+        ["o_orderpriority"],
+        center,
+        "o_orderkey long, o_orderpriority string, price_dev double",
+    )
+
+
+SQL_PIVOT_APPLY = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority), 3)
+         AS price_dev
+FROM orders
+"""
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -264,6 +350,9 @@ QUERIES = {
     "salted_topn": q_salted_topn,
     "dict_refresh": q_dict_refresh,
     "udaf_geomean": q_udaf_geomean,
+    "scalar_udf": q_scalar_udf,
+    "cube_udaf": q_cube_udaf,
+    "pivot_apply": q_pivot_apply,
 }
 
 ORACLES = {
@@ -276,4 +365,7 @@ ORACLES = {
     "salted_topn": SQL_SALTED_TOPN,
     "dict_refresh": SQL_DICT_REFRESH,
     "udaf_geomean": SQL_UDAF_GEOMEAN,
+    "scalar_udf": SQL_SCALAR_UDF,
+    "cube_udaf": SQL_CUBE_UDAF,
+    "pivot_apply": SQL_PIVOT_APPLY,
 }
