@@ -8,9 +8,17 @@ sides (the driver hash-compares after sorting columns by name).
 
 from __future__ import annotations
 
-from cubert_spark.queries import core, olap, events, datapipe, extensions, scriptq
+from cubert_spark.queries import (
+    core,
+    datapipe,
+    events,
+    extensions,
+    olap,
+    physical,
+    scriptq,
+)
 
-_MODULES = (core, olap, events, datapipe, extensions, scriptq)
+_MODULES = (core, olap, events, datapipe, extensions, scriptq, physical)
 
 
 def all_queries():
