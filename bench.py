@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "sessionize",
     "asof_join",
     "summary_rewrite",
+    "corpus_pipeline",
+    "ivf_topk",
 ]
 
 
@@ -50,8 +52,19 @@ def main() -> None:
     spark = get_session("cubert-bench")
     queries = all_queries()
 
-    # JVM/codegen warmup on a trivial action (not counted)
+    # JVM/codegen/parquet-reader warmup on a trivial action (not
+    # counted): touch the smallest table so the first timed query pays
+    # for its plan, not for one-time class loading
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # mllib class-loading warmup (ivf_topk): tiny k=2 fit, not counted
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    tiny = spark.range(10).selectExpr(
+        "cast(array(id, id + 1) as array<double>) v"
+    ).select(array_to_vector("v").alias("features"))
+    KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(tiny)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
