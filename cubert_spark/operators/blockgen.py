@@ -20,6 +20,7 @@ function, CreateBlockOperator.java:44-81).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from collections.abc import Sequence
 
@@ -52,6 +53,19 @@ def blockgen(
     bucketed+sorted managed table. Readers joining/aggregating on the
     partition keys get shuffle-free plans (storage-partitioned join).
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a location left behind by a previous session's metastore
+        # (fresh in-memory catalog, surviving warehouse dir) blocks
+        # saveAsTable even in overwrite mode — clear it
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table.lower())
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode(mode)
         .bucketBy(spec.num_buckets, list(spec.partition_keys))
