@@ -93,3 +93,25 @@ def test_sort_uses_range_partitioning(spark):
     s = explain_str(q_sort_limit(spark, SF))
     # global sort+limit should plan TakeOrderedAndProject (no full sort)
     assert "TakeOrderedAndProject" in s, s
+
+
+def test_corpus_pipeline_prunes_documents_scan(spark):
+    """The composed corpus pipeline must not read document columns it
+    never uses — both scans of documents project only doc_id/text."""
+    from cubert_spark.queries.datapipe import q_corpus_pipeline
+
+    df = q_corpus_pipeline(spark, SF)
+    for cols in scan_read_schema(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_ivf_probe_join_broadcasts_queries(spark):
+    """IVF probe join: the |Q|*nprobe query side broadcasts so corpus
+    inverted lists never shuffle."""
+    from cubert_spark.catalog import load_table
+    from cubert_spark.datapipe.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    df = ivf_topk(e, e.filter(F.col("vec_id") < 3), k=3, n_lists=4, nprobe=2)
+    assert "BroadcastHashJoin" in explain_str(df, "simple")
