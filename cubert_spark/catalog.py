@@ -161,7 +161,11 @@ def load_date_range(
     paths = []
     cur = d0
     while cur <= d1:
-        p = path_pattern.format(date=cur.isoformat())
+        # {date} = yyyy-MM-dd; {ymd} = yyyyMMdd (the reference's daily
+        # directory layout, DateTimeUtilities int-date convention)
+        p = path_pattern.format(
+            date=cur.isoformat(), ymd=cur.strftime("%Y%m%d")
+        )
         if _glob.glob(p):
             paths.append(p)
         cur += dt.timedelta(days=1)

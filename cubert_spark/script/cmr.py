@@ -407,10 +407,23 @@ class _Parser:
         while not self.accept("}"):
             self.statement(plan)
 
+    def _input_path(self):
+        """inputPath (g4:204): "path" or ("path", startYmd, endYmd) —
+        the daily date-range form (int yyyyMMdd bounds)."""
+        if self.accept("("):
+            root = self.path()
+            self.expect(",")
+            start = self.next()
+            self.expect(",")
+            end = self.next()
+            self.expect(")")
+            return {"root": root, "start": start, "end": end}
+        return self.path()
+
     def load_stmt(self, name: str) -> dict:
-        paths = [self.path()]
+        paths = [self._input_path()]
         while self.accept(","):
-            paths.append(self.path())
+            paths.append(self._input_path())
         self.expect("USING")
         fmt = self.next()
         opts = self.params()
@@ -1012,6 +1025,9 @@ def run_script(
             elif verb == "MKDIR":
                 for p in paths:
                     os.makedirs(p, exist_ok=True)
+            elif verb == "DUMP":
+                # CompletionTasks.java dump: print the stored output
+                spark.read.parquet(paths[0]).show(20, truncate=False)
     return env
 
 

@@ -94,13 +94,48 @@ def run_plan(
     operators = operators or {}
 
     for inp in plan.get("inputs", []):
-        env[inp["name"]] = catalog.load(
-            spark,
-            inp["path"],
-            fmt=inp.get("format", "parquet"),
-            schema=inp.get("schema"),
-            **inp.get("options", {}),
-        )
+        paths = inp["path"] if isinstance(inp["path"], list) else [inp["path"]]
+        if not any(isinstance(p, dict) for p in paths):
+            # plain paths: one multi-path scan (single scan node), not
+            # a union of scans
+            env[inp["name"]] = catalog.load(
+                spark,
+                inp["path"],
+                fmt=inp.get("format", "parquet"),
+                schema=inp.get("schema"),
+                **inp.get("options", {}),
+            )
+            continue
+        parts = []
+        for p in paths:
+            if isinstance(p, dict):  # ("root", startYmd, endYmd) form
+                def _iso(ymd: str) -> str:
+                    return f"{ymd[0:4]}-{ymd[4:6]}-{ymd[6:8]}"
+
+                parts.append(
+                    catalog.load_date_range(
+                        spark,
+                        p["root"].rstrip("/") + "/{ymd}",
+                        _iso(p["start"]),
+                        _iso(p["end"]),
+                        fmt=inp.get("format", "parquet"),
+                        **inp.get("options", {}),
+                    )
+                )
+            else:
+                parts.append(
+                    catalog.load(
+                        spark,
+                        p,
+                        fmt=inp.get("format", "parquet"),
+                        schema=inp.get("schema"),
+                        **inp.get("options", {}),
+                    )
+                )
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        env[inp["name"]] = df
 
     for op in plan.get("operators", []):
         kind = op["operator"].upper()

@@ -282,3 +282,49 @@ def test_latest_path_tag(spark, tmp_path):
     """
     env = run_script(spark, script)
     assert [r["word"] for r in env["w"].collect()] == ["x"]
+
+
+def test_date_range_load(spark, tmp_path):
+    """LOAD ("root", startYmd, endYmd): daily yyyyMMdd directories,
+    missing days skipped (grammar:204 inputPath)."""
+    for day in ("20240101", "20240102", "20240104"):
+        spark.createDataFrame([(day,)], "d string").write.parquet(
+            str(tmp_path / day)
+        )
+    script = f"""
+    JOB "range"
+      MAP {{
+        x = LOAD ("{tmp_path}", 20240101, 20240103) USING RUBIX();
+      }}
+    END
+    """
+    env = run_script(spark, script)
+    assert {r["d"] for r in env["x"].collect()} == {"20240101", "20240102"}
+
+
+def test_multi_job_dataflow(spark, tmp_path):
+    """Job 2 LOADs job 1's STORE output — the reference's inter-job
+    dataflow through storage (DependencyAnalyzer ordering)."""
+    d = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "k int, g string")
+    mid = str(tmp_path / "mid")
+    script = f"""
+    JOB "first"
+      REDUCE {{
+        agg = GROUP d BY g AGGREGATES COUNT(k) AS n;
+      }}
+      STORE agg INTO "{mid}" USING RUBIX();
+    END
+
+    JOB "second"
+      MAP {{
+        back = LOAD "{mid}" USING RUBIX();
+      }}
+      REDUCE {{
+        top = TOP 1 FROM back GROUP BY g ORDER BY n;
+      }}
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    got = {r["g"]: r["n"] for r in env["back"].collect()}
+    assert got == {"a": 2, "b": 1}
+    assert env["top"].count() == 2
