@@ -99,3 +99,66 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp", k: i
         out_col,
         F.concat_ws("-", F.coalesce(min_h, F.lit("empty")), token_count(F.col(text_col))),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (pure
+    expressions, zero Python):
+
+    - ``dup_line_frac``   — fraction of lines that are duplicates of an
+      earlier line (repetitive boilerplate / chat logs).
+    - ``top_bigram_frac`` — fraction of word-bigram occurrences taken
+      by the single most frequent bigram (looping text).
+
+    The standard corpus-quality cuts (e.g. drop docs with
+    dup_line_frac > 0.3) are then plain filters.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens(F.col(text_col))
+    # bigram list: zip tokens with themselves shifted by one
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bg = F.size(bigrams)
+    # max occurrence count of any single bigram
+    max_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    )
+    top_bigram_frac = F.when(
+        n_bg > 0, max_bg.cast("double") / n_bg
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("dup_line_frac", dup_line_frac).withColumn(
+        "top_bigram_frac", top_bigram_frac
+    )
+
+
+#: PII-ish patterns (redaction pre-screen): permissive by design — a
+#: counting screen, not a validator.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "n_ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document counts of email / phone / IPv4 lookalikes — the
+    screening pass before a redaction or drop decision. Regex-only,
+    JVM-side; at corpus scale this is a single scan."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            name, F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        )
+    return out

@@ -213,6 +213,50 @@ FROM w LEFT JOIN sh ON w.doc_id = sh.doc_id
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return textstats.repetition_stats(d).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac"
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split_regex(text, '\\s+') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM t, LATERAL UNNEST(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+mx AS (SELECT doc_id, MAX(c) AS mc, SUM(c) AS tot FROM cnt GROUP BY 1)
+SELECT t.doc_id,
+       CASE WHEN len(t.lines) > 0
+            THEN CAST(len(t.lines) - len(list_distinct(t.lines)) AS DOUBLE) / len(t.lines)
+            ELSE 0.0 END AS dup_line_frac,
+       COALESCE(CAST(mx.mc AS DOUBLE) / mx.tot, 0.0) AS top_bigram_frac
+FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id
+"""
+
+
+def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return textstats.pii_counts(d).select("doc_id", "n_emails", "n_phones", "n_ipv4")
+
+
+SQL_PII_COUNTS = f"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_emails"]}')) AS n_emails,
+       LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_phones"]}')) AS n_phones,
+       LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_ipv4"]}')) AS n_ipv4
+FROM documents
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-5 for query vectors vec_id < 5 (decimal-exact
     dot products; see datapipe.similarity)."""
@@ -410,6 +454,8 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
     "corpus_pipeline": q_corpus_pipeline,
+    "repetition_stats": q_repetition_stats,
+    "pii_counts": q_pii_counts,
 }
 
 ORACLES = {
@@ -427,4 +473,6 @@ ORACLES = {
     "det_sample": SQL_DET_SAMPLE,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "pii_counts": SQL_PII_COUNTS,
 }

@@ -120,6 +120,13 @@ class _Parser:
         self.i += 1
         return t
 
+    def int_tok(self) -> int:
+        t = self.next()
+        try:
+            return int(t.rstrip("Ll"))
+        except ValueError as e:
+            raise ScriptError(f"expected integer, got {t!r}") from e
+
     def expect(self, *want: str) -> str:
         t = self.next()
         if t.upper() not in tuple(w.upper() for w in want):
@@ -366,7 +373,7 @@ class _Parser:
             self.expect(";")
         for knob in ("MAPPERS", "REDUCERS"):
             if self.accept(knob):
-                plan[knob.lower()] = int(self.next())
+                plan[knob.lower()] = self.int_tok()
                 self.expect(";")
         defined: set[str] = set()
         while self.accept("MAP"):
@@ -561,7 +568,7 @@ class _Parser:
             if which == "SETS":
                 op["groupingSets"] = self.cuboids()
             elif which == "COMBOS":
-                op["groupingCombos"] = int(self.next())
+                op["groupingCombos"] = self.int_tok()
             else:
                 raise ScriptError(f"GROUPING {which}?")
         elif self.accept("ROLLUPS"):
@@ -735,7 +742,7 @@ class _Parser:
             return
         if kw == "LIMIT":
             rel = self.next()
-            n = int(self.next())
+            n = self.int_tok()
             self.expect(";")
             ops.append(
                 {"operator": "LIMIT", "input": rel, "output": lhs, "maxTuples": n}
@@ -752,7 +759,7 @@ class _Parser:
             return
         if kw == "DUPLICATE":
             rel = self.next()
-            n = int(self.next())
+            n = self.int_tok()
             self.expect("TIMES")
             counter = None
             if self.accept("COUNTER"):
@@ -793,7 +800,7 @@ class _Parser:
             )
             return
         if kw == "TOP":
-            n = int(self.next())
+            n = self.int_tok()
             self.expect("FROM")
             rel = self.next()
             self.expect("GROUP")

@@ -227,3 +227,31 @@ def test_minhash_hash_fn_variants_agree(docs):
         }
         assert (1, 4) in pairs, fn
         assert all(3 not in p for p in pairs), fn
+
+
+def test_repetition_stats(spark):
+    from cubert_spark.datapipe import textstats
+
+    d = spark.createDataFrame(
+        [(1, "a b\na b\nc d"), (2, "x y x y x y"), (3, "all unique words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(d).collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(1 / 3)
+    # "x y" occurs 3 of 5 bigram slots
+    assert out[2]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == pytest.approx(1 / 3)
+
+
+def test_pii_counts(spark):
+    from cubert_spark.datapipe import textstats
+
+    d = spark.createDataFrame(
+        [(1, "reach a.b@x.io and c@d.org, call +1 (555) 123-4567, host 10.0.0.1"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.pii_counts(d).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[2]["n_emails"] == out[2]["n_phones"] == out[2]["n_ipv4"] == 0

@@ -82,3 +82,21 @@ def test_sampling_cut_disjoint_exhaustive(h, frac):
     partitions the hash space: every value is on exactly one side."""
     cut = int(frac * 65536)
     assert (h < cut) != (h >= cut)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(codec="ascii", blacklist_categories=("Cc",)),
+        max_size=200,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cmr_parser_total(src):
+    """The .cmr frontend is total over arbitrary input: it either
+    parses or raises ScriptError — never an unclassified crash."""
+    from cubert_spark.script.cmr import ScriptError, compile_script
+
+    try:
+        compile_script(src)
+    except ScriptError:
+        pass
