@@ -903,8 +903,13 @@ class _Parser:
                 op["dictionaryPath"] = _unquote(t)
             else:
                 op["dictionary"] = t
-            while self.peek() != ";":  # NULLS AS / UNKNOWNS AS
-                self.next()
+            if self.accept("NULLS"):
+                self.expect("AS")
+                op["nullAs"] = self.next()
+            if self.accept("UNKNOWNS"):
+                self.expect("AS")
+                u = self.next()
+                op["unknownAs"] = _unquote(u) if u.startswith('"') else u
             self.expect(";")
             ops.append(op)
             return

@@ -216,14 +216,22 @@ def run_plan(
                 d = catalog.load(spark, op["dictionaryPath"])
             else:
                 d = build_dictionary(src, op["columns"][0])
-            fn = encode if kind == "ENCODE" else decode
+            kwargs = {}
+            if kind == "ENCODE":
+                if "nullAs" in op:
+                    kwargs["null_as"] = int(op["nullAs"])
+                if "unknownAs" in op:
+                    kwargs["unknown_as"] = int(op["unknownAs"])
+                fn = encode
+            else:
+                fn = decode
             if "colname" in d.columns:  # per-column inline dictionary
                 res = src
                 for c in op["columns"]:
                     dc = d.filter(F.col("colname") == c).select("value", "code")
-                    res = fn(res, dc, [c])
+                    res = fn(res, dc, [c], **kwargs)
             else:
-                res = fn(src, d, op["columns"])
+                res = fn(src, d, op["columns"], **kwargs)
         elif kind == "INLINE_DICTIONARY":
             rows = [
                 (c, v, i + 1)

@@ -328,3 +328,23 @@ def test_multi_job_dataflow(spark, tmp_path):
     got = {r["g"]: r["n"] for r in env["back"].collect()}
     assert got == {"a": 2, "b": 1}
     assert env["top"].count() == 2
+
+
+def test_encode_nulls_unknowns_clauses(spark):
+    """ENCODE ... NULLS AS n UNKNOWNS AS u: explicit codes for null and
+    out-of-dictionary values (DictionaryEncodeOperator semantics)."""
+    d = spark.createDataFrame(
+        [("red", 1), (None, 2), ("mystery", 3)], "color string, v int"
+    )
+    script = """
+    CREATE DICTIONARY colors
+        COLUMN color VALUES "red", "blue";
+    JOB "enc"
+      REDUCE {
+        e = ENCODE d ON color USING colors NULLS AS 0 UNKNOWNS AS 99;
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    got = {r["v"]: r["color"] for r in env["e"].collect()}
+    assert got == {1: 1, 2: 0, 3: 99}

@@ -148,3 +148,26 @@ def test_csv_and_virtual_sources(spark, tmp_path):
     assert {(r["word"], r["n"]) for r in back.collect()} == {("hello", 1), ("world", 2)}
     # VIRTUAL input (VirtualStorage.java:43) == spark.range
     assert spark.range(100).count() == 100
+
+
+def test_python_datasources(spark, tmp_path):
+    """Custom storage (Storage.java contract) via the Python DataSource
+    API: VIRTUAL as a registered format + a line-dictionary reader."""
+    from cubert_spark.sources import register_sources
+
+    register_sources(spark)
+    v = spark.read.format("virtual").option("rows", 1000).option("numPartitions", 4).load()
+    assert v.count() == 1000
+    assert v.agg({"id": "max"}).collect()[0][0] == 999
+    assert v.rdd.getNumPartitions() == 4
+
+    p = tmp_path / "dict.txt"
+    p.write_text("red\nblue\ngreen\n")
+    d = spark.read.format("textdict").option("path", str(p)).load()
+    got = {r["value"]: r["code"] for r in d.collect()}
+    assert got == {"red": 1, "blue": 2, "green": 3}
+
+    from cubert_spark.operators.dictionary import encode
+    df = spark.createDataFrame([("blue",), ("red",)], "color string")
+    enc = encode(df, d, ["color"])
+    assert sorted(r["color"] for r in enc.collect()) == [1, 2]
