@@ -709,9 +709,7 @@ class _Parser:
             specs, aliases = [], {}
             while True:
                 col = self.next()
-                ftype = self.kw()
-                if ftype == "BAG" and self.peek() == "_":  # BAG_TUPLE forms
-                    ftype = "BAG_TUPLE"
+                ftype = self.kw()  # TUPLE | BAG | BAG_TUPLE (one token)
                 self.expect("AS")
                 self.expect("(")
                 names = []

@@ -348,3 +348,24 @@ def test_encode_nulls_unknowns_clauses(spark):
     env = run_script(spark, script, relations={"d": d})
     got = {r["v"]: r["color"] for r in env["e"].collect()}
     assert got == {1: 1, 2: 0, 3: 99}
+
+
+def test_flatten_bag_tuple_script(spark):
+    """FLATTEN ... BAG_TUPLE AS (a: INT, b: STRING): explode a bag of
+    tuples into rows AND columns."""
+    d = spark.createDataFrame(
+        [(1, [(10, "x"), (20, "y")]), (2, None)],
+        "k int, items array<struct<a: int, b: string>>",
+    )
+    script = """
+    JOB "ft"
+      REDUCE {
+        out = FLATTEN d BY items BAG_TUPLE AS (a: INT, b: STRING);
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    rows = {(r["k"], r["a"], r["b"]) for r in env["out"].collect()}
+    # null bag -> one row with null flattened columns (reference
+    # semantics, FlattenBagOperator null handling)
+    assert rows == {(1, 10, "x"), (1, 20, "y"), (2, None, None)}
