@@ -131,11 +131,111 @@ GROUP BY event_type
 """
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel per user: view -> click -> purchase, each step's
+    first occurrence strictly after the previous step's. Each step is
+    a groupBy(user) over events semi-joined to the prior step's
+    (small: one row per surviving user) times — at corpus scale,
+    persist the per-step tables so step N+1 does not replay steps
+    1..N; output is three scalar counts."""
+    e = load_table(spark, sf, "events")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            t_view.alias("t_view"),
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("t_click_any"),
+        )
+    )
+    # strictly-ordered steps need the first click AFTER the first view:
+    # a second conditional pass keyed on the per-user view time
+    clicks_after = (
+        e.join(per_user.select("user_id", "t_view"), "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases_after = (
+        e.join(clicks_after, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    viewed = per_user.filter(F.col("t_view").isNotNull()).select("user_id")
+    return spark.createDataFrame(
+        [
+            ("1_view", viewed.count()),
+            ("2_click_after_view", clicks_after.count()),
+            ("3_purchase_after_click", purchases_after.count()),
+        ],
+        "step string, users long",
+    )
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS step, COUNT(*) AS users FROM v
+UNION ALL
+SELECT '2_click_after_view', COUNT(*) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', COUNT(*) FROM p
+"""
+
+
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    by days-since-cohort of each active day. Two aggregations, both
+    shuffling on user/cohort keys — the standard retention matrix at
+    any scale."""
+    e = load_table(spark, sf, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("day_n", F.datediff("day", "cohort"))
+        .groupBy("cohort", "day_n")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+SQL_RETENTION = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_n,
+       COUNT(DISTINCT a.user_id) AS users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "json_props": q_json_props,
+    "funnel": q_funnel,
+    "retention": q_retention,
 }
 
 ORACLES = {
@@ -143,4 +243,6 @@ ORACLES = {
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
     "json_props": SQL_JSON_PROPS,
+    "funnel": SQL_FUNNEL,
+    "retention": SQL_RETENTION,
 }
