@@ -383,7 +383,7 @@ def q_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_RANK = """
-SELECT o_custkey, o_orderkey, rnk FROM (
+SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
   SELECT o_custkey, o_orderkey,
          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
   FROM orders

@@ -141,9 +141,9 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TEXT_QUALITY = """
 SELECT doc_id,
-       LENGTH(text) AS n_chars_calc,
-       LEN(string_split_regex(text, '\\s+')) AS n_tokens,
-       LEN(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+       CAST(LENGTH(text) AS INT) AS n_chars_calc,
+       CAST(LEN(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
        CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
        CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
             w -> lower(w) IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
@@ -186,8 +186,8 @@ def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS = """
 SELECT doc_id,
-       LEN(string_split_regex(text, '\\s+')) AS ws_tokens,
-       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+       CAST(LEN(string_split_regex(text, '\\s+')) AS INT) AS ws_tokens,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
 FROM documents
 """
 
@@ -250,9 +250,9 @@ def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_PII_COUNTS = f"""
 SELECT doc_id,
-       LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_emails"]}')) AS n_emails,
-       LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_phones"]}')) AS n_phones,
-       LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_ipv4"]}')) AS n_ipv4
+       CAST(LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_emails"]}')) AS INT) AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_phones"]}')) AS INT) AS n_phones,
+       CAST(LEN(regexp_extract_all(text, '{textstats.PII_PATTERNS["n_ipv4"]}')) AS INT) AS n_ipv4
 FROM documents
 """
 
@@ -287,7 +287,7 @@ ranked AS (
          ) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
 """
 
 
@@ -426,7 +426,7 @@ WITH reps AS (
 ),
 lang AS ({SQL_LANG_ID})
 SELECT d.doc_id,
-       LEN(string_split_regex(d.text, '\\s+')) AS n_tok,
+       CAST(LEN(string_split_regex(d.text, '\\s+')) AS INT) AS n_tok,
        CASE WHEN {_hash16_sql('d.doc_id', 'split')} < {int(0.1 * 65536)}
             THEN 'test' ELSE 'train' END AS side
 FROM documents d

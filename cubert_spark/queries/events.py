@@ -222,7 +222,7 @@ WITH first AS (
 active AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 )
-SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_n,
+SELECT f.cohort, CAST(datediff('day', f.cohort, a.day) AS INT) AS day_n,
        COUNT(DISTINCT a.user_id) AS users
 FROM active a JOIN first f ON a.user_id = f.user_id
 GROUP BY 1, 2

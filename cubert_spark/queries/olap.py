@@ -129,7 +129,7 @@ SQL_GROUPING_COMBOS = """
 SELECT o_orderstatus, o_orderpriority, o_year,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS uniq_customers
-FROM (SELECT *, YEAR(o_orderdate) AS o_year FROM orders)
+FROM (SELECT *, CAST(YEAR(o_orderdate) AS INT) AS o_year FROM orders)
 GROUP BY GROUPING SETS (
   (), (o_orderstatus), (o_orderpriority), (o_year),
   (o_orderstatus, o_orderpriority), (o_orderstatus, o_year),
