@@ -85,7 +85,12 @@ class SummaryStore:
     """Materialized daily summary at ``path`` (CubertMD-style metadata
     in meta.json next to the parquet tables)."""
 
-    def __init__(self, path: str, spec: SummarySpec | None = None):
+    def __init__(
+        self,
+        path: str,
+        spec: SummarySpec | None = None,
+        coalesce_files: int | None = 8,
+    ):
         self.path = path
         meta = os.path.join(path, "meta.json")
         if spec is None:
@@ -96,6 +101,16 @@ class SummaryStore:
             with open(meta, "w") as f:
                 f.write(spec.to_json())
         self.spec = spec
+        #: Summary tables are compact by design (days x dims [x member
+        #: for the distinct side]); writing them at full shuffle width
+        #: scatters a small table over many tiny files, and every
+        #: rewrite pays the per-file open cost back (30% of build+query
+        #: measured at sf0.1). Set to None for a summary whose member
+        #: table is genuinely large.
+        self.coalesce_files = coalesce_files
+
+    def _shrink(self, df: DataFrame) -> DataFrame:
+        return df.coalesce(self.coalesce_files) if self.coalesce_files else df
 
     # -- paths ------------------------------------------------------------
     @property
@@ -129,11 +144,11 @@ class SummaryStore:
         range pruning without one-tiny-file-per-day explosion (1000s
         of days x dims would otherwise dominate scan setup)."""
         additive, members = self._partials(fact)
-        additive.sortWithinPartitions("__day").write.mode("overwrite").parquet(
+        self._shrink(additive).sortWithinPartitions("__day").write.mode("overwrite").parquet(
             self.additive_path
         )
         if members is not None:
-            members.sortWithinPartitions("__day").write.mode("overwrite").parquet(
+            self._shrink(members).sortWithinPartitions("__day").write.mode("overwrite").parquet(
                 self.members_path
             )
 
@@ -144,11 +159,11 @@ class SummaryStore:
         aggregates partial rows, so appends are additive). The caller
         owns exactly-once delivery (streaming checkpoint)."""
         additive, members = self._partials(fact)
-        additive.sortWithinPartitions("__day").write.mode("append").parquet(
+        self._shrink(additive).sortWithinPartitions("__day").write.mode("append").parquet(
             self.additive_path
         )
         if members is not None:
-            members.sortWithinPartitions("__day").write.mode("append").parquet(
+            self._shrink(members).sortWithinPartitions("__day").write.mode("append").parquet(
                 self.members_path
             )
 
@@ -184,11 +199,11 @@ class SummaryStore:
         if new_days == 0:
             return 0
         additive, members = self._partials(delta)
-        additive.sortWithinPartitions("__day").write.mode("append").parquet(
+        self._shrink(additive).sortWithinPartitions("__day").write.mode("append").parquet(
             self.additive_path
         )
         if members is not None:
-            members.sortWithinPartitions("__day").write.mode("append").parquet(
+            self._shrink(members).sortWithinPartitions("__day").write.mode("append").parquet(
                 self.members_path
             )
         return new_days
