@@ -67,13 +67,14 @@ def connected_components(
 
 
 def dedup_clusters(
-    df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Cluster docs by near-dup pairs; output one row per doc in a
-    multi-doc cluster: (doc_id, rep_id) with rep = min id of the
-    cluster. Docs not in any pair are implicitly their own cluster."""
+    """Cluster docs by near-dup pairs; output one row per doc that
+    appears in any pair: (doc_id, rep_id) with rep = min id of the
+    cluster (representatives list themselves, rep_id == doc_id). Docs
+    in no pair are implicitly their own singleton cluster — anti-join
+    the corpus against this output to materialize them if needed."""
     comp = connected_components(pairs)
     return comp.select(
         F.col("id").alias(id_col), F.col("component").alias("rep_id")

@@ -20,8 +20,12 @@ _SPACE = 1 << 16
 
 def hash16(col: Column, salt: str = "") -> Column:
     """First 16 bits of md5(salt || value) as an int — portable to
-    any engine with md5+substring (see the DuckDB oracle mirror)."""
-    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    any engine with md5+substring (see the DuckDB oracle mirror).
+
+    NULL keys hash as the literal string ``__null__`` so null-keyed
+    rows land deterministically on one side of every cut instead of
+    being silently dropped by a null comparison."""
+    h = F.md5(F.concat(F.lit(salt), F.coalesce(col.cast("string"), F.lit("__null__"))))
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
 
 
@@ -55,7 +59,6 @@ def stratified_deterministic_sample(
     strata keep everything."""
     col = F.col(key) if isinstance(key, str) else key
     h = hash16(col, salt)
-    cond = F.lit(True)
     expr = None
     for value, frac in fractions.items():
         branch = (F.col(strata_col) == value) & (h >= int(frac * _SPACE))

@@ -296,7 +296,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     distributed connected components (min-label propagation)."""
     d = load_table(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
-    return components.dedup_clusters(d, pairs)
+    return components.dedup_clusters(pairs)
 
 
 # Oracle: transitive closure by recursive label propagation — every
@@ -326,7 +326,7 @@ SELECT id AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY id
 def _hash16_sql(key_expr: str, salt: str) -> str:
     """DuckDB mirror of datapipe.sampling.hash16 (first 16 bits of
     md5(salt || value))."""
-    h = f"md5('{salt}' || CAST({key_expr} AS VARCHAR))"
+    h = f"md5('{salt}' || COALESCE(CAST({key_expr} AS VARCHAR), '__null__'))"
 
     def nib(i: int) -> str:
         return f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"

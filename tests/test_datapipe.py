@@ -131,7 +131,7 @@ def test_dedup_clusters_chain(spark, docs):
 
     pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
     out = {r["doc_id"]: r["rep_id"] for r in
-           components.dedup_clusters(docs, pairs).collect()}
+           components.dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 4: 1}
 
 
@@ -255,3 +255,13 @@ def test_pii_counts(spark):
     out = {r["doc_id"]: r for r in textstats.pii_counts(d).collect()}
     assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1 and out[1]["n_ipv4"] == 1
     assert out[2]["n_emails"] == out[2]["n_phones"] == out[2]["n_ipv4"] == 0
+
+
+def test_sampling_null_keys_not_dropped(spark):
+    """Null keys must land deterministically on one side of every
+    split, never vanish from both."""
+    from cubert_spark.datapipe import sampling
+
+    df = spark.createDataFrame([(None,), ("a",), ("b",)], "k string")
+    tr, te = sampling.train_test_split(df, "k", 0.5)
+    assert tr.count() + te.count() == 3
