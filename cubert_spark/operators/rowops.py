@@ -98,6 +98,7 @@ def tee(
     project: Sequence[Column | str] | None = None,
     split: bool = False,
     mode: str = "overwrite",
+    **options: str,
 ) -> DataFrame:
     """``TEE x INTO "p" USING fmt (GENERATE ...) (IF expr)`` with
     optional ``WITH SPLIT`` (TeeOperator.java:33).
@@ -108,12 +109,16 @@ def tee(
     scanned twice rather than cached — caching 100 TB is not a plan;
     if the upstream is expensive, persist explicitly before calling.
     """
+    from cubert_spark import catalog
+
     side = df
     if predicate is not None:
         side = side.filter(predicate)
     if project is not None:
         side = generate(side, *project)
-    side.write.format(fmt).mode(mode).save(path)
+    # catalog.store maps Cubert format names (TEXT -> csv, RUBIX ->
+    # parquet) and applies writer options
+    catalog.store(side, path, fmt=fmt, mode=mode, **options)
     if split and predicate is not None:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         # WITH SPLIT removes teed rows from the main flow; null

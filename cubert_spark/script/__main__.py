@@ -24,6 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--show", help="print this relation (20 rows) after execution")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    for d in args.D:  # fail before the (slow) session starts
+        if "=" not in d:
+            ap.error(f"-D expects VAR=VALUE, got {d!r}")
 
     from cubert_spark import get_session
     from cubert_spark.script import run_plan_file, run_script_file

@@ -82,9 +82,12 @@ def tokenize(text: str) -> list[str]:
 
 
 def substitute(text: str, params: dict[str, str] | None) -> str:
-    """$name / ${name} substitution (CmrExecutor preprocessor)."""
-    for k, v in (params or {}).items():
-        text = text.replace("${%s}" % k, str(v)).replace("$" + k, str(v))
+    """$name / ${name} substitution (CmrExecutor preprocessor).
+    Longest names substitute first so a param that is a prefix of
+    another ($date vs $date_end) cannot corrupt the longer reference."""
+    for k in sorted(params or {}, key=len, reverse=True):
+        v = str((params or {})[k])
+        text = text.replace("${%s}" % k, v).replace("$" + k, v)
     return text
 
 
@@ -391,28 +394,47 @@ class _Parser:
         return plan
 
     def map_block(self, plan: dict, defined: set[str]) -> None:
-        """MAP { input; statements } — a second MAP block redefining an
-        existing relation unions into it (MultiMapperSplit semantics:
-        several inputs feeding one shuffle)."""
+        """MAP { input; statements } — MultiMapperSplit semantics: a
+        later MAP block's relations are mapper-LOCAL while its
+        statements run (they see only this block's rows), and any
+        relation name also defined by an earlier block unions into it
+        AFTER the block — so per-mapper transforms never leak across
+        mappers."""
         self.expect("{")
+        start = len(plan["operators"])
         name = self.next()
         self.expect("=")
         kw = self.kw()
         if kw != "LOAD":
             raise ScriptError("MAP block must start with LOAD")
         inp = self.load_stmt(name)
-        if name in defined:
-            tmp = f"__{name}_{len(plan['inputs'])}"
-            inp["name"] = tmp
-            plan["inputs"].append(inp)
-            plan["operators"].append(
-                {"operator": "GATHER", "inputs": [name, tmp], "output": name}
-            )
-        else:
-            plan["inputs"].append(inp)
-            defined.add(name)
+        mapper_idx = len(plan["inputs"])
+        plan["inputs"].append(inp)
         while not self.accept("}"):
             self.statement(plan)
+        block_ops = plan["operators"][start:]
+        block_defs = [name] + [
+            op["output"] for op in block_ops if op.get("output")
+        ]
+        renames = {
+            n: f"__{n}_m{mapper_idx}"
+            for n in dict.fromkeys(block_defs)
+            if n in defined
+        }
+        if renames:
+            if name in renames:
+                inp["name"] = renames[name]
+            for op in block_ops:
+                for key in ("input", "output", "leftBlock", "rightBlock", "dictionary"):
+                    if op.get(key) in renames:
+                        op[key] = renames[op[key]]
+                if "inputs" in op:
+                    op["inputs"] = [renames.get(x, x) for x in op["inputs"]]
+            for orig, tmp in renames.items():
+                plan["operators"].append(
+                    {"operator": "GATHER", "inputs": [orig, tmp], "output": orig}
+                )
+        defined.update(block_defs)
 
     def _input_path(self):
         """inputPath (g4:204): "path" or ("path", startYmd, endYmd) —
@@ -526,15 +548,36 @@ class _Parser:
                 self.expect("ON")
                 self.columns()
             self.expect(";")
+            # ShuffleRewriter.rewriteJoin (ShuffleRewriter.java:549-628):
+            # exactly two mappers define the SAME relation; tag 1 = the
+            # first (fact), tag 0 = the second (dimension); the reducer
+            # joins them. map_block unioned the two sides — undo that
+            # union and join the mapper-local relations instead.
+            gidx = next(
+                (
+                    i
+                    for i in range(len(ops) - 1, -1, -1)
+                    if ops[i].get("operator") == "GATHER"
+                    and ops[i].get("output") == rel
+                    and len(ops[i].get("inputs", [])) == 2
+                    and ops[i]["inputs"][1].startswith("__")
+                ),
+                None,
+            )
+            if gidx is None:
+                raise ScriptError(
+                    f"JOIN shuffle requires exactly two MAP blocks defining {rel!r}"
+                )
+            left_rel, right_rel = ops[gidx]["inputs"]
+            del ops[gidx]
             ops.append(
                 {
                     "operator": "JOIN",
-                    "input": rel,
-                    "rightBlock": rel,
+                    "input": left_rel,
+                    "rightBlock": right_rel,
                     "joinKeys": cols,
                     "joinType": jt,
                     "output": rel,
-                    "_shuffle_join_marker": True,
                 }
             )
         elif up == "CUBE":
@@ -624,15 +667,16 @@ class _Parser:
             fmt = self.next()
             opts = self.params()
             self.expect(";")
-            ops.append(
-                {
-                    "operator": "LOAD_CACHED",
-                    "output": lhs,
-                    "path": path,
-                    "format": fmt,
-                    "options": opts,
-                }
-            )
+            op = {
+                "operator": "LOAD_CACHED",
+                "output": lhs,
+                "path": path,
+                "format": fmt,
+            }
+            if "schema" in opts:  # keep out of options: named kwarg
+                op["schema"] = opts.pop("schema")
+            op["options"] = opts
+            ops.append(op)
             return
         if kw == "FROM":
             rel = self.next()
@@ -851,7 +895,7 @@ class _Parser:
             path = self.path()
             self.expect("USING")
             fmt = self.next()
-            self.params()
+            tee_opts = self.params()
             gen = None
             if self.accept("GENERATE"):
                 gen = self.generate_list()
@@ -866,6 +910,7 @@ class _Parser:
                     "output": lhs,
                     "path": path,
                     "format": fmt,
+                    "options": tee_opts,
                     "filterExpr": pred,
                     "generate": gen,
                     "split": split,

@@ -51,7 +51,6 @@ from cubert_spark.operators import (
     join,
     limit,
     rank,
-    sort,
     sort_within_blocks,
     top_n,
 )
@@ -61,10 +60,6 @@ from cubert_spark.operators.dictionary import build_dictionary, decode, encode
 
 class PlanError(ValueError):
     pass
-
-
-def _aggs(specs: list[dict]) -> list[tuple]:
-    return [(s["type"], s.get("input", "*"), s.get("output")) for s in specs]
 
 
 def _agg_tuples(specs: list[dict]) -> list[tuple]:
@@ -173,6 +168,11 @@ def run_plan(
             if rkeys and list(rkeys) != list(op["joinKeys"]):
                 # JOIN x BY a, y BY b: align right key names to left's
                 for lk, rk in zip(op["joinKeys"], rkeys):
+                    if lk != rk and lk in right.columns:
+                        raise PlanError(
+                            f"JOIN key rename {rk!r}->{lk!r} collides with an "
+                            f"existing right-side column {lk!r}; rename it first"
+                        )
                     right = right.withColumnRenamed(rk, lk)
             res = join(left, right, op["joinKeys"], op.get("joinType", "INNER"))
         elif kind == "FLATTEN":
@@ -255,6 +255,7 @@ def run_plan(
                 predicate=op.get("filterExpr"),
                 project=op.get("generate"),
                 split=bool(op.get("split", False)),
+                **op.get("options", {}),
             )
         elif kind == "LOAD_CACHED":
             # LOAD-CACHED = DistributedCache block -> broadcast hint

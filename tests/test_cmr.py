@@ -369,3 +369,82 @@ def test_flatten_bag_tuple_script(spark):
     # null bag -> one row with null flattened columns (reference
     # semantics, FlattenBagOperator null handling)
     assert rows == {(1, 10, "x"), (1, 20, "y"), (2, None, None)}
+
+
+def test_multi_map_statements_are_mapper_local(spark, tmp_path):
+    """A transform inside the second MAP block applies ONLY to that
+    mapper's rows (MultiMapperSplit), not to the unioned relation."""
+    p1, p2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    with open(p1, "w") as f:
+        f.write("keep\ndrop\n")
+    with open(p2, "w") as f:
+        f.write("keep\ndrop\n")
+    script = f"""
+    JOB "mm2"
+      MAP {{
+        w = LOAD "{p1}" USING TEXT("schema": "STRING word");
+      }}
+      MAP {{
+        w = LOAD "{p2}" USING TEXT("schema": "STRING word");
+        w = FILTER w BY word == "keep";
+      }}
+      SHUFFLE w PARTITIONED ON word AGGREGATES COUNT(word) AS n;
+    END
+    """
+    env = run_script(spark, script)
+    got = {r["word"]: r["n"] for r in env["w"].collect()}
+    # mapper 1 contributes keep+drop; mapper 2's filter removes only ITS drop
+    assert got == {"keep": 2, "drop": 1}
+
+
+def test_join_shuffle_two_mappers(spark, tmp_path):
+    """JOIN shuffle command: two MAP blocks define the same relation;
+    the reducer joins the two mapper-local sides (rewriteJoin)."""
+    f1, f2 = str(tmp_path / "facts"), str(tmp_path / "dims")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    ).write.parquet(f1)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string").write.parquet(f2)
+    script = f"""
+    JOB "rsjoin"
+      MAP {{
+        j = LOAD "{f1}" USING PARQUET();
+      }}
+      MAP {{
+        j = LOAD "{f2}" USING PARQUET();
+      }}
+      JOIN j ON k;
+    END
+    """
+    env = run_script(spark, script)
+    got = {(r["k"], r["name"]) for r in env["j"].collect()}
+    assert got == {(1, "a"), (2, "b")}  # k=3 dropped (inner)
+    with pytest.raises(ScriptError, match="two MAP blocks"):
+        run_script(spark, """
+        JOB "bad"
+          MAP { x = LOAD "p" USING PARQUET(); }
+          JOIN x ON k;
+        END
+        """)
+
+
+def test_substitute_prefix_params():
+    from cubert_spark.script.cmr import substitute
+
+    out = substitute("$date to $date_end", {"date": "A", "date_end": "B"})
+    assert out == "A to B"
+
+
+def test_tee_options_reach_writer(spark, tmp_path):
+    d = spark.createDataFrame([("a", 1)], "w string, n int")
+    side = str(tmp_path / "tee_csv")
+    script = f"""
+    JOB "teeopt"
+      REDUCE {{
+        t = TEE d INTO "{side}" USING TEXT("header": "true");
+      }}
+    END
+    """
+    run_script(spark, script, relations={"d": d})
+    back = spark.read.csv(side, header=True, sep="\t")
+    assert back.columns == ["w", "n"] and back.count() == 1
