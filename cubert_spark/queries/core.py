@@ -173,12 +173,13 @@ def q_collect_bag(spark: SparkSession, sf: str) -> DataFrame:
     return group_by(
         n,
         ["n_regionkey"],
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
     )
 
 
 SQL_COLLECT_BAG = """
-SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS nations
+SELECT n_regionkey,
+       ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), '|') AS nations
 FROM nation
 GROUP BY n_regionkey
 """

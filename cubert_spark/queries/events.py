@@ -133,44 +133,54 @@ GROUP BY event_type
 
 def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel per user: view -> click -> purchase, each step's
-    first occurrence strictly after the previous step's. Each step is
-    a groupBy(user) over events semi-joined to the prior step's
-    (small: one row per surviving user) times — at corpus scale,
-    persist the per-step tables so step N+1 does not replay steps
-    1..N; output is three scalar counts."""
+    first occurrence strictly after the previous step's. One events
+    scan: three chained conditional window-mins over the same
+    ``partitionBy(user_id)`` (a single exchange — consecutive window
+    operators reuse the partitioning), one distinct-user reduce, and a
+    ``stack`` unpivot. Fully lazy; no driver-side actions."""
     e = load_table(spark, sf, "events")
-    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-    per_user = (
-        e.groupBy("user_id")
-        .agg(
-            t_view.alias("t_view"),
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
             F.min(
-                F.when(F.col("event_type") == "click", F.col("ts"))
-            ).alias("t_click_any"),
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
     )
-    # strictly-ordered steps need the first click AFTER the first view:
-    # a second conditional pass keyed on the per-user view time
-    clicks_after = (
-        e.join(per_user.select("user_id", "t_view"), "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
     )
-    purchases_after = (
-        e.join(clicks_after, "user_id")
-        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    counts = per_user.agg(
+        F.count("t_view").alias("v"),
+        F.count("t_click").alias("c"),
+        F.count("t_purchase").alias("p"),
     )
-    viewed = per_user.filter(F.col("t_view").isNotNull()).select("user_id")
-    return spark.createDataFrame(
-        [
-            ("1_view", viewed.count()),
-            ("2_click_after_view", clicks_after.count()),
-            ("3_purchase_after_click", purchases_after.count()),
-        ],
-        "step string, users long",
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', v, '2_click_after_view', c,"
+            " '3_purchase_after_click', p) AS (step, users)"
+        )
     )
 
 
