@@ -31,11 +31,14 @@ def connected_components(
     Vertices are those appearing in any edge; singletons (no edges)
     are their own components and can be unioned in by the caller.
     """
-    spark = edges.sparkSession
+    # The edge set is static across iterations but its lineage (minhash
+    # banding, shingle joins, ...) is expensive — checkpoint it ONCE so
+    # no iteration replays the upstream dedup pipeline.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
 
@@ -51,6 +54,13 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("label"))
         )
+        # Persist before the convergence probe so the probe and the
+        # next iteration share one materialization; cut lineage every
+        # checkpoint_every rounds so plan depth stays bounded.
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
@@ -58,9 +68,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        prev = labels
         labels = new_labels
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+        prev.unpersist()
         if changed == 0:
             break
     return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))

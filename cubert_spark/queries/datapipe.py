@@ -374,7 +374,8 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cross-engine oracle for an approximate index)."""
     e = load_table(spark, sf, "embeddings")
     return similarity.ivf_topk(
-        e, e.filter(F.col("vec_id") < 5), k=5, n_lists=8, nprobe=3
+        e, e.filter(F.col("vec_id") < 5), k=5, n_lists=8, nprobe=3,
+        max_iter=4,
     )
 
 
