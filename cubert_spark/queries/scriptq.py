@@ -50,5 +50,60 @@ WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0
 GROUP BY 1
 """
 
-QUERIES = {"script_bucket_agg": q_script_bucket_agg}
-ORACLES = {"script_bucket_agg": SQL_SCRIPT_BUCKET_AGG}
+# <javascript> macro block (CmrExecutor.java:137-192): the JS computes
+# a 90-day date window with a loop (the reference's common use: date
+# iteration) and the script consumes it via $startDate / $endDate.
+_SCRIPT_JS = """
+<javascript>
+function fmt(d) {
+  var m = d.getUTCMonth() + 1, day = d.getUTCDate();
+  return d.getUTCFullYear() + "-" + (m < 10 ? "0" + m : m) + "-" +
+         (day < 10 ? "0" + day : day);
+}
+var start = new Date(Date.UTC(1995, 0, 1));
+var dates = [];
+for (var i = 0; i < 90; i++)
+  dates.push(fmt(new Date(start.getTime() + i * 86400000)));
+var startDate = dates[0];
+var endDate = dates[dates.length - 1];
+</javascript>
+PROGRAM "js date window";
+
+JOB "quarter order stats"
+    REDUCERS 8;
+    MAP {
+        orders = LOAD "$SF/orders.parquet" USING PARQUET();
+        win = FILTER orders BY o_orderdate >= "$startDate" AND o_orderdate <= "$endDate";
+    }
+    SHUFFLE win PARTITIONED ON o_orderpriority;
+    REDUCE {
+        agg = GROUP win BY o_orderpriority AGGREGATES COUNT(o_orderkey) AS n,
+              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price;
+    }
+END
+"""
+
+
+def q_script_js_dates(spark: SparkSession, sf: str) -> DataFrame:
+    env = run_script(spark, _SCRIPT_JS, params={"SF": sf})
+    return env["agg"]
+
+
+SQL_SCRIPT_JS_DATES = """
+SELECT o_orderpriority,
+       COUNT(o_orderkey) AS n,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-03-31'
+GROUP BY o_orderpriority
+"""
+
+QUERIES = {
+    "script_bucket_agg": q_script_bucket_agg,
+    "script_js_dates": q_script_js_dates,
+}
+ORACLES = {
+    "script_bucket_agg": SQL_SCRIPT_BUCKET_AGG,
+    "script_js_dates": SQL_SCRIPT_JS_DATES,
+}

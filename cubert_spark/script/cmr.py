@@ -16,13 +16,20 @@ strings -> SQL single-quoted, CASTTO*/NVL/SIZEOF/etc (FunctionType.java)
 -> Spark SQL builtins. Everything lands in ``selectExpr``/``filter`` —
 JVM-side, codegen'd, no Python in the row path.
 
-``$var`` substitution mirrors the reference's preprocessor
-(CmrExecutor.java:117-240; JavaScript macro blocks are not supported).
+``$var`` substitution and ``<javascript>`` macro blocks mirror the
+reference's preprocessor (CmrExecutor.java:117-240): blocks are
+stripped from the script, executed (on the system ``node``) with every
+param pre-defined as a string variable, and any ``$name`` the script
+references that the JavaScript leaves defined becomes a substitution
+param (JS value wins over the passed-in param, as in the reference).
 """
 
 from __future__ import annotations
 
+import json
 import re
+import shutil
+import subprocess
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -79,6 +86,69 @@ def tokenize(text: str) -> list[str]:
         if m.lastgroup != "ws":
             out.append(m.group())
     return out
+
+
+_JS_BLOCK_RE = re.compile(r"<javascript>(.*?)</javascript>", re.DOTALL)
+_VAR_REF_RE = re.compile(r"\$\{?([A-Za-z_][A-Za-z0-9_]*)\}?")
+_JS_MARKER = "__CMR_JS_RESULT__"
+
+
+def run_javascript_blocks(
+    text: str, params: dict[str, str] | None
+) -> tuple[str, dict[str, str]]:
+    """Execute ``<javascript>`` macro blocks (CmrExecutor.java:137-192).
+
+    All blocks are concatenated and run once; params are injected as
+    string vars (key stripped to alphanumerics, as the reference does);
+    each ``$name`` referenced by the remaining script text that the JS
+    leaves defined is exported as a substitution value via
+    ``String(...)``. Returns ``(script_without_blocks, merged_params)``.
+    """
+    blocks = _JS_BLOCK_RE.findall(text)
+    if not blocks:
+        return text, dict(params or {})
+    node = shutil.which("node")
+    if node is None:
+        raise ScriptError(
+            "<javascript> macro blocks require a JavaScript engine; "
+            "`node` was not found on PATH"
+        )
+    stripped = _JS_BLOCK_RE.sub("", text)
+    names = sorted(set(_VAR_REF_RE.findall(stripped)))
+    defs = "".join(
+        "var %s = %s;\n" % (re.sub(r"[^A-Za-z0-9]", "", k), json.dumps(str(v)))
+        for k, v in (params or {}).items()
+        if re.sub(r"[^A-Za-z0-9]", "", k)
+    )
+    harvest = (
+        ";(function () {\n"
+        "  var __o = {};\n"
+        "  %s.forEach(function (v) {\n"
+        "    try {\n"
+        "      var x = eval(v);\n"
+        "      if (typeof x !== 'undefined') __o[v] = String(x);\n"
+        "    } catch (e) {}\n"
+        "  });\n"
+        "  console.log('\\n%s' + JSON.stringify(__o));\n"
+        "})();\n" % (json.dumps(names), _JS_MARKER)
+    )
+    prog = defs + "\n".join(blocks) + "\n" + harvest
+    proc = subprocess.run(
+        [node, "-e", prog], capture_output=True, text=True, timeout=60
+    )
+    if proc.returncode != 0:
+        raise ScriptError(
+            f"<javascript> block failed: {proc.stderr.strip()[:500]}"
+        )
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith(_JS_MARKER):
+            payload = line[len(_JS_MARKER):]
+    if payload is None:
+        raise ScriptError("<javascript> block produced no result marker")
+    merged = dict(params or {})
+    merged.update(json.loads(payload))
+    return stripped, merged
 
 
 def substitute(text: str, params: dict[str, str] | None) -> str:
@@ -1047,6 +1117,7 @@ class _Parser:
 
 def compile_script(text: str, params: dict[str, str] | None = None) -> dict:
     """Parse .cmr text -> {"name", "sets", "jobs": [json plan, ...]}."""
+    text, params = run_javascript_blocks(text, params)
     return _Parser(tokenize(substitute(text, params))).program()
 
 

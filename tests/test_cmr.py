@@ -448,3 +448,57 @@ def test_tee_options_reach_writer(spark, tmp_path):
     run_script(spark, script, relations={"d": d})
     back = spark.read.csv(side, header=True, sep="\t")
     assert back.columns == ["w", "n"] and back.count() == 1
+
+
+def test_javascript_block_defines_vars():
+    from cubert_spark.script.cmr import run_javascript_blocks
+
+    text = """
+<javascript>
+var n = 2 + 3;
+var label = "pri_" + n;
+</javascript>
+PROGRAM "p";
+JOB "j"
+    MAP { x = LOAD "$label/$n" USING PARQUET(); }
+END
+"""
+    stripped, params = run_javascript_blocks(text, {})
+    assert "<javascript>" not in stripped
+    assert params["n"] == "5"
+    assert params["label"] == "pri_5"
+
+
+def test_javascript_sees_params_and_overrides():
+    from cubert_spark.script.cmr import run_javascript_blocks
+
+    text = """
+<javascript>
+var out = base + "-suffix";
+var base = base;  // keep injected value visible as $base too
+</javascript>
+LOAD "$out/$base";
+"""
+    _, params = run_javascript_blocks(text, {"base": "v1"})
+    assert params["out"] == "v1-suffix"
+    assert params["base"] == "v1"
+
+
+def test_javascript_date_loop_script(spark):
+    # the reference's common JS use-case: generate a date window by loop
+    from cubert_spark.queries.scriptq import q_script_js_dates
+
+    rows = q_script_js_dates(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert {"o_orderpriority", "n", "min_price", "max_price"} == set(
+        rows[0].asDict()
+    )
+
+
+def test_javascript_error_raises():
+    from cubert_spark.script.cmr import run_javascript_blocks
+
+    with pytest.raises(ScriptError, match="javascript"):
+        run_javascript_blocks(
+            "<javascript>throw new Error('boom');</javascript> $x", {}
+        )
