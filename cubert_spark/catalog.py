@@ -118,6 +118,13 @@ def load(
     schema string grammar, e.g. ``"STRING word, INT count"``.
     """
     fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    if fmt == "avro":
+        # no spark-avro jar in this environment: route to the pure-
+        # Python object-container-file source (sources.AvroDataSource)
+        from cubert_spark.sources import register_sources
+
+        register_sources(spark)
+        fmt = "cubert_avro"
     if isinstance(path, str):
         path = resolve_latest(path)
     reader = spark.read
@@ -127,16 +134,7 @@ def load(
         reader = reader.schema(parse_schema(schema))
     if fmt == "csv":
         options.setdefault("sep", "\t")
-    try:
-        return reader.format(fmt).options(**options).load(path)
-    except Exception as e:  # noqa: BLE001
-        if fmt == "avro" and "Failed to find data source" in str(e):
-            raise RuntimeError(
-                "AVRO requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-                "it is an external module and not bundled in this environment"
-            ) from e
-        raise
+    return reader.format(fmt).options(**options).load(path)
 
 
 def load_date_range(
@@ -177,8 +175,14 @@ def load_date_range(
 
 def store(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
     """Cubert ``STORE x INTO "path" USING fmt()`` (overwrite analyzer ->
-    mode). RUBIX storage maps to parquet."""
+    mode). RUBIX storage maps to parquet; AVRO to the pure-Python
+    object-container-file sink."""
     fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    if fmt == "avro":
+        from cubert_spark.sources import register_sources
+
+        register_sources(df.sparkSession)
+        fmt = "cubert_avro"
     if fmt == "csv":
         options.setdefault("sep", "\t")
     df.write.format(fmt).mode(mode).options(**options).save(path)

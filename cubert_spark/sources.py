@@ -24,7 +24,18 @@ trillion-row virtual input is as cheap as a small one.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+import glob
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -101,7 +112,116 @@ class _TextDictReader(DataSourceReader):
                     yield (line, code)
 
 
+class AvroDataSource(DataSource):
+    """Avro object-container files via the pure-Python codec in
+    :mod:`cubert_spark.avroio` (no spark-avro jar in this environment;
+    reference parity: AvroStorage.java:32, null-padding evolution per
+    reference CHANGELOG:6).
+
+    Read: one partition per ``.avro`` file; each file is resolved
+    against the session read schema BY NAME, so a directory of files
+    written under evolving schemas reads as one null-padded relation.
+    Write: one file per partition, deflate-compressed by default.
+    Registered as ``cubert_avro`` (Spark reserves the name ``avro``
+    for its external module); ``catalog.load/store`` route
+    ``fmt="avro"`` here.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "cubert_avro"
+
+    def _paths(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cubert_avro requires a path")
+        if os.path.isdir(path):
+            return sorted(glob.glob(os.path.join(path, "*.avro")))
+        return sorted(glob.glob(path)) or [path]
+
+    def schema(self) -> str:
+        from cubert_spark import avroio
+
+        if self.options.get("avroSchema"):
+            return avroio.avro_to_spark_ddl(self.options["avroSchema"])
+        paths = self._paths()
+        with open(paths[0], "rb") as f:
+            file_schema, _, _ = avroio.read_header(f)
+        return avroio.avro_to_spark_ddl(file_schema)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _AvroReader(self._paths(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cubert_avro requires a path")
+        if overwrite and os.path.isdir(path):
+            for old in glob.glob(os.path.join(path, "*.avro")):
+                os.remove(old)
+        os.makedirs(path, exist_ok=True)
+        return _AvroWriter(path, schema, self.options.get("codec", "deflate"))
+
+
+class _AvroFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _AvroReader(DataSourceReader):
+    def __init__(self, paths, schema: StructType):
+        from cubert_spark import avroio
+
+        self.paths = paths
+        # resolve every file against ONE reader schema (the session
+        # read schema) so heterogeneous files null-pad consistently
+        self.reader_schema = avroio.spark_to_avro_schema(schema)
+
+    def partitions(self):
+        return [_AvroFilePartition(p) for p in self.paths]
+
+    def read(self, partition: _AvroFilePartition):
+        from cubert_spark import avroio
+
+        yield from avroio.read_file(
+            partition.path, reader_schema=self.reader_schema
+        )
+
+
+@dataclass
+class _AvroCommit(WriterCommitMessage):
+    file: str = ""
+
+
+class _AvroWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType, codec: str):
+        from cubert_spark import avroio
+
+        self.path = path
+        self.codec = codec
+        self.avro_schema = avroio.spark_to_avro_schema(schema)
+        self.names = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _AvroCommit:
+        from cubert_spark import avroio
+
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        avroio.write_file(
+            out,
+            self.avro_schema,
+            (tuple(row) for row in iterator),
+            codec=self.codec,
+        )
+        return _AvroCommit(file=out)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.file and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 def register_sources(spark) -> None:
     """Register the custom formats on a session (idempotent)."""
     spark.dataSource.register(VirtualDataSource)
     spark.dataSource.register(TextDictDataSource)
+    spark.dataSource.register(AvroDataSource)
