@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "summary_rewrite",
     "corpus_pipeline",
     "ivf_topk",
+    # r02 additions: heaviest previously-unbenched operators, so
+    # regressions in them show up in round-over-round deltas
+    "ngram_jaccard",
+    "dedup_clusters",
+    "rank",
 ]
 
 
