@@ -138,12 +138,18 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
+    with_margins: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 
     Hyperplanes are seeded pseudo-random +-1 vectors generated
     driver-side (tiny: num_planes x dim) and folded into the plan as
-    literals — no UDF, no shuffle. bucket = sum of sign bits."""
+    literals — no UDF, no shuffle. bucket = sum of sign bits.
+
+    ``with_margins`` adds ``__margins``: (|dot|, bit-mask) structs per
+    plane, the multi-probe signal — the planes a vector lies closest
+    to are the ones whose sign most plausibly flips for its true
+    neighbors (Lv et al., multi-probe LSH, VLDB'07)."""
     import random
 
     dim_row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
@@ -151,16 +157,34 @@ def hyperplane_buckets(
     rng = random.Random(seed)
     planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(num_planes)]
     vec_d = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("int")
-    for j, plane in enumerate(planes):
+    dots = []
+    for plane in planes:
         lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_d, lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, p: acc + p,
+        dots.append(
+            F.aggregate(
+                F.zip_with(vec_d, lit_plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
         )
+    bucket = F.lit(0).cast("int")
+    for j, dot in enumerate(dots):
         bucket = bucket + F.when(dot >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    out = df.withColumn("bucket", bucket)
+    if with_margins:
+        out = out.withColumn(
+            "__margins",
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(dots[j]).alias("m"),
+                        F.lit(2 ** j).alias("mask"),
+                    )
+                    for j in range(num_planes)
+                ]
+            ),
+        )
+    return out
 
 
 def lsh_bucketed_topk(
@@ -171,11 +195,17 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     num_planes: int = 6,
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (equi-join on bucket id — the shape that scales when both
-    sides are large). Recall tuned by num_planes; multi-probe left as
-    a follow-up."""
+    sides are large). Recall tuned by num_planes and ``multi_probe``:
+    each query additionally probes the ``multi_probe`` neighboring
+    buckets reached by flipping its smallest-margin hyperplane bits
+    (query-directed probing), lifting recall at fixed num_planes for a
+    (1 + multi_probe)x candidate cost. Candidates stay unique: a
+    corpus vector lives in exactly one bucket and the probe set is
+    distinct, so no result dedup is needed."""
     norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
     cb = hyperplane_buckets(corpus, id_col, vec_col, num_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
@@ -183,12 +213,28 @@ def lsh_bucketed_topk(
         norm(F.col(vec_col)).alias("__cnorm"),
         "bucket",
     )
-    qb = hyperplane_buckets(queries, id_col, vec_col, num_planes, seed).select(
+    qb = hyperplane_buckets(
+        queries, id_col, vec_col, num_planes, seed,
+        with_margins=multi_probe > 0,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qnorm"),
+        *(["__margins"] if multi_probe > 0 else []),
         "bucket",
     )
+    if multi_probe > 0:
+        flips = F.slice(F.array_sort(F.col("__margins")), 1, multi_probe)
+        probes = F.array_union(
+            F.array(F.col("bucket")),
+            F.transform(flips, lambda s: F.col("bucket").bitwiseXOR(s["mask"])),
+        )
+        qb = (
+            qb.withColumn("__probes", probes)
+            .drop("bucket", "__margins")
+            .withColumn("bucket", F.explode("__probes"))
+            .drop("__probes")
+        )
     scored = (
         qb.join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

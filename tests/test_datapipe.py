@@ -78,6 +78,17 @@ def test_lsh_bucketed_recall(spark):
     hits = sum(1 for q, n in got.items() if n == q + 1)
     assert hits >= 6  # near-identical twin lands in the same bucket usually
 
+    # multi-probe: flipping the 2 smallest-margin planes must find at
+    # least every twin the single-bucket probe found, and lift recall
+    # to a firm floor at the same num_planes
+    mp = similarity.lsh_bucketed_topk(
+        df, df.filter("vec_id % 2 = 0"), k=1, num_planes=4, multi_probe=2
+    )
+    got_mp = {r["query_id"]: r["neighbor_id"] for r in mp.collect()}
+    hits_mp = sum(1 for q, n in got_mp.items() if n == q + 1)
+    assert hits_mp >= hits
+    assert hits_mp >= 9  # recall floor with probing (10 twin pairs)
+
 
 def test_multimodal_fake_decode(docs):
     blobs = multimodal.text_as_blob(docs)
