@@ -1121,39 +1121,168 @@ def compile_script(text: str, params: dict[str, str] | None = None) -> dict:
     return _Parser(tokenize(substitute(text, params))).program()
 
 
+def _job_io(job: dict) -> tuple[set, set, set, set]:
+    """Static (reads_rel, reads_path, writes_rel, writes_path) of a
+    compiled job — the facts the parallel scheduler derives the
+    dependency graph from."""
+    defined: set[str] = set()
+    reads_rel: set[str] = set()
+    reads_path: set[str] = set()
+    writes_path: set[str] = set()
+    for inp in job.get("inputs", []):
+        paths = inp["path"] if isinstance(inp["path"], list) else [inp["path"]]
+        for p in paths:
+            reads_path.add(p["root"] if isinstance(p, dict) else str(p))
+        defined.add(inp["name"])
+    for op in job.get("operators", []):
+        # every op key run_plan resolves through env[...] (plan.py)
+        for key in ("input", "leftBlock", "rightBlock", "dictionary"):
+            name = op.get(key)
+            if isinstance(name, str) and name not in defined:
+                reads_rel.add(name)
+        for name in op.get("inputs", []) or []:
+            if name not in defined:
+                reads_rel.add(name)
+        if op.get("dictionaryPath"):
+            reads_path.add(str(op["dictionaryPath"]))
+        if op.get("path"):
+            # dictionary / block paths may be read or written by the
+            # op — count them on both sides so ordering is preserved
+            reads_path.add(str(op["path"]))
+            writes_path.add(str(op["path"]))
+        out_name = op.get("output") or op.get("input")
+        if out_name:
+            defined.add(out_name)
+    out = job.get("output")
+    if out and out.get("path"):
+        writes_path.add(str(out["path"]))
+    for task in job.get("onCompletion", []):
+        writes_path.update(str(p) for p in task.get("paths", []))
+    return reads_rel, reads_path, defined, writes_path
+
+
+def _paths_overlap(a: set, b: set) -> bool:
+    import os
+
+    for x in a:
+        for y in b:
+            nx, ny = os.path.normpath(x), os.path.normpath(y)
+            if nx == ny or nx.startswith(ny + os.sep) or ny.startswith(nx + os.sep):
+                return True
+    return False
+
+
+def job_dependencies(jobs: list[dict]) -> list[set[int]]:
+    """Infer inter-job dependencies (the reference carries explicit
+    ``dependsOn`` indices in its IR, ThreadPoolManager.java:117; the
+    .cmr frontend derives the same graph from each job's relation and
+    path IO): job i depends on j<i on any read-write, write-write, or
+    write-after-read overlap."""
+    io = [_job_io(j) for j in jobs]
+    deps: list[set[int]] = []
+    for i in range(len(jobs)):
+        r_rel, r_path, w_rel, w_path = io[i]
+        d: set[int] = set()
+        for j in range(i):
+            jr_rel, jr_path, jw_rel, jw_path = io[j]
+            if (
+                (r_rel & jw_rel)
+                or (w_rel & jw_rel)
+                or (jr_rel & w_rel)
+                or _paths_overlap(r_path, jw_path)
+                or _paths_overlap(w_path, jw_path)
+                or _paths_overlap(jr_path, w_path)
+            ):
+                d.add(j)
+        deps.append(d)
+    return deps
+
+
+def _run_completion_tasks(spark, job) -> None:
+    import os
+    import shutil
+
+    for task in job.get("onCompletion", []):
+        verb, paths = task["task"], task["paths"]
+        if verb == "RM":
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
+        elif verb == "MV":
+            os.replace(paths[0], paths[1])
+        elif verb == "MKDIR":
+            for p in paths:
+                os.makedirs(p, exist_ok=True)
+        elif verb == "DUMP":
+            # CompletionTasks.java dump: print the stored output
+            spark.read.parquet(paths[0]).show(20, truncate=False)
+
+
 def run_script(
     spark: SparkSession,
     text: str,
     params: dict[str, str] | None = None,
     relations: dict[str, DataFrame] | None = None,
     operators: dict | None = None,
+    max_parallel_jobs: int = 5,
 ) -> dict[str, DataFrame]:
-    """Execute a .cmr script: jobs run in order (the reference's
-    sequential ExecutorService mode; Spark's scheduler parallelizes
-    stages within each job), sharing one relation environment. Returns
-    the final environment."""
-    import os
-    import shutil
+    """Execute a .cmr script. Independent jobs run concurrently on a
+    thread pool of ``max_parallel_jobs`` workers (the reference's
+    ExecutorService caps at 5, ExecutorService.java:41); dependent
+    jobs are ordered by the inferred relation/path IO graph. Spark's
+    own scheduler additionally parallelizes stages within each job.
+    ``max_parallel_jobs=1`` degrades to strictly sequential execution.
+    Returns the final relation environment."""
+    import concurrent.futures as cf
+    import threading
 
     from cubert_spark.script.plan import run_plan
 
     prog = compile_script(text, params)
+    jobs = prog["jobs"]
     env: dict[str, DataFrame] = dict(relations or {})
-    for job in prog["jobs"]:
-        env = run_plan(spark, job, env, operators=operators)
-        for task in job.get("onCompletion", []):
-            verb, paths = task["task"], task["paths"]
-            if verb == "RM":
-                for p in paths:
-                    shutil.rmtree(p, ignore_errors=True)
-            elif verb == "MV":
-                os.replace(paths[0], paths[1])
-            elif verb == "MKDIR":
-                for p in paths:
-                    os.makedirs(p, exist_ok=True)
-            elif verb == "DUMP":
-                # CompletionTasks.java dump: print the stored output
-                spark.read.parquet(paths[0]).show(20, truncate=False)
+    if max_parallel_jobs <= 1 or len(jobs) <= 1:
+        for job in jobs:
+            env = run_plan(spark, job, env, operators=operators)
+            _run_completion_tasks(spark, job)
+        return env
+
+    deps = job_dependencies(jobs)
+    lock = threading.Lock()
+    done: set[int] = set()
+
+    def run_one(idx: int) -> None:
+        from cubert_spark.session import ensure_active_session
+
+        ensure_active_session(spark)
+        with lock:
+            snapshot = dict(env)
+        result = run_plan(spark, jobs[idx], snapshot, operators=operators)
+        _run_completion_tasks(spark, jobs[idx])
+        with lock:
+            # merge only what this job added/changed; siblings may
+            # have merged theirs meanwhile (no conflicts: write-write
+            # overlaps are ordered by the graph)
+            for k, v in result.items():
+                if k not in snapshot or v is not snapshot[k]:
+                    env[k] = v
+            done.add(idx)
+
+    with cf.ThreadPoolExecutor(max_workers=max_parallel_jobs) as pool:
+        pending = set(range(len(jobs)))
+        running: dict[cf.Future, int] = {}
+        while pending or running:
+            ready = [i for i in sorted(pending) if deps[i] <= done]
+            for i in ready:
+                pending.discard(i)
+                running[pool.submit(run_one, i)] = i
+            if not running:
+                raise ScriptError("job dependency cycle detected")
+            fs = cf.wait(
+                list(running), return_when=cf.FIRST_COMPLETED
+            ).done
+            for f in fs:
+                running.pop(f)
+                f.result()  # re-raise job failures
     return env
 
 

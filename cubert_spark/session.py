@@ -77,3 +77,18 @@ def get_session(
 ) -> SparkSession:
     """Get-or-create a SparkSession with engine defaults."""
     return session_builder(app_name, master, extra_conf).getOrCreate()
+
+
+def ensure_active_session(spark) -> None:
+    """Pin ``spark`` as the JVM-side active session for the CURRENT
+    thread. py4j gives each Python thread its own JVM thread, whose
+    thread-local active session starts unset — and Python DataSource
+    lookup (virtual/textdict/cubert_avro) resolves through it, so a
+    worker thread that skips this sees DATA_SOURCE_NOT_FOUND. No-op on
+    failure (e.g. Spark Connect, where sessions are not thread-local).
+    """
+    try:
+        jss = spark._jsparkSession
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(jss)
+    except Exception:  # noqa: BLE001 - best-effort, connect-mode safe
+        pass

@@ -502,3 +502,80 @@ def test_javascript_error_raises():
         run_javascript_blocks(
             "<javascript>throw new Error('boom');</javascript> $x", {}
         )
+
+
+def test_job_dependency_inference():
+    from cubert_spark.script import compile_script
+    from cubert_spark.script.cmr import job_dependencies
+
+    prog = compile_script("""
+PROGRAM "deps";
+JOB "a"
+    MAP { x = LOAD "/tmp/in_a.parquet" USING PARQUET(); }
+    STORE x INTO "/tmp/mid" USING PARQUET();
+END
+JOB "b"
+    MAP { y = LOAD "/tmp/in_b.parquet" USING PARQUET(); }
+    STORE y INTO "/tmp/other" USING PARQUET();
+END
+JOB "c"
+    MAP { z = LOAD "/tmp/mid" USING PARQUET(); }
+END
+JOB "d"
+    MAP { q = LOAD "/tmp/in_d.parquet" USING PARQUET(); w = FROM y GENERATE *; }
+END
+""")
+    deps = job_dependencies(prog["jobs"])
+    assert deps[0] == set()
+    assert deps[1] == set()          # independent of a
+    assert deps[2] == {0}            # reads a's stored path
+    assert deps[3] == {1}            # reads b's relation y
+
+
+def test_independent_jobs_overlap(spark, tmp_path):
+    """Two IO-disjoint jobs must overlap in wall time on the thread
+    pool (ExecutorService.java:41 parity), and dependent jobs must
+    still see their parents' outputs."""
+    import time
+
+    from cubert_spark.script import run_script
+    from cubert_spark.script import plan as plan_mod
+
+    spans = {}
+    orig = plan_mod.run_plan
+
+    def traced(spark_, job, env, operators=None):
+        t0 = time.perf_counter()
+        out = orig(spark_, job, env, operators=operators)
+        # pad so overlap is unambiguous even on a loaded machine
+        time.sleep(0.5)
+        spans[job["name"]] = (t0, time.perf_counter())
+        return out
+
+    sf = "/root/testdata/sf0.001"
+    script = """
+PROGRAM "par";
+JOB "left"
+    MAP { a = LOAD "%s/nation.parquet" USING PARQUET();
+          a2 = GROUP a BY n_regionkey AGGREGATES COUNT(n_nationkey) AS n; }
+END
+JOB "right"
+    MAP { b = LOAD "%s/region.parquet" USING PARQUET();
+          b2 = GROUP b BY r_regionkey AGGREGATES COUNT(r_name) AS n; }
+END
+JOB "sum"
+    MAP { c = LOAD "%s/region.parquet" USING PARQUET();
+          j = FROM a2 GENERATE n_regionkey, n; }
+END
+""" % (sf, sf, sf)
+    import unittest.mock as mock
+
+    with mock.patch.object(plan_mod, "run_plan", traced), \
+         mock.patch("cubert_spark.script.cmr.run_plan", traced, create=True):
+        env = run_script(spark, script, max_parallel_jobs=4)
+    assert env["j"].count() == 5
+    (l0, l1), (r0, r1) = spans["left"], spans["right"]
+    assert max(l0, r0) < min(l1, r1), f"no overlap: {spans}"
+    # dependent job starts only after its parent finished
+    s0, _ = spans["sum"]
+    assert s0 >= l1 - 0.01
