@@ -340,7 +340,37 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 """
 
+def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """AVRO STORE -> LOAD through the pure-Python object-container
+    codec (sources.AvroDataSource; AvroStorage.java:32 parity), then an
+    aggregate over the re-read relation. Doubles survive bit-exactly
+    (IEEE little-endian per spec), so the oracle runs on the original
+    parquet table."""
+    import os
+
+    from cubert_spark.catalog import load, store
+
+    sup = load_table(spark, sf, "supplier")
+    path = "/tmp/cubert_spark_avro_rt_" + os.path.basename(sf.rstrip("/"))
+    store(sup, path, fmt="avro")
+    back = load(spark, path, fmt="avro")
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("s_acctbal").alias("min_bal"),
+        F.max("s_acctbal").alias("max_bal"),
+    )
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT s_nationkey, COUNT(*) AS n,
+       MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
 QUERIES = {
+    "avro_roundtrip": q_avro_roundtrip,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "summary_rewrite": q_summary_rewrite,
@@ -356,6 +386,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "summary_rewrite": SQL_SUMMARY_REWRITE,
