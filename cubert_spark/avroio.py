@@ -91,22 +91,25 @@ def normalize_schema(schema):
 
 
 def _field_type(t):
-    """Return (base_type, nullable). ``t`` may be str, dict, or union."""
+    """Return (base_type, null_branch). ``t`` may be str, dict, or a
+    2-way union with null; ``null_branch`` is the union index of the
+    null branch (None for non-nullable types) — branch order is
+    whatever the schema declares, NOT assumed null-first."""
     if isinstance(t, list):
         non_null = [x for x in t if x != "null"]
-        if len(non_null) != 1:
-            raise AvroError(f"only [null, T] unions supported, got {t}")
-        return non_null[0], "null" in t
-    return t, False
+        if len(non_null) != 1 or len(t) != 2:
+            raise AvroError(f"only 2-way unions with null supported, got {t}")
+        return non_null[0], t.index("null")
+    return t, None
 
 
 def _write_value(buf, t, v) -> None:
-    base, nullable = _field_type(t)
-    if nullable:
+    base, null_branch = _field_type(t)
+    if null_branch is not None:
         if v is None:
-            write_long(buf, 0)  # union branch: null first by convention
+            write_long(buf, null_branch)
             return
-        write_long(buf, 1)
+        write_long(buf, 1 - null_branch)
     elif v is None:
         raise AvroError(f"null value for non-nullable {t}")
     if isinstance(base, dict) and base.get("logicalType") == "date":
@@ -115,8 +118,13 @@ def _write_value(buf, t, v) -> None:
         "timestamp-micros", "local-timestamp-micros"
     ):
         if isinstance(v, _dt.datetime):
-            if v.tzinfo is not None:
+            if base["logicalType"] == "timestamp-micros":
+                # instant semantics: naive datetimes from pyspark are
+                # in process-local time — anchor to UTC before
+                # encoding so spec-compliant readers see the instant
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            elif v.tzinfo is not None:
+                v = v.replace(tzinfo=None)
             v = round((v - _EPOCH_DT).total_seconds() * 1_000_000)
         write_long(buf, int(v))
     elif isinstance(base, dict) and base.get("type") == "array":
@@ -143,17 +151,26 @@ def _write_value(buf, t, v) -> None:
 
 
 def _read_value(buf, t):
-    base, nullable = _field_type(t)
-    if nullable:
+    base, null_branch = _field_type(t)
+    if null_branch is not None:
         branch = read_long(buf)
-        if branch == 0:
+        if branch == null_branch:
             return None
     if isinstance(base, dict) and base.get("logicalType") == "date":
         return _EPOCH + _dt.timedelta(days=read_long(buf))
     if isinstance(base, dict) and base.get("logicalType") in (
         "timestamp-micros", "local-timestamp-micros"
     ):
-        return _EPOCH_DT + _dt.timedelta(microseconds=read_long(buf))
+        out = _EPOCH_DT + _dt.timedelta(microseconds=read_long(buf))
+        if base["logicalType"] == "timestamp-micros":
+            # inverse of the write-side anchoring: UTC instant ->
+            # process-local naive datetime (what pyspark expects)
+            out = (
+                out.replace(tzinfo=_dt.timezone.utc)
+                .astimezone()
+                .replace(tzinfo=None)
+            )
+        return out
     if isinstance(base, dict) and base.get("type") == "array":
         items = base["items"]
         out = []
@@ -271,12 +288,12 @@ def read_file(path, reader_schema=None):
         w_fields = writer_schema["fields"]
         if reader_schema is None:
             plan = [("read", fld["type"], i) for i, fld in enumerate(w_fields)]
-            width = len(w_fields)
+            pad = [None] * len(w_fields)
         else:
             reader_schema = normalize_schema(reader_schema)
             r_fields = reader_schema["fields"]
             by_name = {fld["name"]: i for i, fld in enumerate(r_fields)}
-            width = len(r_fields)
+            pad = [None] * len(r_fields)
             plan = []
             for fld in w_fields:
                 if fld["name"] in by_name:
@@ -286,8 +303,12 @@ def read_file(path, reader_schema=None):
             present = {fld["name"] for fld in w_fields}
             for fld in r_fields:
                 if fld["name"] not in present:
-                    _, nullable = _field_type(fld["type"])
-                    if not nullable and "default" not in fld:
+                    _, null_branch = _field_type(fld["type"])
+                    if "default" in fld:
+                        # spec: missing reader fields take their
+                        # declared default, not a blanket null
+                        pad[by_name[fld["name"]]] = fld["default"]
+                    elif null_branch is None:
                         raise AvroError(
                             f"reader field {fld['name']!r} missing from file "
                             "and not nullable/defaulted"
@@ -305,7 +326,7 @@ def read_file(path, reader_schema=None):
                 raise AvroError(f"unsupported codec {codec!r}")
             buf = io.BytesIO(raw)
             for _ in range(count):
-                out = [None] * width
+                out = list(pad)
                 for action, t, idx in plan:
                     if action == "read":
                         out[idx] = _read_value(buf, t)
@@ -341,7 +362,10 @@ def spark_to_avro_schema(schema, name: str = "record") -> dict:
             elem = f.dataType.elementType.typeName()
             if elem not in _TO_AVRO:
                 raise AvroError(f"unsupported array element type {elem}")
-            base = {"type": "array", "items": _TO_AVRO[elem]}
+            items = _TO_AVRO[elem]
+            if f.dataType.containsNull:
+                items = ["null", items]
+            base = {"type": "array", "items": items}
         elif t in _TO_AVRO:
             base = _TO_AVRO[t]
         else:
@@ -365,10 +389,10 @@ def avro_to_spark_ddl(schema) -> str:
         elif isinstance(base, dict) and base.get("logicalType") == "local-timestamp-micros":
             cols.append(f"{f['name']} timestamp_ntz")
         elif isinstance(base, dict) and base.get("type") == "array":
-            items = base["items"]
-            if items not in _TO_SPARK:
-                raise AvroError(f"unsupported array items {items}")
-            cols.append(f"{f['name']} array<{_TO_SPARK[items]}>")
+            item_base, _ = _field_type(base["items"])
+            if not isinstance(item_base, str) or item_base not in _TO_SPARK:
+                raise AvroError(f"unsupported array items {base['items']}")
+            cols.append(f"{f['name']} array<{_TO_SPARK[item_base]}>")
         elif base in _TO_SPARK:
             cols.append(f"{f['name']} {_TO_SPARK[base]}")
         else:

@@ -30,6 +30,12 @@ def connected_components(
 
     Vertices are those appearing in any edge; singletons (no edges)
     are their own components and can be unioned in by the caller.
+
+    Storage ownership: the returned DataFrame is persisted (callers
+    typically consume it several times; ``.unpersist()`` it when
+    done). Intermediate rounds unpersist eagerly; localCheckpoint
+    blocks (the edge set + every ``checkpoint_every``-th round) are
+    reclaimed by the ContextCleaner once unreferenced.
     """
     # The edge set is static across iterations but its lineage (minhash
     # banding, shingle joins, ...) is expensive — checkpoint it ONCE so

@@ -351,7 +351,11 @@ def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from cubert_spark.catalog import load, store
 
     sup = load_table(spark, sf, "supplier")
-    path = "/tmp/cubert_spark_avro_rt_" + os.path.basename(sf.rstrip("/"))
+    # pid-scoped so concurrent harnesses (bench vs attestation) never
+    # race one overwrite against another's lazy read
+    path = "/tmp/cubert_spark_avro_rt_%s_%d" % (
+        os.path.basename(sf.rstrip("/")), os.getpid(),
+    )
     store(sup, path, fmt="avro")
     back = load(spark, path, fmt="avro")
     return back.groupBy("s_nationkey").agg(

@@ -133,9 +133,14 @@ def run_javascript_blocks(
         "})();\n" % (json.dumps(names), _JS_MARKER)
     )
     prog = defs + "\n".join(blocks) + "\n" + harvest
-    proc = subprocess.run(
-        [node, "-e", prog], capture_output=True, text=True, timeout=60
-    )
+    try:
+        proc = subprocess.run(
+            [node, "-e", prog], capture_output=True, text=True, timeout=60
+        )
+    except subprocess.TimeoutExpired as e:
+        raise ScriptError(
+            "<javascript> block did not finish within 60s"
+        ) from e
     if proc.returncode != 0:
         raise ScriptError(
             f"<javascript> block failed: {proc.stderr.strip()[:500]}"
@@ -1154,8 +1159,12 @@ def _job_io(job: dict) -> tuple[set, set, set, set]:
         if out_name:
             defined.add(out_name)
     out = job.get("output")
-    if out and out.get("path"):
-        writes_path.add(str(out["path"]))
+    if out:
+        # STORE of a relation an earlier job defined is a read of it
+        if out.get("name") and out["name"] not in defined:
+            reads_rel.add(out["name"])
+        if out.get("path"):
+            writes_path.add(str(out["path"]))
     for task in job.get("onCompletion", []):
         writes_path.update(str(p) for p in task.get("paths", []))
     return reads_rel, reads_path, defined, writes_path

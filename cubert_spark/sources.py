@@ -145,6 +145,10 @@ class AvroDataSource(DataSource):
         if self.options.get("avroSchema"):
             return avroio.avro_to_spark_ddl(self.options["avroSchema"])
         paths = self._paths()
+        if not paths:
+            raise avroio.AvroError(
+                f"no .avro files found at {self.options.get('path')!r}"
+            )
         with open(paths[0], "rb") as f:
             file_schema, _, _ = avroio.read_header(f)
         return avroio.avro_to_spark_ddl(file_schema)
@@ -190,10 +194,17 @@ class _AvroReader(DataSourceReader):
 
 @dataclass
 class _AvroCommit(WriterCommitMessage):
-    file: str = ""
+    tmp: str = ""
+    final: str = ""
 
 
 class _AvroWriter(DataSourceWriter):
+    """Tasks write to ``*.avro.tmp`` staging names; ``commit`` renames
+    the successful tasks' files to ``*.avro`` on the driver. A failed
+    or retried task's partial staging file is never renamed and the
+    read path globs only ``*.avro``, so partial output cannot poison
+    later reads."""
+
     def __init__(self, path: str, schema: StructType, codec: str):
         from cubert_spark import avroio
 
@@ -205,19 +216,31 @@ class _AvroWriter(DataSourceWriter):
     def write(self, iterator) -> _AvroCommit:
         from cubert_spark import avroio
 
-        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        final = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        tmp = final + ".tmp"
         avroio.write_file(
-            out,
+            tmp,
             self.avro_schema,
             (tuple(row) for row in iterator),
             codec=self.codec,
         )
-        return _AvroCommit(file=out)
+        return _AvroCommit(tmp=tmp, final=final)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m and m.tmp and os.path.exists(m.tmp):
+                os.replace(m.tmp, m.final)
+        self._clean_staging()
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m and m.file and os.path.exists(m.file):
-                os.remove(m.file)
+            if m and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        for leftover in glob.glob(os.path.join(self.path, "*.avro.tmp")):
+            os.remove(leftover)
 
 
 def register_sources(spark) -> None:

@@ -181,3 +181,61 @@ END
     env = run_script(spark, script)
     rows = {r["n_regionkey"]: r["n"] for r in env["agg"].collect()}
     assert sum(rows.values()) == 25 and len(rows) == 5
+
+
+def test_union_null_second_branch(tmp_path):
+    """[T, "null"] unions (null branch LAST) must encode/decode with
+    the declared branch order — not an assumed null-first layout."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": ["string", "null"]},
+        {"name": "v", "type": "long"},
+    ]}
+    p = str(tmp_path / "u.avro")
+    avroio.write_file(p, schema, [("abc", 1), (None, 2), ("xyz", 3)])
+    assert list(avroio.read_file(p)) == [("abc", 1), (None, 2), ("xyz", 3)]
+
+
+def test_java_reads_null_second_union(spark, tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": ["string", "null"]},
+        {"name": "v", "type": "long"},
+    ]}
+    p = str(tmp_path / "u2.avro")
+    avroio.write_file(p, schema, [("abc", 1), (None, 2)])
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while reader.hasNext():
+        got.append(str(reader.next()))
+    reader.close()
+    assert '"s": "abc"' in got[0] and '"v": 1' in got[0]
+    assert '"s": null' in got[1]
+
+
+def test_reader_default_value_applied(tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}]}
+    p = str(tmp_path / "d.avro")
+    avroio.write_file(p, schema, [(1,), (2,)])
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "score", "type": "double", "default": 0.5},
+    ]}
+    assert list(avroio.read_file(p, reader_schema=reader)) == [
+        (1, 0.5), (2, 0.5)
+    ]
+
+
+def test_array_with_null_elements_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b"]), (2, None), (3, [])],
+        "id long, tags array<string>",
+    )
+    out = str(tmp_path / "arr")
+    catalog.store(df, out, fmt="avro")
+    back = catalog.load(spark, out, fmt="avro")
+    assert sorted(map(tuple, back.collect())) == [
+        (1, ["a", None, "b"]), (2, None), (3, [])
+    ]

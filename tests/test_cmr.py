@@ -579,3 +579,38 @@ END
     # dependent job starts only after its parent finished
     s0, _ = spans["sum"]
     assert s0 >= l1 - 0.01
+
+
+def test_store_of_earlier_jobs_relation_orders_jobs():
+    """STORE <rel> where rel comes from an earlier job is a read of it
+    — the scheduler must not run the two jobs concurrently."""
+    from cubert_spark.script import compile_script
+    from cubert_spark.script.cmr import job_dependencies
+
+    prog = compile_script("""
+PROGRAM "store dep";
+JOB "make"
+    MAP { x = LOAD "/tmp/in.parquet" USING PARQUET(); }
+END
+JOB "persist"
+    MAP { y = LOAD "/tmp/other.parquet" USING PARQUET(); }
+    STORE x INTO "/tmp/out_x" USING PARQUET();
+END
+""")
+    assert job_dependencies(prog["jobs"])[1] == {0}
+
+
+def test_javascript_timeout_is_script_error():
+    from cubert_spark.script import cmr as cmr_mod
+
+    orig = cmr_mod.subprocess.run
+
+    def fake_run(*a, **k):
+        raise cmr_mod.subprocess.TimeoutExpired(cmd="node", timeout=60)
+
+    cmr_mod.subprocess.run = fake_run
+    try:
+        with pytest.raises(ScriptError, match="60s"):
+            cmr_mod.run_javascript_blocks("<javascript>x</javascript> $x", {})
+    finally:
+        cmr_mod.subprocess.run = orig
