@@ -62,14 +62,13 @@ def main() -> None:
     # for its plan, not for one-time class loading
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    # mllib class-loading warmup (ivf_topk): tiny k=2 fit, not counted
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    # Python-worker + Arrow warmup (ivf assignment / GEMM topk paths
+    # run pandas UDFs): one tiny batch, not counted
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
 
-    tiny = spark.range(10).selectExpr(
-        "cast(array(id, id + 1) as array<double>) v"
-    ).select(array_to_vector("v").alias("features"))
-    KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(tiny)
+    double_it = pandas_udf(lambda s: pd.Series(s * 2), "long")
+    spark.range(100).select(double_it(col("id"))).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

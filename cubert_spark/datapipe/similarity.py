@@ -262,55 +262,62 @@ def ivf_build(
     seed: int = 42,
     sample_fraction: float | None = None,
     max_iter: int = 8,
+    max_train_rows: int = 65536,
 ):
-    """Train an IVF coarse quantizer (KMeans over L2-normalized
-    vectors ~= spherical k-means for cosine) and assign every corpus
+    """Train an IVF coarse quantizer (spherical k-means over
+    L2-normalized vectors, cosine-compatible) and assign every corpus
     vector to its nearest centroid's inverted list.
 
     Returns ``(assigned, centroids)``: the corpus with a ``list_id``
     column, and the centroid matrix as a list of lists (tiny:
     n_lists x dim — broadcastable into any downstream plan).
 
-    Scale shape: the fit runs on a driver-configured SAMPLE (never the
-    full corpus — centroids converge on a few hundred points per
-    list); assignment is one scan with the centroid matrix broadcast.
-    Persist ``assigned`` (or write it bucketed by ``list_id``) to
-    amortize the index over many query batches.
+    Scale shape: the fit runs driver-side on a BOUNDED sample
+    (``sample_fraction`` then ``max_train_rows`` cap — coarse
+    quantizers converge on a few hundred points per list; this is how
+    FAISS trains too, and it replaces ~2 Spark jobs per Lloyd
+    iteration with one vectorized numpy loop). Assignment is one
+    corpus scan through an Arrow-batched GEMM with the centroid
+    matrix in the UDF closure. Persist ``assigned`` (or write it
+    bucketed by ``list_id``) to amortize the index over many query
+    batches.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def with_features(df: DataFrame) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        n = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p))
-        unit = F.transform(v, lambda x: x / n)
-        return df.withColumn("__features", array_to_vector(unit))
-
-    train = with_features(corpus)
+    train = corpus.select(vec_col)
     if sample_fraction:
         train = train.sample(fraction=sample_fraction, seed=seed)
-    # Cache the (sampled) training features: every KMeans iteration is
-    # a full pass, and without the cache each pass re-scans the source
-    # and re-normalizes (measured 2.5x the fit time at sf0.1). The
-    # cache holds the SAMPLE, not the corpus — bounded by design.
-    # Coarse quantizers need neither convergence (maxIter=8) nor
-    # k-means|| init quality (extra distributed passes) — nprobe
-    # recovers routing recall.
-    feats = train.select("__features").cache()
-    try:
-        model = KMeans(
-            k=n_lists, seed=seed, maxIter=max_iter, initMode="random",
-            featuresCol="__features",
-        ).fit(feats)
-    finally:
-        feats.unpersist()
-    assigned = (
-        model.transform(with_features(corpus))
-        .withColumnRenamed("prediction", "list_id")
-        .drop("__features")
-    )
-    centroids = [c.tolist() for c in model.clusterCenters()]
-    return assigned, centroids
+    rows = train.limit(max_train_rows).collect()
+    tr = np.asarray([r[0] for r in rows], dtype="float64")
+    tr /= np.maximum(np.linalg.norm(tr, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_lists, len(tr))
+    cmat = tr[rng.choice(len(tr), size=k, replace=False)]
+    for _ in range(max_iter):
+        labels = np.argmax(tr @ cmat.T, axis=1)
+        new = np.zeros_like(cmat)
+        np.add.at(new, labels, tr)
+        counts = np.bincount(labels, minlength=k)
+        empty = counts == 0
+        if empty.any():  # reseed dead lists from random points
+            new[empty] = tr[rng.choice(len(tr), size=int(empty.sum()))]
+            counts[empty] = 1
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        if np.allclose(new, cmat, atol=1e-9):
+            cmat = new
+            break
+        cmat = new
+
+    def _assign(vecs):
+        v = np.stack([np.asarray(x, dtype="float64") for x in vecs])
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(v @ cmat.T, axis=1).astype("int32"))
+
+    assign = pandas_udf(_assign, "int")
+    assigned = corpus.withColumn("list_id", assign(F.col(vec_col)))
+    return assigned, cmat.tolist()
 
 
 def ivf_topk(
