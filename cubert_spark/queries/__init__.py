@@ -25,7 +25,7 @@ _MODULES = (core, olap, events, datapipe, extensions, scriptq, physical)
 # (cheapest-first within each group, measured at sf0.01) to maximize
 # attested rows whether the cutoff is a count cap or a time budget.
 _ORDER = [
-    "script_js_dates", "avro_roundtrip",
+    "script_js_dates", "avro_roundtrip", "lsh_ann",
     "virtual", "pii_counts", "multipass", "script_bucket_agg",
     "scalar_udf", "asof_join", "udaf_geomean", "transform_batches",
     "salted_topn", "cube_udaf", "corpus_pipeline", "tee_split",

@@ -379,6 +379,16 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH ANN (rows-only: approximate index, no
+    cross-engine oracle; recall floor asserted in
+    tests/test_datapipe.py::test_lsh_bucketed_recall)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.lsh_bucketed_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, num_planes=6, multi_probe=2
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column plumbing: blob byte length + content hash (the
     JVM-side metadata pass; decode kernels are stubbed, tested in
@@ -454,6 +464,7 @@ QUERIES = {
     "det_sample": q_det_sample,
     "train_test_split": q_train_test_split,
     "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
+    "lsh_ann": q_lsh_ann,  # rows-only: approximate ANN (multi-probe)
     "corpus_pipeline": q_corpus_pipeline,
     "repetition_stats": q_repetition_stats,
     "pii_counts": q_pii_counts,
