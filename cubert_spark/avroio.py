@@ -274,7 +274,40 @@ def read_header(f):
     return schema, codec, sync
 
 
-def read_file(path, reader_schema=None):
+def _seek_past_sync(f, start: int, sync: bytes) -> bool:
+    """Position ``f`` just past the first sync marker whose END is
+    strictly after byte offset ``start``; False if none (no blocks in
+    this range). The scan begins 15 bytes before ``start`` so a marker
+    straddling the split edge is found and assigned to exactly one
+    side. Chunked with a 15-byte overlap across reads — the
+    Hadoop-style split protocol (sync markers are 16 random bytes;
+    payload collisions are the format's accepted design risk)."""
+    scan_from = max(start - (len(sync) - 1), 0)
+    f.seek(scan_from)
+    chunk_size = 1 << 20
+    carry = b""
+    base = scan_from  # absolute offset of buf[len(carry)] - len(carry)
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            return False
+        buf = carry + chunk
+        buf_abs = base - len(carry)  # absolute offset of buf[0]
+        idx = 0
+        while True:
+            idx = buf.find(sync, idx)
+            if idx == -1:
+                break
+            end_pos = buf_abs + idx + len(sync)
+            if end_pos > start:
+                f.seek(end_pos)
+                return True
+            idx += 1
+        carry = buf[-(len(sync) - 1):]
+        base += len(chunk)
+
+
+def read_file(path, reader_schema=None, start: int = 0, end: int | None = None):
     """Yield rows (tuples in reader-schema field order).
 
     ``reader_schema`` resolution: fields are matched by NAME against
@@ -282,6 +315,13 @@ def read_file(path, reader_schema=None):
     null-padded (must be nullable or carry a default) — the
     reference's schema-evolution contract (CHANGELOG:6). Writer fields
     the reader drops are skipped.
+
+    ``start``/``end`` select a byte range: this call owns every block
+    whose delimiting sync marker ends within ``(start, end]`` (the
+    first split, ``start=0``, also owns the blocks directly after the
+    header). Ranges that tile the file yield each row exactly once —
+    the split protocol that lets one large container file scan as many
+    partitions.
     """
     with open(path, "rb") as f:
         writer_schema, codec, sync = read_header(f)
@@ -313,7 +353,17 @@ def read_file(path, reader_schema=None):
                             f"reader field {fld['name']!r} missing from file "
                             "and not nullable/defaulted"
                         )
+        header_end = f.tell()
+        if start >= header_end:
+            # mid-file split: skip forward to the first sync ending
+            # strictly after `start` (the block at exactly `start`
+            # belongs to the preceding range)
+            if not _seek_past_sync(f, start, sync):
+                return
         while True:
+            block_start = f.tell()
+            if end is not None and block_start > end:
+                return
             try:
                 count = read_long(f)
             except EOFError:

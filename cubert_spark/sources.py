@@ -154,7 +154,8 @@ class AvroDataSource(DataSource):
         return avroio.avro_to_spark_ddl(file_schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _AvroReader(self._paths(), schema)
+        split_size = int(self.options.get("splitSize", 128 << 20))
+        return _AvroReader(self._paths(), schema, split_size)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         path = self.options.get("path")
@@ -168,27 +169,50 @@ class AvroDataSource(DataSource):
 
 
 class _AvroFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, start: int = 0, end: int | None = None):
         self.path = path
+        self.start = start
+        self.end = end
 
 
 class _AvroReader(DataSourceReader):
-    def __init__(self, paths, schema: StructType):
+    def __init__(self, paths, schema: StructType, split_size: int = 128 << 20):
         from cubert_spark import avroio
 
         self.paths = paths
+        self.split_size = max(split_size, 1)
         # resolve every file against ONE reader schema (the session
         # read schema) so heterogeneous files null-pad consistently
         self.reader_schema = avroio.spark_to_avro_schema(schema)
 
     def partitions(self):
-        return [_AvroFilePartition(p) for p in self.paths]
+        # files larger than splitSize scan as multiple byte-range
+        # partitions (sync-marker split protocol, avroio.read_file) —
+        # one huge container file still parallelizes across executors
+        out = []
+        for p in self.paths:
+            size = os.path.getsize(p)
+            if size <= self.split_size:
+                out.append(_AvroFilePartition(p))
+                continue
+            start = 0
+            while start < size:
+                out.append(
+                    _AvroFilePartition(
+                        p, start, min(start + self.split_size, size)
+                    )
+                )
+                start += self.split_size
+        return out
 
     def read(self, partition: _AvroFilePartition):
         from cubert_spark import avroio
 
         yield from avroio.read_file(
-            partition.path, reader_schema=self.reader_schema
+            partition.path,
+            reader_schema=self.reader_schema,
+            start=partition.start,
+            end=partition.end if partition.end is not None else None,
         )
 
 

@@ -10,6 +10,7 @@ pyspark (avro-1.12.1.jar) via py4j.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 
@@ -239,3 +240,63 @@ def test_array_with_null_elements_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [
         (1, ["a", None, "b"]), (2, None), (3, [])
     ]
+
+
+def test_split_ranges_tile_exactly(tmp_path):
+    """Any tiling of the file into byte ranges yields every row exactly
+    once (sync-marker split protocol) — including boundaries that land
+    inside blocks, on sync markers, and inside the header."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "payload", "type": "string"},
+    ]}
+    p = str(tmp_path / "big.avro")
+    rows = [(i, f"row-{i}-" + "x" * (i % 37)) for i in range(2000)]
+    avroio.write_file(p, schema, rows, codec="null", sync_interval=50)
+    size = os.path.getsize(p)
+    import itertools
+
+    for n_splits in (1, 2, 3, 7, 13):
+        bounds = [round(size * i / n_splits) for i in range(n_splits + 1)]
+        got = list(itertools.chain.from_iterable(
+            avroio.read_file(p, start=a, end=b)
+            for a, b in zip(bounds, bounds[1:])
+        ))
+        assert got == rows, f"tiling broke at n_splits={n_splits}"
+
+
+def test_split_ranges_tile_deflate(tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}]}
+    p = str(tmp_path / "z.avro")
+    rows = [(i,) for i in range(5000)]
+    avroio.write_file(p, schema, rows, codec="deflate", sync_interval=100)
+    size = os.path.getsize(p)
+    mid = size // 2
+    got = list(avroio.read_file(p, start=0, end=mid)) + list(
+        avroio.read_file(p, start=mid, end=size)
+    )
+    assert got == rows
+
+
+def test_spark_reads_split_partitions(spark, tmp_path):
+    """splitSize smaller than the file -> multiple input partitions,
+    same rows."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": "string"},
+    ]}
+    p_dir = tmp_path / "split_ds"
+    p_dir.mkdir()
+    rows = [(i, f"v{i}") for i in range(3000)]
+    avroio.write_file(str(p_dir / "one.avro"), schema, rows, sync_interval=64)
+    from cubert_spark.sources import register_sources
+
+    register_sources(spark)
+    df = (
+        spark.read.format("cubert_avro")
+        .option("splitSize", "2000")
+        .load(str(p_dir))
+    )
+    assert df.rdd.getNumPartitions() > 4
+    assert sorted(map(tuple, df.collect())) == rows
