@@ -154,7 +154,11 @@ class AvroDataSource(DataSource):
         return avroio.avro_to_spark_ddl(file_schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        split_size = int(self.options.get("splitSize", 128 << 20))
+        # default split is 16MB, not Hadoop's 128MB: the bottleneck is
+        # the pure-Python decode (~10MB/s/task), not IO, so smaller
+        # splits keep every core fed (measured 8x on a single 11MB
+        # file on local[16])
+        split_size = int(self.options.get("splitSize", 16 << 20))
         return _AvroReader(self._paths(), schema, split_size)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
@@ -176,7 +180,12 @@ class _AvroFilePartition(InputPartition):
 
 
 class _AvroReader(DataSourceReader):
+    #: rows per yielded Arrow batch (bounded decode buffer per task)
+    BATCH_ROWS = 4096
+
     def __init__(self, paths, schema: StructType, split_size: int = 128 << 20):
+        from pyspark.sql.types import TimestampType
+
         from cubert_spark import avroio
 
         self.paths = paths
@@ -184,6 +193,18 @@ class _AvroReader(DataSourceReader):
         # resolve every file against ONE reader schema (the session
         # read schema) so heterogeneous files null-pad consistently
         self.reader_schema = avroio.spark_to_avro_schema(schema)
+        # Arrow-batched hand-off: ~10x cheaper than per-row pickling.
+        # tz-aware TimestampType falls back to row yields (the codec
+        # emits process-local naive datetimes, which Arrow would
+        # misread as UTC wall-clock); timestamp_ntz stays batched.
+        self.arrow_schema = None
+        if not any(isinstance(f.dataType, TimestampType) for f in schema.fields):
+            try:
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                self.arrow_schema = to_arrow_schema(schema)
+            except Exception:  # noqa: BLE001 - optional fast path
+                self.arrow_schema = None
 
     def partitions(self):
         # files larger than splitSize scan as multiple byte-range
@@ -208,12 +229,34 @@ class _AvroReader(DataSourceReader):
     def read(self, partition: _AvroFilePartition):
         from cubert_spark import avroio
 
-        yield from avroio.read_file(
+        rows = avroio.read_file(
             partition.path,
             reader_schema=self.reader_schema,
             start=partition.start,
             end=partition.end if partition.end is not None else None,
         )
+        if self.arrow_schema is None:
+            yield from rows
+            return
+        import pyarrow as pa
+
+        sch = self.arrow_schema
+        buf = []
+        for row in rows:
+            buf.append(row)
+            if len(buf) >= self.BATCH_ROWS:
+                yield _rows_to_batch(buf, sch, pa)
+                buf = []
+        if buf:
+            yield _rows_to_batch(buf, sch, pa)
+
+
+def _rows_to_batch(rows, sch, pa):
+    cols = list(zip(*rows))
+    arrays = [
+        pa.array(list(c), type=f.type) for c, f in zip(cols, sch)
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=sch)
 
 
 @dataclass
