@@ -287,10 +287,17 @@ def ivf_build(
     from pyspark.sql.functions import pandas_udf
 
     train = corpus.select(vec_col)
-    if sample_fraction:
+    if sample_fraction is None:
+        # a limit() alone would take a partition-order PREFIX — biased
+        # on corpora clustered by source/time. One cheap count sizes a
+        # uniform sample; the limit then only trims the ~20% overdraw.
+        total = train.count()
+        if total > max_train_rows:
+            sample_fraction = min(1.0, 1.2 * max_train_rows / total)
+    if sample_fraction and sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
-    rows = train.limit(max_train_rows).collect()
-    tr = np.asarray([r[0] for r in rows], dtype="float64")
+    pdf = train.limit(max_train_rows).toPandas()  # Arrow, no row boxing
+    tr = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
     tr /= np.maximum(np.linalg.norm(tr, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k = min(n_lists, len(tr))
@@ -299,11 +306,9 @@ def ivf_build(
         labels = np.argmax(tr @ cmat.T, axis=1)
         new = np.zeros_like(cmat)
         np.add.at(new, labels, tr)
-        counts = np.bincount(labels, minlength=k)
-        empty = counts == 0
+        empty = np.bincount(labels, minlength=k) == 0
         if empty.any():  # reseed dead lists from random points
             new[empty] = tr[rng.choice(len(tr), size=int(empty.sum()))]
-            counts[empty] = 1
         new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
         if np.allclose(new, cmat, atol=1e-9):
             cmat = new

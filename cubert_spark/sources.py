@@ -183,7 +183,7 @@ class _AvroReader(DataSourceReader):
     #: rows per yielded Arrow batch (bounded decode buffer per task)
     BATCH_ROWS = 4096
 
-    def __init__(self, paths, schema: StructType, split_size: int = 128 << 20):
+    def __init__(self, paths, schema: StructType, split_size: int = 16 << 20):
         from pyspark.sql.types import TimestampType
 
         from cubert_spark import avroio
@@ -198,7 +198,15 @@ class _AvroReader(DataSourceReader):
         # emits process-local naive datetimes, which Arrow would
         # misread as UTC wall-clock); timestamp_ntz stays batched.
         self.arrow_schema = None
-        if not any(isinstance(f.dataType, TimestampType) for f in schema.fields):
+
+        def _has_tz_ts(dt):
+            from pyspark.sql.types import ArrayType
+
+            if isinstance(dt, TimestampType):
+                return True
+            return isinstance(dt, ArrayType) and _has_tz_ts(dt.elementType)
+
+        if not any(_has_tz_ts(f.dataType) for f in schema.fields):
             try:
                 from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -233,7 +241,7 @@ class _AvroReader(DataSourceReader):
             partition.path,
             reader_schema=self.reader_schema,
             start=partition.start,
-            end=partition.end if partition.end is not None else None,
+            end=partition.end,
         )
         if self.arrow_schema is None:
             yield from rows
