@@ -156,6 +156,36 @@ def run_javascript_blocks(
     return stripped, merged
 
 
+_BACKTICK_RE = re.compile(r"`([^`]+)`")
+
+
+def substitute_backticks(text: str) -> str:
+    """Backtick command substitution (CmrExecutor.java:252-279): each
+    `` `cmd` `` runs via ``bash -c 'exec cmd'`` and its trimmed stdout
+    replaces the span. Runs AFTER $var substitution, as the reference
+    does, so commands may consume substituted values. Scripts are
+    trusted input (identical to the reference's behavior)."""
+
+    def _run(m: re.Match) -> str:
+        try:
+            proc = subprocess.run(
+                ["bash", "-c", "exec " + m.group(1)],
+                capture_output=True, text=True, timeout=60,
+            )
+        except subprocess.TimeoutExpired as e:
+            raise ScriptError(
+                f"backtick command {m.group(1)!r} did not finish within 60s"
+            ) from e
+        if proc.returncode != 0:
+            raise ScriptError(
+                f"backtick command {m.group(1)!r} failed: "
+                f"{proc.stderr.strip()[:300]}"
+            )
+        return proc.stdout.strip()
+
+    return _BACKTICK_RE.sub(_run, text)
+
+
 def substitute(text: str, params: dict[str, str] | None) -> str:
     """$name / ${name} substitution (CmrExecutor preprocessor).
     Longest names substitute first so a param that is a prefix of
@@ -1121,9 +1151,11 @@ class _Parser:
 
 
 def compile_script(text: str, params: dict[str, str] | None = None) -> dict:
-    """Parse .cmr text -> {"name", "sets", "jobs": [json plan, ...]}."""
+    """Parse .cmr text -> {"name", "sets", "jobs": [json plan, ...]}.
+    Preprocessor order mirrors CmrExecutor.run: <javascript> blocks,
+    $var substitution, then backtick command substitution."""
     text, params = run_javascript_blocks(text, params)
-    return _Parser(tokenize(substitute(text, params))).program()
+    return _Parser(tokenize(substitute_backticks(substitute(text, params)))).program()
 
 
 def _job_io(job: dict) -> tuple[set, set, set, set]:

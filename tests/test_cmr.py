@@ -614,3 +614,25 @@ def test_javascript_timeout_is_script_error():
             cmr_mod.run_javascript_blocks("<javascript>x</javascript> $x", {})
     finally:
         cmr_mod.subprocess.run = orig
+
+
+def test_backtick_substitution(spark):
+    """`cmd` runs via bash and its trimmed stdout splices into the
+    script (CmrExecutor.java:252-279), after $var substitution."""
+    script = """
+    JOB "bt"
+      MAP {
+        n = LOAD "`echo $base/nation.parquet`" USING PARQUET();
+        agg = GROUP n BY n_regionkey AGGREGATES COUNT(n_nationkey) AS c;
+      }
+    END
+    """
+    env = run_script(spark, script, params={"base": "/root/testdata/sf0.001"})
+    assert sum(r["c"] for r in env["agg"].collect()) == 25
+
+
+def test_backtick_failure_raises():
+    from cubert_spark.script.cmr import substitute_backticks
+
+    with pytest.raises(ScriptError, match="failed"):
+        substitute_backticks('LOAD "`false`"')
