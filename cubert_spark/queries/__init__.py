@@ -25,9 +25,10 @@ _MODULES = (core, olap, events, datapipe, extensions, scriptq, physical)
 # (cheapest-first within each group, measured at sf0.01) to maximize
 # attested rows whether the cutoff is a count cap or a time budget.
 _ORDER = [
-    "script_js_dates", "avro_roundtrip", "lsh_ann",
+    "script_js_dates",
     "virtual", "pii_counts", "multipass", "script_bucket_agg",
     "scalar_udf", "asof_join", "udaf_geomean", "transform_batches",
+    "avro_roundtrip", "lsh_ann",
     "salted_topn", "cube_udaf", "corpus_pipeline", "tee_split",
     "combine_sorted", "salted_count_distinct", "dict_refresh",
     "pivot_apply", "sparse_matmul", "validate", "blockgen_join",
