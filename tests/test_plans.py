@@ -115,3 +115,18 @@ def test_ivf_probe_join_broadcasts_queries(spark):
     e = load_table(spark, SF, "embeddings")
     df = ivf_topk(e, e.filter(F.col("vec_id") < 3), k=3, n_lists=4, nprobe=2)
     assert "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def test_funnel_single_events_scan(spark):
+    """The ordered funnel is one events scan: three conditional
+    window-mins share a single user_id exchange, then one global
+    aggregate — no per-step re-scans (the r01 shape ran 3 driver-side
+    counts that re-scanned events ~6x)."""
+    from cubert_spark.queries.events import q_funnel
+
+    df = q_funnel(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # one hash exchange for the windows + the single-partition reduce
+    assert plan.count("Exchange") <= 2
+    assert "hashpartitioning(user_id" in plan
