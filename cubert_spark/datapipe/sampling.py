@@ -51,6 +51,26 @@ def train_test_split(
     return df.filter(~is_test), df.filter(is_test)
 
 
+def weighted_deterministic_sample(
+    df: DataFrame,
+    key: str | Column,
+    weight: str | Column,
+    scale: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability ``min(1, scale * weight)``,
+    decided by the row's content hash — the quality-weighted corpus
+    downsample (keep high-quality documents preferentially) that
+    stays reproducible across runs, engines, and repartitions.
+
+    Pure column expressions, no shuffle; ``weight`` is any in-[0,1]
+    score column (clip upstream if needed)."""
+    col = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    threshold = F.least(F.lit(1.0), w * F.lit(scale)) * F.lit(_SPACE)
+    return df.filter(hash16(col, salt).cast("double") < threshold)
+
+
 def stratified_deterministic_sample(
     df: DataFrame, key: str | Column, strata_col: str, fractions: dict, salt: str = ""
 ) -> DataFrame:

@@ -351,6 +351,27 @@ WHERE {_hash16_sql('doc_id', 'bench')} < {int(0.25 * 65536)}
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic downsample: keep each document
+    with probability proportional to a quality proxy (byte length,
+    capped at 1) — reproducible across engines/runs, no shuffle.
+    octet_length (bytes) keeps the weight bit-identical in DuckDB."""
+    d = load_table(spark, sf, "documents")
+    w = F.octet_length("text") / F.lit(2000.0)
+    out = sampling.weighted_deterministic_sample(
+        d, "doc_id", w, scale=1.0, salt="wbench"
+    )
+    return out.select("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id
+FROM documents
+WHERE CAST({_hash16_sql('doc_id', 'wbench')} AS DOUBLE)
+      < LEAST(1.0, strlen(text) / 2000.0) * 65536
+"""
+
+
 def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leak-proof content-keyed holdout split (same doc always lands on
     the same side across dataset versions)."""
@@ -462,6 +483,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "dedup_clusters": q_dedup_clusters,
     "det_sample": q_det_sample,
+    "weighted_sample": q_weighted_sample,
     "train_test_split": q_train_test_split,
     "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
     "lsh_ann": q_lsh_ann,  # rows-only: approximate ANN (multi-probe)
@@ -483,6 +505,7 @@ ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "det_sample": SQL_DET_SAMPLE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "repetition_stats": SQL_REPETITION_STATS,

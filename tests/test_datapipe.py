@@ -276,3 +276,23 @@ def test_sampling_null_keys_not_dropped(spark):
     df = spark.createDataFrame([(None,), ("a",), ("b",)], "k string")
     tr, te = sampling.train_test_split(df, "k", 0.5)
     assert tr.count() + te.count() == 3
+
+
+def test_weighted_sample_properties(docs):
+    from cubert_spark.datapipe import sampling
+    from pyspark.sql import functions as F
+
+    # weight 1 keeps everything; weight 0 keeps nothing
+    all_kept = sampling.weighted_deterministic_sample(
+        docs, "doc_id", F.lit(1.0))
+    assert all_kept.count() == docs.count()
+    none_kept = sampling.weighted_deterministic_sample(
+        docs, "doc_id", F.lit(0.0))
+    assert none_kept.count() == 0
+    # deterministic: same call, same rows, regardless of partitioning
+    w = F.octet_length("text") / F.lit(30.0)
+    a = {r["doc_id"] for r in
+         sampling.weighted_deterministic_sample(docs, "doc_id", w).collect()}
+    b = {r["doc_id"] for r in sampling.weighted_deterministic_sample(
+        docs.repartition(7), "doc_id", w).collect()}
+    assert a == b
