@@ -71,6 +71,31 @@ def weighted_deterministic_sample(
     return df.filter(hash16(col, salt).cast("double") < threshold)
 
 
+def per_group_deterministic_sample(
+    df: DataFrame,
+    key: str | Column,
+    group_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``n_per_group`` rows per group, chosen by content-hash
+    order (dataset balancing: cap every language/source/domain at the
+    same budget, reproducibly). One shuffle on the group key; Catalyst
+    plans the rank-filter as WindowGroupLimit, so each partition keeps
+    only its running top-n instead of materializing whole groups."""
+    from pyspark.sql import Window
+
+    col = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(group_col).orderBy(
+        hash16(col, salt), col.cast("string")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
 def stratified_deterministic_sample(
     df: DataFrame, key: str | Column, strata_col: str, fractions: dict, salt: str = ""
 ) -> DataFrame:

@@ -28,7 +28,7 @@ _ORDER = [
     "script_js_dates",
     "virtual", "pii_counts", "multipass", "script_bucket_agg",
     "scalar_udf", "asof_join", "udaf_geomean", "transform_batches",
-    "avro_roundtrip", "lsh_ann", "weighted_sample",
+    "avro_roundtrip", "lsh_ann", "weighted_sample", "per_group_sample",
     "salted_topn", "cube_udaf", "corpus_pipeline", "tee_split",
     "combine_sorted", "salted_count_distinct", "dict_refresh",
     "pivot_apply", "sparse_matmul", "validate", "blockgen_join",

@@ -372,6 +372,29 @@ WHERE CAST({_hash16_sql('doc_id', 'wbench')} AS DOUBLE)
 """
 
 
+def q_per_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Uniform per-language budget: at most 40 documents per lang,
+    picked by content-hash order (reproducible balancing; plans as
+    WindowGroupLimit — running top-n per partition, never whole
+    groups)."""
+    d = load_table(spark, sf, "documents")
+    return sampling.per_group_deterministic_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang", 40, salt="pgs"
+    )
+
+
+SQL_PER_GROUP_SAMPLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_hash16_sql('doc_id', 'pgs')}, CAST(doc_id AS VARCHAR)
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
 def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leak-proof content-keyed holdout split (same doc always lands on
     the same side across dataset versions)."""
@@ -484,6 +507,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "det_sample": q_det_sample,
     "weighted_sample": q_weighted_sample,
+    "per_group_sample": q_per_group_sample,
     "train_test_split": q_train_test_split,
     "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
     "lsh_ann": q_lsh_ann,  # rows-only: approximate ANN (multi-probe)
@@ -506,6 +530,7 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "det_sample": SQL_DET_SAMPLE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "per_group_sample": SQL_PER_GROUP_SAMPLE,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -296,3 +296,24 @@ def test_weighted_sample_properties(docs):
     b = {r["doc_id"] for r in sampling.weighted_deterministic_sample(
         docs.repartition(7), "doc_id", w).collect()}
     assert a == b
+
+
+def test_per_group_sample_caps_and_determinism(spark):
+    from cubert_spark.datapipe import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    out = sampling.per_group_deterministic_sample(df, "k", "g", 10)
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in counts.values()) and len(counts) == 3
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in sampling.per_group_deterministic_sample(
+        df.repartition(11), "k", "g", 10).collect())
+    assert a == b
+    # a group smaller than the budget keeps everything
+    small = sampling.per_group_deterministic_sample(
+        df.filter("k < 4"), "k", "g", 10)
+    assert small.count() == 4
