@@ -125,7 +125,10 @@ def _write_value(buf, t, v) -> None:
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             elif v.tzinfo is not None:
                 v = v.replace(tzinfo=None)
-            v = round((v - _EPOCH_DT).total_seconds() * 1_000_000)
+            td = v - _EPOCH_DT
+            # integer arithmetic: float total_seconds() has ~2us ULP
+            # error beyond a few hundred years from epoch
+            v = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
         write_long(buf, int(v))
     elif isinstance(base, dict) and base.get("type") == "array":
         items = base["items"]

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 from cubert_spark.datapipe.textstats import shingles
 
+#: the single live shingle-table cache (see minhash_lsh_pairs)
+_live_shingle_cache: DataFrame | None = None
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: keep the min-id representative per
@@ -216,11 +219,21 @@ def minhash_lsh_pairs(
     # scale it spills to a disk-materialized intermediate — the moral
     # equivalent of writing it once as a checkpointed dataset) beats
     # recomputing the explode for each consumer 1.5x measured at
-    # sf0.1. The cache belongs to the returned plan's lifetime;
-    # unreferenced copies from repeated calls are LRU-evicted.
+    # sf0.1. CacheManager holds strong references, so repeated calls
+    # in one long session would accumulate caches unboundedly — each
+    # call therefore unpersists the previous call's shingle cache (at
+    # most ONE alive; earlier returned plans still compute, just
+    # uncached).
     sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
     if persist_shingles:
+        global _live_shingle_cache
+        if _live_shingle_cache is not None:
+            try:
+                _live_shingle_cache.unpersist()
+            except Exception:  # noqa: BLE001 - session may be gone
+                pass
         sh = sh.persist()
+        _live_shingle_cache = sh
     sig = minhash_signature(sh, id_col, num_hashes, hash_fn)
     bands = lsh_bands(sig, id_col, num_hashes, band_size, hash_fn)
     ca = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")

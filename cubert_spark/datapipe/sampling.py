@@ -83,16 +83,19 @@ def per_group_deterministic_sample(
     same budget, reproducibly). One shuffle on the group key; Catalyst
     plans the rank-filter as WindowGroupLimit, so each partition keeps
     only its running top-n instead of materializing whole groups."""
+    import uuid
+
     from pyspark.sql import Window
 
     col = F.col(key) if isinstance(key, str) else key
     w = Window.partitionBy(group_col).orderBy(
         hash16(col, salt), col.cast("string")
     )
+    rn = f"__rn_{uuid.uuid4().hex[:8]}"  # never collides with user cols
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_per_group)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n_per_group)
+        .drop(rn)
     )
 
 

@@ -156,20 +156,25 @@ def run_javascript_blocks(
     return stripped, merged
 
 
-_BACKTICK_RE = re.compile(r"`([^`]+)`")
+_BACKTICK_RE = re.compile(r"`([^`\n]+)`")
 
 
 def substitute_backticks(text: str) -> str:
     """Backtick command substitution (CmrExecutor.java:252-279): each
-    `` `cmd` `` runs via ``bash -c 'exec cmd'`` and its trimmed stdout
-    replaces the span. Runs AFTER $var substitution, as the reference
-    does, so commands may consume substituted values. Scripts are
-    trusted input (identical to the reference's behavior)."""
+    `` `cmd` `` runs via ``bash -c`` and its trimmed stdout replaces
+    the span. Runs AFTER $var substitution, as the reference does, so
+    commands may consume substituted values. Scripts are trusted input.
+
+    Two deliberate deviations from the reference: commands may not
+    span lines (so one stray backtick cannot pair with an unrelated
+    later one and execute script text), and there is no ``exec``
+    prefix (which silently truncated ``a && b`` at the first command
+    and broke shell builtins)."""
 
     def _run(m: re.Match) -> str:
         try:
             proc = subprocess.run(
-                ["bash", "-c", "exec " + m.group(1)],
+                ["bash", "-c", m.group(1)],
                 capture_output=True, text=True, timeout=60,
             )
         except subprocess.TimeoutExpired as e:
