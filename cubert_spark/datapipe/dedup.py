@@ -227,13 +227,28 @@ def minhash_lsh_pairs(
     sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
     if persist_shingles:
         global _live_shingle_cache
-        if _live_shingle_cache is not None:
+        prev = _live_shingle_cache
+        same = False
+        if prev is not None:
             try:
-                _live_shingle_cache.unpersist()
+                # the md5 and xxhash64 signature paths share one
+                # identical shingle plan — reuse its warm cache
+                # instead of dropping and rebuilding it
+                same = prev._jdf.queryExecution().analyzed().sameResult(
+                    sh._jdf.queryExecution().analyzed()
+                )
             except Exception:  # noqa: BLE001 - session may be gone
-                pass
-        sh = sh.persist()
-        _live_shingle_cache = sh
+                prev = None
+        if same:
+            sh = prev
+        else:
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+            sh = sh.persist()
+            _live_shingle_cache = sh
     sig = minhash_signature(sh, id_col, num_hashes, hash_fn)
     bands = lsh_bands(sig, id_col, num_hashes, band_size, hash_fn)
     ca = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
