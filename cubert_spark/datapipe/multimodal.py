@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The media codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode kernels are stubbed — either raising NotImplementedError or
-producing a deterministic fake (``fake=True``) so the Spark-side
-plumbing (schema, Arrow batch shape, partitioning) is fully testable.
-The mapInPandas pipelines, batch sizing and output schemas are real
-and are what would run at scale once a codec is dropped in.
+Decode support is honest about the environment: WAV audio decodes for
+REAL (stdlib ``wave``), as do uncompressed 24-bit BMP images (pure
+struct/numpy parsing). Formats that need external codecs (JPEG/PNG,
+compressed audio, video demux) are stubbed — NotImplementedError, or
+a deterministic fake (``fake=True``) so the Spark-side plumbing
+(schema, Arrow batch shape, partitioning) is fully testable either
+way. The mapInPandas pipelines, batch sizing and output schemas are
+what would run at scale once richer codecs are dropped in.
 """
 
 from __future__ import annotations
@@ -42,6 +44,41 @@ def text_as_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def decode_bmp(raw: bytes):
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) RGB uint8
+    array — pure struct/numpy, no codec library. Raises ValueError for
+    anything else (JPEG/PNG need a real codec)."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = ((w * 3 + 3) // 4) * 4
+    px = np.frombuffer(raw, np.uint8, row_size * h, pixel_off)
+    arr = px.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[..., ::-1]  # BGR -> RGB
+
+
+def _resize_nearest(arr, w: int, h: int):
+    import numpy as np
+
+    sh, sw = arr.shape[:2]
+    yi = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xi = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return arr[yi][:, xi]
+
+
 def decode_images(
     df: DataFrame,
     blob_col: str = "blob",
@@ -52,10 +89,12 @@ def decode_images(
     """Decode + resize + feature-extract an image blob column.
 
     Arrow-batched mapInPandas: each batch decodes ``len(batch)`` blobs
-    without per-row Python dispatch. With ``fake=True`` the decode is a
-    deterministic stand-in (dimensions and features derived from blob
-    bytes) so tests validate schema/batching; otherwise raises
-    NotImplementedError (no image codec in this environment).
+    without per-row Python dispatch. The real path decodes
+    uncompressed 24-bit BMP (pure numpy; reports SOURCE dimensions,
+    resizes nearest-neighbor to ``target_size``, features = mean
+    R/G/B/gray in [0,1]); other formats raise NotImplementedError
+    until a codec is plugged in. ``fake=True`` keeps the deterministic
+    stand-in (dimensions = target, features from the digest).
     """
     import hashlib
 
@@ -65,26 +104,45 @@ def decode_images(
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec unavailable in this environment; "
-                    "run with fake=True or plug a decoder into decode_images.kernel"
-                )
             rows = []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
                 digest = hashlib.sha256(raw).hexdigest()
-                # deterministic fake: dims from digest, 4-dim feature
+                if fake:
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "byte_len": len(raw),
+                            "sha256": digest,
+                            "width": w,
+                            "height": h,
+                            "feature": [
+                                float(int(digest[j * 8 : j * 8 + 8], 16) % 1000) / 1000.0
+                                for j in range(4)
+                            ],
+                        }
+                    )
+                    continue
+                try:
+                    img = decode_bmp(raw)
+                except ValueError as e:
+                    raise NotImplementedError(
+                        f"no codec for this image format ({e}); BMP decodes "
+                        "natively, others need a decoder plugged into "
+                        "decode_images"
+                    ) from e
+                small = _resize_nearest(img, w, h).astype("float64") / 255.0
+                means = small.mean(axis=(0, 1))
                 rows.append(
                     {
                         "id": int(i),
                         "byte_len": len(raw),
                         "sha256": digest,
-                        "width": w,
-                        "height": h,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
                         "feature": [
-                            float(int(digest[j * 8 : j * 8 + 8], 16) % 1000) / 1000.0
-                            for j in range(4)
+                            float(means[0]), float(means[1]), float(means[2]),
+                            float(means.mean()),
                         ],
                     }
                 )
@@ -92,6 +150,102 @@ def decode_images(
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         kernel, schema=IMAGE_META_SCHEMA
+    )
+
+
+#: Output schema of decode_audio.
+AUDIO_META_SCHEMA = (
+    "id long, byte_len int, sha256 string, sample_rate int, n_channels int, "
+    "n_samples int, duration_sec double, rms double, envelope array<float>"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    n_bands: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode a WAV audio blob column for REAL (stdlib ``wave`` — no
+    external codec needed): sample rate, channel count, duration, RMS
+    level, and an ``n_bands``-segment mean-|amplitude| envelope (all
+    amplitudes normalized to [-1, 1]). Multi-channel audio is mixed to
+    mono for the features. Non-WAV blobs raise NotImplementedError
+    (compressed formats need a codec); ``fake=True`` derives
+    deterministic values from the digest for plumbing tests."""
+    import hashlib
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                digest = hashlib.sha256(raw).hexdigest()
+                if fake:
+                    rows.append(
+                        {
+                            "id": int(i), "byte_len": len(raw),
+                            "sha256": digest, "sample_rate": 16000,
+                            "n_channels": 1, "n_samples": len(raw),
+                            "duration_sec": len(raw) / 16000.0,
+                            "rms": float(int(digest[:8], 16) % 1000) / 1000.0,
+                            "envelope": [
+                                float(int(digest[j * 4 : j * 4 + 4], 16) % 1000)
+                                / 1000.0
+                                for j in range(n_bands)
+                            ],
+                        }
+                    )
+                    continue
+                try:
+                    with wave.open(io.BytesIO(raw)) as wf:
+                        sr = wf.getframerate()
+                        nch = wf.getnchannels()
+                        width = wf.getsampwidth()
+                        n = wf.getnframes()
+                        frames = wf.readframes(n)
+                except Exception as e:  # noqa: BLE001 - not a WAV
+                    raise NotImplementedError(
+                        f"no codec for this audio format ({e}); WAV decodes "
+                        "natively, others need a decoder plugged into "
+                        "decode_audio"
+                    ) from e
+                if width == 2:
+                    x = np.frombuffer(frames, "<i2").astype("float64") / 32768.0
+                elif width == 1:
+                    x = (np.frombuffer(frames, "u1").astype("float64") - 128.0) / 128.0
+                else:
+                    raise NotImplementedError(
+                        f"unsupported WAV sample width {width}"
+                    )
+                if nch > 1:
+                    x = x.reshape(-1, nch).mean(axis=1)
+                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                env = []
+                if len(x):
+                    for seg in np.array_split(np.abs(x), n_bands):
+                        env.append(float(seg.mean()) if len(seg) else 0.0)
+                else:
+                    env = [0.0] * n_bands
+                rows.append(
+                    {
+                        "id": int(i), "byte_len": len(raw), "sha256": digest,
+                        "sample_rate": int(sr), "n_channels": int(nch),
+                        "n_samples": int(len(x)),
+                        "duration_sec": len(x) / sr if sr else 0.0,
+                        "rms": rms, "envelope": env,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        kernel, schema=AUDIO_META_SCHEMA
     )
 
 

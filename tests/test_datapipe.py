@@ -317,3 +317,79 @@ def test_per_group_sample_caps_and_determinism(spark):
     small = sampling.per_group_deterministic_sample(
         df.filter("k < 4"), "k", "g", 10)
     assert small.count() == 4
+
+
+def _make_wav(sr=8000, freq=440.0, secs=0.5, channels=1, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        n = int(sr * secs)
+        for t in range(n):
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq * t / sr))
+            wf.writeframes(struct.pack("<h", v) * channels)
+    return buf.getvalue()
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal bottom-up 24-bit uncompressed BMP of one solid color."""
+    import struct
+
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * w) + b"\x00" * ((4 - (w * 3) % 4) % 4)
+    pixels = row * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    return header + pixels
+
+
+def test_decode_audio_real_wav(spark):
+    from cubert_spark.datapipe import multimodal
+
+    rows = [(1, _make_wav()), (2, _make_wav(sr=16000, secs=0.25, channels=2))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r["id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 1
+    assert got[1]["duration_sec"] == pytest.approx(0.5, abs=1e-3)
+    # sine RMS = amp / sqrt(2)
+    assert got[1]["rms"] == pytest.approx(0.5 / 2 ** 0.5, rel=0.01)
+    assert len(got[1]["envelope"]) == 8
+    assert got[2]["sample_rate"] == 16000 and got[2]["n_channels"] == 2
+    assert got[2]["n_samples"] == 4000  # mono-mixed frames
+
+
+def test_decode_audio_non_wav_raises(spark):
+    from cubert_spark.datapipe import multimodal
+
+    df = spark.createDataFrame([(1, b"\x00not audio")], "id long, blob binary")
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        multimodal.decode_audio(df).collect()
+
+
+def test_decode_images_real_bmp(spark):
+    from cubert_spark.datapipe import multimodal
+
+    rows = [(1, _make_bmp(5, 3, (255, 0, 0))), (2, _make_bmp(8, 8, (0, 0, 255)))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r["id"]: r for r in multimodal.decode_images(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (5, 3)
+    r_mean, g_mean, b_mean, gray = got[1]["feature"]
+    assert r_mean == pytest.approx(1.0) and g_mean == 0.0 and b_mean == 0.0
+    assert got[2]["feature"][2] == pytest.approx(1.0)
+    assert gray == pytest.approx(1 / 3, abs=1e-3)
+
+
+def test_decode_bmp_unit():
+    from cubert_spark.datapipe import multimodal
+
+    arr = multimodal.decode_bmp(_make_bmp(4, 2, (10, 20, 30)))
+    assert arr.shape == (2, 4, 3)
+    assert (arr[0, 0] == [10, 20, 30]).all()
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"PNG....")
