@@ -32,3 +32,56 @@ def running_counts(df: DataFrame, key_col: str = "event_type") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def per_key_ema(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming exponential moving average per key — the
+    feature-engineering shape (e.g. per-user running engagement score)
+    batch engines can't express incrementally.
+
+    State is (ema double, n long) per key. With ``ttl_minutes``, idle
+    keys expire via ProcessingTimeTimeout and their state is removed —
+    the knob that keeps state bounded when the key space is unbounded
+    (drifting user populations at corpus scale). Output one row per
+    key per batch: (key, ema, n).
+
+    Note: with a processing-time timeout the query keeps triggering to
+    fire expirations, so ``availableNow`` does NOT self-terminate —
+    drive TTL'd queries with a bounded awaitTermination + stop (see
+    tests/test_streaming.py::test_per_key_ema_ttl_path)."""
+    import pandas as pd
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        if ttl_minutes and state.hasTimedOut:
+            state.remove()
+            return
+        ema, n = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            for v in pdf[value_col]:
+                v = float(v)
+                ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                n += 1
+        state.update((ema, n))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame({"key": [key[0]], "ema": [ema], "n": [n]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key string, ema double, n long",
+        stateStructType="ema double, n long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -164,3 +164,53 @@ def test_maintain_summary_from_stream(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_per_key_ema_stateful(spark, events_dir):
+    from cubert_spark.streaming.stateful import per_key_ema
+
+    batch = _batch_events(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, batch.schema)
+    out = run_to_memory(
+        per_key_ema(stream, "event_type", "value", alpha=0.5),
+        "ema_test", output_mode="update",
+    ).collect()
+    # per-key counts match the batch, ema bounded by the value range
+    expected_n = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in batch.groupBy("event_type").agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")).collect()
+    }
+    got_n = {}
+    for r in out:
+        got_n[r["key"]] = max(got_n.get(r["key"], 0), r["n"])
+        lo, hi = bounds[r["key"]]
+        assert lo - 1e-9 <= r["ema"] <= hi + 1e-9
+    assert got_n == expected_n
+
+
+def test_per_key_ema_ttl_path(spark, events_dir):
+    """ProcessingTimeTimeout keeps an availableNow query alive to fire
+    timeouts, so drive the TTL variant with a bounded await + stop
+    instead of run_to_memory."""
+    from cubert_spark.streaming.stateful import per_key_ema
+
+    batch = _batch_events(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, batch.schema)
+    q = (
+        per_key_ema(stream, "event_type", "value", ttl_minutes=10)
+        .writeStream.format("memory")
+        .queryName("ema_ttl_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    assert spark.table("ema_ttl_test").count() > 0
