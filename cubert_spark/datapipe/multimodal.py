@@ -63,6 +63,8 @@ def decode_bmp(raw: bytes):
     bottom_up = h > 0
     h = abs(h)
     row_size = ((w * 3 + 3) // 4) * 4
+    if pixel_off + row_size * h > len(raw):
+        raise ValueError("truncated BMP pixel data")
     px = np.frombuffer(raw, np.uint8, row_size * h, pixel_off)
     arr = px.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
     if bottom_up:
@@ -106,6 +108,8 @@ def decode_images(
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or pd.isna(i):
+                    continue  # null blob/id rows are skipped, not fatal
                 raw = bytes(blob)
                 digest = hashlib.sha256(raw).hexdigest()
                 if fake:
@@ -126,6 +130,10 @@ def decode_images(
                 try:
                     img = decode_bmp(raw)
                 except ValueError as e:
+                    if "not a BMP" not in str(e):
+                        # a real BMP with corrupt payload is a DATA
+                        # error, not a missing codec
+                        raise
                     raise NotImplementedError(
                         f"no codec for this image format ({e}); BMP decodes "
                         "natively, others need a decoder plugged into "
@@ -185,6 +193,8 @@ def decode_audio(
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or pd.isna(i):
+                    continue  # null blob/id rows are skipped, not fatal
                 raw = bytes(blob)
                 digest = hashlib.sha256(raw).hexdigest()
                 if fake:
@@ -216,6 +226,11 @@ def decode_audio(
                         "natively, others need a decoder plugged into "
                         "decode_audio"
                     ) from e
+                # a truncated final frame decodes as far as it goes
+                # (trim to whole frames) rather than failing the job
+                frame_bytes = width * nch
+                if frame_bytes and len(frames) % frame_bytes:
+                    frames = frames[: len(frames) - len(frames) % frame_bytes]
                 if width == 2:
                     x = np.frombuffer(frames, "<i2").astype("float64") / 32768.0
                 elif width == 1:

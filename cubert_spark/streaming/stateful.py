@@ -40,6 +40,7 @@ def per_key_ema(
     value_col: str,
     alpha: float = 0.3,
     ttl_minutes: int | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Streaming exponential moving average per key — the
     feature-engineering shape (e.g. per-user running engagement score)
@@ -50,6 +51,13 @@ def per_key_ema(
     the knob that keeps state bounded when the key space is unbounded
     (drifting user populations at corpus scale). Output one row per
     key per batch: (key, ema, n).
+
+    Null values are skipped (standard aggregate semantics — one null
+    must not NaN-poison the state forever). Keys are stringified into
+    the output ``key`` column. An EMA is order-sensitive: pass
+    ``ts_col`` to fold each micro-batch in event-time order; without
+    it, arrival order within a batch is used (post-shuffle order is
+    not deterministic across runs).
 
     Note: with a processing-time timeout the query keeps triggering to
     fire expirations, so ``availableNow`` does NOT self-terminate —
@@ -68,15 +76,21 @@ def per_key_ema(
             state.remove()
             return
         ema, n = state.get if state.exists else (None, 0)
-        for pdf in pdf_iter:
-            for v in pdf[value_col]:
+        chunks = list(pdf_iter)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            if ts_col is not None:
+                batch = batch.sort_values(ts_col, kind="stable")
+            for v in batch[value_col]:
+                if pd.isna(v):
+                    continue
                 v = float(v)
                 ema = v if ema is None else alpha * v + (1 - alpha) * ema
                 n += 1
         state.update((ema, n))
         if ttl_minutes:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        yield pd.DataFrame({"key": [key[0]], "ema": [ema], "n": [n]})
+        yield pd.DataFrame({"key": [str(key[0])], "ema": [ema], "n": [n]})
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,

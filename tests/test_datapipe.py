@@ -393,3 +393,26 @@ def test_decode_bmp_unit():
     assert (arr[0, 0] == [10, 20, 30]).all()
     with pytest.raises(ValueError, match="not a BMP"):
         multimodal.decode_bmp(b"PNG....")
+
+
+def test_decode_robustness_nulls_and_truncation(spark):
+    from cubert_spark.datapipe import multimodal
+
+    # null blobs are skipped, not fatal
+    wav = _make_wav(secs=0.1)
+    df = spark.createDataFrame(
+        [(1, wav), (2, None)], "id long, blob binary"
+    )
+    rows = multimodal.decode_audio(df).collect()
+    assert [r["id"] for r in rows] == [1]
+    # truncated stereo WAV decodes the whole frames it has
+    stereo = _make_wav(sr=8000, secs=0.1, channels=2)
+    df2 = spark.createDataFrame([(3, stereo[:-3])], "id long, blob binary")
+    got = multimodal.decode_audio(df2).collect()[0]
+    assert got["n_samples"] > 0
+    # truncated BMP is a ValueError (data corruption), not "no codec"
+    bmp = _make_bmp(4, 4, (1, 2, 3))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        multimodal.decode_bmp(bmp[:-8])

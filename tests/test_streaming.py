@@ -209,8 +209,15 @@ def test_per_key_ema_ttl_path(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
+    import time
+
     try:
-        q.awaitTermination(60)
+        # the query never self-terminates; stop as soon as output lands
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("ema_ttl_test").count() > 0:
+                break
+            time.sleep(1)
     finally:
         q.stop()
     assert spark.table("ema_ttl_test").count() > 0
