@@ -300,3 +300,45 @@ def test_spark_reads_split_partitions(spark, tmp_path):
     )
     assert df.rdd.getNumPartitions() > 4
     assert sorted(map(tuple, df.collect())) == rows
+
+
+def test_filter_pushdown_into_reader(spark, tmp_path):
+    """Opt-in pushdown: simple predicates evaluate inside the Python
+    reader (rows drop before the Arrow hand-off); complex ones stay
+    with Spark. One DataFrame per filtered query (the planner caches
+    the scan per DataFrame instance — see _AvroPushdownReader)."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "v", "type": "double"},
+    ]}
+    d = tmp_path / "pf"
+    d.mkdir()
+    rows = [(i, None if i % 5 == 0 else f"s{i}", i * 0.5) for i in range(400)]
+    avroio.write_file(str(d / "f.avro"), schema, rows)
+    from cubert_spark.sources import register_sources
+
+    register_sources(spark)
+
+    def load():
+        return (
+            spark.read.format("cubert_avro")
+            .option("filterPushdown", "true")
+            .load(str(d))
+        )
+
+    got = sorted(
+        r["id"]
+        for r in load().filter("id >= 100 AND id < 110 AND s IS NOT NULL").collect()
+    )
+    assert got == [i for i in range(100, 110) if i % 5 != 0]
+    # disjunctions can't push; correctness must hold regardless
+    got2 = {r["id"] for r in load().filter("id < 3 OR id >= 398").collect()}
+    assert got2 == {0, 1, 2, 398, 399}
+    # equality + comparison on doubles
+    assert load().filter("v = 5.0").count() == 1
+    # the default (no option) reader never pushes: reusing one
+    # DataFrame across differently-filtered queries stays correct
+    df = spark.read.format("cubert_avro").load(str(d))
+    assert df.filter("id >= 395").count() == 5
+    assert df.count() == 400
