@@ -91,7 +91,11 @@ def q_summary_rewrite(spark: SparkSession, sf: str) -> DataFrame:
             F.col("count__o_orderkey").alias("n_orders"),
             F.col("count_distinct__o_custkey").alias("uniq_customers"),
         )
-        # materialize before deleting the scratch summary
+        # ORACLE-HARNESS-ONLY materialization: the result must outlive
+        # the scratch tempdir this query deletes below, and summary
+        # cardinality is tiny (|priorities|). The production API
+        # (plans.summary.SummaryStore.rewrite) is fully lazy and never
+        # collects — do not copy this pattern outside the harness.
         result = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
