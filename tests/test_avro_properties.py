@@ -90,3 +90,48 @@ def test_date_and_ntz_timestamp_roundtrip(tmp_path_factory, days, micros):
     p = str(tmp_path_factory.mktemp("avro_ts") / "f.avro")
     avroio.write_file(p, schema, [(d, t)])
     assert list(avroio.read_file(p)) == [(d, t)]
+
+
+@st.composite
+def _evolution_case(draw):
+    """Random writer schema + a reader schema that drops, keeps,
+    reorders, and adds (nullable or defaulted) fields."""
+    n = draw(st.integers(min_value=1, max_value=6))
+    types = [draw(st.sampled_from(sorted(_PRIM))) for _ in range(n)]
+    w_fields = [
+        {"name": f"f{i}", "type": ["null", t]} for i, t in enumerate(types)
+    ]
+    rows = draw(st.lists(
+        st.tuples(*[st.one_of(st.none(), _PRIM[t]) for t in types]),
+        max_size=25,
+    ))
+    keep = draw(st.lists(
+        st.integers(min_value=0, max_value=n - 1), unique=True, min_size=0,
+        max_size=n,
+    ))
+    extra_default = draw(st.booleans())
+    r_fields = [dict(w_fields[i]) for i in keep]
+    if extra_default:
+        r_fields.append({"name": "extra_d", "type": "long", "default": 7})
+    r_fields.append({"name": "extra_n", "type": ["null", "string"]})
+    return w_fields, rows, keep, r_fields, extra_default
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(case=_evolution_case())
+def test_any_reader_schema_resolution(tmp_path_factory, case):
+    w_fields, rows, keep, r_fields, extra_default = case
+    writer = {"type": "record", "name": "r", "fields": w_fields}
+    reader = {"type": "record", "name": "r", "fields": r_fields}
+    p = str(tmp_path_factory.mktemp("avro_evo") / "f.avro")
+    avroio.write_file(p, writer, rows)
+    got = list(avroio.read_file(p, reader_schema=reader))
+    want = []
+    for row in rows:
+        out = [row[i] for i in keep]
+        if extra_default:
+            out.append(7)
+        out.append(None)
+        want.append(tuple(out))
+    assert got == want
