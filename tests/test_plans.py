@@ -130,3 +130,22 @@ def test_funnel_single_events_scan(spark):
     # one hash exchange for the windows + the single-partition reduce
     assert plan.count("Exchange") <= 2
     assert "hashpartitioning(user_id" in plan
+
+
+def test_sampling_queries_prune_scan(spark):
+    """Deterministic samplers read only the columns they use — a
+    2-3 column ReadSchema against the wide documents table."""
+    from cubert_spark.queries.datapipe import q_per_group_sample, q_weighted_sample
+
+    for fn, cols in (
+        (q_weighted_sample, {"doc_id", "text"}),
+        (q_per_group_sample, {"doc_id", "lang"}),
+    ):
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert read_cols == cols, (read_cols, cols)
