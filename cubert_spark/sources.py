@@ -222,6 +222,7 @@ class _AvroReader(DataSourceReader):
                 self.arrow_schema = to_arrow_schema(schema)
             except Exception:  # noqa: BLE001 - optional fast path
                 self.arrow_schema = None
+        self._schema = schema
         self._col_idx = {f.name: i for i, f in enumerate(schema.fields)}
         self._pushed = []  # (col_index, predicate) applied during read
 
@@ -300,7 +301,21 @@ class _AvroPushdownReader(_AvroReader):
     ``spark.sql.python.filterPushdown.enabled`` (set by the session
     factory)."""
 
+    #: Column types whose Python comparison semantics provably match
+    #: Spark SQL's: integers, strings, booleans, binary (both compare
+    #: bytes unsigned-lexicographically), dates, and naive
+    #: timestamp_ntz. Floats are EXCLUDED (Spark orders NaN greater
+    #: than every double and NaN = NaN is true; Python NaN compares
+    #: false) as are tz-aware timestamps (Spark hands tz-aware
+    #: literals, rows are naive) and complex types.
+    _PUSHABLE_TYPES = (
+        "byte", "short", "integer", "long", "string", "boolean",
+        "binary", "date", "timestamp_ntz",
+    )
+    _PUSHABLE_LITERALS = (int, str, bool, bytes)
+
     def pushFilters(self, filters):
+        import datetime as dt
         import operator as op
 
         # a planning pass owns exactly its own filters
@@ -322,7 +337,18 @@ class _AvroPushdownReader(_AvroReader):
                 self._pushed.append((idx, lambda v: v is None))
             elif isinstance(f, IsNotNull):
                 self._pushed.append((idx, lambda v: v is not None))
-            elif type(f) in comparators:
+            elif (
+                type(f) in comparators
+                and self._schema.fields[idx].dataType.typeName()
+                in self._PUSHABLE_TYPES
+                and (
+                    isinstance(f.value, self._PUSHABLE_LITERALS)
+                    or (
+                        isinstance(f.value, (dt.date, dt.datetime))
+                        and getattr(f.value, "tzinfo", None) is None
+                    )
+                )
+            ):
                 cmp, val = comparators[type(f)], f.value
                 self._pushed.append(
                     (idx, lambda v, c=cmp, x=val: v is not None and c(v, x))

@@ -335,10 +335,50 @@ def test_filter_pushdown_into_reader(spark, tmp_path):
     # disjunctions can't push; correctness must hold regardless
     got2 = {r["id"] for r in load().filter("id < 3 OR id >= 398").collect()}
     assert got2 == {0, 1, 2, 398, 399}
-    # equality + comparison on doubles
-    assert load().filter("v = 5.0").count() == 1
+    # engagement pin: a fully-pushed long predicate leaves NO Filter
+    # node in the plan (the scan consumed it); if the conf or the
+    # option plumbing regresses, the Filter node reappears
+    pushed = load().filter("id >= 395")
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert " Filter " not in plan, plan
+    assert pushed.count() == 5
+    # double comparisons are NOT pushed (Spark NaN ordering diverges
+    # from Python NaN semantics) — Spark keeps its own Filter node
+    unpushed = load().filter("v = 5.0")
+    plan2 = unpushed._jdf.queryExecution().executedPlan().toString()
+    assert " Filter " in plan2, plan2
+    assert unpushed.count() == 1
     # the default (no option) reader never pushes: reusing one
     # DataFrame across differently-filtered queries stays correct
     df = spark.read.format("cubert_avro").load(str(d))
     assert df.filter("id >= 395").count() == 5
     assert df.count() == 400
+
+
+def test_pushdown_nan_and_timestamp_safety(spark, tmp_path):
+    """Value domains where Python and SQL comparison semantics diverge
+    (double NaN ordering, tz-aware timestamps) are NOT pushed — results
+    must match Spark's own semantics exactly."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "double"},
+    ]}
+    d = tmp_path / "nan"
+    d.mkdir()
+    rows = [(i, float(i)) for i in range(10)] + [(99, float("nan"))]
+    avroio.write_file(str(d / "f.avro"), schema, rows)
+    from cubert_spark.sources import register_sources
+
+    register_sources(spark)
+
+    def load():
+        return (
+            spark.read.format("cubert_avro")
+            .option("filterPushdown", "true")
+            .load(str(d))
+        )
+
+    # Spark: NaN sorts greater than every double and NaN = NaN is true
+    assert load().filter("v >= 0.0").count() == 11
+    assert load().filter("v = cast('NaN' as double)").count() == 1
+    assert load().filter("v < 5.0").count() == 5
