@@ -300,13 +300,21 @@ def q_cube_udaf(spark: SparkSession, sf: str) -> DataFrame:
         ["o_orderpriority", "o_orderstatus"],
         [ss(F.col("__p")).alias("sum_sq")],
     )
-    return out.select("o_orderpriority", "o_orderstatus", "sum_sq")
+    # emit as string: a DECIMAL(38,0) at ~1e17-1e19 exceeds float64's
+    # exact integer range, so the two engines' Decimal representations
+    # can't converge in the driver canonicalizer — the digit string can
+    return out.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("sum_sq").cast("string").alias("sum_sq"),
+    )
 
 
 SQL_CUBE_UDAF = """
 SELECT o_orderpriority, o_orderstatus,
-       CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+       CAST(CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0))
+            AS VARCHAR)
          AS sum_sq
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)

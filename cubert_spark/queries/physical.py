@@ -134,14 +134,19 @@ def q_blockgen_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            # sum exactly in DECIMAL, then emit double: the sums are
+            # integer-valued and << 2^53, so the double is exact and both
+            # engines' canonicalizers converge (raw DECIMAL objects don't)
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
         )
     )
 
 
 SQL_BLOCKGEN_JOIN = """
 SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
