@@ -155,17 +155,30 @@ def minhash_signature(
     min-aggregates, map-side partial).
 
     hash_fn: "md5" (default — engine-portable, the DuckDB oracle
-    reproduces it bit-for-bit) or "xxhash64" (JVM-native 64-bit, ~1.5x
-    faster end-to-end measured at sf0.1 — the production setting when
-    cross-engine reproducibility is not required)."""
+    reproduces it bit-for-bit) or "xxhash64" (JVM-native 64-bit,
+    ~4-5x faster end-to-end measured at sf0.1 — the production setting
+    when cross-engine reproducibility is not required).
+
+    md5 lane packing: lane i is the i-th 8-hex-char (32-bit) chunk of
+    md5(f"{i//4}|" + shingle) — num_hashes lanes cost ceil(n/4) digests
+    per shingle row, not n. The r02->r03 bench drift traced to exactly
+    this digest count (md5 was 5x xxhash64 end-to-end; see SCALE.md);
+    chunking buys the md5 path back ~2.5x with identical statistics
+    (independent uniform 32-bit lanes). Fixed-width lowercase-hex
+    substrings compare lexicographically == numerically, so MIN is the
+    same in Spark and DuckDB (`substr(md5(..), 1+8*(i%4), 8)`)."""
     if hash_fn == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
+        digests = {
+            d: F.md5(F.concat(F.lit(f"{d}|"), F.col("shingle")))
+            for d in {i // 4 for i in range(num_hashes)}
+        }
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min(F.substring(digests[i // 4], 1 + 8 * (i % 4), 8)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -92,10 +92,11 @@ def decode_images(
 
     Arrow-batched mapInPandas: each batch decodes ``len(batch)`` blobs
     without per-row Python dispatch. The real path decodes
-    uncompressed 24-bit BMP (pure numpy; reports SOURCE dimensions,
-    resizes nearest-neighbor to ``target_size``, features = mean
-    R/G/B/gray in [0,1]); other formats raise NotImplementedError
-    until a codec is plugged in. ``fake=True`` keeps the deterministic
+    uncompressed 24-bit BMP and baseline JPEG (both pure numpy — see
+    datapipe.jpeg; reports SOURCE dimensions, resizes nearest-neighbor
+    to ``target_size``, features = mean R/G/B/gray in [0,1]); other
+    formats (PNG, progressive JPEG) raise NotImplementedError until a
+    codec is plugged in. ``fake=True`` keeps the deterministic
     stand-in (dimensions = target, features from the digest).
     """
     import hashlib
@@ -127,18 +128,23 @@ def decode_images(
                         }
                     )
                     continue
-                try:
-                    img = decode_bmp(raw)
-                except ValueError as e:
-                    if "not a BMP" not in str(e):
-                        # a real BMP with corrupt payload is a DATA
-                        # error, not a missing codec
-                        raise
-                    raise NotImplementedError(
-                        f"no codec for this image format ({e}); BMP decodes "
-                        "natively, others need a decoder plugged into "
-                        "decode_images"
-                    ) from e
+                if raw[:2] == b"\xff\xd8":
+                    from cubert_spark.datapipe.jpeg import decode_baseline_jpeg
+
+                    img = decode_baseline_jpeg(raw)
+                else:
+                    try:
+                        img = decode_bmp(raw)
+                    except ValueError as e:
+                        if "not a BMP" not in str(e):
+                            # a real BMP with corrupt payload is a DATA
+                            # error, not a missing codec
+                            raise
+                        raise NotImplementedError(
+                            f"no codec for this image format ({e}); BMP and "
+                            "baseline JPEG decode natively, others need a "
+                            "decoder plugged into decode_images"
+                        ) from e
                 small = _resize_nearest(img, w, h).astype("float64") / 255.0
                 means = small.mean(axis=(0, 1))
                 rows.append(

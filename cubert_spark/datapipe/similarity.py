@@ -187,6 +187,109 @@ def hyperplane_buckets(
     return out
 
 
+def hyperplane_planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """The seeded +-1 hyperplane matrix used by :func:`hyperplane_buckets`
+    — exposed so oracle SQL can fold the exact same planes in as
+    literals (deterministic: ``random.Random(seed)`` choice stream)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Oracle-checkable LSH ANN: identical bucket semantics to
+    :func:`lsh_bucketed_topk` (single-probe) but every sign decision
+    and every rescoring dot product runs through order-independent
+    DECIMAL accumulation, so a SQL engine replaying the same seeded
+    hyperplane literals reproduces buckets, candidates, and scores
+    bit-for-bit. The production path stays ``lsh_bucketed_topk``
+    (double folds + multi-probe); this variant is the correctness
+    surrogate the driver can diff against DuckDB."""
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    planes = hyperplane_planes(dim, num_planes, seed)
+
+    def bucket_col(vec: Column) -> Column:
+        vec_d = vec.cast("array<double>")
+        b = F.lit(0).cast("int")
+        for j, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            dot = _dot_decimal(vec_d, lit_plane)
+            b = b + F.when(dot >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        return b
+
+    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+        bucket_col(F.col(vec_col)).alias("bucket"),
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
+            bucket_col(F.col(vec_col)).alias("bucket"),
+        )
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def ivf_assign_exact(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-checkable IVF list assignment with FIXED centroid
+    literals: list_id = argmax_j dot(vec, centroid_j), DECIMAL-exact,
+    ties to the smallest j. With equal-norm centroids (the +-1 seeded
+    grid the surrogate query passes) dot-argmax equals cosine-argmax,
+    i.e. exactly :func:`ivf_build`'s assignment rule. This checks the
+    assignment stage of the IVF index deterministically; the trained-
+    quantizer path (`ivf_topk`) remains recall-tested."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    best_j = F.lit(0).cast("int")
+    best_dot: Column | None = None
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        dot = _dot_decimal(vec_d, lit_c)
+        if best_dot is None:
+            best_dot = dot
+        else:
+            is_better = dot > best_dot
+            best_j = F.when(is_better, F.lit(j)).otherwise(best_j)
+            best_dot = F.when(is_better, dot).otherwise(best_dot)
+    return corpus.select(
+        F.col(id_col), best_j.alias("list_id"), best_dot.cast("double").alias("dot")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

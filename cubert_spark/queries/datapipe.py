@@ -64,8 +64,10 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, threshold=0.2, num_hashes=8, band_size=2)
 
 
+# lane i = 8-hex chunk i%4 of digest i//4 (see dedup.minhash_signature)
 _SIG_COLS = ",\n       ".join(
-    f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+    f"MIN(substr(md5('{i // 4}|' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+    for i in range(8)
 )
 _BAND_SELECTS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_key FROM sig"
@@ -449,6 +451,112 @@ FROM documents
 """
 
 
+# --- ANN oracle surrogates --------------------------------------------------
+# The production ANN paths (lsh_ann multi-probe, ivf_topk trained
+# quantizer) are approximate-by-design and stay rows-only + recall-
+# tested. These two surrogates make the same index MECHANISMS
+# deterministic: the seeded hyperplane/centroid literals are replayed
+# in DuckDB and every sign/argmax/score runs through order-independent
+# DECIMAL accumulation, so buckets, candidates, and cosines diff
+# bit-for-bit cross-engine.
+
+_EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+_LSH_EXACT_PLANES = similarity.hyperplane_planes(_EMB_DIM, 6, seed=42)
+_IVF_EXACT_CENTROIDS = similarity.hyperplane_planes(_EMB_DIM, 8, seed=7)
+
+
+def q_lsh_ann_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH ANN with decimal-exact sign + rescoring (single-probe):
+    the oracle-checkable twin of lsh_ann."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.lsh_exact_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, num_planes=6, seed=42,
+        dim=_EMB_DIM,
+    )
+
+
+def _vals(rows: list[list[float]]) -> str:
+    return ",\n    ".join(
+        f"({j}, CAST([{', '.join(str(x) for x in row)}] AS DOUBLE[]))"
+        for j, row in enumerate(rows)
+    )
+
+
+SQL_LSH_ANN_EXACT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(j, p) AS (
+  VALUES {_vals(_LSH_EXACT_PLANES)}
+),
+dots AS (
+  SELECT e.vec_id, pl.j,
+         SUM(CAST(e.v[i] * pl.p[i] AS DECIMAL(38,18))) AS dot
+  FROM e, planes pl, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY e.vec_id, pl.j
+),
+b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+cand AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM b qb JOIN b cb USING (bucket)
+  WHERE qb.vec_id < 5 AND qb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(q.v[i] * q.v[i] AS DECIMAL(38,18))) AS qq,
+         SUM(CAST(c.v[i] * c.v[i] AS DECIMAL(38,18))) AS cc
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id,
+  LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+                    neighbor_id
+         ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_ivf_assign_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF list assignment with fixed seeded +-1 centroid literals,
+    decimal-exact argmax — the oracle-checkable twin of ivf_topk's
+    assignment stage."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivf_assign_exact(e, _IVF_EXACT_CENTROIDS)
+
+
+SQL_IVF_ASSIGN_EXACT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(j, c) AS (
+  VALUES {_vals(_IVF_EXACT_CENTROIDS)}
+),
+dots AS (
+  SELECT e.vec_id, ct.j,
+         SUM(CAST(e.v[i] * ct.c[i] AS DECIMAL(38,18))) AS dot
+  FROM e, cents ct, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY e.vec_id, ct.j
+),
+ranked AS (
+  SELECT vec_id, j, dot,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+  FROM dots
+)
+SELECT vec_id, CAST(j AS INT) AS list_id, CAST(dot AS DOUBLE) AS dot
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-corpus construction: exact-dedup to one
     representative per distinct text -> English only -> minimum token
@@ -511,6 +619,8 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
     "lsh_ann": q_lsh_ann,  # rows-only: approximate ANN (multi-probe)
+    "lsh_ann_exact": q_lsh_ann_exact,
+    "ivf_assign_exact": q_ivf_assign_exact,
     "corpus_pipeline": q_corpus_pipeline,
     "repetition_stats": q_repetition_stats,
     "pii_counts": q_pii_counts,
@@ -526,6 +636,8 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "lsh_ann_exact": SQL_LSH_ANN_EXACT,
+    "ivf_assign_exact": SQL_IVF_ASSIGN_EXACT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "det_sample": SQL_DET_SAMPLE,

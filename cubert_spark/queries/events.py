@@ -107,6 +107,48 @@ FROM sizes GROUP BY user_id
 """
 
 
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``session_window`` sessions (30-min gap) per user — runs
+    streaming.windows.session_agg on the batch events relation: the
+    exact expression tree the readStream form executes (Spark
+    guarantees batch/stream parity for session_window; the stream
+    replay itself is asserted in tests/test_streaming.py). Session end
+    = last event + gap; a new session starts when the inter-event gap
+    is >= the 30-min threshold."""
+    from cubert_spark.streaming.windows import session_agg
+
+    e = load_table(spark, sf, "events")
+    return session_agg(
+        e, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).select(
+        "user_id",
+        F.col("sess.start").alias("sess_start"),
+        F.col("sess.end").alias("sess_end"),
+        "n",
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+       COUNT(*) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured props column: JSON field extraction (engine
     extension; reference has no JSON functions, SURVEY.md §2.8)."""
@@ -243,6 +285,7 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
     "json_props": q_json_props,
     "funnel": q_funnel,
     "retention": q_retention,
@@ -252,6 +295,7 @@ ORACLES = {
     "tumbling_window": SQL_TUMBLING,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
+    "session_window": SQL_SESSION_WINDOW,
     "json_props": SQL_JSON_PROPS,
     "funnel": SQL_FUNNEL,
     "retention": SQL_RETENTION,

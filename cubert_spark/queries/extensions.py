@@ -385,8 +385,65 @@ GROUP BY s_nationkey
 """
 
 
+#: Reader schema for q_avro_evolution — relative to the writer schema
+#: it DROPS l_extendedprice (writer-field-skip path) and ADDS the
+#: nullable l_comment2 (null-padding path, reference CHANGELOG:6).
+_AVRO_EVO_READER_SCHEMA = """
+{"type": "record", "name": "lineitem_v2", "fields": [
+  {"name": "l_orderkey", "type": ["null", "long"]},
+  {"name": "l_quantity", "type": ["null", "double"]},
+  {"name": "l_returnflag", "type": ["null", "string"]},
+  {"name": "l_linestatus", "type": ["null", "string"]},
+  {"name": "l_comment2", "type": ["null", "string"], "default": null}
+]}
+"""
+
+
+def q_avro_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """AVRO at scale + schema evolution: STORE the 60k-row lineitem
+    slice as ONE Avro container file, re-read it under a CHANGED reader
+    schema (drops a writer field, adds a nullable one → null-padded by
+    the codec's name-resolution, avroio.read_file), through byte-range
+    splits (splitSize=256KB → the sync-marker split protocol fans a
+    single file across tasks), then aggregate. Reference parity:
+    vendored AvroStorage.java evolution contract (CHANGELOG:6).
+    l_quantity is integer-valued, so the double sum is order-exact and
+    the oracle runs on the original parquet table."""
+    import os
+
+    from cubert_spark.catalog import load, store
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"
+    )
+    path = "/tmp/cubert_spark_avro_evo_%s_%d" % (
+        os.path.basename(sf.rstrip("/")), os.getpid(),
+    )
+    store(li.coalesce(1), path, fmt="avro")
+    back = load(
+        spark, path, fmt="avro",
+        avroSchema=_AVRO_EVO_READER_SCHEMA,
+        splitSize=str(256 << 10),
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("l_comment2").alias("n_padded"),
+    )
+
+
+SQL_AVRO_EVOLUTION = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(l_quantity) AS sum_qty,
+       COUNT(CAST(NULL AS VARCHAR)) AS n_padded
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
+    "avro_evolution": q_avro_evolution,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "summary_rewrite": q_summary_rewrite,
@@ -403,6 +460,7 @@ QUERIES = {
 
 ORACLES = {
     "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
+    "avro_evolution": SQL_AVRO_EVOLUTION,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "summary_rewrite": SQL_SUMMARY_REWRITE,

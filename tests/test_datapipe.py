@@ -416,3 +416,66 @@ def test_decode_robustness_nulls_and_truncation(spark):
 
     with _pytest.raises(ValueError, match="truncated BMP"):
         multimodal.decode_bmp(bmp[:-8])
+
+
+# --- baseline JPEG codec (datapipe.jpeg) ------------------------------------
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [yy * 255 // max(h - 1, 1), xx * 255 // max(w - 1, 1),
+         (yy + xx) * 255 // max(h + w - 2, 1)], axis=-1
+    ).astype("uint8")
+
+
+def test_jpeg_roundtrip_color():
+    import numpy as np
+
+    from cubert_spark.datapipe import jpeg
+
+    img = _gradient_rgb(40, 56)
+    raw = jpeg.encode_baseline_jpeg(img)
+    out = jpeg.decode_baseline_jpeg(raw)
+    assert out.shape == (40, 56, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 4 and err.max() < 32  # quantization loss only
+
+
+def test_jpeg_roundtrip_gray_and_odd_sizes():
+    import numpy as np
+
+    from cubert_spark.datapipe import jpeg
+
+    g = _gradient_rgb(33, 31)[..., 0]  # non-multiple-of-8 dims
+    out = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(g))
+    assert out.shape == (33, 31, 3)
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).mean() < 4
+    assert (out[..., 0] == out[..., 1]).all()  # gray replicates
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest as _pytest
+
+    from cubert_spark.datapipe import jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_baseline_jpeg(b"\x89PNG\r\n")
+    # flip the encoder's SOF0 marker to SOF2 (progressive) -> honest
+    # NotImplementedError, not a wrong decode
+    raw = bytearray(jpeg.encode_baseline_jpeg(_gradient_rgb(8, 8)))
+    raw[raw.find(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        jpeg.decode_baseline_jpeg(bytes(raw))
+
+
+def test_decode_images_real_jpeg(spark):
+    from cubert_spark.datapipe import jpeg, multimodal
+
+    img = _gradient_rgb(24, 16)
+    rows = [(1, jpeg.encode_baseline_jpeg(img))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = multimodal.decode_images(df).collect()[0]
+    assert (got["width"], got["height"]) == (16, 24)
+    assert all(0.0 <= f <= 1.0 for f in got["feature"])
