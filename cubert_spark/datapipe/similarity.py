@@ -260,6 +260,69 @@ def lsh_exact_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup tier
+    (after exact / simhash / minhash / ngram-jaccard, see
+    datapipe.dedup): (id_a, id_b, cos) with id_a < id_b and
+    cos >= threshold, candidates restricted to one shared seeded-
+    hyperplane LSH bucket so the self-join is a bucket equi-join,
+    never an all-pairs product (recall < 1 by design — high-cosine
+    pairs rarely straddle a hyperplane, and fewer planes = higher
+    recall at more candidates). Signs and cosines run through
+    order-independent DECIMAL accumulation, so the whole operator is
+    deterministic and DuckDB-replayable (the driver oracle).
+
+    At 100 TB: buckets come from pure column expressions (plane
+    literals folded into the plan); the only shuffle is the bucket
+    self-join, skew-bounded by 2^num_planes bucket cardinality."""
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    planes = hyperplane_planes(dim, num_planes, seed)
+
+    def bucket_col(vec: Column) -> Column:
+        vec_d = vec.cast("array<double>")
+        b = F.lit(0).cast("int")
+        for j, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            b = b + F.when(_dot_decimal(vec_d, lit_plane) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        return b
+
+    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
+    side = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+        bucket_col(F.col(vec_col)).alias("bucket"),
+    )
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "bucket",
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            _dot_decimal(F.col("__va"), F.col("__vb")).cast("double")
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def ivf_assign_exact(
     corpus: DataFrame,
     centroids: list[list[float]],
