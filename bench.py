@@ -70,41 +70,31 @@ def main() -> None:
     double_it = pandas_udf(lambda s: pd.Series(s * 2), "long")
     spark.range(100).select(double_it(col("id"))).collect()
 
-    def _reset_query_caches() -> None:
-        """Make each timed run independent of module-global cache state
-        (the minhash shingle cache made timings order-dependent: the
-        first minhash query in a session paid the cache build while
-        later ones rode it for free — r02 vs r03 driver benches
-        disagreed 2x on identical code because of this + box noise)."""
-        from cubert_spark.datapipe import dedup
-
-        if dedup._live_shingle_cache is not None:
-            try:
-                dedup._live_shingle_cache.unpersist(blocking=True)
-            except Exception:  # noqa: BLE001 - cache may already be gone
-                pass
-            dedup._live_shingle_cache = None
-
     # n>=2 timed repeats per query; report the per-query MIN (the
     # reproducible capability of the code on this box) and keep the
-    # raw runs so round-over-round deltas can be judged against the
-    # observed spread instead of single-shot weather. Caches reset
-    # once per QUERY (not per repeat): run 1 pays any cache build the
-    # operator itself declares, later runs measure steady state — and
-    # no query ever rides a cache built by a different query.
+    # raw runs + median so round-over-round deltas can be judged
+    # against the observed spread instead of single-shot weather.
+    # No module-global caches exist any more (the r04 shingle cache
+    # was removed after A/B showed recompute beats it), so runs are
+    # order-independent by construction.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         runs = []
-        _reset_query_caches()
         for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         raw_runs[name] = runs
         timings[name] = min(runs)
+        srt = sorted(runs)
+        mid = len(srt) // 2
+        medians[name] = round(
+            srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2, 3
+        )
         print(f"# {name}: min={timings[name]:.3f}s runs={runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -115,8 +105,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "medians": medians,
                 "runs": raw_runs,
                 "n_runs_per_query": n_runs,
+                # bench-protocol version: 1 = single-shot (r01-r03),
+                # 2 = min-of-n repeats (r04), 3 = + medians, no
+                # module-global caches (r05+). Cross-round tooling
+                # should compare like-versioned numbers.
+                "bench_schema_version": 3,
                 "sf": sf,
             }
         )

@@ -26,8 +26,17 @@ from pyspark.sql import functions as F
 
 from cubert_spark.datapipe.textstats import shingles
 
-#: the single live shingle-table cache (see minhash_lsh_pairs)
-_live_shingle_cache: DataFrame | None = None
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition ONLY when the scan has fewer splits than the
+    cluster has cores — a small/unsplittable file set would otherwise
+    single-thread the expensive per-doc shingle build. At real scale
+    the input has >= cores splits and this is a no-op (no shuffle);
+    keyed on the id so the placement is deterministic."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, id_col)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -94,7 +103,7 @@ def shingle_table(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; optional stopword-shingle cut at
     ``max_doc_freq`` to bound posting-list skew."""
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
     if max_doc_freq is not None:
@@ -118,25 +127,45 @@ def ngram_jaccard_pairs(
     shingle counts (|A|+|B|-inter). The join shuffles on the shingle —
     never an all-pairs product.
     """
-    sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if max_doc_freq is not None:
+        sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
+        sized = sh.join(
+            sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")), id_col
+        )
+    else:
+        # No stopword cut: skip the separate sizes aggregation and
+        # carry |doc| through the explode instead — one narrow
+        # projection feeds the join directly and the two post-agg
+        # size joins (each a full recompute of the explode) vanish.
+        # The array is aliased in its own projection FIRST: explode
+        # and size then reference a column, and CollapseProject will
+        # not inline a multiply-referenced alias — without this,
+        # size(<shingle-expr>) lands in the post-Generate project and
+        # the whole array build re-runs once per exploded row.
+        base = _spread(df, id_col).select(
+            F.col(id_col), shingles(F.col(text_col), k).alias("__arr")
+        )
+        sized = base.select(
+            F.col(id_col),
+            F.size("__arr").alias("sz"),
+            F.explode("__arr").alias("shingle"),
+        )
+    a = sized.select(F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    b = sized.select(F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    # merge hint: the exploded table can be huge (10x corpus) — never
+    # let AQE broadcast it; both sides canonicalize identically, so
+    # sort-merge costs ONE shuffle+sort via ReusedExchange.
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ).cast("double")
     return (
-        inter.join(sza, "id_a")
-        .join(szb, "id_b")
-        .withColumn("jac", jac)
+        inter.withColumn("jac", jac)
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
@@ -217,7 +246,6 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     max_doc_freq: int | None = None,
     hash_fn: str = "md5",
-    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -226,42 +254,17 @@ def minhash_lsh_pairs(
     pairs -> verify via the shingle inverted index. The only joins are
     key-equi joins on hash values; skew bounded by band collision
     rates + ``max_doc_freq``.
+
+    The shingle table feeds both the signature branch and the verify
+    branch, and is deliberately NOT cached: with chunked-md5 lanes the
+    signature-side recompute is cheaper than scanning a persisted
+    exploded-shingle table (A/B at sf0.1: recompute 9.4/5.1/4.2 s
+    cold/warm/warm vs persisted 22.9/12.0/11.9 s), and the verify
+    branch only touches the semi-join-pruned candidate slice. At
+    100 TB the same logic holds harder — the exploded table is ~10x
+    the corpus and would spill, while recompute streams.
     """
-    # The shingle table feeds both the signature branch and the
-    # verify branch; persisting it (MEMORY_AND_DISK, so at corpus
-    # scale it spills to a disk-materialized intermediate — the moral
-    # equivalent of writing it once as a checkpointed dataset) beats
-    # recomputing the explode for each consumer 1.5x measured at
-    # sf0.1. CacheManager holds strong references, so repeated calls
-    # in one long session would accumulate caches unboundedly — each
-    # call therefore unpersists the previous call's shingle cache (at
-    # most ONE alive; earlier returned plans still compute, just
-    # uncached).
     sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
-    if persist_shingles:
-        global _live_shingle_cache
-        prev = _live_shingle_cache
-        same = False
-        if prev is not None:
-            try:
-                # the md5 and xxhash64 signature paths share one
-                # identical shingle plan — reuse its warm cache
-                # instead of dropping and rebuilding it
-                same = prev._jdf.queryExecution().analyzed().sameResult(
-                    sh._jdf.queryExecution().analyzed()
-                )
-            except Exception:  # noqa: BLE001 - session may be gone
-                prev = None
-        if same:
-            sh = prev
-        else:
-            if prev is not None:
-                try:
-                    prev.unpersist()
-                except Exception:  # noqa: BLE001
-                    pass
-            sh = sh.persist()
-            _live_shingle_cache = sh
     sig = minhash_signature(sh, id_col, num_hashes, hash_fn)
     bands = lsh_bands(sig, id_col, num_hashes, band_size, hash_fn)
     ca = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
