@@ -323,6 +323,24 @@ def embedding_neardup_pairs(
     )
 
 
+def _argmax_centroid(vec: Column, centroids: list[list[float]]) -> tuple[Column, Column]:
+    """(best_j, best_dot) over fixed centroid literals — DECIMAL-exact
+    dot products, ties broken to the smallest index j."""
+    vec_d = vec.cast("array<double>")
+    best_j = F.lit(0).cast("int")
+    best_dot: Column | None = None
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        dot = _dot_decimal(vec_d, lit_c)
+        if best_dot is None:
+            best_dot = dot
+        else:
+            is_better = dot > best_dot
+            best_j = F.when(is_better, F.lit(j)).otherwise(best_j)
+            best_dot = F.when(is_better, dot).otherwise(best_dot)
+    return best_j, best_dot
+
+
 def ivf_assign_exact(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -336,20 +354,84 @@ def ivf_assign_exact(
     i.e. exactly :func:`ivf_build`'s assignment rule. This checks the
     assignment stage of the IVF index deterministically; the trained-
     quantizer path (`ivf_topk`) remains recall-tested."""
-    vec_d = F.col(vec_col).cast("array<double>")
-    best_j = F.lit(0).cast("int")
-    best_dot: Column | None = None
-    for j, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(x) for x in c])
-        dot = _dot_decimal(vec_d, lit_c)
-        if best_dot is None:
-            best_dot = dot
-        else:
-            is_better = dot > best_dot
-            best_j = F.when(is_better, F.lit(j)).otherwise(best_j)
-            best_dot = F.when(is_better, dot).otherwise(best_dot)
+    best_j, best_dot = _argmax_centroid(F.col(vec_col), centroids)
     return corpus.select(
         F.col(id_col), best_j.alias("list_id"), best_dot.cast("double").alias("dot")
+    )
+
+
+def ivf_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-checkable FULL IVF path with fixed centroid literals —
+    the deterministic twin of :func:`ivf_topk` covering every stage:
+
+    1. corpus assignment: list_id = argmax_j dot (DECIMAL-exact,
+       ties to smallest j) — same rule as :func:`ivf_assign_exact`;
+    2. probe selection: each query probes its ``nprobe`` best lists
+       by the SAME DECIMAL dot ordering (desc, ties to smallest j);
+    3. rescoring: DECIMAL-exact cosine over candidates in probed
+       lists, ROW_NUMBER (cos desc, neighbor_id asc) <= k.
+
+    Every comparison is exact decimal arithmetic on IEEE double
+    products, so a SQL engine replaying the same centroid literals
+    reproduces lists, probes, candidates, and scores bit-for-bit.
+    Plan shape matches production ivf_topk: query side (|Q| * nprobe
+    rows) broadcasts; corpus-side lists never shuffle (bucketed by
+    list_id at scale)."""
+    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
+    best_j, _ = _argmax_centroid(F.col(vec_col), centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+        best_j.alias("list_id"),
+    )
+    # probe list: sort struct(-dot, j) ascending == dot desc, j asc —
+    # struct comparison is field-ordered, and negating a DECIMAL is
+    # exact, so the probe ORDER is the oracle's ROW_NUMBER order.
+    vec_d = F.col(vec_col).cast("array<double>")
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (-_dot_decimal(vec_d, F.array(*[F.lit(x) for x in cen]))).alias("nd"),
+                F.lit(j).alias("j"),
+            )
+            for j, cen in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(probe_structs), 1, min(nprobe, len(centroids))),
+        lambda s: s["j"],
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
+            F.explode(probes).alias("list_id"),
+        )
+    )
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
     )
 
 

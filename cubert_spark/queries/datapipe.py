@@ -536,6 +536,70 @@ def q_ivf_assign_exact(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_assign_exact(e, _IVF_EXACT_CENTROIDS)
 
 
+def q_ivf_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Full IVF path (assign -> probe -> rescore) with fixed seeded
+    centroid literals, every stage DECIMAL-exact — the oracle-checkable
+    twin of ivf_topk end-to-end (ivf_assign_exact covers only the
+    assignment stage)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivf_exact_topk(
+        e, e.filter(F.col("vec_id") < 5), _IVF_EXACT_CENTROIDS, k=5, nprobe=3
+    )
+
+
+SQL_IVF_TOPK_EXACT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(j, c) AS (
+  VALUES {{vals}}
+),
+dots AS (
+  SELECT e.vec_id, ct.j,
+         SUM(CAST(e.v[i] * ct.c[i] AS DECIMAL(38,18))) AS dot
+  FROM e, cents ct, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY e.vec_id, ct.j
+),
+ranked_dots AS (
+  SELECT vec_id, j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+  FROM dots
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, j AS list_id FROM ranked_dots WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, j AS list_id
+  FROM ranked_dots WHERE vec_id < 5 AND rn <= 3
+),
+cand AS (
+  SELECT q.query_id, a.neighbor_id
+  FROM qprobe q JOIN assign a USING (list_id)
+  WHERE q.query_id <> a.neighbor_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(q.v[i] * q.v[i] AS DECIMAL(38,18))) AS qq,
+         SUM(CAST(c.v[i] * c.v[i] AS DECIMAL(38,18))) AS cc
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id,
+  LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+                    neighbor_id
+         ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+""".replace("{vals}", _vals(_IVF_EXACT_CENTROIDS))
+
+
 SQL_IVF_ASSIGN_EXACT = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents(j, c) AS (
@@ -621,6 +685,7 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,  # rows-only: approximate ANN (multi-probe)
     "lsh_ann_exact": q_lsh_ann_exact,
     "ivf_assign_exact": q_ivf_assign_exact,
+    "ivf_topk_exact": q_ivf_topk_exact,
     "corpus_pipeline": q_corpus_pipeline,
     "repetition_stats": q_repetition_stats,
     "pii_counts": q_pii_counts,
@@ -638,6 +703,7 @@ ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "lsh_ann_exact": SQL_LSH_ANN_EXACT,
     "ivf_assign_exact": SQL_IVF_ASSIGN_EXACT,
+    "ivf_topk_exact": SQL_IVF_TOPK_EXACT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "det_sample": SQL_DET_SAMPLE,

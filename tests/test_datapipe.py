@@ -212,6 +212,48 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.8, f"recall {recall}"
 
 
+def test_ivf_exact_topk_consistency(spark):
+    """ivf_exact_topk (the deterministic full-path twin): candidates
+    come only from the query's probed lists, ranks are dense from 1,
+    and with nprobe == n_lists it equals exact brute-force top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id < 3")
+    cents = similarity.hyperplane_planes(16, 4, seed=7)
+
+    out = similarity.ivf_exact_topk(df, qs, cents, k=5, nprobe=2).collect()
+    assigned = {
+        r["vec_id"]: r["list_id"]
+        for r in similarity.ivf_assign_exact(df, cents).collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+    # probe-set membership: every neighbor's list must be one of the
+    # query's nprobe best lists (recompute probe order in numpy)
+    cmat = np.asarray(cents)
+    emb = {i: np.asarray(v) for i, v in vecs}
+    for r in out:
+        dots = cmat @ emb[r["query_id"]]
+        probe_lists = list(np.lexsort((np.arange(len(cents)), -dots))[:2])
+        assert assigned[r["neighbor_id"]] in probe_lists, r
+    # full probe == exact brute force
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in similarity.ivf_exact_topk(df, qs, cents, k=5, nprobe=4).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in similarity.cosine_topk(df, qs, k=5).collect()
+    }
+    assert full == exact
+
+
 def test_ivf_build_reuse(spark):
     import numpy as np
 
