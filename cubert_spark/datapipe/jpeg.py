@@ -211,6 +211,11 @@ def decode_baseline_jpeg(raw: bytes) -> np.ndarray:
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
+        # 0xFF fill bytes before a marker are legal padding (B.1.1.2)
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(raw):
+            raise JpegError("truncated at marker")
         marker = raw[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -293,14 +298,35 @@ def decode_baseline_jpeg(raw: bytes) -> np.ndarray:
         raise JpegError("missing SOF/SOS")
 
     comps = frame["comps"]
+    if len(scan["comps"]) != len(comps):
+        # Our parser reads a single SOS; a scan covering a subset of
+        # the frame's components implies further scans we don't decode.
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (scan covers "
+            f"{len(scan['comps'])} of {len(comps)} components) unsupported"
+        )
+    if len(scan["comps"]) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 block in raster order over the component's
+        # own block grid and sampling factors play no role (a
+        # grayscale file that kept 2x2 factors would otherwise get
+        # interleaved MCU geometry and entropy-desync).
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
     for c in comps:
-        sc = next(s for s in scan["comps"] if s["id"] == c["id"])
-        c["dc_t"] = huff[(0, sc["dc"])]
-        c["ac_t"] = huff[(1, sc["ac"])]
+        sc = next((s for s in scan["comps"] if s["id"] == c["id"]), None)
+        if sc is None:
+            raise JpegError(f"scan lacks component id {c['id']}")
+        try:
+            c["dc_t"] = huff[(0, sc["dc"])]
+            c["ac_t"] = huff[(1, sc["ac"])]
+        except KeyError as e:
+            raise JpegError(f"missing Huffman table {e.args[0]}") from None
+        if c["tq"] not in qt:
+            raise JpegError(f"missing quantization table {c['tq']}")
         c["bx"] = mcux * c["h"]
         c["by"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
@@ -312,7 +338,12 @@ def decode_baseline_jpeg(raw: bytes) -> np.ndarray:
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                reader = _BitReader(next(seg_iter))
+                try:
+                    reader = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise JpegError(
+                        f"missing restart segment at MCU {mcu}"
+                    ) from None
                 for c in comps:
                     c["pred"] = 0
             for c in comps:

@@ -512,6 +512,80 @@ def test_jpeg_rejects_non_baseline():
         jpeg.decode_baseline_jpeg(bytes(raw))
 
 
+def test_jpeg_noninterleaved_gray_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved — the
+    sampling factors in the SOF are ignored for MCU geometry. A
+    grayscale file that keeps 2x2 factors (jpegtran -grayscale
+    output shape) must decode identically to the 1x1 one."""
+    import numpy as np
+
+    from cubert_spark.datapipe import jpeg
+
+    g = _gradient_rgb(24, 24)[..., 0]
+    raw = bytearray(jpeg.encode_baseline_jpeg(g))
+    base = jpeg.decode_baseline_jpeg(bytes(raw))
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) then per-comp
+    # [id, HV, tq]; patch the single component's HV 0x11 -> 0x22
+    sof = raw.find(b"\xff\xc0")
+    assert raw[sof + 11] == 0x11
+    raw[sof + 11] = 0x22
+    out = jpeg.decode_baseline_jpeg(bytes(raw))
+    assert (out == base).all()
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """0xFF fill bytes before a marker are legal padding (B.1.1.2)."""
+    from cubert_spark.datapipe import jpeg
+
+    raw = jpeg.encode_baseline_jpeg(_gradient_rgb(16, 16))
+    base = jpeg.decode_baseline_jpeg(raw)
+    sof = raw.find(b"\xff\xc0")
+    padded = raw[:sof] + b"\xff\xff\xff" + raw[sof:]
+    assert (jpeg.decode_baseline_jpeg(padded) == base).all()
+
+
+def test_jpeg_malformed_raises_jpegerror():
+    """Missing tables / restart segments / partial scans surface as
+    the documented error classes, never KeyError/StopIteration."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from cubert_spark.datapipe import jpeg
+
+    raw = jpeg.encode_baseline_jpeg(_gradient_rgb(24, 24))
+    # strip every DHT segment -> JpegError, not KeyError
+    out = bytearray()
+    pos = 0
+    while pos < len(raw):
+        if raw[pos] == 0xFF and pos + 1 < len(raw) and raw[pos + 1] == 0xC4:
+            seglen = _struct.unpack_from(">H", raw, pos + 2)[0]
+            pos += 2 + seglen
+            continue
+        out.append(raw[pos])
+        pos += 1
+    with _pytest.raises(jpeg.JpegError, match="Huffman"):
+        jpeg.decode_baseline_jpeg(bytes(out))
+    # declare a restart interval but provide no RST segments ->
+    # JpegError, not StopIteration
+    sos = raw.find(b"\xff\xda")
+    dri = b"\xff\xdd" + _struct.pack(">HH", 4, 1)
+    with_dri = raw[:sos] + dri + raw[sos:]
+    with _pytest.raises(jpeg.JpegError, match="restart"):
+        jpeg.decode_baseline_jpeg(with_dri)
+    # a scan covering 1 of 3 frame components (separate per-component
+    # scans) -> honest NotImplementedError, not StopIteration
+    color = jpeg.encode_baseline_jpeg(_gradient_rgb(16, 16))
+    csos = color.find(b"\xff\xda")
+    single_scan = (
+        color[:csos]
+        + b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        + b"\x00\x3f\x00" + b"\x00\x00" + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        jpeg.decode_baseline_jpeg(single_scan)
+
+
 def test_decode_images_real_jpeg(spark):
     from cubert_spark.datapipe import jpeg, multimodal
 
