@@ -3,8 +3,10 @@ columns with typed metadata.
 
 Decode support is honest about the environment: WAV audio decodes for
 REAL (stdlib ``wave``), as do uncompressed 24-bit BMP images (pure
-struct/numpy parsing). Formats that need external codecs (JPEG/PNG,
-compressed audio, video demux) are stubbed — NotImplementedError, or
+struct/numpy parsing), baseline JPEG (datapipe.jpeg) and
+non-interlaced 8-bit PNG (datapipe.png). Formats that need external
+codecs (compressed audio, video demux, progressive JPEG, interlaced
+PNG) are stubbed — NotImplementedError, or
 a deterministic fake (``fake=True``) so the Spark-side plumbing
 (schema, Arrow batch shape, partitioning) is fully testable either
 way. The mapInPandas pipelines, batch sizing and output schemas are
@@ -92,12 +94,14 @@ def decode_images(
 
     Arrow-batched mapInPandas: each batch decodes ``len(batch)`` blobs
     without per-row Python dispatch. The real path decodes
-    uncompressed 24-bit BMP and baseline JPEG (both pure numpy — see
-    datapipe.jpeg; reports SOURCE dimensions, resizes nearest-neighbor
-    to ``target_size``, features = mean R/G/B/gray in [0,1]); other
-    formats (PNG, progressive JPEG) raise NotImplementedError until a
-    codec is plugged in. ``fake=True`` keeps the deterministic
-    stand-in (dimensions = target, features from the digest).
+    uncompressed 24-bit BMP, baseline JPEG, and non-interlaced 8-bit
+    PNG (all pure numpy/stdlib — see datapipe.jpeg / datapipe.png;
+    reports SOURCE dimensions, resizes nearest-neighbor to
+    ``target_size``, features = mean R/G/B/gray in [0,1]); remaining
+    formats (progressive JPEG, interlaced PNG) raise
+    NotImplementedError until a codec is plugged in. ``fake=True``
+    keeps the deterministic stand-in (dimensions = target, features
+    from the digest).
     """
     import hashlib
 
@@ -132,6 +136,10 @@ def decode_images(
                     from cubert_spark.datapipe.jpeg import decode_baseline_jpeg
 
                     img = decode_baseline_jpeg(raw)
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    from cubert_spark.datapipe.png import decode_png
+
+                    img = decode_png(raw)
                 else:
                     try:
                         img = decode_bmp(raw)
@@ -141,9 +149,9 @@ def decode_images(
                             # error, not a missing codec
                             raise
                         raise NotImplementedError(
-                            f"no codec for this image format ({e}); BMP and "
-                            "baseline JPEG decode natively, others need a "
-                            "decoder plugged into decode_images"
+                            f"no codec for this image format ({e}); BMP, "
+                            "baseline JPEG and 8-bit PNG decode natively, "
+                            "others need a decoder plugged into decode_images"
                         ) from e
                 small = _resize_nearest(img, w, h).astype("float64") / 255.0
                 means = small.mean(axis=(0, 1))

@@ -586,6 +586,72 @@ def test_jpeg_malformed_raises_jpegerror():
         jpeg.decode_baseline_jpeg(single_scan)
 
 
+# --- PNG codec (datapipe.png) -----------------------------------------------
+
+def test_png_roundtrip_lossless():
+    """PNG is lossless: every color type round-trips bit-exact, and
+    the encoder's filter cycling (rows 0..4 use None/Sub/Up/Average/
+    Paeth) exercises every unfilter path on images taller than 5."""
+    import numpy as np
+
+    from cubert_spark.datapipe import png
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    assert (png.decode_png(png.encode_png(rgb)) == rgb).all()
+    g = rng.integers(0, 256, (11, 9), dtype=np.uint8)
+    out = png.decode_png(png.encode_png(g))
+    assert (out[..., 0] == g).all() and (out[..., 1] == g).all()
+    # palette: small color count, indices + PLTE reconstruct exactly
+    pal_img = np.stack([rgb[..., 0] % 4 * 60] * 3, axis=-1)
+    assert (png.decode_png(png.encode_png(pal_img, palette=True)) == pal_img).all()
+
+
+def test_png_rejects():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cubert_spark.datapipe import png
+
+    with _pytest.raises(png.PngError, match="signature"):
+        png.decode_png(b"\xff\xd8\xff\xe0")
+    raw = bytearray(png.encode_png(np.zeros((8, 8, 3), np.uint8)))
+    # flip the IHDR interlace byte (last of the 13-byte payload)
+    ihdr_off = raw.find(b"IHDR") + 4
+    raw[ihdr_off + 12] = 1
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        png.decode_png(bytes(raw))
+    raw[ihdr_off + 12] = 0
+    raw[ihdr_off + 8] = 16  # bit depth
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        png.decode_png(bytes(raw))
+    # corrupt the DEFLATE stream -> PngError, not zlib.error
+    good = bytearray(png.encode_png(np.zeros((8, 8, 3), np.uint8)))
+    idat = good.find(b"IDAT")
+    good[idat + 6] ^= 0xFF
+    with _pytest.raises(png.PngError, match="IDAT"):
+        png.decode_png(bytes(good))
+    # truncated chunk
+    with _pytest.raises(png.PngError):
+        png.decode_png(bytes(png.encode_png(np.zeros((8, 8, 3), np.uint8)))[:20])
+
+
+def test_decode_images_real_png(spark):
+    from cubert_spark.datapipe import multimodal, png
+
+    img = _gradient_rgb(24, 16)
+    df = spark.createDataFrame(
+        [(1, png.encode_png(img))], "id long, blob binary"
+    )
+    got = multimodal.decode_images(df).collect()[0]
+    assert (got["width"], got["height"]) == (16, 24)
+    # PNG is lossless, so the mean-RGB features are exact
+    small = multimodal._resize_nearest(img, 32, 32).astype("float64") / 255.0
+    assert abs(got["feature"][0] - small[..., 0].mean()) < 1e-6
+
+
 def test_decode_images_real_jpeg(spark):
     from cubert_spark.datapipe import jpeg, multimodal
 
