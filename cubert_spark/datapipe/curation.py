@@ -1,0 +1,199 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+cross-split contamination detection, boilerplate line removal, and
+sequence packing. All three are standard pretraining-pipeline stages
+(the C4/Gopher/RefinedWeb lineage) expressed Spark-first.
+
+Scale posture shared by all three: the only shuffles are key-equi
+joins and keyed aggregations; nothing routes through the driver, and
+the one *ordered* operator (sequence packing) uses a two-level
+distributed prefix sum instead of a single-partition global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cubert_spark.datapipe.dedup import _spread
+from cubert_spark.datapipe.textstats import shingles
+
+
+def contamination(
+    train: DataFrame,
+    test: DataFrame,
+    min_shared: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Train/test contamination report: for every test document that
+    shares at least ``min_shared`` distinct word ``k``-gram shingles
+    with some training document, the number of contaminating train
+    docs and the maximum shingle overlap.
+
+    Output: (test_id, n_train_docs, max_shared) — the screen run
+    before any benchmark evaluation: a test item whose n-grams appear
+    nearly verbatim in training data measures memorization, not
+    generalization.
+
+    Scale shape: both sides explode to (id, shingle) and meet in ONE
+    equi-join on the shingle (inverted index — never doc x doc);
+    posting-list skew from stopword shingles is cut by
+    ``max_doc_freq`` on the TRAIN side (document frequency computed
+    over the training corpus, the big side at 100 TB).
+    """
+    tr = _spread(train, id_col).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        freq = tr.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        tr = tr.join(
+            freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+        )
+    te = _spread(test, id_col).select(
+        F.col(id_col).alias("test_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    pair_overlap = (
+        te.join(tr, "shingle")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return pair_overlap.groupBy("test_id").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.max("shared").alias("max_shared"),
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus's boilerplate line set: (line, doc_freq) for every
+    distinct line appearing in at least ``min_doc_freq`` distinct
+    documents (cookie banners, nav bars, license footers). Document
+    frequency — not occurrence count — so a line repeated inside one
+    page doesn't qualify. One explode + one groupBy; doc-level
+    distinctness comes free from the pre-aggregation distinct."""
+    ln = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .distinct()
+    )
+    return (
+        ln.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    min_doc_freq: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line whose document
+    frequency across the corpus is >= ``min_doc_freq``, reassembling
+    each document from its surviving lines in original order. Output:
+    (id, clean_text, n_removed). Documents whose every line is
+    boilerplate survive with empty text (downstream length filters
+    decide their fate — this operator never drops rows).
+
+    Scale shape: posexplode -> broadcast-able anti-join against the
+    (small by construction) boilerplate line set -> groupBy(id)
+    ordered reassembly via array_sort on (pos, line) structs — the
+    reassembly is a single keyed aggregation, no window.
+    """
+    bp = boilerplate_lines(df, min_doc_freq, text_col, id_col).select("line")
+    ln = _spread(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = ln.join(bp, "line", "left_anti")
+    total = ln.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_lines"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        total.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    capacity: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_size: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    batching strategy: documents are concatenated in ``id_col`` order
+    and the token stream is cut into fixed-``capacity`` context
+    windows. Output per document: (id, n_tokens, start_offset,
+    start_bin, end_bin) where offsets index the global token stream
+    and bins are the context windows the document's tokens land in
+    (end_bin > start_bin means the document straddles a boundary).
+
+    The global running offset is a DISTRIBUTED two-level prefix sum,
+    not a single-partition global window: documents bucket into
+    contiguous id shards (floor(id / shard_size)); shard totals are
+    tiny (|docs| / shard_size rows), so their running offsets compute
+    in one small window; each document then adds its intra-shard
+    cumulative sum (window partitioned BY SHARD — bounded state) to
+    its shard's offset. At 100 TB the big table never sees an
+    unpartitioned window.
+    """
+    toks = _spread(df, id_col).select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).alias("n_tokens"),
+        F.floor(F.col(id_col) / shard_size).alias("__shard"),
+    )
+    shard_totals = toks.groupBy("__shard").agg(F.sum("n_tokens").alias("__tot"))
+    w_shard = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_totals.select(
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_shard), F.lit(0)).alias("__shard_off"),
+    )
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.join(F.broadcast(offsets), "__shard")
+        .withColumn(
+            "start_offset",
+            (F.col("__shard_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("start_bin", F.floor(F.col("start_offset") / capacity))
+        .withColumn(
+            "end_bin",
+            F.floor(
+                (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / capacity
+            ),
+        )
+    )
+    return packed.select(id_col, "n_tokens", "start_offset", "start_bin", "end_bin")

@@ -9,7 +9,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubert_spark.catalog import load_table
-from cubert_spark.datapipe import components, dedup, sampling, similarity, textstats
+from cubert_spark.datapipe import (
+    components,
+    curation,
+    dedup,
+    sampling,
+    similarity,
+    textstats,
+)
 from cubert_spark.datapipe.multimodal import attach_blob_metadata, text_as_blob
 
 # Shared SQL fragment: the shingle inverted index (mirrors
@@ -621,6 +628,104 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- curation: contamination / boilerplate / packing ------------------------
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test contamination screen: test-split docs sharing >= 3
+    word 3-gram shingles with a train-split doc (split = the same
+    content-keyed hash cut as train_test_split)."""
+    d = load_table(spark, sf, "documents")
+    train, test = sampling.train_test_split(d, "doc_id", test_fraction=0.1)
+    return curation.contamination(train, test, min_shared=3)
+
+
+SQL_CONTAMINATION = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         {_hash16_sql('doc_id', 'split')} AS h16
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, h16,
+         array_to_string(list_slice(words, i, i+2), ' ') AS shingle
+  FROM w, LATERAL UNNEST(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE h16 >= {int(0.1 * 65536)}),
+te AS (SELECT doc_id AS test_id, shingle FROM sh WHERE h16 < {int(0.1 * 65536)}),
+pair AS (
+  SELECT test_id, train_id, COUNT(*) AS shared
+  FROM te JOIN tr USING (shingle)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT test_id, COUNT(*) AS n_train_docs, MAX(shared) AS max_shared
+FROM pair GROUP BY test_id
+"""
+
+
+def q_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style boilerplate removal: drop lines appearing in >= 3
+    distinct documents, reassemble docs in original line order."""
+    d = load_table(spark, sf, "documents")
+    return curation.remove_boilerplate(d, min_doc_freq=3)
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH lines AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS pos, ls[i] AS line
+  FROM lines, LATERAL UNNEST(range(1, len(ls) + 1)) AS t(i)
+),
+bp AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM pos)
+  GROUP BY line HAVING COUNT(*) >= 3
+),
+kept AS (SELECT * FROM pos WHERE line NOT IN (SELECT line FROM bp)),
+total AS (SELECT doc_id, COUNT(*) AS n_lines FROM pos GROUP BY doc_id),
+re AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(re.clean_text, '') AS clean_text,
+       CAST(t.n_lines - COALESCE(re.n_kept, 0) AS INT) AS n_removed
+FROM total t LEFT JOIN re ON re.doc_id = t.doc_id
+"""
+
+
+def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token context
+    windows (distributed two-level prefix sum on the Spark side; the
+    oracle's single global window is the semantic spec)."""
+    d = load_table(spark, sf, "documents")
+    return curation.sequence_pack(d, capacity=512, shard_size=1024)
+
+
+SQL_SEQUENCE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS start_bin,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS end_bin
+FROM c
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-corpus construction: exact-dedup to one
     representative per distinct text -> English only -> minimum token
@@ -689,6 +794,9 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "repetition_stats": q_repetition_stats,
     "pii_counts": q_pii_counts,
+    "contamination": q_contamination,
+    "boilerplate_removal": q_boilerplate_removal,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLES = {
@@ -713,4 +821,7 @@ ORACLES = {
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_counts": SQL_PII_COUNTS,
+    "contamination": SQL_CONTAMINATION,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }

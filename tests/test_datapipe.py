@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from cubert_spark.datapipe import dedup, multimodal, similarity, textstats
+from cubert_spark.datapipe import curation, dedup, multimodal, similarity, textstats
 
 
 @pytest.fixture(scope="module")
@@ -584,6 +584,70 @@ def test_jpeg_malformed_raises_jpegerror():
     )
     with _pytest.raises(NotImplementedError, match="multi-scan"):
         jpeg.decode_baseline_jpeg(single_scan)
+
+
+# --- curation (contamination / boilerplate / packing) -----------------------
+
+def test_contamination(spark):
+    """Test doc 10 contains train doc 1's shingles verbatim; doc 11 is
+    clean. min_shared gates the report."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta unrelated tail"),  # 2 shared 3-grams
+            (11, "completely novel content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["test_id"]: r for r in curation.contamination(train, test, min_shared=2).collect()}
+    assert set(out) == {10}
+    assert out[10]["n_train_docs"] == 1 and out[10]["max_shared"] == 2
+    assert curation.contamination(train, test, min_shared=3).count() == 0
+
+
+def test_remove_boilerplate(spark):
+    banner = "SUBSCRIBE TO OUR NEWSLETTER"
+    rows = [
+        (1, f"{banner}\nreal content one\nmore text"),
+        (2, f"{banner}\nreal content two"),
+        (3, f"intro line\n{banner}\noutro line"),
+        (4, banner),  # all-boilerplate doc survives with empty text
+        (5, "no boilerplate at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.remove_boilerplate(df, min_doc_freq=3).collect()}
+    assert len(out) == 5  # never drops documents
+    assert out[1]["clean_text"] == "real content one\nmore text"
+    assert out[3]["clean_text"] == "intro line\noutro line"  # order kept
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["clean_text"] == "no boilerplate at all" and out[5]["n_removed"] == 0
+    assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
+
+
+def test_sequence_pack(spark):
+    """Offsets are the cumulative token count in doc_id order even
+    across shard boundaries (shard_size=2 forces the two-level
+    prefix-sum path), and bins mark straddles."""
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate([3, 4, 2, 5, 6, 1, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curation.sequence_pack(df, capacity=8, shard_size=2).collect()
+    }
+    counts = [3, 4, 2, 5, 6, 1, 7]
+    off = 0
+    for i, n in enumerate(counts):
+        assert out[i]["start_offset"] == off, (i, out[i])
+        assert out[i]["n_tokens"] == n
+        assert out[i]["start_bin"] == off // 8
+        assert out[i]["end_bin"] == (off + n - 1) // 8
+        off += n
+    # doc 1 spans tokens [3, 7) -> bin 0; doc 3 spans [9, 14) -> bin 1;
+    # doc 4 spans [14, 20) -> straddles bins 1..2
+    assert out[4]["start_bin"] == 1 and out[4]["end_bin"] == 2
 
 
 # --- PNG codec (datapipe.png) -----------------------------------------------

@@ -149,3 +149,18 @@ def test_sampling_queries_prune_scan(spark):
         assert m, plan
         read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert read_cols == cols, (read_cols, cols)
+
+
+def test_sequence_pack_distributed_prefix_sum(spark):
+    """sequence_pack's big-side window must be PARTITIONED (by the id
+    shard); the only unpartitioned window runs over the tiny
+    shard-totals table, whose offsets then broadcast. A global
+    unpartitioned window over the documents table would single-thread
+    the whole operator at scale."""
+    from cubert_spark.datapipe.curation import sequence_pack
+
+    d = load_table(spark, SF, "documents")
+    plan = sequence_pack(d, capacity=512, shard_size=1024)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan  # shard offsets broadcast
+    # both windows present; the doc-side one partitions by __shard
+    assert "hashpartitioning(__shard" in plan, plan
