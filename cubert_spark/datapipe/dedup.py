@@ -137,19 +137,25 @@ def ngram_jaccard_pairs(
         # carry |doc| through the explode instead — one narrow
         # projection feeds the join directly and the two post-agg
         # size joins (each a full recompute of the explode) vanish.
-        # The array is aliased in its own projection FIRST: explode
-        # and size then reference a column, and CollapseProject will
-        # not inline a multiply-referenced alias — without this,
-        # size(<shingle-expr>) lands in the post-Generate project and
-        # the whole array build re-runs once per exploded row.
+        # Two plan traps here, both measured 8-10x at sf0.1:
+        # (a) the array is aliased in its own projection FIRST, so
+        # explode and size reference a column — inlining the raw
+        # shingle expression puts the whole array build in the
+        # post-Generate project, re-run once per exploded ROW;
+        # (b) explode_outer + a cheap post-filter on the output
+        # column, NOT explode: InferFiltersFromGenerate would turn a
+        # plain explode into a size(<arr-expr>)>0 filter that
+        # re-evaluates the array build twice per doc AND pushes below
+        # the _spread exchange — single-threading the most expensive
+        # expression in the query on an unsplit input file.
         base = _spread(df, id_col).select(
             F.col(id_col), shingles(F.col(text_col), k).alias("__arr")
         )
         sized = base.select(
             F.col(id_col),
             F.size("__arr").alias("sz"),
-            F.explode("__arr").alias("shingle"),
-        )
+            F.explode_outer("__arr").alias("shingle"),
+        ).filter(F.col("shingle").isNotNull())
     a = sized.select(F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = sized.select(F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     # merge hint: the exploded table can be huge (10x corpus) — never
