@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from cubert_spark.datapipe import dedup, sampling, similarity, textstats
+from cubert_spark.datapipe import curation, dedup, sampling, similarity, textstats
 from cubert_spark.operators import group_by, grouping_combos, join, top_n
 
 
@@ -27,6 +27,20 @@ def test_textstats_on_empty_and_blank(spark, empty_docs):
     row = textstats.repetition_stats(one).collect()[0]
     assert row["dup_line_frac"] == 0.0 and row["top_bigram_frac"] == 0.0
     assert textstats.pii_counts(one).collect()[0]["n_emails"] == 0
+
+
+def test_curation_on_empty_and_degenerate(spark, empty_docs):
+    assert curation.contamination(empty_docs, empty_docs).count() == 0
+    assert curation.remove_boilerplate(empty_docs).count() == 0
+    assert curation.sequence_pack(empty_docs).count() == 0
+    one = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    # empty text: one (empty) line kept, one whitespace token counted
+    r = curation.remove_boilerplate(one).collect()[0]
+    assert r["clean_text"] == "" and r["n_removed"] == 0
+    p = curation.sequence_pack(one, capacity=8).collect()[0]
+    assert p["start_offset"] == 0 and p["start_bin"] == 0 == p["end_bin"]
+    # contamination against an empty train side never reports
+    assert curation.contamination(empty_docs, one).count() == 0
 
 
 def test_cosine_topk_k_exceeds_corpus(spark):
