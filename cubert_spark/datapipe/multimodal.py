@@ -3,10 +3,10 @@ columns with typed metadata.
 
 Decode support is honest about the environment: WAV audio decodes for
 REAL (stdlib ``wave``), as do uncompressed 24-bit BMP images (pure
-struct/numpy parsing), baseline JPEG (datapipe.jpeg) and
-non-interlaced 8-bit PNG (datapipe.png). Formats that need external
-codecs (compressed audio, video demux, progressive JPEG, interlaced
-PNG) are stubbed — NotImplementedError, or
+struct/numpy parsing), baseline JPEG (datapipe.jpeg) and 8/16-bit
+PNG including Adam7 interlacing (datapipe.png). Formats that need
+external codecs (compressed audio, video demux, progressive JPEG)
+are stubbed — NotImplementedError, or
 a deterministic fake (``fake=True``) so the Spark-side plumbing
 (schema, Arrow batch shape, partitioning) is fully testable either
 way. The mapInPandas pipelines, batch sizing and output schemas are
@@ -94,11 +94,11 @@ def decode_images(
 
     Arrow-batched mapInPandas: each batch decodes ``len(batch)`` blobs
     without per-row Python dispatch. The real path decodes
-    uncompressed 24-bit BMP, baseline JPEG, and non-interlaced 8-bit
-    PNG (all pure numpy/stdlib — see datapipe.jpeg / datapipe.png;
-    reports SOURCE dimensions, resizes nearest-neighbor to
-    ``target_size``, features = mean R/G/B/gray in [0,1]); remaining
-    formats (progressive JPEG, interlaced PNG) raise
+    uncompressed 24-bit BMP, baseline JPEG, and 8/16-bit PNG with or
+    without Adam7 interlacing (all pure numpy/stdlib — see
+    datapipe.jpeg / datapipe.png; reports SOURCE dimensions, resizes
+    nearest-neighbor to ``target_size``, features = mean R/G/B/gray
+    in [0,1]); remaining formats (progressive JPEG) raise
     NotImplementedError until a codec is plugged in. ``fake=True``
     keeps the deterministic stand-in (dimensions = target, features
     from the digest).

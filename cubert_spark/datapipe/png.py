@@ -2,10 +2,11 @@
 
 Closes the next environment-closable rich-media stub after baseline
 JPEG: stdlib ``zlib`` handles the DEFLATE stream, numpy handles
-unfiltering, so 8-bit PNGs (grayscale, truecolor, palette, and the
-alpha variants) decode with no codec library. Interlaced (Adam7) and
-16-bit files stay honestly unsupported (NotImplementedError), matching
-the multimodal module's policy for environment-blocked formats.
+unfiltering, so 8- and 16-bit PNGs (grayscale, truecolor, palette,
+and the alpha variants), interlaced (Adam7) or not, decode with no
+codec library. Sub-byte depths (1/2/4-bit) raise an honest
+NotImplementedError, matching the multimodal module's policy for
+unsupported variants.
 
 ``encode_png`` emits valid non-interlaced 8-bit files and cycles the
 row filter (None/Sub/Up/Average/Paeth) so round-trip tests exercise
@@ -84,11 +85,18 @@ def _unfilter(rows: np.ndarray, filters: np.ndarray, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+#: Adam7 pass geometry: (row_start, col_start, row_step, col_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
+
+
 def decode_png(raw: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to (h, w, 3) RGB uint8
-    (grayscale replicates to 3 channels; alpha is dropped). Raises
-    PngError for malformed input, NotImplementedError for interlaced /
-    16-bit / sub-byte-depth files."""
+    """Decode an 8- or 16-bit PNG (interlaced or not) to (h, w, 3) RGB
+    uint8 (grayscale replicates to 3 channels; alpha is dropped;
+    16-bit samples take their high byte). Raises PngError for
+    malformed input, NotImplementedError for sub-byte depths."""
     if len(raw) < 8 or raw[:8] != _SIGNATURE:
         raise PngError("not a PNG (missing signature)")
     pos = 8
@@ -126,28 +134,57 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise PngError("zero-dimension image")
     if compression != 0 or filter_method != 0:
         raise PngError("unknown compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise PngError(f"invalid interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise PngError(f"invalid color type {color_type}")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(
-            f"only 8-bit depth supported (got {depth})"
+            f"only 8/16-bit depths supported (got {depth})"
         )
+    if depth == 16 and color_type == 3:
+        raise PngError("16-bit palette images are invalid PNG")
     channels = _CHANNELS[color_type]
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
     try:
         plain = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"corrupt IDAT stream: {e}") from None
-    stride = w * channels
-    if len(plain) != h * (stride + 1):
-        raise PngError(
-            f"decompressed size {len(plain)} != expected {h * (stride + 1)}"
-        )
-    lines = np.frombuffer(plain, np.uint8).reshape(h, stride + 1)
-    px = _unfilter(lines[:, 1:], lines[:, 0], channels).reshape(h, w, channels)
+
+    def _grid(bw: int, bh: int, data: bytes) -> np.ndarray:
+        """Unfilter one (sub)image of bw x bh pixels; returns
+        (bh, bw, channels) uint8 (16-bit samples -> high byte)."""
+        stride = bw * bpp
+        lines = np.frombuffer(data, np.uint8).reshape(bh, stride + 1)
+        px = _unfilter(lines[:, 1:], lines[:, 0], bpp)
+        if sample_bytes == 2:
+            # network byte order: the high byte of each sample leads
+            px = px.reshape(bh, bw, channels, 2)[..., 0]
+        return px.reshape(bh, bw, channels)
+
+    if interlace == 0:
+        expected = h * (w * bpp + 1)
+        if len(plain) != expected:
+            raise PngError(
+                f"decompressed size {len(plain)} != expected {expected}"
+            )
+        px = _grid(w, h, plain)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for r0, c0, rs, cs in _ADAM7:
+            pw = -(-(w - c0) // cs) if w > c0 else 0
+            ph = -(-(h - r0) // rs) if h > r0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            if off + need > len(plain):
+                raise PngError("truncated interlaced pixel data")
+            px[r0::rs, c0::cs] = _grid(pw, ph, plain[off : off + need])
+            off += need
+        if off != len(plain):
+            raise PngError("trailing bytes after final Adam7 pass")
     if color_type == 3:
         if plte is None:
             raise PngError("palette image missing PLTE")
@@ -162,12 +199,15 @@ def decode_png(raw: bytes) -> np.ndarray:
     return px[..., :3]  # 2 (RGB) and 6 (RGBA, alpha dropped)
 
 
-def encode_png(img: np.ndarray, palette: bool = False) -> bytes:
-    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as a
-    non-interlaced 8-bit PNG. Row filters cycle through
-    None/Sub/Up/Average/Paeth so decoders exercise every unfilter
-    path. ``palette=True`` emits a color-type-3 file (the image must
-    use <= 256 distinct colors)."""
+def encode_png(
+    img: np.ndarray, palette: bool = False, interlace: bool = False
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as an 8-bit
+    PNG. Row filters cycle through None/Sub/Up/Average/Paeth so
+    decoders exercise every unfilter path. ``palette=True`` emits a
+    color-type-3 file (the image must use <= 256 distinct colors);
+    ``interlace=True`` emits Adam7 (each pass filtered independently,
+    filter cycling per pass row)."""
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -187,31 +227,56 @@ def encode_png(img: np.ndarray, palette: bool = False) -> bytes:
         data = img
         color_type, channels = 2, 3
     bpp = channels
-    rows = data.reshape(h, w * channels).astype(np.int16)
-    out_lines = bytearray()
-    prev = np.zeros(w * channels, np.int16)
-    for y in range(h):
-        f = y % 5
-        cur = rows[y]
-        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]]) if w * channels > bpp else np.zeros_like(cur)
-        if f == 0:
-            enc = cur
-        elif f == 1:
-            enc = (cur - left) & 0xFF
-        elif f == 2:
-            enc = (cur - prev) & 0xFF
-        elif f == 3:
-            enc = (cur - ((left + prev) >> 1)) & 0xFF
-        else:
-            prev_left = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]]) if w * channels > bpp else np.zeros_like(cur)
-            pred = np.array(
-                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, prev_left)],
-                np.int16,
+
+    def _filter_subimage(sub: np.ndarray) -> bytearray:
+        """Forward-filter one (ph, pw*channels) uint8 sub-image with
+        the cycling row filter; returns filter-byte-prefixed lines."""
+        ph, stride = sub.shape
+        rows = sub.astype(np.int16)
+        lines = bytearray()
+        prev = np.zeros(stride, np.int16)
+        for y in range(ph):
+            f = y % 5
+            cur = rows[y]
+            left = (
+                np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+                if stride > bpp
+                else np.zeros_like(cur)
             )
-            enc = (cur - pred) & 0xFF
-        out_lines.append(f)
-        out_lines += enc.astype(np.uint8).tobytes()
-        prev = cur
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = (cur - left) & 0xFF
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            elif f == 3:
+                enc = (cur - ((left + prev) >> 1)) & 0xFF
+            else:
+                prev_left = (
+                    np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+                    if stride > bpp
+                    else np.zeros_like(cur)
+                )
+                pred = np.array(
+                    [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, prev_left)],
+                    np.int16,
+                )
+                enc = (cur - pred) & 0xFF
+            lines.append(f)
+            lines += enc.astype(np.uint8).tobytes()
+            prev = cur
+        return lines
+
+    out_lines = bytearray()
+    if interlace:
+        for r0, c0, rs, cs in _ADAM7:
+            sub = data[r0::rs, c0::cs]
+            if sub.shape[0] and sub.shape[1]:
+                out_lines += _filter_subimage(
+                    sub.reshape(sub.shape[0], sub.shape[1] * channels)
+                )
+    else:
+        out_lines = _filter_subimage(data.reshape(h, w * channels))
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -223,7 +288,8 @@ def encode_png(img: np.ndarray, palette: bool = False) -> bytes:
 
     out = bytearray(_SIGNATURE)
     out += chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0),
     )
     if palette:
         out += chunk(b"PLTE", colors.astype(np.uint8).tobytes())

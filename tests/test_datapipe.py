@@ -671,6 +671,55 @@ def test_png_roundtrip_lossless():
     assert (png.decode_png(png.encode_png(pal_img, palette=True)) == pal_img).all()
 
 
+def test_png_interlaced_roundtrip():
+    """Adam7: every pass filters independently; odd dimensions leave
+    some passes empty. Decode must equal the non-interlaced image."""
+    import numpy as np
+
+    from cubert_spark.datapipe import png
+
+    rng = np.random.default_rng(23)
+    for shape in [(16, 16, 3), (13, 7, 3), (3, 3, 3), (1, 9, 3), (9, 1, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (png.decode_png(png.encode_png(img, interlace=True)) == img).all(), shape
+    g = rng.integers(0, 256, (11, 6), dtype=np.uint8)
+    assert (png.decode_png(png.encode_png(g, interlace=True))[..., 0] == g).all()
+
+
+def test_png_16bit_decode():
+    """16-bit samples decode via their high byte (hand-built file:
+    big-endian u16 grayscale, filter 0 rows)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from cubert_spark.datapipe import png
+
+    h, w = 5, 4
+    vals16 = (np.arange(h * w, dtype=np.uint16).reshape(h, w) * 3000)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        lines += vals16[y].astype(">u2").tobytes()
+
+    def chunk(ctype, payload):
+        return (
+            _struct.pack(">I", len(payload)) + ctype + payload
+            + _struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+    out = png.decode_png(raw)
+    assert out.shape == (h, w, 3)
+    assert (out[..., 0] == (vals16 >> 8).astype(np.uint8)).all()
+
+
 def test_png_rejects():
     import struct as _struct
 
@@ -682,14 +731,9 @@ def test_png_rejects():
     with _pytest.raises(png.PngError, match="signature"):
         png.decode_png(b"\xff\xd8\xff\xe0")
     raw = bytearray(png.encode_png(np.zeros((8, 8, 3), np.uint8)))
-    # flip the IHDR interlace byte (last of the 13-byte payload)
     ihdr_off = raw.find(b"IHDR") + 4
-    raw[ihdr_off + 12] = 1
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        png.decode_png(bytes(raw))
-    raw[ihdr_off + 12] = 0
-    raw[ihdr_off + 8] = 16  # bit depth
-    with _pytest.raises(NotImplementedError, match="8-bit"):
+    raw[ihdr_off + 8] = 4  # sub-byte depth
+    with _pytest.raises(NotImplementedError, match="depth"):
         png.decode_png(bytes(raw))
     # corrupt the DEFLATE stream -> PngError, not zlib.error
     good = bytearray(png.encode_png(np.zeros((8, 8, 3), np.uint8)))
