@@ -586,6 +586,82 @@ def test_jpeg_malformed_raises_jpegerror():
         jpeg.decode_baseline_jpeg(single_scan)
 
 
+# --- MP4 demux (datapipe.mp4) ------------------------------------------------
+
+def _build_minimal_mp4(frames, timescale=600, delta=100):
+    """Hand-build a progressive MP4: ftyp + mdat(frames) + moov with
+    real stts/stsc/stsz/stco tables (2 chunks of 3 samples)."""
+    import struct as S
+
+    def box(t, payload):
+        return S.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + S.pack(">I", 0x200) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    payload_off = len(ftyp) + 8
+    sizes = [len(f) for f in frames]
+    chunk_offs = [payload_off, payload_off + sum(sizes[:3])]
+    stsd = box(
+        b"stsd",
+        S.pack(">II", 0, 1) + S.pack(">I", 16) + b"avc1" + b"\x00" * 8,
+    )
+    stts = box(b"stts", S.pack(">IIII", 0, 1, len(frames), delta))
+    stsc = box(b"stsc", S.pack(">II", 0, 1) + S.pack(">III", 1, 3, 1))
+    stsz = box(
+        b"stsz",
+        S.pack(">III", 0, 0, len(frames)) + S.pack(f">{len(frames)}I", *sizes),
+    )
+    stco = box(b"stco", S.pack(">II", 0, 2) + S.pack(">II", *chunk_offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", S.pack(">II", 0, 0) + b"vide" + b"\x00" * 13)
+    mdhd = box(b"mdhd", S.pack(">IIIIIHH", 0, 0, 0, timescale, len(frames) * delta, 0, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_demux_sample_tables():
+    from cubert_spark.datapipe import mp4
+
+    frames = [b"F0" * 4, b"F1" * 3, b"F2" * 5, b"F3" * 2, b"F4" * 6, b"F5" * 1]
+    raw = _build_minimal_mp4(frames)
+    got = mp4.video_samples(raw, every_nth=1)
+    assert [b for _, b, _ in got] == frames
+    assert [i for i, _, _ in got] == list(range(6))
+    # timescale 600, delta 100 -> one frame every 1/6 s
+    assert abs(got[3][2] - 3 * 100 / 600) < 1e-12
+    assert [i for i, _, _ in mp4.video_samples(raw, every_nth=2)] == [0, 2, 4]
+
+    import pytest as _pytest
+
+    with _pytest.raises(mp4.Mp4Error, match="ftyp"):
+        mp4.demux_mp4(b"\x00" * 32)
+    import struct as S
+
+    frag = raw + S.pack(">I", 8) + b"moof"
+    with _pytest.raises(NotImplementedError, match="fragmented"):
+        mp4.demux_mp4(frag)
+
+
+def test_sample_frames_real_mp4(spark):
+    from cubert_spark.datapipe import multimodal
+
+    frames = [bytes([65 + i]) * (i + 3) for i in range(6)]
+    raw = _build_minimal_mp4(frames)
+    df = spark.createDataFrame([(7, raw)], "id long, blob binary")
+    out = multimodal.sample_frames(df, every_nth=2).orderBy("frame_idx").collect()
+    assert [(r["frame_idx"], bytes(r["frame_blob"])) for r in out] == [
+        (0, frames[0]), (2, frames[2]), (4, frames[4])
+    ]
+    assert out[1]["time_sec"] == 2 * 100 / 600
+    # non-MP4 blob -> honest NotImplementedError from the kernel
+    bad = spark.createDataFrame([(8, b"not a video")], "id long, blob binary")
+    with pytest.raises(Exception, match="NotImplementedError|no demuxer"):
+        multimodal.sample_frames(bad).collect()
+
+
 # --- curation (contamination / boilerplate / packing) -----------------------
 
 def test_contamination(spark):
