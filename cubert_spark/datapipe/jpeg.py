@@ -1,14 +1,17 @@
-"""Pure-Python/numpy baseline JPEG codec (ITU T.81, public spec).
+"""Pure-Python/numpy JPEG codec (ITU T.81, public spec).
 
 Closes the rich-media gap for environments without codec libraries:
-``decode_baseline_jpeg`` handles sequential-DCT baseline files (SOF0,
-Huffman entropy coding, 8-bit samples, 1 or 3 components, sampling
-factors 1-2, restart markers); ``encode_baseline_jpeg`` emits a
-minimal 4:4:4 baseline file with the spec's Annex-K example tables —
-enough to generate real test inputs and round-trip them. Progressive
-(SOF2), arithmetic coding, and 12-bit precision stay honestly
-unsupported (NotImplementedError), matching the multimodal module's
-policy for environment-blocked formats.
+``decode_jpeg`` handles sequential-DCT files (SOF0/1, single- or
+multi-scan, Huffman entropy coding, 8-bit samples, 1 or 3 components,
+sampling factors 1-2, restart markers) AND progressive files (SOF2:
+spectral selection, successive approximation — DC/AC first and
+refinement scans, EOB runs, per Annex G). ``encode_baseline_jpeg``
+emits a minimal 4:4:4 baseline file with the spec's Annex-K example
+tables; ``encode_progressive_jpeg`` emits SOF2 with a configurable
+scan script, producing the identical quantized coefficients so the
+two decode to identical pixels (the round-trip oracle). Arithmetic
+coding, lossless, hierarchical, and 12-bit precision stay honestly
+unsupported (NotImplementedError).
 
 Scale shape: this runs inside Arrow-batched ``mapInPandas`` kernels
 (datapipe.multimodal.decode_images) — one Python call per blob, with
@@ -195,19 +198,124 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_baseline_jpeg(raw: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w, 3) RGB uint8
-    (grayscale replicates to 3 channels). Raises JpegError for
-    malformed input, NotImplementedError for progressive/arithmetic/
-    12-bit files."""
+def _decode_block_seq(reader: _BitReader, c: dict, blk: np.ndarray) -> None:
+    """Sequential-DCT block: DC diff + AC runs, full spectrum."""
+    cat = reader.decode_huffman(c["dc_t"])
+    diff = _extend(reader.receive(cat), cat)
+    c["pred"] += diff
+    blk[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = reader.decode_huffman(c["ac_t"])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past block end")
+        blk[k] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _decode_ac_first(
+    reader: _BitReader, c: dict, blk: np.ndarray, ss: int, se: int, al: int,
+    state: dict,
+) -> None:
+    """Progressive AC initial scan (T.81 G.1.2.2): EOB-run based."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_huffman(c["ac_t"])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band end")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(
+    reader: _BitReader, c: dict, blk: np.ndarray, ss: int, se: int, al: int,
+    state: dict,
+) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): correction bits
+    for history-nonzero coefficients interleaved with newly-significant
+    ones; mirrors libjpeg's decode_mcu_AC_refine control flow."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit():
+            v = int(blk[k])
+            if (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huffman(c["ac_t"])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break  # EOB: fall through to tail correction
+                newval = 0  # ZRL inside a refinement scan
+            elif s == 1:
+                newval = p1 if reader.read_bit() else m1
+            else:
+                raise JpegError("invalid size in AC refinement scan")
+            # advance over r zero-HISTORY coefficients, correcting
+            # every nonzero one passed on the way
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # EOB: remaining history-nonzero coefficients still take
+        # correction bits in this block
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Decode a sequential (SOF0/1, single- or multi-scan) or
+    progressive (SOF2: spectral selection + successive approximation)
+    JPEG to (h, w, 3) RGB uint8 (grayscale replicates to 3 channels).
+    Raises JpegError for malformed input, NotImplementedError for
+    arithmetic-coded / lossless / hierarchical / 12-bit files."""
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    scans: list[dict] = []
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
@@ -248,27 +356,30 @@ def decode_baseline_jpeg(raw: bytes) -> np.ndarray:
                 vals = list(seg[off + 17 : off + 17 + n])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             comps = []
-            for c in range(nc):
-                cid, sf, tq = seg[6 + 3 * c : 9 + 3 * c]
+            for ci in range(nc):
+                cid, sf, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) supported"
+                "only sequential (SOF0/1) and progressive (SOF2) "
+                "Huffman JPEG supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
-            for c in range(ns):
-                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+            for ci in range(ns):
+                cs, tables = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan_comps.append({"id": cs, "dc": tables >> 4, "ac": tables & 0xF})
+            ss_, se_, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             # entropy-coded data follows; unstuff and split at RSTn
             segments = []
             cur = bytearray()
@@ -291,87 +402,124 @@ def decode_baseline_jpeg(raw: bytes) -> np.ndarray:
                     break
             segments.append(bytes(cur))
             pos = p
-            scan = {"comps": scan_comps, "segments": segments}
-            break
+            scans.append(
+                {
+                    "comps": scan_comps, "segments": segments,
+                    "ss": ss_, "se": se_, "ah": ahal >> 4, "al": ahal & 0xF,
+                    "ri": restart_interval,
+                }
+            )
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise JpegError("missing SOF/SOS")
 
     comps = frame["comps"]
-    if len(scan["comps"]) != len(comps):
-        # Our parser reads a single SOS; a scan covering a subset of
-        # the frame's components implies further scans we don't decode.
-        raise NotImplementedError(
-            "multi-scan baseline JPEG (scan covers "
-            f"{len(scan['comps'])} of {len(comps)} components) unsupported"
-        )
-    if len(scan["comps"]) == 1:
-        # T.81 A.2.2: a single-component scan is NON-interleaved — the
-        # MCU is one 8x8 block in raster order over the component's
-        # own block grid and sampling factors play no role (a
-        # grayscale file that kept 2x2 factors would otherwise get
-        # interleaved MCU geometry and entropy-desync).
-        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
     for c in comps:
-        sc = next((s for s in scan["comps"] if s["id"] == c["id"]), None)
-        if sc is None:
-            raise JpegError(f"scan lacks component id {c['id']}")
-        try:
-            c["dc_t"] = huff[(0, sc["dc"])]
-            c["ac_t"] = huff[(1, sc["ac"])]
-        except KeyError as e:
-            raise JpegError(f"missing Huffman table {e.args[0]}") from None
-        if c["tq"] not in qt:
-            raise JpegError(f"missing quantization table {c['tq']}")
         c["bx"] = mcux * c["h"]
         c["by"] = mcuy * c["v"]
+        # TRUE block grid for non-interleaved scans (A.2.2): the
+        # component's own dimensions, not padded to MCU multiples
+        comp_w = -(-frame["w"] * c["h"] // hmax)
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        c["bx_t"] = -(-comp_w // 8)
+        c["by_t"] = -(-comp_h // 8)
         c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
-        c["pred"] = 0
 
-    seg_iter = iter(scan["segments"])
-    reader = _BitReader(next(seg_iter))
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
+    for scan in scans:
+        ss_, se_, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        if not progressive and (ss_, se_, ah, al) != (0, 63, 0, 0):
+            raise JpegError("non-baseline spectral params in sequential scan")
+        if progressive and ss_ == 0 and se_ != 0:
+            raise JpegError("progressive DC scan must have Se=0 (G.1.1.1.1)")
+        if progressive and ss_ > 0 and len(scan["comps"]) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        scomps = []
+        for sc in scan["comps"]:
+            c = next((x for x in comps if x["id"] == sc["id"]), None)
+            if c is None:
+                raise JpegError(f"scan references unknown component {sc['id']}")
+            # sequential scans use both tables; progressive DC-first
+            # scans use only the DC table, AC scans only the AC table,
+            # and DC-refinement scans none at all
+            try:
+                if not progressive or (ss_ == 0 and ah == 0):
+                    c["dc_t"] = huff[(0, sc["dc"])]
+                if not progressive or ss_ > 0:
+                    c["ac_t"] = huff[(1, sc["ac"])]
+            except KeyError as e:
+                raise JpegError(f"missing Huffman table {e.args[0]}") from None
+            if c["tq"] not in qt:
+                raise JpegError(f"missing quantization table {c['tq']}")
+            c["pred"] = 0
+            scomps.append(c)
+
+        seg_iter = iter(scan["segments"])
+        reader = _BitReader(next(seg_iter))
+        state = {"eobrun": 0}
+        interleaved = len(scomps) > 1
+        # unit walk: MCUs when interleaved, true-grid blocks otherwise
+        if interleaved:
+            units = mcuy * mcux
+        else:
+            c0 = scomps[0]
+            units = c0["by_t"] * c0["bx_t"]
+
+        def _restart(mcu_idx: int) -> None:
+            nonlocal reader
+            if scan["ri"] and mcu_idx and mcu_idx % scan["ri"] == 0:
                 try:
                     reader = _BitReader(next(seg_iter))
                 except StopIteration:
                     raise JpegError(
-                        f"missing restart segment at MCU {mcu}"
+                        f"missing restart segment at MCU {mcu_idx}"
                     ) from None
-                for c in comps:
+                for c in scomps:
                     c["pred"] = 0
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
+                state["eobrun"] = 0
+
+        for u in range(units):
+            _restart(u)
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            blk = c["coef"][row * c["bx"] + col]
+                            if not progressive:
+                                _decode_block_seq(reader, c, blk)
+                            elif ah == 0:  # DC first (interleaved)
+                                cat = reader.decode_huffman(c["dc_t"])
+                                diff = _extend(reader.receive(cat), cat)
+                                c["pred"] += diff
+                                blk[0] = c["pred"] << al
+                            else:  # DC refine
+                                if reader.read_bit():
+                                    blk[0] = int(blk[0]) | (1 << al)
+            else:
+                c = scomps[0]
+                row, col = divmod(u, c["bx_t"])
+                blk = c["coef"][row * c["bx"] + col]
+                if not progressive:
+                    _decode_block_seq(reader, c, blk)
+                elif ss_ == 0:
+                    if ah == 0:
                         cat = reader.decode_huffman(c["dc_t"])
                         diff = _extend(reader.receive(cat), cat)
                         c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huffman(c["ac_t"])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            blk[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bx"] + col] = blk
-            mcu += 1
+                        blk[0] = c["pred"] << al
+                    else:
+                        if reader.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+                elif ah == 0:
+                    _decode_ac_first(reader, c, blk, ss_, se_, al, state)
+                else:
+                    _decode_ac_refine(reader, c, blk, ss_, se_, al, state)
 
     planes = []
     for c in comps:
@@ -398,6 +546,10 @@ def decode_baseline_jpeg(raw: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+#: Backwards-compatible name from when only SOF0 decoded.
+decode_baseline_jpeg = decode_jpeg
 
 
 # --- encoder (test-input generation; 4:4:4 baseline) ------------------------
@@ -452,9 +604,10 @@ def _encode_block(bw, blk, pred, dc_t, ac_t):
     return dc
 
 
-def encode_baseline_jpeg(img: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
-    baseline 4:4:4 JPEG with the Annex-K example tables."""
+def _fdct_quantize(img: np.ndarray) -> tuple[list[np.ndarray], list[np.ndarray], bool, int, int]:
+    """Shared encoder front half: color transform, 8x8 FDCT, and
+    quantization. Returns (zigzag coef arrays per component, quant
+    tables, gray, h, w)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -469,12 +622,6 @@ def encode_baseline_jpeg(img: np.ndarray) -> bytes:
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
     qts = [QUANT_LUMA] + ([] if gray else [QUANT_CHROMA, QUANT_CHROMA])
-    dc_ts = [_build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
-    ac_ts = [_build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if not gray:
-        dc_ts += [_build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)] * 2
-        ac_ts += [_build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)] * 2
-
     bh, bw_ = -(-h // 8), -(-w // 8)
     coded: list[np.ndarray] = []
     for plane, q in zip(planes, qts):
@@ -485,6 +632,18 @@ def encode_baseline_jpeg(img: np.ndarray) -> bytes:
         coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
         quant = np.round(coef / q[None]).astype(np.int32)
         coded.append(quant[:, _ZZ_ROWS, _ZZ_COLS])
+    return coded, qts, gray, h, w
+
+
+def encode_baseline_jpeg(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline 4:4:4 JPEG with the Annex-K example tables."""
+    coded, qts, gray, h, w = _fdct_quantize(img)
+    dc_ts = [_build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_ts = [_build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        dc_ts += [_build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)] * 2
+        ac_ts += [_build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)] * 2
 
     out = bytearray(b"\xff\xd8")
     for tq, q in enumerate(qts[: 1 if gray else 2]):
@@ -516,5 +675,180 @@ def encode_baseline_jpeg(img: np.ndarray) -> bytes:
             )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G; test-input generation) ---------------
+
+#: Uniform-length Huffman tables for progressive scans: every DC
+#: category at 4 bits (12/16 code space), every AC rs symbol with
+#: size <= 14 at 9 bits (240/512 code space — valid, deliberately
+#: simple rather than optimal; progressive needs the EOBn symbols
+#: (r<<4, s=0, r=1..14) that the Annex-K tables lack).
+_P_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_P_DC_VALS = list(range(12))
+_P_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0]
+_P_AC_VALS = [(r << 4) | s for r in range(16) for s in range(15)]
+
+
+def _default_scan_script(nc: int) -> list[tuple]:
+    """(comp_indices, Ss, Se, Ah, Al) per scan: DC first at Al=1,
+    spectrally-split AC first at Al=1, then DC and AC refinements to
+    full precision — exercises every progressive decode path."""
+    script = [(list(range(nc)), 0, 0, 0, 1)]
+    for ci in range(nc):
+        if ci == 0:
+            script += [([0], 1, 5, 0, 1), ([0], 6, 63, 0, 1)]
+        else:
+            script.append(([ci], 1, 63, 0, 1))
+    script.append((list(range(nc)), 0, 0, 1, 0))
+    for ci in range(nc):
+        script.append(([ci], 1, 63, 1, 0))
+    return script
+
+
+def _emit_eobrun(bw: _BitWriter, ac_t: dict, state: dict) -> None:
+    """Flush a pending EOB run (and, in refinement scans, the
+    correction bits buffered across it)."""
+    if state["eobrun"] > 0:
+        nbits = state["eobrun"].bit_length() - 1
+        bw.write(*ac_t[nbits << 4])
+        if nbits:
+            bw.write(state["eobrun"] & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+    for bit in state["br"]:
+        bw.write(bit, 1)
+    state["br"] = []
+
+
+def _encode_ac_first_block(
+    bw: _BitWriter, ac_t: dict, blk: np.ndarray, ss: int, se: int, al: int,
+    state: dict,
+) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, ac_t, state)
+        while r > 15:
+            bw.write(*ac_t[0xF0])
+            r -= 16
+        s = t.bit_length()
+        bw.write(*ac_t[(r << 4) | s])
+        sv = t if v >= 0 else -t
+        bw.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, ac_t, state)
+
+
+def _encode_ac_refine_block(
+    bw: _BitWriter, ac_t: dict, blk: np.ndarray, ss: int, se: int, al: int,
+    state: dict,
+) -> None:
+    """Mirrors libjpeg's encode_mcu_AC_refine: zero-history runs count
+    only never-significant positions; history coefficients contribute
+    buffered correction bits."""
+    absv = [(abs(int(blk[k])) >> al) for k in range(ss, se + 1)]
+    eob_rel = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_rel = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_rel:
+            _emit_eobrun(bw, ac_t, state)
+            bw.write(*ac_t[0xF0])
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(bw, ac_t, state)
+        bw.write(*ac_t[(r << 4) | 1])
+        bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["br"].extend(br)
+        if state["eobrun"] == 0x7FFF or len(state["br"]) > 900:
+            _emit_eobrun(bw, ac_t, state)
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray, script: list[tuple] | None = None
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as a progressive
+    (SOF2) 4:4:4 JPEG. ``script`` entries are (comp_indices, Ss, Se,
+    Ah, Al); the default exercises DC/AC first scans with successive
+    approximation (Al=1), spectral selection splits, EOB runs, and
+    DC/AC refinement scans. Quantized coefficients are identical to
+    ``encode_baseline_jpeg``'s, so both decode to identical pixels."""
+    coded, qts, gray, h, w = _fdct_quantize(img)
+    nc = 1 if gray else 3
+    if script is None:
+        script = _default_scan_script(nc)
+    dc_t = _build_encode_table(_P_DC_BITS, _P_DC_VALS)
+    ac_t = _build_encode_table(_P_AC_BITS, _P_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts[: 1 if gray else 2]):
+        zz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    for tc, bits, vals in ((0, _P_DC_BITS, _P_DC_VALS), (1, _P_AC_BITS, _P_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals)
+
+    n_blocks = coded[0].shape[0]
+    for comp_idxs, ss, se, ah, al in script:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idxs), len(comp_idxs))
+        for ci in comp_idxs:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        state = {"eobrun": 0, "br": []}
+        if ss == 0 and ah == 0:  # DC first
+            preds = {ci: 0 for ci in comp_idxs}
+            for n in range(n_blocks):
+                for ci in comp_idxs:
+                    v = int(coded[ci][n][0]) >> al  # arithmetic shift (G.1.2.1)
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    cat = abs(diff).bit_length()
+                    bw.write(*dc_t[cat])
+                    if cat:
+                        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        elif ss == 0:  # DC refine
+            for n in range(n_blocks):
+                for ci in comp_idxs:
+                    bw.write((int(coded[ci][n][0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first
+            for n in range(n_blocks):
+                _encode_ac_first_block(bw, ac_t, coded[comp_idxs[0]][n], ss, se, al, state)
+            _emit_eobrun(bw, ac_t, state)
+        else:  # AC refine
+            for n in range(n_blocks):
+                _encode_ac_refine_block(bw, ac_t, coded[comp_idxs[0]][n], ss, se, al, state)
+            _emit_eobrun(bw, ac_t, state)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

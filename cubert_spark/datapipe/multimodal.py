@@ -3,10 +3,11 @@ columns with typed metadata.
 
 Decode support is honest about the environment: WAV audio decodes for
 REAL (stdlib ``wave``), as do uncompressed 24-bit BMP images (pure
-struct/numpy parsing), baseline JPEG (datapipe.jpeg) and 8/16-bit
-PNG including Adam7 interlacing (datapipe.png). Formats that need
-external codecs (compressed audio, video demux, progressive JPEG)
-are stubbed — NotImplementedError, or
+struct/numpy parsing), sequential AND progressive JPEG
+(datapipe.jpeg), 8/16-bit PNG including Adam7 interlacing
+(datapipe.png); progressive-MP4 frame sampling demuxes via
+datapipe.mp4. Formats that need external codecs (compressed audio,
+video-codec decode) are stubbed — NotImplementedError, or
 a deterministic fake (``fake=True``) so the Spark-side plumbing
 (schema, Arrow batch shape, partitioning) is fully testable either
 way. The mapInPandas pipelines, batch sizing and output schemas are
@@ -94,11 +95,11 @@ def decode_images(
 
     Arrow-batched mapInPandas: each batch decodes ``len(batch)`` blobs
     without per-row Python dispatch. The real path decodes
-    uncompressed 24-bit BMP, baseline JPEG, and 8/16-bit PNG with or
-    without Adam7 interlacing (all pure numpy/stdlib — see
-    datapipe.jpeg / datapipe.png; reports SOURCE dimensions, resizes
-    nearest-neighbor to ``target_size``, features = mean R/G/B/gray
-    in [0,1]); remaining formats (progressive JPEG) raise
+    uncompressed 24-bit BMP, sequential and progressive JPEG, and
+    8/16-bit PNG with or without Adam7 interlacing (all pure
+    numpy/stdlib — see datapipe.jpeg / datapipe.png; reports SOURCE
+    dimensions, resizes nearest-neighbor to ``target_size``, features
+    = mean R/G/B/gray in [0,1]); formats outside that set raise
     NotImplementedError until a codec is plugged in. ``fake=True``
     keeps the deterministic stand-in (dimensions = target, features
     from the digest).
@@ -133,9 +134,9 @@ def decode_images(
                     )
                     continue
                 if raw[:2] == b"\xff\xd8":
-                    from cubert_spark.datapipe.jpeg import decode_baseline_jpeg
+                    from cubert_spark.datapipe.jpeg import decode_jpeg
 
-                    img = decode_baseline_jpeg(raw)
+                    img = decode_jpeg(raw)
                 elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                     from cubert_spark.datapipe.png import decode_png
 

@@ -504,12 +504,66 @@ def test_jpeg_rejects_non_baseline():
 
     with _pytest.raises(ValueError, match="SOI"):
         jpeg.decode_baseline_jpeg(b"\x89PNG\r\n")
-    # flip the encoder's SOF0 marker to SOF2 (progressive) -> honest
+    # flip the encoder's SOF0 marker to SOF3 (lossless) -> honest
     # NotImplementedError, not a wrong decode
     raw = bytearray(jpeg.encode_baseline_jpeg(_gradient_rgb(8, 8)))
-    raw[raw.find(b"\xff\xc0") + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="baseline"):
+    raw[raw.find(b"\xff\xc0") + 1] = 0xC3
+    with _pytest.raises(NotImplementedError, match="SOF0"):
         jpeg.decode_baseline_jpeg(bytes(raw))
+    # SOF2 marker with baseline scan params is MALFORMED progressive
+    # (a DC scan must have Se=0), not a silent misdecode
+    raw[raw.find(b"\xff\xc3") + 1] = 0xC2
+    with _pytest.raises(jpeg.JpegError, match="Se=0"):
+        jpeg.decode_baseline_jpeg(bytes(raw))
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) decode: the progressive encoder produces the
+    same quantized coefficients as the baseline one, so decoded pixels
+    must be IDENTICAL — across content types (noise stresses EOB runs
+    and refinement bits, flat images stress cross-block EOB runs) and
+    scan scripts (spectral-only, default Al=1, two-level successive
+    approximation, band splits with refinement)."""
+    import numpy as np
+
+    from cubert_spark.datapipe import jpeg
+
+    rng = np.random.default_rng(42)
+    cases = [
+        rng.integers(0, 256, (33, 31, 3), dtype=np.uint8),
+        rng.integers(0, 256, (17, 9), dtype=np.uint8),  # grayscale
+        np.full((24, 24, 3), 130, np.uint8),
+        np.where(rng.random((16, 16, 3)) > 0.5, 255, 0).astype(np.uint8),
+    ]
+    for img in cases:
+        base = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img))
+        prog = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(img))
+        assert (base == prog).all(), img.shape
+
+    img = cases[0]
+    base = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img))
+    scripts = [
+        # spectral selection only, no successive approximation
+        [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+         ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)],
+        # two-level successive approximation (Al=2 -> 1 -> 0)
+        [([0, 1, 2], 0, 0, 0, 2),
+         ([0], 1, 63, 0, 2), ([1], 1, 63, 0, 2), ([2], 1, 63, 0, 2),
+         ([0, 1, 2], 0, 0, 2, 1),
+         ([0], 1, 63, 2, 1), ([1], 1, 63, 2, 1), ([2], 1, 63, 2, 1),
+         ([0, 1, 2], 0, 0, 1, 0),
+         ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)],
+        # spectral band splits, refined per band
+        [([0, 1, 2], 0, 0, 0, 1),
+         ([0], 1, 2, 0, 1), ([0], 3, 10, 0, 1), ([0], 11, 63, 0, 1),
+         ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+         ([0, 1, 2], 0, 0, 1, 0),
+         ([0], 1, 2, 1, 0), ([0], 3, 10, 1, 0), ([0], 11, 63, 1, 0),
+         ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)],
+    ]
+    for script in scripts:
+        prog = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(img, script=script))
+        assert (base == prog).all(), script[0]
 
 
 def test_jpeg_noninterleaved_gray_sampling_factors():
@@ -573,8 +627,9 @@ def test_jpeg_malformed_raises_jpegerror():
     with_dri = raw[:sos] + dri + raw[sos:]
     with _pytest.raises(jpeg.JpegError, match="restart"):
         jpeg.decode_baseline_jpeg(with_dri)
-    # a scan covering 1 of 3 frame components (separate per-component
-    # scans) -> honest NotImplementedError, not StopIteration
+    # a single-component scan over a 3-component frame is legal
+    # (multi-scan sequential) but this crafted one has 2 bytes of
+    # garbage entropy data -> a JpegError, never StopIteration
     color = jpeg.encode_baseline_jpeg(_gradient_rgb(16, 16))
     csos = color.find(b"\xff\xda")
     single_scan = (
@@ -582,7 +637,7 @@ def test_jpeg_malformed_raises_jpegerror():
         + b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes([1, 0x00])
         + b"\x00\x3f\x00" + b"\x00\x00" + b"\xff\xd9"
     )
-    with _pytest.raises(NotImplementedError, match="multi-scan"):
+    with _pytest.raises(jpeg.JpegError):
         jpeg.decode_baseline_jpeg(single_scan)
 
 
