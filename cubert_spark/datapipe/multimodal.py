@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Decode support is honest about the environment: WAV audio decodes for
-REAL (stdlib ``wave``), as do uncompressed 24-bit BMP images (pure
-struct/numpy parsing), sequential AND progressive JPEG
-(datapipe.jpeg), 8/16-bit PNG including Adam7 interlacing
-(datapipe.png); progressive-MP4 frame sampling demuxes via
-datapipe.mp4. Formats that need external codecs (compressed audio,
-video-codec decode) are stubbed — NotImplementedError, or
+Decode support is honest about the environment: WAV and FLAC audio
+decode for REAL (stdlib ``wave``; pure-Python datapipe.flac), as do
+uncompressed 24-bit BMP images (pure struct/numpy parsing),
+sequential AND progressive JPEG (datapipe.jpeg), 8/16-bit PNG
+including Adam7 interlacing (datapipe.png); progressive-MP4 frame
+sampling demuxes via datapipe.mp4. Formats that need external codecs
+(MP3/AAC, video-codec decode) are stubbed — NotImplementedError, or
 a deterministic fake (``fake=True``) so the Spark-side plumbing
 (schema, Arrow batch shape, partitioning) is fully testable either
 way. The mapInPandas pipelines, batch sizing and output schemas are
@@ -190,13 +190,14 @@ def decode_audio(
     n_bands: int = 8,
     fake: bool = False,
 ) -> DataFrame:
-    """Decode a WAV audio blob column for REAL (stdlib ``wave`` — no
-    external codec needed): sample rate, channel count, duration, RMS
-    level, and an ``n_bands``-segment mean-|amplitude| envelope (all
-    amplitudes normalized to [-1, 1]). Multi-channel audio is mixed to
-    mono for the features. Non-WAV blobs raise NotImplementedError
-    (compressed formats need a codec); ``fake=True`` derives
-    deterministic values from the digest for plumbing tests."""
+    """Decode a WAV or FLAC audio blob column for REAL (stdlib
+    ``wave``; pure-Python FLAC — datapipe.flac): sample rate, channel
+    count, duration, RMS level, and an ``n_bands``-segment
+    mean-|amplitude| envelope (all amplitudes normalized to [-1, 1]).
+    Multi-channel audio is mixed to mono for the features. Other
+    formats raise NotImplementedError (MP3/AAC need a real codec);
+    ``fake=True`` derives deterministic values from the digest for
+    plumbing tests."""
     import hashlib
     import io
     import wave
@@ -228,34 +229,45 @@ def decode_audio(
                         }
                     )
                     continue
-                try:
-                    with wave.open(io.BytesIO(raw)) as wf:
-                        sr = wf.getframerate()
-                        nch = wf.getnchannels()
-                        width = wf.getsampwidth()
-                        n = wf.getnframes()
-                        frames = wf.readframes(n)
-                except Exception as e:  # noqa: BLE001 - not a WAV
-                    raise NotImplementedError(
-                        f"no codec for this audio format ({e}); WAV decodes "
-                        "natively, others need a decoder plugged into "
-                        "decode_audio"
-                    ) from e
-                # a truncated final frame decodes as far as it goes
-                # (trim to whole frames) rather than failing the job
-                frame_bytes = width * nch
-                if frame_bytes and len(frames) % frame_bytes:
-                    frames = frames[: len(frames) - len(frames) % frame_bytes]
-                if width == 2:
-                    x = np.frombuffer(frames, "<i2").astype("float64") / 32768.0
-                elif width == 1:
-                    x = (np.frombuffer(frames, "u1").astype("float64") - 128.0) / 128.0
+                if raw[:4] == b"fLaC":
+                    from cubert_spark.datapipe.flac import decode_flac
+
+                    smp, sr, fdepth = decode_flac(raw)
+                    nch = smp.shape[1]
+                    x = smp.astype("float64") / float(1 << (fdepth - 1))
+                    if nch > 1:
+                        x = x.mean(axis=1)
+                    else:
+                        x = x[:, 0]
                 else:
-                    raise NotImplementedError(
-                        f"unsupported WAV sample width {width}"
-                    )
-                if nch > 1:
-                    x = x.reshape(-1, nch).mean(axis=1)
+                    try:
+                        with wave.open(io.BytesIO(raw)) as wf:
+                            sr = wf.getframerate()
+                            nch = wf.getnchannels()
+                            width = wf.getsampwidth()
+                            n = wf.getnframes()
+                            frames = wf.readframes(n)
+                    except Exception as e:  # noqa: BLE001 - not a WAV
+                        raise NotImplementedError(
+                            f"no codec for this audio format ({e}); WAV and "
+                            "FLAC decode natively, others need a decoder "
+                            "plugged into decode_audio"
+                        ) from e
+                    # a truncated final frame decodes as far as it goes
+                    # (trim to whole frames) rather than failing the job
+                    frame_bytes = width * nch
+                    if frame_bytes and len(frames) % frame_bytes:
+                        frames = frames[: len(frames) - len(frames) % frame_bytes]
+                    if width == 2:
+                        x = np.frombuffer(frames, "<i2").astype("float64") / 32768.0
+                    elif width == 1:
+                        x = (np.frombuffer(frames, "u1").astype("float64") - 128.0) / 128.0
+                    else:
+                        raise NotImplementedError(
+                            f"unsupported WAV sample width {width}"
+                        )
+                    if nch > 1:
+                        x = x.reshape(-1, nch).mean(axis=1)
                 rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 env = []
                 if len(x):

@@ -641,6 +641,78 @@ def test_jpeg_malformed_raises_jpegerror():
         jpeg.decode_baseline_jpeg(single_scan)
 
 
+# --- FLAC codec (datapipe.flac) ----------------------------------------------
+
+def test_flac_roundtrip_lossless():
+    """FLAC is lossless: every signal shape round-trips bit-exact
+    (FIXED-predictor encoder, full decoder incl. CRC verification)."""
+    import numpy as np
+
+    from cubert_spark.datapipe import flac
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (np.sin(np.arange(9000) / 30) * 12000).astype(np.int64),
+        rng.integers(-30000, 30000, 5000),
+        np.stack([np.arange(7000) % 4096 - 2048, (np.arange(7000) * 3) % 2048 - 1024], 1),
+        np.full(4500, 777),
+        rng.integers(-1000, 1000, 37),
+    ]
+    for x in cases:
+        dec, sr, depth = flac.decode_flac(flac.encode_flac(x, 22050, 16))
+        want = x[:, None] if x.ndim == 1 else x
+        assert (dec == want).all() and (sr, depth) == (22050, 16)
+    # predictors beat raw storage on smooth signals
+    sine = cases[0]
+    assert len(flac.encode_flac(sine)) < sine.size * 2 * 0.5
+
+
+def test_flac_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from cubert_spark.datapipe import flac
+
+    with _pytest.raises(flac.FlacError, match="magic"):
+        flac.decode_flac(b"RIFFxxxxWAVE")
+    raw = bytearray(flac.encode_flac(np.arange(5000) % 1000))
+    raw[-10] ^= 0xFF  # corrupt audio payload: CRC-16 mismatch or a
+    # desynced bitstream — either way the documented FlacError class
+    with _pytest.raises(flac.FlacError):
+        flac.decode_flac(bytes(raw))
+
+
+def test_decode_audio_real_flac(spark):
+    """decode_audio handles FLAC natively, and a FLAC encode of the
+    same samples yields the same features as the WAV path (both
+    lossless)."""
+    import io
+    import struct as _struct
+    import wave
+
+    import numpy as np
+
+    from cubert_spark.datapipe import flac, multimodal
+
+    rng = np.random.default_rng(8)
+    x = (np.sin(np.arange(8000) / 20) * 20000 + rng.integers(-50, 50, 8000)).astype(np.int64)
+    x = np.clip(x, -32768, 32767)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(x.astype("<i2").tobytes())
+    df = spark.createDataFrame(
+        [(1, flac.encode_flac(x, 16000, 16)), (2, buf.getvalue())],
+        "id long, blob binary",
+    )
+    rows = {r["id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert rows[1]["sample_rate"] == 16000 and rows[1]["n_samples"] == 8000
+    assert abs(rows[1]["rms"] - rows[2]["rms"]) < 1e-12
+    assert rows[1]["envelope"] == rows[2]["envelope"]
+
+
 # --- MP4 demux (datapipe.mp4) ------------------------------------------------
 
 def _build_minimal_mp4(frames, timescale=600, delta=100):
