@@ -325,20 +325,26 @@ def embedding_neardup_pairs(
 
 def _argmax_centroid(vec: Column, centroids: list[list[float]]) -> tuple[Column, Column]:
     """(best_j, best_dot) over fixed centroid literals — DECIMAL-exact
-    dot products, ties broken to the smallest index j."""
+    dot products, ties broken to the smallest index j.
+
+    Implemented as array_sort over (−dot, j) structs rather than a
+    chained When-fold: the fold nests each comparison level inside the
+    next, duplicating every dot expression exponentially (measured
+    20 s → 2 s at sf0.1 for the full IVF exact twin); the array form
+    evaluates each dot exactly once, and struct ordering (−dot asc,
+    j asc) IS the argmax-with-smallest-j rule."""
     vec_d = vec.cast("array<double>")
-    best_j = F.lit(0).cast("int")
-    best_dot: Column | None = None
-    for j, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(x) for x in c])
-        dot = _dot_decimal(vec_d, lit_c)
-        if best_dot is None:
-            best_dot = dot
-        else:
-            is_better = dot > best_dot
-            best_j = F.when(is_better, F.lit(j)).otherwise(best_j)
-            best_dot = F.when(is_better, dot).otherwise(best_dot)
-    return best_j, best_dot
+    entries = F.array(
+        *[
+            F.struct(
+                (-_dot_decimal(vec_d, F.array(*[F.lit(x) for x in c]))).alias("nd"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_sort(entries)[0]
+    return best["j"].cast("int"), -best["nd"]
 
 
 def ivf_assign_exact(
