@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "dedup_clusters",
     "rank",
+    # r05 additions: the new curation operators (two-sided shingle
+    # join, line-frequency anti-join + reassembly, distributed prefix
+    # sum) — bench_schema_version 3 marks the set change
+    "contamination",
+    "boilerplate_removal",
+    "sequence_pack",
 ]
 
 
