@@ -362,13 +362,68 @@ def _rice_param(res: np.ndarray) -> int:
     return p
 
 
+def _encode_subframe(body: _BitWriter, sig: np.ndarray, depth: int, subframe: str) -> None:
+    """One subframe: best-of FIXED orders 0-2, or an order-2 LPC with
+    the [2, -1] coefficient set (numerically identical residual to
+    FIXED order 2 — exercises the decoder's LPC path)."""
+    bs = len(sig)
+    if subframe == "lpc" and bs > 2:
+        order = 2
+        res = np.diff(np.diff(sig))  # sig[i] - 2*sig[i-1] + sig[i-2]
+        body.write(0, 1)
+        body.write(32 + order - 1, 6)  # LPC subframe, order 2
+        body.write(0, 1)  # no wasted bits
+        for i in range(order):
+            body.write(int(sig[i]) & ((1 << depth) - 1), depth)
+        body.write(3, 4)  # precision-1 -> 4-bit coefficients
+        body.write(0, 5)  # shift 0
+        body.write(2 & 0xF, 4)   # coef for t-1
+        body.write(-1 & 0xF, 4)  # coef for t-2
+    else:
+        best_order, best_res, best_cost = 0, sig.copy(), None
+        for order in range(0, 3):
+            if bs <= order:
+                break
+            res = sig.copy()
+            for _ in range(order):
+                res = np.diff(res)
+            cost = int(np.sum(np.abs(res)))
+            if best_cost is None or cost < best_cost:
+                best_order, best_res, best_cost = order, res, cost
+        order, res = best_order, best_res
+        body.write(0, 1)
+        body.write(8 + order, 6)  # FIXED subframe
+        body.write(0, 1)  # no wasted bits
+        for i in range(order):
+            body.write(int(sig[i]) & ((1 << depth) - 1), depth)
+    body.write(0, 2)  # rice method 0 (4-bit params)
+    body.write(0, 4)  # partition order 0
+    param = _rice_param(res)
+    body.write(param, 4)
+    for v in res:
+        u = (int(v) << 1) ^ (int(v) >> 63)  # zigzag
+        q = u >> param
+        if q:
+            body.write(0, q)
+        body.write(1, 1)
+        if param:
+            body.write(u & ((1 << param) - 1), param)
+
+
+_STEREO_CODES = {"independent": None, "left_side": 8, "right_side": 9, "mid_side": 10}
+
+
 def encode_flac(
     samples: np.ndarray, sample_rate: int = 16000, depth: int = 16,
-    block_size: int = 4096,
+    block_size: int = 4096, stereo_mode: str = "independent",
+    subframe: str = "fixed",
 ) -> bytes:
-    """Encode (n,) or (n, channels) int samples as a valid FLAC stream
-    (independent channels, best-of FIXED orders 0-2, Rice partition
-    order 0). Lossless: decode_flac returns the exact samples."""
+    """Encode (n,) or (n, channels) int samples as a valid FLAC
+    stream. Lossless: decode_flac returns the exact samples.
+    ``stereo_mode`` (2-channel only) selects left/side, right/side, or
+    mid/side decorrelation; ``subframe="lpc"`` emits order-2 LPC
+    subframes — both exist to exercise every decoder path with
+    round-trip tests."""
     x = np.asarray(samples, np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -376,6 +431,10 @@ def encode_flac(
     lim = 1 << (depth - 1)
     if x.min(initial=0) < -lim or x.max(initial=0) >= lim:
         raise ValueError(f"samples exceed {depth}-bit range")
+    if stereo_mode not in _STEREO_CODES:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if stereo_mode != "independent" and nch != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
@@ -400,7 +459,20 @@ def encode_flac(
         bw.write(0, 1)  # fixed blocksize strategy
         bw.write(7, 4)  # blocksize = 16-bit value + 1 follows
         bw.write(0, 4)  # sample rate from STREAMINFO
-        bw.write(nch - 1, 4)  # independent channels
+        ch_code = _STEREO_CODES[stereo_mode]
+        if ch_code is None:
+            bw.write(nch - 1, 4)  # independent channels
+            chans = [(blk[:, ch], depth) for ch in range(nch)]
+        else:
+            bw.write(ch_code, 4)
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if ch_code == 8:  # left/side
+                chans = [(left, depth), (side, depth + 1)]
+            elif ch_code == 9:  # right/side
+                chans = [(side, depth + 1), (right, depth)]
+            else:  # mid/side
+                chans = [((left + right) >> 1, depth), (side, depth + 1)]
         bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[depth], 3)
         bw.write(0, 1)
         _write_utf8_number(bw, frame_no)
@@ -409,36 +481,8 @@ def encode_flac(
         hdr = bytes(bw.out)
         hdr += bytes([_crc8(hdr)])
         body = _BitWriter()
-        for ch in range(nch):
-            sig = blk[:, ch]
-            # pick the FIXED order (0-2) with the smallest |residual| sum
-            best_order, best_res, best_cost = 0, sig.copy(), None
-            for order in range(0, 3):
-                if bs <= order:
-                    break
-                res = sig.copy()
-                for _ in range(order):
-                    res = np.diff(res)
-                cost = int(np.sum(np.abs(res)))
-                if best_cost is None or cost < best_cost:
-                    best_order, best_res, best_cost = order, res, cost
-            order, res = best_order, best_res
-            body.write(0, 1)
-            body.write(8 + order, 6)  # FIXED subframe
-            body.write(0, 1)  # no wasted bits
-            for i in range(order):
-                body.write(int(sig[i]) & ((1 << depth) - 1), depth)
-            body.write(0, 2)  # rice method 0 (4-bit params)
-            body.write(0, 4)  # partition order 0
-            param = _rice_param(res)
-            body.write(param, 4)
-            for v in res:
-                u = (int(v) << 1) ^ (int(v) >> 63)  # zigzag
-                q = u >> param
-                body.write(0, q) if q else None
-                body.write(1, 1)
-                if param:
-                    body.write(u & ((1 << param) - 1), param)
+        for sig, d in chans:
+            _encode_subframe(body, sig, d, subframe)
         body.align()
         frame = hdr + bytes(body.out)
         frame += struct.pack(">H", _crc16(frame))

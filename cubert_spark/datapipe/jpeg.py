@@ -635,9 +635,12 @@ def _fdct_quantize(img: np.ndarray) -> tuple[list[np.ndarray], list[np.ndarray],
     return coded, qts, gray, h, w
 
 
-def encode_baseline_jpeg(img: np.ndarray) -> bytes:
+def encode_baseline_jpeg(img: np.ndarray, scan_per_component: bool = False) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
-    baseline 4:4:4 JPEG with the Annex-K example tables."""
+    baseline 4:4:4 JPEG with the spec's Annex-K example tables.
+    ``scan_per_component=True`` emits one NON-interleaved scan per
+    component (legal multi-scan sequential, A.2.2) instead of a single
+    interleaved scan — same coefficients, so both decode identically."""
     coded, qts, gray, h, w = _fdct_quantize(img)
     dc_ts = [_build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_ts = [_build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -662,19 +665,33 @@ def encode_baseline_jpeg(img: np.ndarray) -> bytes:
     for tc, th, bits, vals in hts:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out += bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(vals)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for c in range(nc):
-        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    out += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential DCT
-    writer = _BitWriter()
-    preds = [0] * nc
-    for n in range(coded[0].shape[0]):  # 4:4:4 -> 1 block/component/MCU
+    if scan_per_component:
+        # one scan per component, blocks in raster order; DC
+        # prediction resets at each scan start (F.2.1.3.1)
         for ci in range(nc):
-            preds[ci] = _encode_block(
-                writer, coded[ci][n], preds[ci], dc_ts[ci], ac_ts[ci]
-            )
-    writer.flush()
-    out += writer.out
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+            out += b"\x00\x3f\x00"
+            writer = _BitWriter()
+            pred = 0
+            for n in range(coded[ci].shape[0]):
+                pred = _encode_block(writer, coded[ci][n], pred, dc_ts[ci], ac_ts[ci])
+            writer.flush()
+            out += writer.out
+    else:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for c in range(nc):
+            out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        out += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential DCT
+        writer = _BitWriter()
+        preds = [0] * nc
+        for n in range(coded[0].shape[0]):  # 4:4:4 -> 1 block/component/MCU
+            for ci in range(nc):
+                preds[ci] = _encode_block(
+                    writer, coded[ci][n], preds[ci], dc_ts[ci], ac_ts[ci]
+                )
+        writer.flush()
+        out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -517,6 +517,21 @@ def test_jpeg_rejects_non_baseline():
         jpeg.decode_baseline_jpeg(bytes(raw))
 
 
+def test_jpeg_multiscan_sequential_matches_interleaved():
+    """Per-component non-interleaved sequential scans (A.2.2) carry
+    the same coefficients as one interleaved scan — identical pixels."""
+    import numpy as np
+
+    from cubert_spark.datapipe import jpeg
+
+    rng = np.random.default_rng(7)
+    for shape in [(24, 24, 3), (17, 13, 3), (9, 9)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        a = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img))
+        b = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img, scan_per_component=True))
+        assert (a == b).all(), shape
+
+
 def test_jpeg_progressive_matches_baseline():
     """Progressive (SOF2) decode: the progressive encoder produces the
     same quantized coefficients as the baseline one, so decoded pixels
@@ -665,6 +680,27 @@ def test_flac_roundtrip_lossless():
     # predictors beat raw storage on smooth signals
     sine = cases[0]
     assert len(flac.encode_flac(sine)) < sine.size * 2 * 0.5
+
+
+def test_flac_stereo_and_lpc_paths():
+    """Every decoder path: left/side, right/side, mid/side stereo
+    decorrelation (side channel carries depth+1 bits) and LPC
+    subframes — all lossless round-trips."""
+    import numpy as np
+
+    from cubert_spark.datapipe import flac
+
+    rng = np.random.default_rng(5)
+    base = (np.sin(np.arange(6000) / 40) * 9000).astype(np.int64)
+    st = np.stack(
+        [base + rng.integers(-20, 20, 6000), base + rng.integers(-20, 20, 6000) + 100], 1
+    )
+    for mode in ["left_side", "right_side", "mid_side"]:
+        dec, _, _ = flac.decode_flac(flac.encode_flac(st, stereo_mode=mode))
+        assert (dec == st).all(), mode
+    mono = (np.sin(np.arange(5000) / 33) * 8000).astype(np.int64)
+    dec, _, _ = flac.decode_flac(flac.encode_flac(mono, subframe="lpc"))
+    assert (dec[:, 0] == mono).all()
 
 
 def test_flac_rejects():
