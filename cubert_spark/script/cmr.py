@@ -391,8 +391,19 @@ class _Parser:
                 parts.append(".")
             else:
                 parts.append(t)
-        expr = " ".join(parts)
-        return re.sub(r"\s+\.\s+", ".", expr)
+        # glue dotted projections (a . b -> a.b) at the PARTS level: a
+        # textual \s+\.\s+ regex would also eat whitespace inside
+        # string literals ('a . b', '\r.\r' — hypothesis-found bug)
+        merged: list[str] = []
+        i = 0
+        while i < len(parts):
+            if parts[i] == "." and merged and i + 1 < len(parts):
+                merged[-1] = merged[-1] + "." + parts[i + 1]
+                i += 2
+            else:
+                merged.append(parts[i])
+                i += 1
+        return " ".join(merged)
 
     def _case_expr(self) -> str:
         """CASE(c1, v1, c2, v2, ...) -> CASE WHEN c1 THEN v1 ... END
