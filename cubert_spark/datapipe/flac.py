@@ -365,14 +365,23 @@ def _rice_param(res: np.ndarray) -> int:
 def _encode_subframe(body: _BitWriter, sig: np.ndarray, depth: int, subframe: str) -> None:
     """One subframe: best-of FIXED orders 0-2, or an order-2 LPC with
     the [2, -1] coefficient set (numerically identical residual to
-    FIXED order 2 — exercises the decoder's LPC path)."""
+    FIXED order 2 — exercises the decoder's LPC path). Wasted bits
+    (shared trailing zero bits across the subframe's samples) are
+    detected and coded per the spec."""
     bs = len(sig)
+    wasted = 0
+    if bs and sig.any():
+        ors = int(np.bitwise_or.reduce(sig))
+        wasted = (ors & -ors).bit_length() - 1  # trailing zeros of OR
+        if wasted > 0:
+            sig = sig >> wasted
+            depth -= wasted
     if subframe == "lpc" and bs > 2:
         order = 2
         res = np.diff(np.diff(sig))  # sig[i] - 2*sig[i-1] + sig[i-2]
         body.write(0, 1)
         body.write(32 + order - 1, 6)  # LPC subframe, order 2
-        body.write(0, 1)  # no wasted bits
+        _write_wasted(body, wasted)
         for i in range(order):
             body.write(int(sig[i]) & ((1 << depth) - 1), depth)
         body.write(3, 4)  # precision-1 -> 4-bit coefficients
@@ -393,7 +402,7 @@ def _encode_subframe(body: _BitWriter, sig: np.ndarray, depth: int, subframe: st
         order, res = best_order, best_res
         body.write(0, 1)
         body.write(8 + order, 6)  # FIXED subframe
-        body.write(0, 1)  # no wasted bits
+        _write_wasted(body, wasted)
         for i in range(order):
             body.write(int(sig[i]) & ((1 << depth) - 1), depth)
     body.write(0, 2)  # rice method 0 (4-bit params)
@@ -408,6 +417,16 @@ def _encode_subframe(body: _BitWriter, sig: np.ndarray, depth: int, subframe: st
         body.write(1, 1)
         if param:
             body.write(u & ((1 << param) - 1), param)
+
+
+def _write_wasted(body: _BitWriter, wasted: int) -> None:
+    """Wasted-bits flag: 0, or 1 followed by unary(count-1)."""
+    if wasted == 0:
+        body.write(0, 1)
+    else:
+        body.write(1, 1)
+        body.write(0, wasted - 1)
+        body.write(1, 1)
 
 
 _STEREO_CODES = {"independent": None, "left_side": 8, "right_side": 9, "mid_side": 10}

@@ -1,0 +1,82 @@
+"""Property-based round-trip tests for the pure-Python media codecs
+(datapipe.png / flac / jpeg). The lossless codecs must be bit-exact on
+ARBITRARY inputs; JPEG's progressive and multi-scan encodings must be
+pixel-identical to the baseline encoding of the same image (identical
+quantized coefficients by construction). Hypothesis shrinks any
+counterexample to a minimal failing image/signal."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw, max_side=24, channels=3):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    shape = (h, w, channels) if channels else (h, w)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+@given(_images())
+@settings(max_examples=30, deadline=None)
+def test_png_rgb_roundtrip_property(img):
+    from cubert_spark.datapipe import png
+
+    assert (png.decode_png(png.encode_png(img)) == img).all()
+    assert (png.decode_png(png.encode_png(img, interlace=True)) == img).all()
+
+
+@given(_images(channels=0))
+@settings(max_examples=20, deadline=None)
+def test_png_gray_roundtrip_property(img):
+    from cubert_spark.datapipe import png
+
+    out = png.decode_png(png.encode_png(img))
+    assert (out[..., 0] == img).all() and (out[..., 2] == img).all()
+
+
+@given(
+    st.integers(1, 6000),
+    st.integers(1, 2),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(["fixed", "lpc"]),
+    st.integers(0, 4),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_roundtrip_property(n, nch, seed, subframe, shift):
+    from cubert_spark.datapipe import flac
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-2000, 2000, (n, nch)) << shift
+    dec, sr, depth = flac.decode_flac(flac.encode_flac(x, 8000, 16, subframe=subframe))
+    assert (dec == x).all() and (sr, depth) == (8000, 16)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 2), st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_flac_stereo_modes_property(seed, nch, mode_seed):
+    from cubert_spark.datapipe import flac
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 5000))
+    x = rng.integers(-20000, 20000, (n, 2))
+    mode = ["left_side", "right_side", "mid_side"][mode_seed % 3]
+    dec, _, _ = flac.decode_flac(flac.encode_flac(x, 8000, 16, stereo_mode=mode))
+    assert (dec == x).all(), mode
+
+
+@given(_images(max_side=20))
+@settings(max_examples=12, deadline=None)
+def test_jpeg_progressive_identity_property(img):
+    from cubert_spark.datapipe import jpeg
+
+    base = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img))
+    prog = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(img))
+    multi = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img, scan_per_component=True))
+    assert (base == prog).all()
+    assert (base == multi).all()
