@@ -726,6 +726,20 @@ FROM c
 """
 
 
+def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-BPE tokenization: bounded deterministic train (500
+    merges cap at 2k sample docs) + distributed apply. Rows-only by
+    necessity: iterative merge application is not SQL-expressible
+    (same no-oracle class as the streaming rows); exactness against a
+    pure-Python reference is asserted in
+    tests/test_datapipe.py::test_bpe_tokenize_matches_reference."""
+    from cubert_spark.datapipe import bpe
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe.bpe_train(d, num_merges=100, sample_max_docs=2000)
+    return bpe.bpe_tokenize(d, merges).select("doc_id", "n_tokens")
+
+
 def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-corpus construction: exact-dedup to one
     representative per distinct text -> English only -> minimum token
@@ -797,6 +811,7 @@ QUERIES = {
     "contamination": q_contamination,
     "boilerplate_removal": q_boilerplate_removal,
     "sequence_pack": q_sequence_pack,
+    "bpe_tokenize": q_bpe_tokenize,  # rows-only: BPE not SQL-expressible
 }
 
 ORACLES = {

@@ -656,6 +656,57 @@ def test_jpeg_malformed_raises_jpegerror():
         jpeg.decode_baseline_jpeg(single_scan)
 
 
+# --- BPE tokenizer (datapipe.bpe) --------------------------------------------
+
+def test_bpe_train_classic_example(spark):
+    """The Sennrich running example: 'est</w>' assembles within a few
+    merges on a corpus dominated by -est suffixes."""
+    from cubert_spark.datapipe import bpe
+
+    rows = [(i, "lowest newest widest " * 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_train(df, num_merges=10)
+    joined = {a + b for a, b in merges}
+    assert "est" in joined or ("es" in joined and "t</w>" in joined)
+    # training is deterministic
+    assert merges == bpe.bpe_train(df, num_merges=10)
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    """Distributed apply == pure-Python reference encode, across
+    partitionings; token counts consistent."""
+    from cubert_spark.datapipe import bpe
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quicker browner foxes"),
+        (3, ""),
+        (4, "the the the quick quick"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_train(df, num_merges=30)
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+            for r in bpe.bpe_tokenize(df.repartition(parts), merges).collect()
+        }
+        for i, text in rows:
+            ref = bpe.bpe_encode_text(text, merges)
+            assert got[i] == (ref, len(ref)), (i, got[i], ref)
+
+
+def test_bpe_empty_and_untrained(spark):
+    from cubert_spark.datapipe import bpe
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe.bpe_train(empty, num_merges=5) == []
+    assert bpe.bpe_tokenize(empty, []).count() == 0
+    one = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    # zero merges -> pure character + end-of-word tokens
+    r = bpe.bpe_tokenize(one, []).collect()[0]
+    assert list(r["tokens"]) == ["a", "b", "</w>", "a", "b", "</w>"]
+
+
 # --- FLAC codec (datapipe.flac) ----------------------------------------------
 
 def test_flac_roundtrip_lossless():
