@@ -164,3 +164,21 @@ def test_sequence_pack_distributed_prefix_sum(spark):
     assert "BroadcastExchange" in plan, plan  # shard offsets broadcast
     # both windows present; the doc-side one partitions by __shard
     assert "hashpartitioning(__shard" in plan, plan
+
+
+def test_curation_queries_prune_scan(spark):
+    """Curation operators read only doc_id/text from the wide
+    documents table, and contamination's only join is on the shingle
+    (inverted index) — never a doc x doc product."""
+    from cubert_spark.queries.datapipe import (
+        q_boilerplate_removal,
+        q_contamination,
+        q_sequence_pack,
+    )
+
+    for fn in (q_contamination, q_boilerplate_removal, q_sequence_pack):
+        df = fn(spark, SF)
+        for cols in scan_read_schema(df):
+            assert set(cols) <= {"doc_id", "text"}, (fn.__name__, cols)
+    plan = q_contamination(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
