@@ -162,3 +162,67 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             name, F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
         )
     return out
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-support novelty score per document — the integer-exact
+    cousin of an LM-perplexity quality filter (CCNet lineage): a
+    document whose word bigrams barely occur elsewhere in the corpus
+    is an outlier (novel, noisy, or misfiled); one whose bigrams are
+    all corpus-common is boilerplate-ish. Because the signal is built
+    from exact counts and one exact DECIMAL ratio (no logarithms), a
+    SQL engine reproduces it bit-for-bit — unlike float perplexity,
+    whose last-ulp log() differences break cross-engine checks.
+
+    Output: (id, n_bigrams, n_unique_here, novelty) where
+    n_unique_here counts the doc's distinct bigrams appearing in no
+    OTHER document and novelty = n_unique_here / n_bigrams (an
+    int/int double division — one IEEE operation, identically rounded
+    in every engine; the same ratio discipline as quality_features).
+    Docs with < 2 words report 0 bigrams and novelty 0.
+
+    Scale shape: one explode scan -> distinct (doc, bigram) ->
+    corpus doc-frequency groupBy -> equi-join back on the bigram ->
+    per-doc agg. Every shuffle is on the bigram or the doc id.
+    """
+    from cubert_spark.datapipe.dedup import _spread
+
+    w = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _spread(df, id_col).select(F.col(id_col), bigrams.alias("__bg"))
+    bg = base.select(
+        F.col(id_col), F.explode_outer("__bg").alias("bigram")
+    ).filter(F.col("bigram").isNotNull())
+    docfreq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        bg.join(docfreq.hint("merge"), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique_here"),
+        )
+    )
+    novelty = F.col("n_unique_here").cast("double") / F.col("n_bigrams").cast("double")
+    # left join so bigram-less docs (fewer than 2 words) still report
+    all_docs = df.select(F.col(id_col))
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("n_unique_here"), F.lit(0)).cast("bigint").alias("n_unique_here"),
+            F.coalesce(novelty, F.lit(0.0)).alias("novelty"),
+        )
+    )

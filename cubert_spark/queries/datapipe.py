@@ -726,6 +726,35 @@ FROM c
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-support novelty scoring (integer-exact perplexity-filter
+    cousin): per doc, total distinct bigrams, bigrams unique to the
+    doc across the corpus, and their ratio."""
+    d = load_table(spark, sf, "documents")
+    return textstats.ngram_novelty(d)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i+1), ' ') AS bigram
+  FROM w, LATERAL UNNEST(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+),
+freq AS (SELECT bigram, COUNT(*) AS df FROM bg GROUP BY bigram),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique_here
+  FROM bg JOIN freq USING (bigram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       CAST(COALESCE(per.n_unique_here, 0) AS BIGINT) AS n_unique_here,
+       COALESCE(CAST(per.n_unique_here AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE), 0.0) AS novelty
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-BPE tokenization: bounded deterministic train (500
     merges cap at 2k sample docs) + distributed apply. Rows-only by
@@ -812,6 +841,7 @@ QUERIES = {
     "boilerplate_removal": q_boilerplate_removal,
     "sequence_pack": q_sequence_pack,
     "bpe_tokenize": q_bpe_tokenize,  # rows-only: BPE not SQL-expressible
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLES = {
@@ -839,4 +869,5 @@ ORACLES = {
     "contamination": SQL_CONTAMINATION,
     "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
 }

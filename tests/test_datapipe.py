@@ -656,6 +656,20 @@ def test_jpeg_malformed_raises_jpegerror():
         jpeg.decode_baseline_jpeg(single_scan)
 
 
+def test_ngram_novelty(spark):
+    """Hand-checkable: doc 1 and 2 share 'a b' and 'b c'; doc 1's
+    'c d' is unique; doc 3 has one word (no bigrams)."""
+    from cubert_spark.datapipe import textstats
+
+    rows = [(1, "a b c d"), (2, "a b c"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.ngram_novelty(df).collect()}
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_unique_here"] == 1
+    assert abs(out[1]["novelty"] - 1 / 3) < 1e-15
+    assert out[2]["n_bigrams"] == 2 and out[2]["n_unique_here"] == 0
+    assert out[3]["n_bigrams"] == 0 and out[3]["novelty"] == 0.0
+
+
 # --- BPE tokenizer (datapipe.bpe) --------------------------------------------
 
 def test_bpe_train_classic_example(spark):
