@@ -362,7 +362,43 @@ def _rice_param(res: np.ndarray) -> int:
     return p
 
 
-def _encode_subframe(body: _BitWriter, sig: np.ndarray, depth: int, subframe: str) -> None:
+def _write_residual(
+    body: _BitWriter, res: np.ndarray, order: int, bs: int,
+    partition_order: int, escape_bits: int | None,
+) -> None:
+    """Rice residual section: 4-bit params (method 0), ``2^po``
+    partitions, optional escape coding (raw ``escape_bits``-wide
+    values) — the encoder-side mirrors of every decoder path."""
+    body.write(0, 2)  # method 0 (4-bit params)
+    body.write(partition_order, 4)
+    nparts = 1 << partition_order
+    idx = 0
+    for p in range(nparts):
+        count = (bs >> partition_order) - (order if p == 0 else 0)
+        part = res[idx : idx + count]
+        idx += count
+        if escape_bits is not None:
+            body.write(0xF, 4)  # escape
+            body.write(escape_bits, 5)
+            for v in part:
+                body.write(int(v) & ((1 << escape_bits) - 1), escape_bits)
+            continue
+        param = _rice_param(part)
+        body.write(param, 4)
+        for v in part:
+            u = (int(v) << 1) ^ (int(v) >> 63)  # zigzag
+            q = u >> param
+            if q:
+                body.write(0, q)
+            body.write(1, 1)
+            if param:
+                body.write(u & ((1 << param) - 1), param)
+
+
+def _encode_subframe(
+    body: _BitWriter, sig: np.ndarray, depth: int, subframe: str,
+    partition_order: int = 0, escape_bits: int | None = None,
+) -> None:
     """One subframe: best-of FIXED orders 0-2, or an order-2 LPC with
     the [2, -1] coefficient set (numerically identical residual to
     FIXED order 2 — exercises the decoder's LPC path). Wasted bits
@@ -405,18 +441,13 @@ def _encode_subframe(body: _BitWriter, sig: np.ndarray, depth: int, subframe: st
         _write_wasted(body, wasted)
         for i in range(order):
             body.write(int(sig[i]) & ((1 << depth) - 1), depth)
-    body.write(0, 2)  # rice method 0 (4-bit params)
-    body.write(0, 4)  # partition order 0
-    param = _rice_param(res)
-    body.write(param, 4)
-    for v in res:
-        u = (int(v) << 1) ^ (int(v) >> 63)  # zigzag
-        q = u >> param
-        if q:
-            body.write(0, q)
-        body.write(1, 1)
-        if param:
-            body.write(u & ((1 << param) - 1), param)
+    # `order` was set by whichever subframe branch ran above.
+    # Fall back to one partition when the frame doesn't split evenly
+    # or the first partition would be empty.
+    po = partition_order
+    while po > 0 and (bs % (1 << po) or (bs >> po) <= order):
+        po -= 1
+    _write_residual(body, res, order, bs, po, escape_bits)
 
 
 def _write_wasted(body: _BitWriter, wasted: int) -> None:
@@ -435,14 +466,17 @@ _STEREO_CODES = {"independent": None, "left_side": 8, "right_side": 9, "mid_side
 def encode_flac(
     samples: np.ndarray, sample_rate: int = 16000, depth: int = 16,
     block_size: int = 4096, stereo_mode: str = "independent",
-    subframe: str = "fixed",
+    subframe: str = "fixed", partition_order: int = 0,
+    escape_bits: int | None = None,
 ) -> bytes:
     """Encode (n,) or (n, channels) int samples as a valid FLAC
     stream. Lossless: decode_flac returns the exact samples.
     ``stereo_mode`` (2-channel only) selects left/side, right/side, or
     mid/side decorrelation; ``subframe="lpc"`` emits order-2 LPC
-    subframes — both exist to exercise every decoder path with
-    round-trip tests."""
+    subframes; ``partition_order`` splits each residual section into
+    2^po Rice partitions; ``escape_bits`` forces raw-binary escape
+    coding — all exist to exercise every decoder path with round-trip
+    tests."""
     x = np.asarray(samples, np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -501,7 +535,7 @@ def encode_flac(
         hdr += bytes([_crc8(hdr)])
         body = _BitWriter()
         for sig, d in chans:
-            _encode_subframe(body, sig, d, subframe)
+            _encode_subframe(body, sig, d, subframe, partition_order, escape_bits)
         body.align()
         frame = hdr + bytes(body.out)
         frame += struct.pack(">H", _crc16(frame))

@@ -808,13 +808,17 @@ def _encode_ac_refine_block(
 
 
 def encode_progressive_jpeg(
-    img: np.ndarray, script: list[tuple] | None = None
+    img: np.ndarray, script: list[tuple] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as a progressive
     (SOF2) 4:4:4 JPEG. ``script`` entries are (comp_indices, Ss, Se,
     Ah, Al); the default exercises DC/AC first scans with successive
     approximation (Al=1), spectral selection splits, EOB runs, and
-    DC/AC refinement scans. Quantized coefficients are identical to
+    DC/AC refinement scans. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs/blocks in every
+    scan (predictors and EOB runs reset per restart, as real encoders
+    do). Quantized coefficients are identical to
     ``encode_baseline_jpeg``'s, so both decode to identical pixels."""
     coded, qts, gray, h, w = _fdct_quantize(img)
     nc = 1 if gray else 3
@@ -833,6 +837,8 @@ def encode_progressive_jpeg(
     for tc, bits, vals in ((0, _P_DC_BITS, _P_DC_VALS), (1, _P_AC_BITS, _P_AC_VALS)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out += bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     n_blocks = coded[0].shape[0]
     for comp_idxs, ss, se, ah, al in script:
@@ -840,11 +846,12 @@ def encode_progressive_jpeg(
         for ci in comp_idxs:
             out += bytes([ci + 1, 0x00])
         out += bytes([ss, se, (ah << 4) | al])
-        bw = _BitWriter()
         state = {"eobrun": 0, "br": []}
-        if ss == 0 and ah == 0:  # DC first
-            preds = {ci: 0 for ci in comp_idxs}
-            for n in range(n_blocks):
+        preds = {ci: 0 for ci in comp_idxs}
+        is_ac = ss > 0
+
+        def encode_unit(bw: _BitWriter, n: int) -> None:
+            if ss == 0 and ah == 0:  # DC first
                 for ci in comp_idxs:
                     v = int(coded[ci][n][0]) >> al  # arithmetic shift (G.1.2.1)
                     diff = v - preds[ci]
@@ -853,17 +860,30 @@ def encode_progressive_jpeg(
                     bw.write(*dc_t[cat])
                     if cat:
                         bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-        elif ss == 0:  # DC refine
-            for n in range(n_blocks):
+            elif ss == 0:  # DC refine
                 for ci in comp_idxs:
                     bw.write((int(coded[ci][n][0]) >> al) & 1, 1)
-        elif ah == 0:  # AC first
-            for n in range(n_blocks):
+            elif ah == 0:  # AC first
                 _encode_ac_first_block(bw, ac_t, coded[comp_idxs[0]][n], ss, se, al, state)
-            _emit_eobrun(bw, ac_t, state)
-        else:  # AC refine
-            for n in range(n_blocks):
+            else:  # AC refine
                 _encode_ac_refine_block(bw, ac_t, coded[comp_idxs[0]][n], ss, se, al, state)
+
+        bw = _BitWriter()
+        rst = 0
+        for n in range(n_blocks):
+            if restart_interval and n and n % restart_interval == 0:
+                if is_ac:
+                    _emit_eobrun(bw, ac_t, state)
+                bw.flush()
+                out += bw.out
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = _BitWriter()
+                state["eobrun"], state["br"] = 0, []
+                for ci in comp_idxs:
+                    preds[ci] = 0
+            encode_unit(bw, n)
+        if is_ac:
             _emit_eobrun(bw, ac_t, state)
         bw.flush()
         out += bw.out

@@ -581,6 +581,21 @@ def test_jpeg_progressive_matches_baseline():
         assert (base == prog).all(), script[0]
 
 
+def test_jpeg_progressive_restart_markers():
+    """Progressive scans with DRI/RSTn: predictors and EOB runs reset
+    per restart segment; decode remains identical to baseline."""
+    import numpy as np
+
+    from cubert_spark.datapipe import jpeg
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (33, 29, 3), dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img))
+    for ri in (1, 3, 7):
+        prog = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(img, restart_interval=ri))
+        assert (prog == base).all(), ri
+
+
 def test_jpeg_noninterleaved_gray_sampling_factors():
     """T.81 A.2.2: a single-component scan is non-interleaved — the
     sampling factors in the SOF are ignored for MCU geometry. A
@@ -768,6 +783,26 @@ def test_flac_stereo_and_lpc_paths():
     assert (dec[:, 0] == mono).all()
 
 
+def test_flac_partitioned_and_escaped_residuals():
+    """Decoder paths for multi-partition Rice sections and raw-binary
+    escape coding — both lossless, including a ragged final block
+    where the partition order must fall back."""
+    import numpy as np
+
+    from cubert_spark.datapipe import flac
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(-20000, 20000, 8192)
+    for po in (2, 4):
+        dec, _, _ = flac.decode_flac(flac.encode_flac(x, partition_order=po))
+        assert (dec[:, 0] == x).all(), po
+    dec, _, _ = flac.decode_flac(flac.encode_flac(x, escape_bits=18))
+    assert (dec[:, 0] == x).all()
+    y = rng.integers(-500, 500, 8229)  # last block not 2^po-divisible
+    dec, _, _ = flac.decode_flac(flac.encode_flac(y, partition_order=3))
+    assert (dec[:, 0] == y).all()
+
+
 def test_flac_rejects():
     import numpy as np
     import pytest as _pytest
@@ -871,6 +906,51 @@ def test_mp4_demux_sample_tables():
     frag = raw + S.pack(">I", 8) + b"moof"
     with _pytest.raises(NotImplementedError, match="fragmented"):
         mp4.demux_mp4(frag)
+
+
+def test_mp4_co64_and_largesize():
+    """64-bit chunk offsets (co64) and 64-bit box sizes (largesize)
+    parse identically to their 32-bit forms."""
+    import struct as S
+
+    from cubert_spark.datapipe import mp4
+
+    frames = [b"X" * 3, b"YY" * 2, b"Z" * 5, b"W" * 2, b"V" * 4, b"U" * 1]
+    raw = bytearray(_build_minimal_mp4(frames))
+    # swap stco -> co64 (same count, offsets widened to u64)
+    stco_at = bytes(raw).find(b"stco") - 4
+    (stco_len,) = S.unpack_from(">I", raw, stco_at)
+    n_off = S.unpack_from(">I", raw, stco_at + 12)[0]
+    offs = S.unpack_from(f">{n_off}I", raw, stco_at + 16)
+    co64 = (
+        S.pack(">I", 16 + 8 * n_off) + b"co64" + S.pack(">II", 0, n_off)
+        + S.pack(f">{n_off}Q", *offs)
+    )
+    grown = 8 * n_off - 4 * n_off
+    # splice: replace the stco box and fix every ancestor box length
+    new = bytes(raw[:stco_at]) + co64 + bytes(raw[stco_at + stco_len:])
+    out = bytearray(new)
+    for anc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = out.find(anc) - 4
+        (ln,) = S.unpack_from(">I", out, at)
+        S.pack_into(">I", out, at, ln + grown)
+    got = mp4.video_samples(bytes(out), 1)
+    assert [b for _, b, _ in got] == frames
+    # largesize: rewrite mdat with a 16-byte header (size=1 + u64)
+    raw2 = bytes(raw)
+    mdat_at = raw2.find(b"mdat") - 4
+    (mlen,) = S.unpack_from(">I", raw2, mdat_at)
+    payload = raw2[mdat_at + 8 : mdat_at + mlen]
+    big = S.pack(">I", 1) + b"mdat" + S.pack(">Q", 16 + len(payload)) + payload
+    shifted = raw2[:mdat_at] + big + raw2[mdat_at + mlen:]
+    # chunk offsets moved by +8 (the larger header): patch stco
+    s_at = shifted.find(b"stco") - 4
+    n2 = S.unpack_from(">I", shifted, s_at + 12)[0]
+    o2 = S.unpack_from(f">{n2}I", shifted, s_at + 16)
+    out2 = bytearray(shifted)
+    S.pack_into(f">{n2}I", out2, s_at + 16, *(o + 8 for o in o2))
+    got2 = mp4.video_samples(bytes(out2), 1)
+    assert [b for _, b, _ in got2] == frames
 
 
 def test_sample_frames_real_mp4(spark):
