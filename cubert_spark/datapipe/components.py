@@ -67,13 +67,20 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # round 1 always changes labels when any edge exists (every
+        # non-minimum vertex adopts a smaller neighbor label), so the
+        # convergence probe — an extra Spark action — starts at round 2
+        if i == 0:
+            changed = 1
+            new_labels.count()  # still materialize the persist
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         prev = labels
         labels = new_labels
         prev.unpersist()
