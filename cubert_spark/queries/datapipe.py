@@ -812,6 +812,83 @@ WHERE lang.lang_pred = 'en'
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic downsample (stratified rebalancing —
+    e.g. cap the dominant language of a crawl): en keeps 25%, zh 50%,
+    other strata keep everything. Content-keyed md5 gate, so the kept
+    set is stable across dataset versions; pure column expressions —
+    the filter rides the parquet scan, no shuffle at any scale."""
+    d = load_table(spark, sf, "documents")
+    return sampling.stratified_deterministic_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 0.25, "zh": 0.5}, salt="strat",
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE NOT (
+  (lang = 'en' AND {_hash16_sql('doc_id', 'strat')} >= {int(0.25 * 65536)})
+  OR (lang = 'zh' AND {_hash16_sql('doc_id', 'strat')} >= {int(0.5 * 65536)})
+)
+"""
+
+
+_NEARDUP_PLANES = similarity.hyperplane_planes(_EMB_DIM, 4, seed=42)
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    self-join + DECIMAL-exact rescoring (datapipe.similarity.
+    embedding_neardup_pairs). The synthetic embeddings have no true
+    near-dups (max pairwise cos ~0.51), so the row exercises the
+    operator at a data-appropriate threshold; production threshold
+    would be ~0.9+."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        e, threshold=0.3, num_planes=4, seed=42, dim=_EMB_DIM
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(j, p) AS (
+  VALUES {_vals(_NEARDUP_PLANES)}
+),
+dots AS (
+  SELECT e.vec_id, pl.j,
+         SUM(CAST(e.v[i] * pl.p[i] AS DECIMAL(38,18))) AS dot
+  FROM e, planes pl, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY e.vec_id, pl.j
+),
+b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(q.v[i] * q.v[i] AS DECIMAL(38,18))) AS qq,
+         SUM(CAST(c.v[i] * c.v[i] AS DECIMAL(38,18))) AS cc
+  FROM cand
+  JOIN e q ON q.vec_id = cand.id_a
+  JOIN e c ON c.vec_id = cand.id_b,
+  LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY cand.id_a, cand.id_b
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos
+FROM scored
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) >= 0.3
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -842,6 +919,8 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "bpe_tokenize": q_bpe_tokenize,  # rows-only: BPE not SQL-expressible
     "ngram_novelty": q_ngram_novelty,
+    "stratified_sample": q_stratified_sample,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLES = {
@@ -870,4 +949,6 @@ ORACLES = {
     "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }

@@ -90,6 +90,30 @@ def test_lsh_bucketed_recall(spark):
     assert hits_mp >= 9  # recall floor with probing (10 twin pairs)
 
 
+def test_embedding_neardup_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        # near-identical twin: cosine ~1 with its even partner
+        rows.append((i * 2 + 1, [float(x) for x in v + rng.normal(scale=0.005, size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_neardup_pairs(df, threshold=0.99, num_planes=3, seed=1)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # canonical ordering and threshold respected
+    assert all(a < b for a, b in pairs)
+    for r in out.collect():
+        assert r["cos"] >= 0.99
+    # twins land in the same bucket for most pairs (recall < 1 by design)
+    twin_hits = sum(1 for a, b in pairs if b == a + 1 and a % 2 == 0)
+    assert twin_hits >= 6
+    # no random cross-pair sneaks above the threshold
+    assert all(b == a + 1 for a, b in pairs)
+
+
 def test_multimodal_fake_decode(docs):
     blobs = multimodal.text_as_blob(docs)
     meta = multimodal.attach_blob_metadata(blobs, "blob", "id")
