@@ -139,6 +139,72 @@ def remove_boilerplate(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup, first occurrence wins
+    (the RefinedWeb/CCNet line-dedup stage): every distinct non-blank
+    paragraph survives exactly once in the whole corpus — at its first
+    occurrence in (id, position) order — and all later repeats are
+    dropped. Complements :func:`remove_boilerplate`: that drops ALL
+    occurrences of high-frequency lines; this keeps exactly one
+    canonical occurrence of EVERY repeated paragraph. Blank paragraphs
+    are formatting, not content — always kept.
+
+    Output: (id, clean_text, n_removed); never drops rows.
+
+    Scale shape: posexplode -> one keyed aggregation per distinct
+    paragraph computing the winning (id, pos) as a MIN over a packed
+    struct (combiner-friendly partial agg — no window over the
+    exploded table) -> equi-join back -> keyed ordered reassembly via
+    array_sort, same as remove_boilerplate. Paragraph-content skew is
+    bounded: the agg value is one struct regardless of posting count.
+    """
+    ln = _spread(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+    dedupable = F.trim(F.col("para")) != ""
+    winners = (
+        ln.filter(dedupable)
+        .groupBy("para")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__w"))
+        .select(
+            "para",
+            F.col(f"__w.{id_col}").alias("__wid"),
+            F.col("__w.pos").alias("__wpos"),
+        )
+    )
+    kept = (
+        ln.join(winners, "para", "left")
+        .filter(
+            ~dedupable
+            | ((F.col(id_col) == F.col("__wid")) & (F.col("pos") == F.col("__wpos")))
+        )
+        .select(id_col, "pos", "para")
+    )
+    total = ln.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_lines"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return total.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     capacity: int = 2048,

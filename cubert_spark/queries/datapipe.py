@@ -698,6 +698,47 @@ FROM total t LEFT JOIN re ON re.doc_id = t.doc_id
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide paragraph dedup: every distinct non-blank paragraph
+    survives once, at its first (doc_id, pos) occurrence."""
+    d = load_table(spark, sf, "documents")
+    return curation.paragraph_dedup(d)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH lines AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS pos, ls[i] AS para
+  FROM lines, LATERAL UNNEST(range(1, len(ls) + 1)) AS t(i)
+),
+winners AS (
+  SELECT para, doc_id AS wid, pos AS wpos FROM (
+    SELECT para, doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+    FROM pos WHERE TRIM(para) <> ''
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM pos p LEFT JOIN winners w ON w.para = p.para
+  WHERE TRIM(p.para) = '' OR (p.doc_id = w.wid AND p.pos = w.wpos)
+),
+total AS (SELECT doc_id, COUNT(*) AS n_lines FROM pos GROUP BY doc_id),
+re AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(re.clean_text, '') AS clean_text,
+       CAST(t.n_lines - COALESCE(re.n_kept, 0) AS INT) AS n_removed
+FROM total t LEFT JOIN re ON re.doc_id = t.doc_id
+"""
+
+
 def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 512-token context
     windows (distributed two-level prefix sum on the Spark side; the
@@ -921,6 +962,7 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "stratified_sample": q_stratified_sample,
     "embedding_neardup": q_embedding_neardup,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 ORACLES = {
@@ -951,4 +993,5 @@ ORACLES = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
 }

@@ -1035,6 +1035,33 @@ def test_remove_boilerplate(spark):
     assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
 
 
+def test_paragraph_dedup(spark):
+    rows = [
+        (1, "alpha\nshared para\nbeta"),
+        (2, "shared para\ngamma"),  # repeat of doc 1's para -> dropped
+        (3, "shared para"),  # fully duplicated doc survives empty
+        (4, "delta\n\nepsilon"),  # blank line is formatting, kept
+        (5, "delta"),  # 'delta' first occurred in doc 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.paragraph_dedup(df).collect()}
+    assert len(out) == 5  # never drops documents
+    assert out[1]["clean_text"] == "alpha\nshared para\nbeta"  # first wins
+    assert out[2]["clean_text"] == "gamma" and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "delta\n\nepsilon" and out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    # a paragraph repeated INSIDE one doc keeps only its first position
+    df = spark.createDataFrame(
+        [(7, "x\ny\nx\nz")], "doc_id long, text string"
+    )
+    row = curation.paragraph_dedup(df).collect()[0]
+    assert row["clean_text"] == "x\ny\nz" and row["n_removed"] == 1
+
+
 def test_sequence_pack(spark):
     """Offsets are the cumulative token count in doc_id order even
     across shard boundaries (shard_size=2 forces the two-level
