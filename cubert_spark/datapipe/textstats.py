@@ -226,3 +226,60 @@ def ngram_novelty(
             F.coalesce(novelty, F.lit(0.0)).alias("novelty"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — the
+    standard keyword-extraction / topic-labeling pass over a corpus.
+
+    Terms are lowercase ``[a-z0-9]+`` runs. The idf factor is the raw
+    rational N/df rather than log(N/df): the score is then a fixed
+    composition of two IEEE-754 ops (a divide and a multiply), which
+    both engines round identically, so the ranking — and the emitted
+    score — replay bit-for-bit in the DuckDB oracle. (log-idf ranks
+    differently and is a one-line swap where cross-engine bit-exact
+    replay isn't required.)
+
+    Output: (id, term, tf, df, score, rnk), rnk 1..k per document,
+    ties broken by term.
+
+    Scale shape: explode -> (id, term) count with map-side partial agg
+    -> term-keyed doc-frequency agg -> equi-join back on the term ->
+    per-doc top-k via row_number, which Spark plans as WindowGroupLimit
+    (running top-k per partition — never materializes whole groups).
+    The corpus size N joins in as a broadcast single-row aggregate, so
+    the whole plan is one lazy DAG with no driver-side action.
+    """
+    from cubert_spark.datapipe.dedup import _spread
+
+    from pyspark.sql import Window
+
+    t = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("__n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -767,6 +767,34 @@ FROM c
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by (rational-idf)
+    tf-idf; scores bit-replayable cross-engine."""
+    d = load_table(spark, sf, "documents")
+    return textstats.tfidf_top_terms(d, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH t AS (
+  SELECT doc_id, u.term
+  FROM documents,
+       LATERAL UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(nd.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term), nd
+)
+SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-support novelty scoring (integer-exact perplexity-filter
     cousin): per doc, total distinct bigrams, bigrams unique to the
@@ -963,6 +991,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "embedding_neardup": q_embedding_neardup,
     "paragraph_dedup": q_paragraph_dedup,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -994,4 +1023,5 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }

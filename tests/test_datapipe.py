@@ -1035,6 +1035,32 @@ def test_remove_boilerplate(spark):
     assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
 
 
+def test_tfidf_top_terms(spark):
+    rows = [
+        (1, "apple apple banana shared shared shared"),
+        (2, "banana cherry shared shared"),
+        (3, "shared durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets <= k rows, rnk is 1..k dense per doc
+    for doc, rs in by_doc.items():
+        assert [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])] == list(
+            range(1, len(rs) + 1)
+        )
+    # 'shared' is in every doc (df=3, idf=1): never the top pick when a
+    # rarer term is present, despite its high tf in doc 1
+    top1 = {d: sorted(rs, key=lambda r: r["rnk"])[0]["term"] for d, rs in by_doc.items()}
+    assert top1[1] == "apple"  # tf=2, df=1 -> score 6 > shared's 3
+    assert top1[3] == "durian"
+    # df counts documents, not occurrences
+    shared = [r for r in out if r["term"] == "shared"]
+    assert all(r["df"] == 3 for r in shared)
+
+
 def test_paragraph_dedup(spark):
     rows = [
         (1, "alpha\nshared para\nbeta"),
