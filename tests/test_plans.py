@@ -182,3 +182,37 @@ def test_curation_queries_prune_scan(spark):
             assert set(cols) <= {"doc_id", "text"}, (fn.__name__, cols)
     plan = q_contamination(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_new_queries_plan_hygiene(spark):
+    """Round-5 additions keep the scale doctrine: pruned scans, no
+    cartesian products, and top-k via WindowGroupLimit."""
+    from cubert_spark.queries.datapipe import (
+        q_embedding_neardup,
+        q_paragraph_dedup,
+        q_stratified_sample,
+        q_tfidf_top_terms,
+    )
+
+    # stratified_sample: pure filter — pushed md5 gate, 2-col scan, no shuffle
+    df = q_stratified_sample(spark, SF)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 0, plan
+    for cols in scan_read_schema(df):
+        assert set(cols) <= {"doc_id", "lang"}, cols
+
+    # paragraph_dedup / tfidf: only doc_id/text read from documents
+    for fn in (q_paragraph_dedup, q_tfidf_top_terms):
+        df = fn(spark, SF)
+        for cols in scan_read_schema(df):
+            assert set(cols) <= {"doc_id", "text"}, (fn.__name__, cols)
+        assert "CartesianProduct" not in explain_str(df), fn.__name__
+
+    # tfidf: per-doc top-k must plan as WindowGroupLimit (running
+    # top-k, never whole groups materialized)
+    assert "WindowGroupLimit" in explain_str(q_tfidf_top_terms(spark, SF))
+
+    # embedding_neardup: candidate generation is a bucket equi-join —
+    # never an all-pairs product (the single crossJoin-free plan)
+    plan = explain_str(q_embedding_neardup(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
