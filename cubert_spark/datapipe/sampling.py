@@ -112,3 +112,59 @@ def stratified_deterministic_sample(
         branch = (F.col(strata_col) == value) & (h >= int(frac * _SPACE))
         expr = branch if expr is None else (expr | branch)
     return df.filter(~expr) if expr is not None else df
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic dataset mixing — downsample each source so the
+    output matches the target mixture ``weights`` (e.g. 50% web /
+    30% books / 20% code) while keeping as much data as possible:
+    the effective total is the largest T with share_s * T <= count_s
+    for every weighted source (the scarcest source is kept whole and
+    every other source is cut to proportion). Sources absent from
+    ``weights`` are dropped. Membership is the content-keyed md5 gate,
+    so the mix is stable across runs and engines.
+
+    Every arithmetic step is a fixed composition of IEEE-754 divides
+    and multiplies on values both engines agree on (counts + weight
+    literals), so the kept set replays bit-for-bit in the oracle.
+
+    Scale shape: per-source counts are a tiny keyed agg (|sources|
+    rows) that broadcasts back; the big table sees one pushed filter
+    on the md5 gate — no shuffle of the corpus at any scale.
+    """
+    total = float(sum(weights.values()))
+    shares = {s: w / total for s, w in weights.items()}
+    share = F.element_at(
+        F.create_map(*[F.lit(x) for s, w in shares.items() for x in (s, w)]),
+        F.col(source_col),
+    )
+    counts = (
+        df.filter(F.col(source_col).isin(list(shares)))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__share", share)
+    )
+    t = counts.agg(
+        F.min(F.col("__cnt").cast("double") / F.col("__share")).alias("__t")
+    )
+    frac = (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            ((F.col("__share") * F.col("__t")) / F.col("__cnt").cast("double")).alias(
+                "__frac"
+            ),
+        )
+    )
+    gate = hash16(F.col(key), salt).cast("double") < F.col("__frac") * float(_SPACE)
+    return (
+        df.join(F.broadcast(frac), source_col)
+        .filter(gate)
+        .drop("__frac")
+    )

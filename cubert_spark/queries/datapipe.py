@@ -903,6 +903,44 @@ WHERE NOT (
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic dataset mixing to a 50/30/20 target over three
+    sources, scarcest source kept whole."""
+    d = load_table(spark, sf, "documents")
+    return sampling.mixture_sample(
+        d.select("doc_id", "source"), _MIX_WEIGHTS, salt="mix"
+    ).select("doc_id", "source")
+
+
+_MIX_SHARES = ",\n  ".join(
+    f"('{s}', CAST({w / sum(_MIX_WEIGHTS.values())!r} AS DOUBLE))"
+    for s, w in _MIX_WEIGHTS.items()
+)
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH shares(source, share) AS (VALUES {_MIX_SHARES}),
+counts AS (
+  SELECT d.source, COUNT(*) AS cnt
+  FROM documents d JOIN shares s ON s.source = d.source
+  GROUP BY d.source
+),
+t AS (
+  SELECT MIN(CAST(c.cnt AS DOUBLE) / s.share) AS t
+  FROM counts c JOIN shares s ON s.source = c.source
+),
+frac AS (
+  SELECT c.source, (s.share * t.t) / CAST(c.cnt AS DOUBLE) AS f
+  FROM counts c JOIN shares s ON s.source = c.source, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN frac ON frac.source = d.source
+WHERE CAST({_hash16_sql('d.doc_id', 'mix')} AS DOUBLE) < frac.f * 65536.0
+"""
+
+
 _NEARDUP_PLANES = similarity.hyperplane_planes(_EMB_DIM, 4, seed=42)
 
 
@@ -992,6 +1030,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES = {
@@ -1024,4 +1063,5 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
 }

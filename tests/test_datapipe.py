@@ -1035,6 +1035,31 @@ def test_remove_boilerplate(spark):
     assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
 
 
+def test_mixture_sample(spark):
+    from cubert_spark.datapipe import sampling
+
+    rows = [(i, "web") for i in range(2000)] + \
+           [(i + 10000, "books") for i in range(400)] + \
+           [(i + 20000, "code") for i in range(1000)] + \
+           [(i + 30000, "junk") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.mixture_sample(df, {"web": 0.5, "books": 0.2, "code": 0.3})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # unweighted source dropped entirely
+    assert "junk" not in counts
+    # books is the scarcest source (400 / 0.2 = cap 2000): kept ~whole
+    assert counts["books"] > 360
+    # proportions approximate the 50/20/30 target (hash-gate tolerance)
+    total = sum(counts.values())
+    assert abs(counts["web"] / total - 0.5) < 0.06
+    assert abs(counts["code"] / total - 0.3) < 0.06
+    # deterministic: re-running selects the identical set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in sampling.mixture_sample(
+        df, {"web": 0.5, "books": 0.2, "code": 0.3}).collect()}
+    assert a == b
+
+
 def test_tfidf_top_terms(spark):
     rows = [
         (1, "apple apple banana shared shared shared"),
