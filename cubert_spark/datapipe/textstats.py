@@ -283,3 +283,76 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "score", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def hashed_weights(n_buckets: int, seed: int, scale: int = 50) -> list[int]:
+    """Seeded integer weight vector for :func:`hashed_linear_score` —
+    exposed so oracle SQL can fold the exact same weights in as
+    literals. Integer (quantized) weights keep the margin exact in
+    bigint arithmetic — no float accumulation order to worry about."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.randint(-scale, scale) for _ in range(n_buckets)]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "hls",
+) -> DataFrame:
+    """Linear text-classifier inference at corpus scale (the
+    fasttext-style quality-classifier pattern): hashed bag-of-words
+    features scored against an in-plan weight vector.
+
+    Terms are lowercase ``[a-z0-9]+`` runs; each term maps to bucket
+    ``hash16(salt||term) % len(weights)`` (md5 — engine-portable) and
+    contributes its bucket's weight to the document margin. Weights
+    are integers (a quantized classifier, the deployment norm), so
+    the margin is an exact bigint sum — order-independent with no
+    float discipline needed; the length-normalized score is one IEEE
+    divide. Output: (id, n_terms, margin, score, pred).
+
+    Scale shape: the entire inference is ONE JVM-side map stage —
+    terms array -> in-array higher-order fold over bucket weights.
+    Zero shuffles, zero Python, nothing materialized per term; the
+    weight vector folds into the plan as a literal (fine for the
+    hashed-feature sizes a linear classifier uses; a 10M-param model
+    would broadcast-join a weight table instead).
+
+    This engine ships the inference mechanism with seeded placeholder
+    weights (:func:`hashed_weights`); a production pipeline supplies
+    weights from its trained classifier.
+    """
+    n = len(weights)
+    warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+
+    def bucket(term: Column) -> Column:
+        h = F.md5(F.concat(F.lit(salt), term))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n
+
+    terms = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    margin = F.aggregate(
+        terms,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.element_at(warr, bucket(t) + 1),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(terms).alias("n_terms"),
+        margin.alias("margin"),
+    )
+    return out.select(
+        id_col,
+        "n_terms",
+        "margin",
+        F.when(F.col("n_terms") > 0,
+               F.col("margin").cast("double") / F.col("n_terms").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        (F.col("margin") >= 0).alias("pred"),
+    )

@@ -903,6 +903,39 @@ WHERE NOT (
 """
 
 
+_HLS_WEIGHTS = textstats.hashed_weights(128, seed=13)
+
+
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed linear classifier inference (quantized weights, exact
+    bigint margin) — one zero-shuffle codegen projection."""
+    d = load_table(spark, sf, "documents")
+    return textstats.hashed_linear_score(d, _HLS_WEIGHTS)
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH w(ws) AS (VALUES (CAST([{', '.join(str(x) for x in _HLS_WEIGHTS)}] AS BIGINT[]))),
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS terms
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(terms) AS INT) AS n_terms,
+         COALESCE(list_sum(list_transform(
+           terms, s -> ws[1 + ({_hash16_sql('s', 'hls')}) % 128]
+         )), 0) AS margin
+  FROM t, w
+)
+SELECT doc_id, n_terms, margin,
+       CASE WHEN n_terms > 0
+            THEN CAST(margin AS DOUBLE) / CAST(n_terms AS DOUBLE)
+            ELSE 0.0 END AS score,
+       margin >= 0 AS pred
+FROM m
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -1031,6 +1064,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES = {
@@ -1064,4 +1098,5 @@ ORACLES = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

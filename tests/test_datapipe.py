@@ -1035,6 +1035,30 @@ def test_remove_boilerplate(spark):
     assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
 
 
+def test_hashed_linear_score(spark):
+    # hand-checkable weights: bucket parity decides sign
+    w = [1 if j % 2 == 0 else -1 for j in range(8)]
+    df = spark.createDataFrame(
+        [(1, "Alpha beta beta"), (2, ""), (3, "???")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.hashed_linear_score(df, w).collect()}
+    # margin is the exact sum of per-term bucket weights
+    import hashlib
+
+    def bucket(t):
+        return int(hashlib.md5(("hls" + t).encode()).hexdigest()[:4], 16) % 8
+
+    expected = w[bucket("alpha")] + 2 * w[bucket("beta")]
+    assert out[1]["margin"] == expected
+    assert out[1]["n_terms"] == 3
+    assert out[1]["score"] == expected / 3
+    assert out[1]["pred"] == (expected >= 0)
+    # empty / no-term docs: margin 0, score 0.0, pred True
+    for d in (2, 3):
+        assert out[d]["margin"] == 0 and out[d]["score"] == 0.0 and out[d]["pred"]
+
+
 def test_mixture_sample(spark):
     from cubert_spark.datapipe import sampling
 

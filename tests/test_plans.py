@@ -216,3 +216,20 @@ def test_round5_new_queries_plan_hygiene(spark):
     # never an all-pairs product (the single crossJoin-free plan)
     plan = explain_str(q_embedding_neardup(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_zero_shuffle_projection(spark):
+    """Classifier inference is a scan + JVM projections and nothing
+    else: zero shuffles, zero aggregates, no Python, 2-column scan —
+    the weight vector folds into the plan as a literal. (The
+    higher-order array fold itself doesn't whole-stage-codegen, but it
+    stays a single JVM-side map stage.)"""
+    from cubert_spark.queries.datapipe import q_quality_classifier
+
+    df = q_quality_classifier(spark, SF)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 0, plan
+    assert "Exchange" not in plan and "Aggregate" not in plan, plan
+    assert "Python" not in plan, plan  # no UDF fallback
+    for cols in scan_read_schema(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
