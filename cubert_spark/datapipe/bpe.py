@@ -56,6 +56,14 @@ def bpe_train(
         hash16(F.col(id_col), salt) < int(frac * (1 << 16))
     ).select(text_col)
     texts = [r[0] for r in sample.limit(sample_max_docs).collect() if r[0]]
+    return bpe_train_texts(texts, num_merges)
+
+
+def bpe_train_texts(texts: list[str], num_merges: int = 200) -> list[tuple[str, str]]:
+    """The driver-side BPE fit over an in-memory text sample — the
+    core of :func:`bpe_train`, exposed so fixed tokenizer models (e.g.
+    the oracle twin's literal merge list) can be trained from an
+    embedded corpus without a SparkSession."""
     wf = _word_freqs(texts)
     # word -> symbol tuple
     words = {w: tuple(w) + (_EOW,) for w in wf}

@@ -838,6 +838,85 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return bpe.bpe_tokenize(d, merges).select("doc_id", "n_tokens")
 
 
+# Fixed tokenizer model for the BPE oracle twin: trained at import
+# time from an embedded corpus by the same pure-Python fit the
+# production path uses (bpe.bpe_train_texts — deterministic: ties
+# break lexicographically). Same technique as the fixed-centroid /
+# fixed-hyperplane ANN twins: freeze the learned artifact, then the
+# whole APPLY path becomes deterministic and cross-engine checkable.
+_BPE_FIXED_CORPUS = [
+    "the query scans the table and sorts the sorted rows",
+    "hash join and merge join group the grouped values",
+    "fast scan slow scan big batch small batch stream order",
+    "filter the column filter the row filter the key value",
+    "spark sorts data windows stream windowed aggregates agg",
+    "a query part a data part the customer line order",
+]
+from cubert_spark.datapipe import bpe as _bpe
+
+_BPE_FIXED_MERGES = _bpe.bpe_train_texts(_BPE_FIXED_CORPUS, num_merges=30)
+
+_BPE_SEP = "chr(31)"
+_BPE_PAIRS_SQL = ", ".join(
+    f"concat('{l}', {_BPE_SEP}, '{r}')" for l, r in _BPE_FIXED_MERGES
+)
+
+# the per-state best merge: lowest (rank, position) among adjacent
+# symbol pairs present in the rank list — one merge per step, exactly
+# bpe_encode_word's greedy order
+_BPE_BEST = f"""
+    SELECT u.i FROM UNNEST(range(1, len(syms))) AS u(i)
+    WHERE NULLIF(list_position([{_BPE_PAIRS_SQL}], syms[u.i] || {_BPE_SEP} || syms[u.i + 1]), 0) IS NOT NULL
+    ORDER BY list_position([{_BPE_PAIRS_SQL}], syms[u.i] || {_BPE_SEP} || syms[u.i + 1]), u.i
+    LIMIT 1
+"""
+
+
+def q_bpe_apply_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE apply with a FIXED merge list (the deterministic oracle
+    twin of bpe_tokenize — the trained path stays rows-only): the
+    distributed Arrow kernel's greedy lowest-rank-first merge loop is
+    replayed in SQL as a recursive CTE over the distinct-word states.
+    Output: (doc_id, n_tokens) under the frozen tokenizer model."""
+    d = load_table(spark, sf, "documents")
+    return _bpe.bpe_tokenize(d, _BPE_FIXED_MERGES).select("doc_id", "n_tokens")
+
+
+SQL_BPE_APPLY_EXACT = f"""
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, u.w AS word, COUNT(*) AS mult
+  FROM documents, LATERAL UNNEST(string_split_regex(text, '\\s+')) AS u(w)
+  WHERE u.w <> '' GROUP BY 1, 2
+),
+dw AS (SELECT DISTINCT word FROM words),
+init AS (
+  SELECT word,
+         list_append(list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS syms
+  FROM dw
+),
+steps AS (
+  SELECT word, syms FROM init
+  UNION ALL
+  SELECT word,
+         syms[1:bi - 1] || [syms[bi] || syms[bi + 1]] || syms[bi + 2:len(syms)] AS syms
+  FROM (SELECT word, syms, ({_BPE_BEST}) AS bi FROM steps)
+  WHERE bi IS NOT NULL
+),
+fin AS (
+  SELECT word, len(syms) AS n_syms
+  FROM (SELECT word, syms, ({_BPE_BEST}) AS bi FROM steps)
+  WHERE bi IS NULL
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(w.mult * f.n_syms), 0) AS INT) AS n_tokens
+FROM documents d
+LEFT JOIN words w ON w.doc_id = d.doc_id
+LEFT JOIN fin f ON f.word = w.word
+GROUP BY d.doc_id
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-corpus construction: exact-dedup to one
     representative per distinct text -> English only -> minimum token
@@ -1057,7 +1136,8 @@ QUERIES = {
     "contamination": q_contamination,
     "boilerplate_removal": q_boilerplate_removal,
     "sequence_pack": q_sequence_pack,
-    "bpe_tokenize": q_bpe_tokenize,  # rows-only: BPE not SQL-expressible
+    "bpe_tokenize": q_bpe_tokenize,  # rows-only: trained on the input sf
+    "bpe_apply_exact": q_bpe_apply_exact,
     "ngram_novelty": q_ngram_novelty,
     "stratified_sample": q_stratified_sample,
     "embedding_neardup": q_embedding_neardup,
@@ -1099,4 +1179,5 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "bpe_apply_exact": SQL_BPE_APPLY_EXACT,
 }

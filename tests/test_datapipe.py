@@ -748,6 +748,44 @@ def test_bpe_tokenize_matches_reference(spark):
             assert got[i] == (ref, len(ref)), (i, got[i], ref)
 
 
+def test_bpe_oracle_cte_matches_encoder():
+    """The bpe_apply_exact oracle's recursive-CTE merge loop produces
+    the exact per-word symbol sequences of bpe_encode_word (greedy
+    lowest-rank-first, one merge per step) for the frozen model."""
+    import duckdb
+
+    from cubert_spark.datapipe.bpe import bpe_encode_word
+    from cubert_spark.queries.datapipe import _BPE_BEST, _BPE_FIXED_MERGES
+
+    words = ["scan", "customer", "the", "a", "sorted", "zzz", "windowed"]
+    vals = ", ".join(f"('{w}')" for w in words)
+    q = f"""
+    WITH RECURSIVE
+    dw(word) AS (VALUES {vals}),
+    init AS (
+      SELECT word,
+             list_append(list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS syms
+      FROM dw
+    ),
+    steps AS (
+      SELECT word, syms FROM init
+      UNION ALL
+      SELECT word,
+             syms[1:bi - 1] || [syms[bi] || syms[bi + 1]] || syms[bi + 2:len(syms)] AS syms
+      FROM (SELECT word, syms, ({_BPE_BEST}) AS bi FROM steps)
+      WHERE bi IS NOT NULL
+    )
+    SELECT word, syms
+    FROM (SELECT word, syms, ({_BPE_BEST}) AS bi FROM steps)
+    WHERE bi IS NULL
+    """
+    ranks = {p: i for i, p in enumerate(_BPE_FIXED_MERGES)}
+    got = {w: list(s) for w, s in duckdb.connect().execute(q).fetchall()}
+    assert set(got) == set(words)  # every word reaches exactly one terminal state
+    for w in words:
+        assert got[w] == bpe_encode_word(w, ranks), (w, got[w])
+
+
 def test_bpe_empty_and_untrained(spark):
     from cubert_spark.datapipe import bpe
 
