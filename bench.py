@@ -49,6 +49,17 @@ BENCH_QUERIES = [
     "contamination",
     "boilerplate_removal",
     "sequence_pack",
+    # r05 second batch: corpus-wide paragraph dedup (winner-struct
+    # agg + reassembly), tf-idf top-terms (diamond lineage +
+    # WindowGroupLimit), zero-shuffle classifier inference, dataset
+    # mixing, frozen-model BPE apply (Arrow kernel throughput), and
+    # the bucketed embedding near-dup rescoring
+    "paragraph_dedup",
+    "tfidf_top_terms",
+    "quality_classifier",
+    "mixture_sample",
+    "bpe_apply_exact",
+    "embedding_neardup",
 ]
 
 

@@ -281,6 +281,42 @@ GROUP BY 1, 2
 """
 
 
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-path mining: the corpus-wide event-type transition matrix
+    — for each user's (ts, event_id)-ordered stream, count consecutive
+    (from_type, to_type) steps globally. The Markov-chain view of user
+    behavior (what follows what), and the input to path-dropoff
+    analysis.
+
+    Scale shape: ONE partitioned window (lag over user_id, bounded
+    per-user state) + one keyed count agg; ties on ts are broken by
+    event_id so the sequence — and the counts — are deterministic at
+    any parallelism."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n
+FROM steps WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
@@ -289,6 +325,7 @@ QUERIES = {
     "json_props": q_json_props,
     "funnel": q_funnel,
     "retention": q_retention,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLES = {
@@ -299,4 +336,5 @@ ORACLES = {
     "json_props": SQL_JSON_PROPS,
     "funnel": SQL_FUNNEL,
     "retention": SQL_RETENTION,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
 }
