@@ -287,6 +287,14 @@ def embedding_neardup_pairs(
         dim = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
     planes = hyperplane_planes(dim, num_planes, seed)
 
+    # the per-vector DECIMAL folds (num_planes dots + the norm) are the
+    # expensive map stage, and it runs in BOTH self-join lineages —
+    # spread it across cores when the scan has fewer splits than the
+    # cluster (a no-op at real scale; see dedup._spread)
+    from cubert_spark.datapipe.dedup import _spread
+
+    corpus = _spread(corpus, id_col)
+
     def bucket_col(vec: Column) -> Column:
         vec_d = vec.cast("array<double>")
         b = F.lit(0).cast("int")

@@ -1053,7 +1053,7 @@ WHERE CAST({_hash16_sql('d.doc_id', 'mix')} AS DOUBLE) < frac.f * 65536.0
 """
 
 
-_NEARDUP_PLANES = similarity.hyperplane_planes(_EMB_DIM, 4, seed=42)
+_NEARDUP_PLANES = similarity.hyperplane_planes(_EMB_DIM, 6, seed=42)
 
 
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1062,10 +1062,15 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     embedding_neardup_pairs). The synthetic embeddings have no true
     near-dups (max pairwise cos ~0.51), so the row exercises the
     operator at a data-appropriate threshold; production threshold
-    would be ~0.9+."""
+    would be ~0.9+. num_planes is the recall/cost knob: 6 planes = 64
+    buckets keeps the candidate self-join ~1/64 of all-pairs while
+    true near-dup pairs (cos 0.9+) rarely straddle a hyperplane; the
+    0.3-cosine pairs counted here are exactly the ones LSH is ALLOWED
+    to miss, and the oracle replays the same buckets so both engines
+    miss identically."""
     e = load_table(spark, sf, "embeddings")
     return similarity.embedding_neardup_pairs(
-        e, threshold=0.3, num_planes=4, seed=42, dim=_EMB_DIM
+        e, threshold=0.3, num_planes=6, seed=42, dim=_EMB_DIM
     )
 
 
