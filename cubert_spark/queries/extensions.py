@@ -441,6 +441,45 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic-window breadth beyond the reference's RANK/TOP-N
+    (extension): lag/lead, ntile, percent_rank, cume_dist, and a
+    running bigint sum, all over one partitioned window — one shuffle
+    on the group key, per-group state bounded by the frame. The total
+    order (o_orderdate, o_orderkey) is unique, so every value —
+    including the IEEE divides inside percent_rank/cume_dist — is
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.sum("o_orderkey").over(wrun).alias("run_keys"),
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey) OVER w AS prev_key,
+       LEAD(o_orderkey) OVER w AS next_key,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cdist,
+       SUM(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_keys
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "avro_evolution": q_avro_evolution,
@@ -456,6 +495,7 @@ QUERIES = {
     "scalar_udf": q_scalar_udf,
     "cube_udaf": q_cube_udaf,
     "pivot_apply": q_pivot_apply,
+    "window_analytics": q_window_analytics,
 }
 
 ORACLES = {
@@ -473,4 +513,5 @@ ORACLES = {
     "scalar_udf": SQL_SCALAR_UDF,
     "cube_udaf": SQL_CUBE_UDAF,
     "pivot_apply": SQL_PIVOT_APPLY,
+    "window_analytics": SQL_WINDOW_ANALYTICS,
 }
