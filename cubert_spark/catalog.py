@@ -186,3 +186,43 @@ def store(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite
     if fmt == "csv":
         options.setdefault("sep", "\t")
     df.write.format(fmt).mode(mode).options(**options).save(path)
+
+
+def store_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Layout-aware STORE — the 100 TB read-side lever the plain sink
+    doesn't pull:
+
+    - ``partition_by``: hive-style directory partitioning. Reads that
+      filter on these columns prune whole directories at PLANNING time
+      (PartitionFilters in the scan; zero IO for pruned values).
+    - ``cluster_by``: range-repartition + sort within files on these
+      columns, so each parquet file covers a narrow key range and
+      row-group min/max stats skip everything else at EXECUTION time
+      (PushedFilters actually eliminate row groups instead of being
+      re-checked decorations).
+
+    The two compose: daily dirs partition-pruned, key-sorted files
+    inside each day stat-skipped. Equivalent job in the reference is
+    BLOCKGEN BY PARTITION KEY into RUBIX blocks with a sorted index
+    (blockgen.py covers the bucketed-join use; this covers the
+    scan-pruning use).
+    """
+    fmt = {"text": "csv", "rubix": "parquet"}.get(fmt.lower(), fmt.lower())
+    from pyspark.sql import functions as F
+
+    out = df
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        out = out.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    w = out.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

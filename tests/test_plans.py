@@ -233,3 +233,49 @@ def test_quality_classifier_zero_shuffle_projection(spark):
     assert "Python" not in plan, plan  # no UDF fallback
     for cols in scan_read_schema(df):
         assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_store_clustered_layout_prunes(spark, tmp_path):
+    """store_clustered's layout pays off at read time: a filter on the
+    partition column becomes a planning-time PartitionFilter (pruned
+    directories, zero IO), and cluster_by produces files whose
+    row-group min/max ranges are disjoint, so a key filter's pushed
+    predicate can actually skip row groups instead of re-reading
+    everything."""
+    from cubert_spark.catalog import load_table, store_clustered
+
+    o = load_table(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_clustered")
+    store_clustered(o, out, partition_by=["o_year"], cluster_by=["o_custkey"])
+
+    back = spark.read.parquet(out)
+    years = [r[0] for r in back.select("o_year").distinct().collect()]
+    assert len(years) > 1  # layout actually partitioned
+
+    # planning-time directory pruning on the partition column
+    plan = explain_str(back.filter(F.col("o_year") == years[0]))
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters")[1][:120], plan
+
+    # execution-time stat skipping: per-file custkey ranges disjoint
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(out + "/o_year=*/*.parquet"))
+    by_dir: dict[str, list[tuple[int, int]]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_custkey")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        by_dir.setdefault(f.rsplit("/", 2)[1], []).append((lo, hi))
+    multi = [v for v in by_dir.values() if len(v) > 1]
+    for ranges in multi:
+        ranges.sort()
+        for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+            assert ahi <= blo, ranges  # narrow, non-overlapping key ranges
+    # pushed filter present on the clustered column
+    plan = explain_str(back.filter(F.col("o_custkey") == 7))
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120], plan
