@@ -279,3 +279,49 @@ def test_store_clustered_layout_prunes(spark, tmp_path):
     # pushed filter present on the clustered column
     plan = explain_str(back.filter(F.col("o_custkey") == 7))
     assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120], plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session's AQE defaults handle join skew at runtime: a
+    hot-key join (90% of rows on one key) gets its oversized shuffle
+    partition SPLIT by AQE's skew-join rule instead of single-threading
+    one reducer — the runtime complement to the explicit salting
+    operators in operators/skew.py. Thresholds are lowered to make a
+    local-scale dataset exhibit 'skewed' to the planner; production
+    defaults behave identically at real partition sizes."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        agg = left.join(right, "k").agg(F.sum("payload"))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
