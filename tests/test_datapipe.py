@@ -1175,6 +1175,44 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     assert row["clean_text"] == "x\ny\nz" and row["n_removed"] == 1
 
 
+def test_paragraph_dedup_model_check(spark):
+    """Exact agreement with a pure-Python first-occurrence-wins model
+    on a seeded random corpus (repeats within and across docs, blank
+    lines, empty docs)."""
+    import random
+
+    rng = random.Random(99)
+    lines_pool = [f"l{i}" for i in range(12)]
+    rows = []
+    for doc_id in range(60):
+        n = rng.randint(0, 6)
+        ls = [rng.choice(lines_pool + ["", " "]) for _ in range(n)]
+        rows.append((doc_id, "\n".join(ls)))
+
+    # reference model
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in rows:  # doc order = id order here
+        out = []
+        removed = 0
+        for para in text.split("\n"):
+            if para.strip() == "":
+                out.append(para)
+            elif para not in seen:
+                seen.add(para)
+                out.append(para)
+            else:
+                removed += 1
+        expected[doc_id] = ("\n".join(out), removed)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.paragraph_dedup(df).collect()
+    }
+    assert got == expected
+
+
 def test_sequence_pack(spark):
     """Offsets are the cumulative token count in doc_id order even
     across shard boundaries (shard_size=2 forces the two-level
