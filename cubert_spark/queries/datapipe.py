@@ -838,6 +838,32 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return bpe.bpe_tokenize(d, merges).select("doc_id", "n_tokens")
 
 
+def q_neardup_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup end-cap: near-dup pairs (n-gram Jaccard >= 0.2) →
+    connected-component clusters → keep ONE representative (min id)
+    per cluster → emit the deduped corpus (doc_id, lang). Untouched
+    docs survive implicitly (anti-join only removes non-representative
+    cluster members — a broadcast-able small side by construction:
+    |near-dup victims| << |corpus|)."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    clusters = components.dedup_clusters(pairs)
+    victims = clusters.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+    return d.join(victims, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+# splice the anti-join on top of the cluster CTE chain: the final
+# SELECT of SQL_DEDUP_CLUSTERS becomes one more CTE
+SQL_NEARDUP_DEDUP = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT id AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY id",
+    """,
+clusters AS (SELECT id AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> rep_id)""",
+).replace(")\n,\nclusters AS", "),\nclusters AS")
+
+
 # Fixed tokenizer model for the BPE oracle twin: trained at import
 # time from an embedded corpus by the same pure-Python fit the
 # production path uses (bpe.bpe_train_texts — deterministic: ties
@@ -1150,6 +1176,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
     "quality_classifier": q_quality_classifier,
+    "neardup_dedup": q_neardup_dedup,
 }
 
 ORACLES = {
@@ -1185,4 +1212,5 @@ ORACLES = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "bpe_apply_exact": SQL_BPE_APPLY_EXACT,
+    "neardup_dedup": SQL_NEARDUP_DEDUP,
 }
