@@ -263,3 +263,40 @@ def sequence_pack(
         )
     )
     return packed.select(id_col, "n_tokens", "start_offset", "start_bin", "end_bin")
+
+
+#: (pattern, replacement) chain for normalize_text — module-level so
+#: the DuckDB oracle folds the IDENTICAL patterns (both engines'
+#: regex dialects — Java and RE2 — agree on this subset: character
+#: classes, bounded repetition, multiline ^/$).
+NORMALIZE_STEPS = (
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),  # control chars (keep \n \t \r)
+    (r"\r\n?", "\n"),                            # CRLF / CR -> LF
+    (r"[ \t]+", " "),                            # collapse runs of spaces/tabs
+    (r"(?m)^ | $", ""),                          # trim line edges
+    (r"\n{3,}", "\n\n"),                         # squeeze blank-line runs
+)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic text normalization — the cheap cleanup pass every
+    crawl pipeline runs before dedup/scoring (control-char strip,
+    newline canonicalization, whitespace collapse, line-edge trim,
+    blank-run squeeze), as a pure whole-stage-codegen regexp chain:
+    zero shuffles, zero Python, engine-portable patterns
+    (NORMALIZE_STEPS). Output: (id, clean_text, n_chars_before,
+    n_chars_after)."""
+    out = F.col(text_col)
+    for pat, rep in NORMALIZE_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.btrim(out)
+    return df.select(
+        F.col(id_col),
+        out.alias("clean_text"),
+        F.length(text_col).cast("int").alias("n_chars_before"),
+        F.length(out).cast("int").alias("n_chars_after"),
+    )

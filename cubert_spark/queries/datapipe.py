@@ -838,6 +838,33 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return bpe.bpe_tokenize(d, merges).select("doc_id", "n_tokens")
 
 
+def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Codegen regex normalization chain (control strip, CRLF fold,
+    whitespace collapse, line trim, blank-run squeeze)."""
+    d = load_table(spark, sf, "documents")
+    return curation.normalize_text(d)
+
+
+def _normalize_sql_expr() -> str:
+    expr = "text"
+    for pat, rep in curation.NORMALIZE_STEPS:
+        # identical pattern strings (DuckDB single-quote literals keep
+        # backslashes raw, so no re-escaping); the 'g' flag matches
+        # Spark's replace-all semantics
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"trim({expr})"
+
+
+SQL_NORMALIZE_TEXT = f"""
+SELECT doc_id,
+       {_normalize_sql_expr()} AS clean_text,
+       CAST(length(text) AS INT) AS n_chars_before,
+       CAST(length({_normalize_sql_expr()}) AS INT) AS n_chars_after
+FROM documents
+"""
+
+
 def q_neardup_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup end-cap: near-dup pairs (n-gram Jaccard >= 0.2) →
     connected-component clusters → keep ONE representative (min id)
@@ -1177,6 +1204,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "quality_classifier": q_quality_classifier,
     "neardup_dedup": q_neardup_dedup,
+    "normalize_text": q_normalize_text,
 }
 
 ORACLES = {
@@ -1213,4 +1241,5 @@ ORACLES = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "bpe_apply_exact": SQL_BPE_APPLY_EXACT,
     "neardup_dedup": SQL_NEARDUP_DEDUP,
+    "normalize_text": SQL_NORMALIZE_TEXT,
 }

@@ -1175,6 +1175,22 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     assert row["clean_text"] == "x\ny\nz" and row["n_removed"] == 1
 
 
+def test_normalize_text(spark):
+    dirty = [
+        (1, "  a\tb\r\nc  \n\n\n\nd\x01e  "),
+        (2, "already clean"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(dirty, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.normalize_text(df).collect()}
+    # control char stripped, CRLF folded, runs collapsed, edges trimmed
+    assert out[1]["clean_text"] == "a b\nc\n\nde"
+    assert out[1]["n_chars_before"] == len(dirty[0][1])
+    assert out[1]["n_chars_after"] == len("a b\nc\n\nde")
+    assert out[2]["clean_text"] == "already clean"
+    assert out[3]["clean_text"] == "" and out[3]["n_chars_after"] == 0
+
+
 def test_paragraph_dedup_model_check(spark):
     """Exact agreement with a pure-Python first-occurrence-wins model
     on a seeded random corpus (repeats within and across docs, blank
