@@ -1,4 +1,5 @@
 from cubert_spark.plans.assertions import (
+    lint,
     assert_partitioned_on,
     explain_str,
     has_pushed_filters,
@@ -7,6 +8,7 @@ from cubert_spark.plans.assertions import (
 )
 
 __all__ = [
+    "lint",
     "assert_partitioned_on",
     "explain_str",
     "has_pushed_filters",

@@ -325,3 +325,43 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lint_flags_antipatterns_and_passes_clean(spark):
+    """plans.lint: the user-facing scale-hygiene doctor flags each
+    anti-pattern class and stays quiet on the engine's own queries."""
+    from pyspark.sql import Window
+
+    from cubert_spark.plans import lint
+
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select(F.col("id").alias("y"))
+
+    # all-pairs joins: small sides plan BroadcastNestedLoopJoin,
+    # large sides CartesianProduct — lint flags both classes
+    assert any("pairs" in w or "cartesian" in w for w in lint(a.crossJoin(b)))
+    assert any("pairs" in w or "cartesian" in w for w in lint(a.join(b, a.x < b.y)))
+    big_a = spark.range(0, 10_000_000).select(F.col("id").alias("x")).hint("shuffle_replicate_nl")
+    big_b = spark.range(0, 10_000_000).select(F.col("id").alias("y"))
+    assert any("cartesian" in w for w in lint(big_a.crossJoin(big_b)))
+    # unpartitioned window
+    w = Window.orderBy("x")
+    assert any("unpartitioned window" in w_ for w_ in lint(
+        a.select("x", F.row_number().over(w).alias("rn"))))
+    # row-at-a-time python UDF
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda v: v + 1, "long")
+    assert any("Python" in w for w in lint(a.select(slow("x"))))
+    # global sort without limit (desc so EliminateSorts can't drop it)
+    assert any("global sort" in w for w in lint(a.orderBy(F.col("x").desc())))
+    # wide unpruned scan
+    li = load_table(spark, SF, "lineitem")
+    assert any("columns" in w for w in lint(li))
+
+    # clean plans stay clean
+    from cubert_spark.queries.core import q1_groupby_agg, q_topn, q_sort_limit
+    from cubert_spark.queries.datapipe import q_quality_classifier
+
+    for fn in (q1_groupby_agg, q_topn, q_sort_limit, q_quality_classifier):
+        assert lint(fn(spark, SF)) == [], fn.__name__
