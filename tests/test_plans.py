@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from cubert_spark.catalog import load_table
 from cubert_spark.plans import (
     explain_str,
+    lint,
     has_pushed_filters,
     scan_read_schema,
     shuffle_count,
@@ -365,3 +366,30 @@ def test_lint_flags_antipatterns_and_passes_clean(spark):
 
     for fn in (q1_groupby_agg, q_topn, q_sort_limit, q_quality_classifier):
         assert lint(fn(spark, SF)) == [], fn.__name__
+
+
+# lint exceptions: each is a *small-by-construction* side or an
+# inherently non-equi operator, documented at the implementation site.
+_LINT_ALLOWED = {
+    "dict_encode": ("unpartitioned window",),   # dictionary build: dict is tiny
+    "dict_refresh": ("unpartitioned window", "pairs"),  # tiny dict + 1-row max-code side
+    "embedding_topk": ("pairs",),  # documented broadcast-Q brute-force scorer
+    "mixture_sample": ("pairs",),  # 1-row total-T crossJoin(broadcast)
+    "tfidf_top_terms": ("pairs",),  # 1-row corpus-count crossJoin(broadcast)
+    "range_join": ("pairs",),      # non-equi by definition
+    "sequence_pack": ("unpartitioned window",),  # |docs|/shard_size shard totals
+}
+
+
+def test_all_declared_queries_lint_clean(spark):
+    """Every query in the declared inventory passes plans.lint, except
+    the documented small-side/non-equi cases — and those only raise
+    their allowed warning classes. A new anti-pattern anywhere in the
+    inventory fails here."""
+    from cubert_spark.queries import all_queries
+
+    for name, fn in sorted(all_queries().items()):
+        ws = lint(fn(spark, SF))
+        allowed = _LINT_ALLOWED.get(name, ())
+        unexpected = [w for w in ws if not any(a in w for a in allowed)]
+        assert unexpected == [], (name, unexpected)
