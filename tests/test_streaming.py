@@ -221,3 +221,50 @@ def test_per_key_ema_ttl_path(spark, events_dir):
     finally:
         q.stop()
     assert spark.table("ema_ttl_test").count() > 0
+
+
+def test_ingest_dedup_stream(spark, tmp_path):
+    """Incremental corpus ingest: content seen in ANY earlier
+    micro-batch never re-enters the corpus; within-batch repeats keep
+    the min id; the ledger persists across separate stream runs
+    (restart safety)."""
+    from cubert_spark.streaming import ingest_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+
+    # file 1 then file 2 — maxFilesPerTrigger=1 forces two micro-batches
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    ingest_dedup(stream, out, ledger).awaitTermination()
+
+    got = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"alpha", "beta", "gamma"}
+    assert got["alpha"] == 1  # within-batch first-wins by min id
+
+    # restart: a NEW stream over a third file with one dup, one novel
+    spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f3")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    # fresh checkpoint-less run re-reads everything; the LEDGER still
+    # rejects all previously ingested content
+    ingest_dedup(stream2, out, ledger).awaitTermination()
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha", "beta", "delta", "gamma"]
