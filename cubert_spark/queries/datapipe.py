@@ -865,6 +865,30 @@ FROM documents
 """
 
 
+_BLOCKLIST = ["slow scan", "big table", "dup"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Banned-phrase screen: one alternation regex, one scan."""
+    d = load_table(spark, sf, "documents")
+    return curation.blocklist_filter(d, _BLOCKLIST)
+
+
+def _blocklist_pat() -> str:
+    import re as _re
+
+    return "(?i)" + "|".join(_re.escape(p) for p in _BLOCKLIST)
+
+
+SQL_BLOCKLIST_FILTER = f"""
+SELECT doc_id,
+       regexp_extract(text, '{_blocklist_pat()}', 0) <> '' AS blocked,
+       CASE WHEN regexp_extract(text, '{_blocklist_pat()}', 0) <> ''
+            THEN regexp_extract(text, '{_blocklist_pat()}', 0) END AS first_match
+FROM documents
+"""
+
+
 def q_neardup_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup end-cap: near-dup pairs (n-gram Jaccard >= 0.2) →
     connected-component clusters → keep ONE representative (min id)
@@ -1205,6 +1229,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "neardup_dedup": q_neardup_dedup,
     "normalize_text": q_normalize_text,
+    "blocklist_filter": q_blocklist_filter,
 }
 
 ORACLES = {
@@ -1242,4 +1267,5 @@ ORACLES = {
     "bpe_apply_exact": SQL_BPE_APPLY_EXACT,
     "neardup_dedup": SQL_NEARDUP_DEDUP,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
 }

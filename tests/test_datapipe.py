@@ -1175,6 +1175,22 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     assert row["clean_text"] == "x\ny\nz" and row["n_removed"] == 1
 
 
+def test_blocklist_filter(spark):
+    rows = [
+        (1, "the BIG Table of data"),   # case-insensitive hit
+        (2, "costs $5.00 (really)"),    # regex specials matched literally
+        (3, "clean document"),
+        (4, "dup first then big table"),  # first match in doc order wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.blocklist_filter(
+        df, ["big table", "$5.00 (really)", "dup"]).collect()}
+    assert out[1]["blocked"] and out[1]["first_match"] == "BIG Table"
+    assert out[2]["blocked"] and out[2]["first_match"] == "$5.00 (really)"
+    assert not out[3]["blocked"] and out[3]["first_match"] is None
+    assert out[4]["first_match"] == "dup"
+
+
 def test_normalize_text(spark):
     dirty = [
         (1, "  a\tb\r\nc  \n\n\n\nd\x01e  "),
