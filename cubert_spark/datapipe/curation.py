@@ -332,3 +332,41 @@ def blocklist_filter(
         (first != "").alias("blocked"),
         F.when(first != "", first).alias("first_match"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Data-quality profile — the validation pass a pipeline runs on
+    every new data drop: per column, row count, null count, exact
+    distinct count, and min/max (as strings, so one long-format schema
+    covers every column type). Output: (col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val), one row per profiled column.
+
+    Scale shape: ONE aggregation job. The multiple exact
+    count-distincts plan as a single Expand pass (rows x |cols|) with
+    partial aggregation — the standard profiling trade; swap in
+    approx_count_distinct for trillion-row drops where exactness isn't
+    worth the expand factor.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__rows_{c}").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_val"),
+            F.col(f"__max_{c}").alias("max_val"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -865,6 +865,31 @@ FROM documents
 """
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data-quality profile of orders (bigint/varchar columns
+    — the string casts of min/max are engine-identical for these
+    types; double/timestamp formatting is engine-specific, so the
+    oracle row sticks to portable types; the operator itself profiles
+    any column)."""
+    o = load_table(spark, sf, "orders")
+    return curation.profile_table(o, _PROFILE_COLS)
+
+
+SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
 _BLOCKLIST = ["slow scan", "big table", "dup"]
 
 
@@ -1230,6 +1255,7 @@ QUERIES = {
     "neardup_dedup": q_neardup_dedup,
     "normalize_text": q_normalize_text,
     "blocklist_filter": q_blocklist_filter,
+    "profile_table": q_profile_table,
 }
 
 ORACLES = {
@@ -1268,4 +1294,5 @@ ORACLES = {
     "neardup_dedup": SQL_NEARDUP_DEDUP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "profile_table": SQL_PROFILE_TABLE,
 }

@@ -1175,6 +1175,20 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     assert row["clean_text"] == "x\ny\nz" and row["n_removed"] == 1
 
 
+def test_profile_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (2, None, 2.5)],
+        "k long, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in curation.profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 3 for r in prof.values())
+    assert prof["k"]["n_nulls"] == 0 and prof["k"]["n_distinct"] == 2
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_val"] == "a" and prof["s"]["max_val"] == "b"
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["min_val"] == "1.5"
+
+
 def test_blocklist_filter(spark):
     rows = [
         (1, "the BIG Table of data"),   # case-insensitive hit
