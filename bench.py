@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "mixture_sample",
     "bpe_apply_exact",
     "embedding_neardup",
+    # r05 third batch: 4-table join depth + the blocklist DFA pass
+    "revenue_by_nation",
+    "blocklist_filter",
 ]
 
 

@@ -568,6 +568,42 @@ def q_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q5-style depth query: 4-table join chain (lineitem ⋈
+    orders ⋈ customer ⋈ nation) → revenue per nation. The big fact
+    side shuffles only on join keys; the dim tables (customer at this
+    ratio, nation always) broadcast under the session's AQE/broadcast
+    thresholds — plan asserted in tests/test_plans.py. Revenue is a
+    per-row IEEE product summed through DECIMAL (engine-exact)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "generate_filter": q_generate_filter,
     "q1_groupby_agg": q1_groupby_agg,
@@ -592,6 +628,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "set_ops": q_set_ops,
     "approx_count_distinct": q_approx_count_distinct,
+    "revenue_by_nation": q_revenue_by_nation,
 }
 
 ORACLES = {
@@ -619,4 +656,5 @@ ORACLES = {
     "dict_encode": SQL_DICT_ENCODE,
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "wordcount": SQL_WORDCOUNT,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
 }

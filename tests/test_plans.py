@@ -393,3 +393,16 @@ def test_all_declared_queries_lint_clean(spark):
         allowed = _LINT_ALLOWED.get(name, ())
         unexpected = [w for w in ws if not any(a in w for a in allowed)]
         assert unexpected == [], (name, unexpected)
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    """The 4-table join chain keeps the fact side shuffling only on
+    join keys and broadcasts the small dimension tables — no
+    cartesians, nation (25 rows) never shuffles."""
+    from cubert_spark.queries.core import q_revenue_by_nation
+
+    df = q_revenue_by_nation(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert lint(df) == []
