@@ -317,6 +317,42 @@ GROUP BY 1, 2
 """
 
 
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of events.value (20 bins over [0, 100],
+    outliers clamped into the edge bins, nulls dropped): one groupBy
+    on a computed bin — the distribution profile at any scale. The
+    bin formula is floor((v - lo) / w) on IEEE doubles with literal
+    lo/w, so binning is bit-identical cross-engine."""
+    lo, hi, n_bins = 0.0, 100.0, 20
+    w = (hi - lo) / n_bins
+    e = load_table(spark, sf, "events")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - lo) / w).cast("int")),
+    )
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(w))
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT bin, COUNT(*) AS n, {dsum_sql('value')} AS sum_value,
+       0.0 + bin * 5.0 AS bin_lo
+FROM (
+  SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 5.0) AS INT))) AS bin,
+         value
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY bin
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
@@ -326,6 +362,7 @@ QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
     "event_transitions": q_event_transitions,
+    "value_histogram": q_value_histogram,
 }
 
 ORACLES = {
@@ -337,4 +374,5 @@ ORACLES = {
     "funnel": SQL_FUNNEL,
     "retention": SQL_RETENTION,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
 }
