@@ -677,3 +677,32 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the 4x
+    memory/IO cut that makes billion-vector ANN corpora fit: per
+    vector, scale = max|v| / 127 and codes = round-half-up(v / scale),
+    so every code is in [-127, 127] and dequantization is
+    ``code * scale``.
+
+    The rounding is spelled floor(x + 0.5) — a fixed IEEE add+floor —
+    because round() half-even/half-away conventions differ across
+    engines; this form replays bit-identically in the DuckDB oracle.
+    All-zero vectors quantize to all-zero codes with scale 0.
+
+    Scale shape: pure per-row array expressions (one max-abs fold +
+    one transform) — zero shuffles, whole plan stays a map stage.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    codes = F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.floor(x / (maxabs / 127.0) + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col), scale, codes.alias("codes"))

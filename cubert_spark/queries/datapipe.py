@@ -1155,6 +1155,25 @@ WHERE CAST({_hash16_sql('d.doc_id', 'mix')} AS DOUBLE) < frac.f * 65536.0
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table — codes and
+    scales bit-replayable (floor(x+0.5) rounding, fixed IEEE ops)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.quantize_embeddings(e)
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+SELECT vec_id,
+       maxabs / 127.0 AS scale,
+       CASE WHEN maxabs > 0
+            THEN list_transform(v, x -> CAST(FLOOR(x / (maxabs / 127.0) + 0.5) AS INT))
+            ELSE list_transform(v, x -> 0) END AS codes
+FROM m
+"""
+
+
 _NEARDUP_PLANES = similarity.hyperplane_planes(_EMB_DIM, 6, seed=42)
 
 
@@ -1256,6 +1275,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "blocklist_filter": q_blocklist_filter,
     "profile_table": q_profile_table,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES = {
@@ -1295,4 +1315,5 @@ ORACLES = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "profile_table": SQL_PROFILE_TABLE,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }

@@ -1401,3 +1401,20 @@ def test_decode_images_real_jpeg(spark):
     got = multimodal.decode_images(df).collect()[0]
     assert (got["width"], got["height"]) == (16, 24)
     assert all(0.0 <= f <= 1.0 for f in got["feature"])
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero vector
+        (3, [127.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    # codes bounded, extreme value maps to ±127, dequant error <= scale/2
+    assert out[1]["codes"] == [64, -127, 32, 0]
+    s = out[1]["scale"]
+    for orig, code in zip(rows[0][1], out[1]["codes"]):
+        assert abs(code * s - orig) <= s / 2 + 1e-12
+    assert out[2]["codes"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
+    assert out[3]["codes"] == [127]
