@@ -353,6 +353,72 @@ GROUP BY bin
 """
 
 
+def q_anomaly_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-volume anomaly screen: per event type, z-score each day's
+    event count against that type's own daily distribution. Output
+    every (event_type, day) with its z — the monitoring query that
+    catches a broken producer or a traffic spike.
+
+    Bit-exact cross-engine: counts are integers; mean, variance
+    (computed as E[x^2] - E[x]^2 from exact integer sums), std
+    (sqrt — correctly rounded per IEEE-754), and z are a fixed
+    composition of IEEE double ops. Two keyed aggs + a broadcast-able
+    per-type stats join; nothing unpartitioned."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n_days").cast("double")
+        - mean * mean
+    )
+    joined = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        mean.alias("mean_n"),
+        F.sqrt(var).alias("std_n"),
+    )
+    z = F.when(
+        F.col("std_n") > 0,
+        (F.col("n").cast("double") - F.col("mean_n")) / F.col("std_n"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("z", z)
+
+
+SQL_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n,
+       CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE) AS mean_n,
+       SQRT(CAST(s.s2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+            - (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+              * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))) AS std_n,
+       CASE WHEN SQRT(CAST(s.s2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+                 - (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                   * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))) > 0
+            THEN (CAST(d.n AS DOUBLE)
+                  - CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                 / SQRT(CAST(s.s2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+                   - (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                     * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE)))
+            ELSE 0.0 END AS z
+FROM daily d JOIN stats s ON s.event_type = d.event_type
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
@@ -363,6 +429,7 @@ QUERIES = {
     "retention": q_retention,
     "event_transitions": q_event_transitions,
     "value_histogram": q_value_histogram,
+    "anomaly_days": q_anomaly_days,
 }
 
 ORACLES = {
@@ -375,4 +442,5 @@ ORACLES = {
     "retention": SQL_RETENTION,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "anomaly_days": SQL_ANOMALY_DAYS,
 }
