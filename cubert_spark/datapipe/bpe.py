@@ -161,3 +161,27 @@ def bpe_tokenize(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         kernel, schema=f"{id_col} long, tokens array<string>, n_tokens int"
     )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge list as the standard ``merges.txt``
+    format (one space-separated pair per line, rank = line order —
+    interchangeable with GPT-2-style tokenizer tooling). Symbols never
+    contain whitespace by construction (words are whitespace-split),
+    so the format is unambiguous."""
+    with open(path, "w", encoding="utf-8") as f:
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a merge list written by :func:`save_merges`."""
+    out: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            a, _, b = line.partition(" ")
+            out.append((a, b))
+    return out

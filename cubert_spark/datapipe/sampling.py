@@ -127,8 +127,11 @@ def mixture_sample(
     the effective total is the largest T with share_s * T <= count_s
     for every weighted source (the scarcest source is kept whole and
     every other source is cut to proportion). Sources absent from
-    ``weights`` are dropped. Membership is the content-keyed md5 gate,
-    so the mix is stable across runs and engines.
+    ``weights`` are dropped; a weighted source with NO rows in ``df``
+    is ignored when sizing T (it can't constrain a mix it contributes
+    nothing to) rather than forcing the whole output empty. Membership
+    is the content-keyed md5 gate, so the mix is stable across runs
+    and engines.
 
     Every arithmetic step is a fixed composition of IEEE-754 divides
     and multiplies on values both engines agree on (counts + weight

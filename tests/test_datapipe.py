@@ -1122,6 +1122,17 @@ def test_mixture_sample(spark):
     assert a == b
 
 
+def test_mixture_sample_absent_source(spark):
+    from cubert_spark.datapipe import sampling
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(100)], "doc_id long, source string"
+    )
+    # 'books' has zero rows: it must not zero out the whole mix
+    out = sampling.mixture_sample(df, {"web": 0.5, "books": 0.5})
+    assert out.count() == 100  # web kept whole (it's the only constraint)
+
+
 def test_tfidf_top_terms(spark):
     rows = [
         (1, "apple apple banana shared shared shared"),
@@ -1418,3 +1429,16 @@ def test_quantize_embeddings_roundtrip(spark):
         assert abs(code * s - orig) <= s / 2 + 1e-12
     assert out[2]["codes"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
     assert out[3]["codes"] == [127]
+
+
+def test_bpe_merges_roundtrip(tmp_path):
+    from cubert_spark.datapipe import bpe
+
+    merges = bpe.bpe_train_texts(["low lower lowest low low"], 10)
+    p = str(tmp_path / "merges.txt")
+    bpe.save_merges(merges, p)
+    assert bpe.load_merges(p) == merges
+    # tokenization under the reloaded model is identical
+    ranks = {m: i for i, m in enumerate(merges)}
+    ranks2 = {m: i for i, m in enumerate(bpe.load_merges(p))}
+    assert bpe.bpe_encode_word("lowest", ranks) == bpe.bpe_encode_word("lowest", ranks2)
