@@ -247,27 +247,39 @@ def decode_audio(
                             width = wf.getsampwidth()
                             n = wf.getnframes()
                             frames = wf.readframes(n)
-                    except Exception as e:  # noqa: BLE001 - not a WAV
-                        raise NotImplementedError(
-                            f"no codec for this audio format ({e}); WAV and "
-                            "FLAC decode natively, others need a decoder "
-                            "plugged into decode_audio"
-                        ) from e
-                    # a truncated final frame decodes as far as it goes
-                    # (trim to whole frames) rather than failing the job
-                    frame_bytes = width * nch
-                    if frame_bytes and len(frames) % frame_bytes:
-                        frames = frames[: len(frames) - len(frames) % frame_bytes]
-                    if width == 2:
-                        x = np.frombuffer(frames, "<i2").astype("float64") / 32768.0
-                    elif width == 1:
-                        x = (np.frombuffer(frames, "u1").astype("float64") - 128.0) / 128.0
-                    else:
-                        raise NotImplementedError(
-                            f"unsupported WAV sample width {width}"
-                        )
-                    if nch > 1:
-                        x = x.reshape(-1, nch).mean(axis=1)
+                    except Exception as e:  # noqa: BLE001 - not plain PCM
+                        # compressed-WAV fallback: G.711 mu/A-law and
+                        # IMA ADPCM (datapipe.wavext) before giving up
+                        try:
+                            from cubert_spark.datapipe.wavext import decode_wav_ext
+
+                            smp, sr, nch = decode_wav_ext(raw)
+                        except Exception:
+                            raise NotImplementedError(
+                                f"no codec for this audio format ({e}); WAV "
+                                "(PCM/mu-law/A-law/IMA-ADPCM) and FLAC decode "
+                                "natively, others need a decoder plugged "
+                                "into decode_audio"
+                            ) from e
+                        x = smp.astype("float64") / 32768.0
+                        x = x.mean(axis=1) if nch > 1 else x[:, 0]
+                        frames = None
+                    if frames is not None:  # plain-PCM path
+                        # a truncated final frame decodes as far as it
+                        # goes (trim to whole frames), not a job failure
+                        frame_bytes = width * nch
+                        if frame_bytes and len(frames) % frame_bytes:
+                            frames = frames[: len(frames) - len(frames) % frame_bytes]
+                        if width == 2:
+                            x = np.frombuffer(frames, "<i2").astype("float64") / 32768.0
+                        elif width == 1:
+                            x = (np.frombuffer(frames, "u1").astype("float64") - 128.0) / 128.0
+                        else:
+                            raise NotImplementedError(
+                                f"unsupported WAV sample width {width}"
+                            )
+                        if nch > 1:
+                            x = x.reshape(-1, nch).mean(axis=1)
                 rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 env = []
                 if len(x):

@@ -1442,3 +1442,66 @@ def test_bpe_merges_roundtrip(tmp_path):
     ranks = {m: i for i, m in enumerate(merges)}
     ranks2 = {m: i for i, m in enumerate(bpe.load_merges(p))}
     assert bpe.bpe_encode_word("lowest", ranks) == bpe.bpe_encode_word("lowest", ranks2)
+
+
+def test_wavext_codec_roundtrips():
+    import numpy as np
+
+    from cubert_spark.datapipe import wavext as wx
+
+    rng = np.random.default_rng(3)
+    t = np.arange(4000)
+    sig = (8000 * np.sin(2 * np.pi * 440 * t / 16000)
+           + rng.normal(0, 300, len(t))).astype(np.int16)
+
+    # G.711 decode(encode(.)) is idempotent and ~38 dB on speech-band
+    for enc, dec in ((wx.mulaw_encode, wx.mulaw_decode),
+                     (wx.alaw_encode, wx.alaw_decode)):
+        x1 = dec(enc(sig))
+        assert np.array_equal(x1, dec(enc(x1)))  # quantizer fixpoint
+        snr = 10 * np.log10((sig.astype(float) ** 2).mean()
+                            / ((x1.astype(float) - sig) ** 2).mean())
+        assert snr > 30, snr
+
+    # container roundtrip: exact lengths (fact chunk), mono + stereo
+    for tag, floor_db in ((wx.WAVE_FORMAT_MULAW, 30),
+                          (wx.WAVE_FORMAT_ALAW, 30),
+                          (wx.WAVE_FORMAT_IMA_ADPCM, 20)):
+        for nch in (1, 2):
+            pcm = np.stack([sig] * nch, axis=1)
+            out, sr, n = wx.decode_wav_ext(wx.encode_wav_ext(pcm, 16000, tag))
+            assert (sr, n) == (16000, nch) and len(out) == len(pcm)
+            err = out.astype(float) - pcm
+            snr = 10 * np.log10((pcm.astype(float) ** 2).mean() / (err ** 2).mean())
+            assert snr > floor_db, (tag, nch, snr)
+
+    # malformed containers stay inside the error contract
+    import pytest as _pytest
+
+    for bad in (b"RIFX1234WAVE", b"RIFF\x04\x00\x00\x00WAVE", b""):
+        with _pytest.raises(wx.WavExtError):
+            wx.decode_wav_ext(bad)
+
+
+def test_decode_audio_compressed_wav(spark):
+    """decode_audio transparently handles mu-law and IMA-ADPCM WAVs the
+    stdlib wave module rejects."""
+    import numpy as np
+
+    from cubert_spark.datapipe import wavext as wx
+
+    t = np.arange(2000)
+    sig = (10000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int16)
+    blobs = [
+        (1, bytearray(wx.encode_wav_ext(sig, 8000, wx.WAVE_FORMAT_MULAW))),
+        (2, bytearray(wx.encode_wav_ext(
+            np.stack([sig, sig], axis=1), 8000, wx.WAVE_FORMAT_IMA_ADPCM))),
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    out = {r["id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_channels"] == 1
+    assert out[1]["n_samples"] == 2000
+    assert out[2]["n_channels"] == 2 and out[2]["n_samples"] == 2000
+    # RMS of a 10000-amplitude sine ~ 10000/sqrt(2)/32768 ~ 0.216
+    for r in out.values():
+        assert abs(r["rms"] - 0.2157) < 0.01, r["rms"]
