@@ -441,6 +441,43 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_clustered_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """store_clustered STORE -> filtered LOAD: orders written with
+    hive-style year partitions + custkey-range-clustered sorted files,
+    read back through a partition-pruned, stat-skipping scan (the
+    BLOCKGEN BY PARTITION KEY scan-pruning analog; layout verified in
+    tests/test_plans.py::test_store_clustered_layout_prunes). Oracle
+    runs the same filtered aggregate on the original table — the
+    roundtrip must be lossless."""
+    import os
+
+    from cubert_spark.catalog import store_clustered
+
+    o = load_table(spark, sf, "orders").withColumn("o_year", F.year("o_orderdate"))
+    path = "/tmp/cubert_spark_clustered_rt_%s_%d" % (
+        os.path.basename(sf.rstrip("/")), os.getpid(),
+    )
+    store_clustered(o, path, partition_by=["o_year"], cluster_by=["o_custkey"])
+    back = spark.read.parquet(path)
+    first_year = F.lit(1995)
+    return (
+        back.filter((F.col("o_year") == first_year) & (F.col("o_custkey") <= 500))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+SQL_CLUSTERED_ROUNDTRIP = """
+SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 AND o_custkey <= 500
+GROUP BY o_orderpriority
+"""
+
+
 def q_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
     """Analytic-window breadth beyond the reference's RANK/TOP-N
     (extension): lag/lead, ntile, percent_rank, cume_dist, and a
@@ -496,6 +533,7 @@ QUERIES = {
     "cube_udaf": q_cube_udaf,
     "pivot_apply": q_pivot_apply,
     "window_analytics": q_window_analytics,
+    "clustered_roundtrip": q_clustered_roundtrip,
 }
 
 ORACLES = {
@@ -514,4 +552,5 @@ ORACLES = {
     "cube_udaf": SQL_CUBE_UDAF,
     "pivot_apply": SQL_PIVOT_APPLY,
     "window_analytics": SQL_WINDOW_ANALYTICS,
+    "clustered_roundtrip": SQL_CLUSTERED_ROUNDTRIP,
 }

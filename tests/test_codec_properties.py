@@ -80,3 +80,33 @@ def test_jpeg_progressive_identity_property(img):
     multi = jpeg.decode_jpeg(jpeg.encode_baseline_jpeg(img, scan_per_component=True))
     assert (base == prog).all()
     assert (base == multi).all()
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    nch=st.integers(1, 2),
+    tag_i=st.integers(0, 2),
+)
+@settings(max_examples=25, deadline=None)
+def test_wavext_container_roundtrip_property(seed, nch, tag_i):
+    """Any int16 signal survives the mu-law/A-law/IMA WAV container
+    with exact sample count and bounded quantization error; G.711
+    decode∘encode is a fixpoint."""
+    import numpy as np
+
+    from cubert_spark.datapipe import wavext as wx
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 3000))
+    pcm = rng.integers(-32768, 32768, (n, nch)).astype(np.int16)
+    tag = [wx.WAVE_FORMAT_MULAW, wx.WAVE_FORMAT_ALAW, wx.WAVE_FORMAT_IMA_ADPCM][tag_i]
+    out, sr, ch = wx.decode_wav_ext(wx.encode_wav_ext(pcm, 8000, tag))
+    assert (sr, ch) == (8000, nch)
+    assert out.shape == pcm.shape
+    if tag == wx.WAVE_FORMAT_MULAW:
+        # largest mu-law step is 8031->8191 region: bounded error
+        assert np.abs(out.astype(int) - pcm.astype(int)).max() <= 1024
+        codes = wx.mulaw_encode(pcm.reshape(-1))
+        assert np.array_equal(wx.mulaw_encode(wx.mulaw_decode(codes)), codes)
+    elif tag == wx.WAVE_FORMAT_ALAW:
+        assert np.abs(out.astype(int) - pcm.astype(int)).max() <= 1024
