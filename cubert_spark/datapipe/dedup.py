@@ -314,3 +314,53 @@ def minhash_lsh_pairs(
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str = "c_name",
+    id_col: str = "c_custkey",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution pair generation: all (id_a, id_b, dist) with
+    ``levenshtein(a, b) <= max_dist`` (currently max_dist=1), found via
+    SymSpell-style deletion-neighborhood blocking — NEVER an all-pairs
+    product. Each value explodes to itself plus its length single-char
+    deletions; any two strings within edit distance 1 (sub/ins/del)
+    provably share a variant, so one equi-join on the variant yields a
+    candidate superset that an exact ``levenshtein`` filter then trims.
+
+    Scale shape: explode factor = len+1 per row; the variant equi-join
+    is an inverted index whose posting lists are bounded by how many
+    strings collapse to one variant (name-shaped data: tiny). The
+    verify is a per-candidate JVM levenshtein. Raising max_dist means
+    deeper deletion neighborhoods (SymSpell d=2 explodes len^2/2
+    variants) — same plan, bigger constant.
+    """
+    if max_dist != 1:
+        raise NotImplementedError("fuzzy_pairs currently supports max_dist=1")
+    c = F.col(col)
+    variants = F.array_union(
+        F.array(c),
+        F.expr(
+            f"transform(sequence(1, length({col})), i ->"
+            f" concat(substr({col}, 1, i - 1), substr({col}, i + 1, length({col}))))"
+        ),
+    )
+    side = _spread(df, id_col).select(
+        F.col(id_col).alias("__id"), c.alias("__v"),
+        F.explode(variants).alias("__var"),
+    )
+    a = side.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__var"
+    )
+    b = side.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__var"
+    )
+    return (
+        a.join(b, "__var")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("__va", "__vb").alias("dist"))
+        .distinct()
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -1062,6 +1062,23 @@ WHERE lang.lang_pred = 'en'
 """
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution on customer names: all pairs within edit
+    distance 1 via SymSpell deletion-neighborhood blocking (the oracle
+    brute-forces levenshtein over all pairs — the Spark side must find
+    exactly the same set without ever forming the product)."""
+    c = load_table(spark, sf, "customer")
+    return dedup.fuzzy_pairs(c.select("c_custkey", "c_name"))
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language deterministic downsample (stratified rebalancing —
     e.g. cap the dominant language of a crawl): en keeps 25%, zh 50%,
@@ -1276,6 +1293,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "profile_table": q_profile_table,
     "embedding_quantize": q_embedding_quantize,
+    "fuzzy_pairs": q_fuzzy_pairs,
 }
 
 ORACLES = {
@@ -1316,4 +1334,5 @@ ORACLES = {
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "profile_table": SQL_PROFILE_TABLE,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
 }

@@ -1505,3 +1505,27 @@ def test_decode_audio_compressed_wav(spark):
     # RMS of a 10000-amplitude sine ~ 10000/sqrt(2)/32768 ~ 0.216
     for r in out.values():
         assert abs(r["rms"] - 0.2157) < 0.01, r["rms"]
+
+
+def test_fuzzy_pairs_symspell(spark):
+    """Deletion-neighborhood blocking finds exactly the distance<=1
+    pairs: substitution, insertion, deletion, and identical strings —
+    and never via a cartesian product."""
+    rows = [
+        (1, "smith"), (2, "smyth"),   # substitution
+        (3, "smiths"),               # insertion vs 1
+        (4, "smit"),                 # deletion vs 1
+        (5, "smith"),                # identical (dist 0)
+        (6, "jones"),                # unrelated
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in dedup.fuzzy_pairs(df).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    assert not any(6 in p for p in got)
+    # smyth vs smiths is distance 2: must NOT appear
+    assert (2, 3) not in got
+    from cubert_spark.plans import explain_str
+
+    plan = explain_str(dedup.fuzzy_pairs(df), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
