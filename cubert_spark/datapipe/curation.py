@@ -370,3 +370,54 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for c in cols
     ])
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks —
+    the embedding/RAG prep stage: every chunk is ``chunk_tokens``
+    whitespace tokens with ``overlap`` tokens shared with its
+    predecessor, and the final partial chunk is kept (so every token
+    lands in at least one chunk). Output: (id, chunk_idx, chunk_text,
+    n_tokens); documents with no tokens yield no chunks.
+
+    Scale shape: a per-row sequence + slice + posexplode — one scan,
+    no shuffle, no window; chunk boundaries are pure arithmetic on the
+    token array, so the operator is embarrassingly parallel and
+    replayable in SQL.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    # start offsets 1, 1+stride, ... while start <= n (1-based slice)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(1), F.greatest(n - chunk_tokens + 1, F.lit(1)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    # a tail window that the arithmetic sequence stopped short of
+    last = F.element_at(starts, -1)
+    starts = F.when(
+        (n > 0) & (last + chunk_tokens - 1 < n),
+        F.concat(starts, F.array(last + stride)),
+    ).otherwise(starts)
+    base = _spread(df, id_col).select(
+        F.col(id_col), toks.alias("__t"), starts.alias("__s")
+    )
+    chunk = F.slice(F.col("__t"), F.col("s"), chunk_tokens)
+    return (
+        base.select(F.col(id_col), "__t", F.posexplode("__s").alias("chunk_idx", "s"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )

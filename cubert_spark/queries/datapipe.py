@@ -1062,6 +1062,40 @@ WHERE lang.lang_pred = 'en'
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 64-token chunks (16-token overlap) — the embedding
+    prep stage; boundaries are pure arithmetic, replayed in SQL."""
+    d = load_table(spark, sf, "documents")
+    return curation.chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN range(1, greatest(len(toks) - 64 + 1, 1) + 1, 48)
+              ELSE [] END AS starts0
+  FROM t
+),
+s2 AS (
+  SELECT doc_id, toks,
+         CASE WHEN n > 0 AND starts0[-1] + 63 < n
+              THEN list_append(starts0, starts0[-1] + 48)
+              ELSE starts0 END AS starts
+  FROM s
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, starts[i], starts[i] + 63), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, starts[i], starts[i] + 63)) AS INT) AS n_tokens
+FROM s2, LATERAL UNNEST(range(1, len(starts) + 1)) AS u(i)
+"""
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Entity resolution on customer names: all pairs within edit
     distance 1 via SymSpell deletion-neighborhood blocking (the oracle
@@ -1294,6 +1328,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "embedding_quantize": q_embedding_quantize,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
@@ -1335,4 +1370,5 @@ ORACLES = {
     "profile_table": SQL_PROFILE_TABLE,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }

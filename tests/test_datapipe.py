@@ -1529,3 +1529,38 @@ def test_fuzzy_pairs_symspell(spark):
 
     plan = explain_str(dedup.fuzzy_pairs(df), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents(spark):
+    import pytest as _pytest
+
+    # 10 tokens, chunk 4, overlap 2 -> starts 1,3,5,7 (stride 2)
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = curation.chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [r[2] for r in doc1] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+    ]
+    assert all(r[3] == 4 for r in doc1)
+    # every token appears in at least one chunk; consecutive chunks overlap by 2
+    for a, b in zip(doc1, doc1[1:]):
+        assert a[2].split()[-2:] == b[2].split()[:2]
+    # short doc -> one partial chunk; empty/whitespace docs -> none
+    assert [r[2:] for r in rows if r[0] == 2] == [("a b", 2)]
+    assert not [r for r in rows if r[0] in (3, 4)]
+    # tail shorter than a full window still covered
+    df2 = spark.createDataFrame([(9, " ".join(f"x{i}" for i in range(5)))],
+                                "doc_id long, text string")
+    got = sorted(r["chunk_text"] for r in
+                 curation.chunk_documents(df2, chunk_tokens=4, overlap=2).collect())
+    assert got == ["x0 x1 x2 x3", "x2 x3 x4"]
+    with _pytest.raises(ValueError):
+        curation.chunk_documents(df, chunk_tokens=4, overlap=4)
