@@ -356,3 +356,54 @@ def hashed_linear_score(
         .alias("score"),
         (F.col("margin") >= 0).alias("pred"),
     )
+
+
+def hashed_bow_embedding(
+    df: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "hbe",
+) -> DataFrame:
+    """Feature-hashing document embedder (Weinberger et al. 2009, the
+    'hashing trick'): lowercase ``[a-z0-9]+`` terms hash into ``dim``
+    buckets (md5 — engine-portable), bucket counts L2-normalize into a
+    dense unit vector. The deterministic baseline featurizer that
+    makes the engine's chunk -> embed -> ANN pipeline runnable without
+    any model artifact; swap in real model embeddings column-for-
+    column when available.
+
+    Output: (id, vec array<double>, n_terms). Exactness: counts are
+    integers, the squared norm is an exact bigint fold, sqrt/divide
+    are correctly-rounded IEEE — vectors replay bit-for-bit in the
+    oracle. Documents with no terms embed as the zero vector.
+
+    Scale shape: one JVM map stage — md5 once per term, then an
+    O(dim x terms) in-array bucket count; zero shuffles.
+    """
+    terms = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+
+    def bucket(t: Column) -> Column:
+        h = F.md5(F.concat(F.lit(salt), t))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % dim
+
+    # materialize the bucket array in its own projection so the md5s
+    # run once per term (CollapseProject keeps the multiply-referenced
+    # alias — the same trap catalogued for the ngram explode)
+    base = df.select(
+        F.col(id_col),
+        F.transform(terms, bucket).alias("__b"),
+        F.size(terms).alias("n_terms"),
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(F.col("__b"), lambda b: b == j)).cast("bigint"),
+    )
+    ss = F.aggregate(counts, F.lit(0).cast("bigint"), lambda a, c: a + c * c)
+    norm = F.sqrt(ss.cast("double"))
+    vec = F.when(
+        ss > 0, F.transform(counts, lambda c: c.cast("double") / norm)
+    ).otherwise(F.transform(counts, lambda c: F.lit(0.0)))
+    return base.select(id_col, vec.alias("vec"), "n_terms")

@@ -1062,6 +1062,43 @@ WHERE lang.lang_pred = 'en'
 """
 
 
+def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashing document embedder (dim 32): bucket counts
+    L2-normalized — exact bigint norms, IEEE divides."""
+    d = load_table(spark, sf, "documents")
+    return textstats.hashed_bow_embedding(d, dim=32)
+
+
+SQL_HASHED_EMBEDDING = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(lower(text), '[a-z0-9]+'),
+           s -> ({_hash16_sql('s', 'hbe')}) % 32
+         ) AS b,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_terms
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_terms,
+         list_transform(range(0, 32),
+                        j -> CAST(len(list_filter(b, x -> x = j)) AS BIGINT)) AS counts
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_terms, counts,
+         list_sum(list_transform(counts, c -> c * c)) AS ss
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN ss > 0
+            THEN list_transform(counts, c -> CAST(c AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)))
+            ELSE list_transform(counts, c -> 0.0) END AS vec,
+       n_terms
+FROM s
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping 64-token chunks (16-token overlap) — the embedding
     prep stage; boundaries are pure arithmetic, replayed in SQL."""
@@ -1329,6 +1366,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "fuzzy_pairs": q_fuzzy_pairs,
     "chunk_documents": q_chunk_documents,
+    "hashed_embedding": q_hashed_embedding,
 }
 
 ORACLES = {
@@ -1371,4 +1409,5 @@ ORACLES = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "hashed_embedding": SQL_HASHED_EMBEDDING,
 }

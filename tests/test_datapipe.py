@@ -1564,3 +1564,57 @@ def test_chunk_documents(spark):
     assert got == ["x0 x1 x2 x3", "x2 x3 x4"]
     with _pytest.raises(ValueError):
         curation.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_hashed_bow_embedding(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "???")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.hashed_bow_embedding(df, dim=8).collect()}
+    v = out[1]["vec"]
+    assert len(v) == 8 and out[1]["n_terms"] == 3
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-12  # unit norm
+    # alpha counted twice, beta once: exact expected vector from the
+    # same md5 bucketing (collision-aware)
+    import hashlib
+
+    def bucket(t):
+        return int(hashlib.md5(("hbe" + t).encode()).hexdigest()[:4], 16) % 8
+
+    counts = [0] * 8
+    counts[bucket("alpha")] += 2
+    counts[bucket("beta")] += 1
+    norm = math.sqrt(sum(c * c for c in counts))
+    assert v == [c / norm for c in counts]
+    for d in (2, 3):  # no terms -> zero vector
+        assert out[d]["vec"] == [0.0] * 8 and out[d]["n_terms"] == 0
+
+
+def test_chunk_embed_ann_pipeline(spark):
+    """End-to-end retrieval mini-pipeline: chunk -> hashed embed ->
+    exact cosine top-k finds the chunk sharing the query's vocabulary."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spark shuffle exchange partition"] * 8)),
+            (2, " ".join(["grape banana orange melon"] * 8)),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = curation.chunk_documents(docs, chunk_tokens=8, overlap=2)
+    emb = textstats.hashed_bow_embedding(
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        dim=16,
+    ).select(F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding"))
+    q = textstats.hashed_bow_embedding(
+        spark.createDataFrame([(9_000_000, "banana melon grape")], "doc_id long, text string"),
+        dim=16,
+    ).select(F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding"))
+    top = similarity.cosine_topk(emb.unionByName(q), q, k=3).collect()
+    # every retrieved neighbor is a fruit chunk (doc 2), never doc 1
+    assert top and all(2000 <= r["neighbor_id"] < 3000 for r in top)
