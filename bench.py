@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     # r05 third batch: 4-table join depth + the blocklist DFA pass
     "revenue_by_nation",
     "blocklist_filter",
+    # r05 fourth batch: retrieval prep (token-window chunking, hashing-
+    # trick embedding) and SymSpell-blocked entity resolution
+    "chunk_documents",
+    "hashed_embedding",
+    "fuzzy_pairs",
 ]
 
 
