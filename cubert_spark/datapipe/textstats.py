@@ -389,10 +389,14 @@ def hashed_bow_embedding(
         h = F.md5(F.concat(F.lit(salt), t))
         return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % dim
 
+    from cubert_spark.datapipe.dedup import _spread
+
     # materialize the bucket array in its own projection so the md5s
     # run once per term (CollapseProject keeps the multiply-referenced
-    # alias — the same trap catalogued for the ngram explode)
-    base = df.select(
+    # alias — the same trap catalogued for the ngram explode); _spread
+    # parallelizes the per-doc md5+count work when the scan has fewer
+    # splits than cores (no-op at real scale)
+    base = _spread(df, id_col).select(
         F.col(id_col),
         F.transform(terms, bucket).alias("__b"),
         F.size(terms).alias("n_terms"),
