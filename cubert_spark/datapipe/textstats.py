@@ -411,3 +411,101 @@ def hashed_bow_embedding(
         ss > 0, F.transform(counts, lambda c: c.cast("double") / norm)
     ).otherwise(F.transform(counts, lambda c: F.lit(0.0)))
     return base.select(id_col, vec.alias("vec"), "n_terms")
+
+
+def bm25_search(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical top-``k`` retrieval by Okapi BM25 (k1=1.2, b=0.75) —
+    the classic ranked keyword search over a corpus, completing the
+    engine's retrieval surface next to the embedding ANN paths.
+
+    ``queries`` is a small literal list of (query_id, query_text);
+    terms are the same lowercase ``[a-z0-9]+`` runs as tfidf.
+
+    Exactness doctrine (cross-engine bit replay):
+
+    - idf uses the rational (N+1)/(df+0.5) = 2(N+1)/(2df+1) — no log,
+      same move as ``tfidf_top_terms``.
+    - Each per-term score is ONE IEEE divide of two exactly-computed
+      bigints: clearing the k1/b decimals and avgdl=T/N gives
+      score_t = 44*tf*T*(N+1) / ((10*T*tf + 3*T + 9*dl*N)*(2*df+1)),
+      integer-exact below 2^53 at test SFs (at production scale swap
+      the bigint clearing for the direct double composition — the
+      ranking is what matters there, not oracle replay).
+    - The per-doc score is a term-ORDER-FIXED float fold: scores
+      collect into an array sorted by term and fold left from 0.0.
+      Float addition is deterministic given order, so the sum (not
+      just the ranking) replays bit-for-bit in DuckDB via
+      ``list_reduce(list(s ORDER BY term), (a,b) -> a+b)``.
+
+    Output: (query_id, doc_id, n_hit, score, rnk), rnk 1..k per query,
+    ties broken by doc_id.
+
+    Scale shape: the corpus-side explode/aggs are the tfidf plan; the
+    query set broadcasts to prune the (doc, term) table down to query
+    terms BEFORE any further join, so everything after the prune is
+    candidate-sized. df and dl join back by term/id equi-joins; corpus
+    stats (N, T) enter as a broadcast single-row aggregate; final
+    top-k plans as WindowGroupLimit.
+    """
+    from pyspark.sql import Window
+
+    from cubert_spark.datapipe.dedup import _spread
+
+    spark = df.sparkSession
+    qrows = sorted(
+        {
+            (int(qid), term)
+            for qid, qtext in queries
+            for term in set(__import__("re").findall(r"[a-z0-9]+", qtext.lower()))
+        }
+    )
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+
+    t = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__t")
+    )
+
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    num = F.lit(44) * F.col("tf") * F.col("__t") * (F.col("__n") + 1)
+    den = (
+        F.lit(10) * F.col("__t") * F.col("tf")
+        + F.lit(3) * F.col("__t")
+        + F.lit(9) * F.col("dl") * F.col("__n")
+    ) * (F.lit(2) * F.col("df") + 1)
+    scored = hits.select(
+        "query_id", id_col, "term", (num.cast("double") / den.cast("double")).alias("s")
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "n_hit", "score", "rnk")
+    )

@@ -1322,8 +1322,65 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))
 """
 
 
+#: Fixed BM25 query set over the corpus vocabulary (engine words).
+BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "window agg group"),
+    (2, "stream batch data"),
+    (3, "scan filter column vector"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-10 lexical retrieval (textstats.bm25_search):
+    rational idf + bigint-cleared tf normalization + term-order-fixed
+    float fold, so scores AND ranking replay bit-for-bit in DuckDB."""
+    d = load_table(spark, sf, "documents")
+    return textstats.bm25_search(d, BM25_QUERIES, k=10)
+
+
+_BM25_Q_VALUES = ",".join(
+    f"({qid},'{t}')"
+    for qid, qtext in BM25_QUERIES
+    for t in sorted(set(qtext.split()))
+)
+
+SQL_BM25_SEARCH = f"""
+WITH t AS (
+  SELECT doc_id, u.term
+  FROM documents,
+       LATERAL UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tt FROM dl),
+q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+hits AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         CAST(44 * tf.tf * stats.tt * (stats.n + 1) AS DOUBLE)
+         / CAST((10 * stats.tt * tf.tf + 3 * stats.tt + 9 * dl.dl * stats.n)
+                * (2 * dfreq.df + 1) AS DOUBLE) AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id), stats
+),
+agg AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_hit,
+         list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+  FROM hits GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_hit, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM agg
+) WHERE rnk <= 10
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "bm25_search": q_bm25_search,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_fast": q_minhash_lsh_fast,  # rows-only: JVM hash
@@ -1371,6 +1428,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "bm25_search": SQL_BM25_SEARCH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash": SQL_SIMHASH,

@@ -419,8 +419,41 @@ FROM daily d JOIN stats s ON s.event_type = d.event_type
 """
 
 
+def q_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog compaction (operators.cdc.apply_changelog): the
+    events table read as a per-user changelog — latest record by
+    (ts, event_id) wins, 'error' as the tombstone op — producing the
+    current snapshot via ONE combiner-friendly struct-max aggregation
+    (no window sort). Oracle spells the same semantics as the
+    row_number()=1 window form."""
+    from cubert_spark.operators.cdc import apply_changelog
+
+    e = load_table(spark, sf, "events")
+    return apply_changelog(
+        e,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=["error"],
+        payload_cols=["value"],
+    )
+
+
+SQL_CDC_UPSERT = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_op, value AS last_value, n_changes
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
+    "cdc_upsert": q_cdc_upsert,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
@@ -434,6 +467,7 @@ QUERIES = {
 
 ORACLES = {
     "tumbling_window": SQL_TUMBLING,
+    "cdc_upsert": SQL_CDC_UPSERT,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
     "session_window": SQL_SESSION_WINDOW,

@@ -517,8 +517,82 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """store_zorder STORE -> 2-D filtered LOAD: orders laid out on the
+    Morton curve over (o_custkey, o_orderkey), read back through a
+    scan whose row-group stats are narrow in BOTH columns (multi-dim
+    skipping verified in tests/test_plans.py). Oracle runs the same
+    2-D filtered aggregate on the original table — the layout must be
+    lossless."""
+    import os
+
+    from cubert_spark.catalog import store_zorder
+
+    o = load_table(spark, sf, "orders")
+    path = "/tmp/cubert_spark_zorder_rt_%s_%d" % (
+        os.path.basename(sf.rstrip("/")), os.getpid(),
+    )
+    store_zorder(o, path, zorder_by=["o_custkey", "o_orderkey"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter((F.col("o_custkey") <= 400) & (F.col("o_orderkey") <= 20000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+SQL_ZORDER_ROUNDTRIP = """
+SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+FROM orders
+WHERE o_custkey <= 400 AND o_orderkey <= 20000
+GROUP BY o_orderstatus
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew profile (the salting operators' diagnostic sibling):
+    top-20 heaviest l_partkey posting lists with their share of all
+    rows. share = bigint/bigint — one IEEE divide, engine-portable;
+    ties broken by key. One map-side-combined agg + a 20-row
+    TakeOrderedAndProject; the rank window runs AFTER the limit, over
+    20 rows — never a global window over all keys."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = li.agg(F.count(F.lit(1)).alias("__tot"))
+    top = counts.orderBy(F.desc("cnt"), F.col("l_partkey")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.col("l_partkey"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt").cast("double") / F.col("__tot").cast("double"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("l_partkey", "cnt", "share", "rnk")
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH counts AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS tot FROM lineitem)
+SELECT l_partkey, cnt,
+       CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS rnk
+  FROM counts, total
+) WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
+    "zorder_roundtrip": q_zorder_roundtrip,
+    "heavy_hitters": q_heavy_hitters,
     "avro_evolution": q_avro_evolution,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -538,6 +612,8 @@ QUERIES = {
 
 ORACLES = {
     "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
+    "zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "avro_evolution": SQL_AVRO_EVOLUTION,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,

@@ -1618,3 +1618,62 @@ def test_chunk_embed_ann_pipeline(spark):
     top = similarity.cosine_topk(emb.unionByName(q), q, k=3).collect()
     # every retrieved neighbor is a fruit chunk (doc 2), never doc 1
     assert top and all(2000 <= r["neighbor_id"] < 3000 for r in top)
+
+
+def test_bm25_matches_python_model(spark):
+    """bm25_search against a pure-Python Okapi BM25 (k1=1.2, b=0.75,
+    idf=(N+1)/(df+0.5)) on a tiny corpus with hand-checkable stats —
+    independent of the DuckDB oracle."""
+    import re as _re
+
+    from cubert_spark.datapipe.textstats import bm25_search
+
+    docs = [
+        (1, "cat dog cat"),
+        (2, "dog fish"),
+        (3, "cat cat cat cat"),
+        (4, "bird"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.n_hit, r.score, r.rnk)
+        for r in bm25_search(df, [(0, "cat"), (1, "dog fish")], k=10).collect()
+    }
+
+    tf = {}
+    for did, text in docs:
+        for t in _re.findall(r"[a-z0-9]+", text.lower()):
+            tf[(did, t)] = tf.get((did, t), 0) + 1
+    dl = {did: sum(v for (d, _), v in tf.items() if d == did) for did, _ in docs}
+    dfreq = {}
+    for (_, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    n, tt = len(docs), sum(dl.values())
+
+    def score(did, terms):
+        s = 0.0
+        hits = 0
+        for t in sorted(terms):
+            if (did, t) not in tf:
+                continue
+            hits += 1
+            f = tf[(did, t)]
+            num = 44 * f * tt * (n + 1)
+            den = (10 * tt * f + 3 * tt + 9 * dl[did] * n) * (2 * dfreq[t] + 1)
+            s += num / den
+        return hits, s
+
+    expect = {}
+    for qid, terms in ((0, ["cat"]), (1, ["dog", "fish"])):
+        scored = sorted(
+            (
+                (did, *score(did, terms))
+                for did, _ in docs
+                if score(did, terms)[0] > 0
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for rnk, (did, hits, s) in enumerate(scored, 1):
+            expect[(qid, did)] = (hits, s, rnk)
+
+    assert got == expect

@@ -193,3 +193,56 @@ def test_limit_and_sort_within(spark):
     assert limit(df, 2).count() == 2
     vals = [r["x"] for r in sort_within_blocks(df, "x").collect()]
     assert vals == [1, 2, 3]
+
+
+# --- CDC changelog compaction ----------------------------------------------
+
+def _changelog(spark):
+    rows = [
+        # key 1: insert then update — update wins
+        Row(k=1, ts=1, uid=10, op="upsert", v=1.0),
+        Row(k=1, ts=2, uid=11, op="upsert", v=2.0),
+        # key 2: updated then tombstoned — absent from the snapshot
+        Row(k=2, ts=1, uid=12, op="upsert", v=3.0),
+        Row(k=2, ts=9, uid=13, op="delete", v=None),
+        # key 3: same ts twice — the uid tiebreaker decides
+        Row(k=3, ts=5, uid=20, op="upsert", v=5.0),
+        Row(k=3, ts=5, uid=21, op="upsert", v=6.0),
+        # key 4: deleted then re-inserted — resurrection wins
+        Row(k=4, ts=1, uid=30, op="delete", v=None),
+        Row(k=4, ts=2, uid=31, op="upsert", v=7.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_apply_changelog_latest_wins(spark):
+    from cubert_spark.operators.cdc import apply_changelog
+
+    out = apply_changelog(
+        _changelog(spark),
+        key_cols=["k"], seq_cols=["ts", "uid"], op_col="op",
+        delete_ops=["delete"], payload_cols=["v"],
+    )
+    got = {r.k: (r.last_ts, r.last_uid, r.last_v, r.n_changes) for r in out.collect()}
+    assert got == {
+        1: (2, 11, 2.0, 2),
+        3: (5, 21, 6.0, 2),   # ts tie -> higher uid wins
+        4: (2, 31, 7.0, 2),   # delete then re-insert -> present
+    }
+    assert 2 not in got  # tombstone
+
+
+def test_apply_changelog_is_agg_not_window(spark):
+    """The compaction must plan as one hash aggregate (map-side
+    partial), never a window sort over the changelog."""
+    from cubert_spark.operators.cdc import apply_changelog
+    from cubert_spark.plans import explain_str
+
+    out = apply_changelog(
+        _changelog(spark),
+        key_cols=["k"], seq_cols=["ts", "uid"], op_col="op",
+        delete_ops=["delete"], payload_cols=["v"],
+    )
+    s = explain_str(out)
+    assert "Window" not in s, s
+    assert "partial_max" in s or "HashAggregate" in s, s

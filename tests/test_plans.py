@@ -378,6 +378,8 @@ _LINT_ALLOWED = {
     "tfidf_top_terms": ("pairs",),  # 1-row corpus-count crossJoin(broadcast)
     "range_join": ("pairs",),      # non-equi by definition
     "sequence_pack": ("unpartitioned window",),  # |docs|/shard_size shard totals
+    "heavy_hitters": ("unpartitioned window", "pairs"),  # 20-row post-limit rank + 1-row total crossJoin
+    "bm25_search": ("pairs",),  # 1-row corpus-stats crossJoin(broadcast)
 }
 
 
@@ -406,3 +408,70 @@ def test_revenue_by_nation_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert lint(df) == []
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from cubert_spark.catalog import zorder_value
+
+    df = spark.range(1).select(
+        zorder_value([F.lit(0b101), F.lit(0b011)], bits=3).alias("z")
+    )
+    # col0 bits land at even positions, col1 at odd:
+    # 101 ⨯ 011 -> z = 1 + 2 + 8 + 16 = 27
+    assert df.collect()[0].z == 27
+
+
+def test_store_zorder_layout_is_narrow_in_both_dims(spark, tmp_path):
+    """store_zorder files must have narrow min/max ranges in EVERY
+    zorder column — the multi-dim stat-skipping property a single
+    cluster_by column can't give (its secondary column spans the full
+    range in every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cubert_spark.catalog import load_table, store_zorder
+
+    o = load_table(spark, SF, "orders")
+    out = str(tmp_path / "orders_z")
+    store_zorder(o, out, zorder_by=["o_custkey", "o_orderkey"], num_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()  # lossless
+
+    spans = {"o_custkey": [], "o_orderkey": []}
+    glob_rng = {
+        c: (r["mn"], r["mx"])
+        for c in spans
+        for r in o.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()
+    }
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) > 4  # enough files for locality to mean something
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for c in spans:
+            idx = names.index(c)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans[c].append(hi - lo)
+    for c, widths in spans.items():
+        g0, g1 = glob_rng[c]
+        mean_frac = (sum(widths) / len(widths)) / (g1 - g0)
+        # Morton locality: average per-file span is a small fraction of
+        # the global range in BOTH dimensions (a plain sort on custkey
+        # would give ~1.0 on o_orderkey)
+        assert mean_frac < 0.5, (c, mean_frac, widths)
+
+
+def test_bm25_plan_broadcasts_queries_and_groups_topk(spark):
+    """bm25_search: the literal query set broadcasts (never shuffles
+    the corpus onto query terms), and the per-query top-k plans as
+    WindowGroupLimit — running top-k, not full sorted groups."""
+    from cubert_spark.datapipe.textstats import bm25_search
+
+    d = load_table(spark, SF, "documents")
+    df = bm25_search(d, [(0, "hash join"), (1, "scan filter")], k=5)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s, s
+    assert "WindowGroupLimit" in s, s
