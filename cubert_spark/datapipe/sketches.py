@@ -1,0 +1,249 @@
+"""Deterministic, oracle-replayable sketches: HyperLogLog and
+Count-Min, built on md5 so a SQL engine reproduces every register and
+every estimate bit-for-bit (the same determinism doctrine as minhash:
+md5 for cross-engine replay; swap xxhash64 for production speed).
+
+Both sketches are MERGEABLE — the build is a keyed groupBy whose
+monoid (max for HLL registers, sum for CMS counters) Spark combines
+map-side, so a 100 TB build is one shuffle of at most
+(buckets x depth) rows per partition, and sketches of separate
+partitions/days union-aggregate into the sketch of the whole.
+
+Float discipline: the HLL harmonic sum is computed as an EXACT bigint
+(every term is a power of two, scaled by 2^49), so the only IEEE
+operation in the estimate is one final divide of two identical
+numbers in both engines — the order-independence problem float
+harmonic sums have is gone by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: HLL tail width in bits (12 hex nibbles) — rank range 1..49.
+_TAIL_BITS = 48
+
+
+def _hll_alpha_m2_c(m: int) -> float:
+    """The HLL bias constant alpha_m * m^2, scaled by 2^(TAIL_BITS+1)
+    to match the bigint-scaled harmonic sum. Computed once here and
+    inlined as the SAME double literal into the oracle SQL, so both
+    engines divide identical numbers."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(2 ** (_TAIL_BITS + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-bucket HLL registers for ``col``: bucket = first ``p`` bits
+    (p=8: first 2 hex chars) of md5, register = max over values of
+    (leading-zero bits of the next 48-bit tail) + 1, computed with
+    string ops only (ltrim of '0' nibbles + a 4-way CASE on the first
+    nonzero nibble) — no log2, no float, engine-portable.
+
+    Output: (bucket int, reg int) for OBSERVED buckets only (empty
+    buckets are implicit reg=0; estimators must add them back).
+    Mergeable: max-combine registers of sub-sketches.
+    """
+    assert p == 8, "bucket extraction is spelled for p=8 (2 hex chars)"
+    # md5 aliased in its own projection so it's computed once per row
+    # (CollapseProject keeps the multiply-referenced alias)
+    h = df.select(
+        F.md5(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))).alias("__h")
+    )
+    parts = h.select(
+        F.conv(F.substring("__h", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.expr("ltrim('0', substring(__h, 3, 12))").alias("__t"),
+    )
+    nz = F.conv(F.substring("__t", 1, 1), 16, 10).cast("int")
+    extra = (
+        F.when(nz >= 8, 0).when(nz >= 4, 1).when(nz >= 2, 2).otherwise(3)
+    )
+    rank = F.when(F.length("__t") == 0, F.lit(_TAIL_BITS + 1)).otherwise(
+        (F.lit(12) - F.length("__t")) * 4 + extra + 1
+    )
+    return parts.select("bucket", rank.alias("__r")).groupBy("bucket").agg(
+        F.max("__r").alias("reg")
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """One-row HLL cardinality estimate for ``col``.
+
+    Output: (col_name, n_buckets, n_empty, s_scaled, est) where
+    s_scaled = sum over ALL 2^p buckets of 2^(49 - reg) (an exact
+    bigint; empty buckets contribute 2^49) and
+    est = alpha_m * m^2 * 2^49 / s_scaled — the raw HLL estimator as
+    ONE IEEE divide. n_empty ships so a consumer can apply the
+    standard linear-counting small-range correction (m * ln(m/V)) —
+    ln is not cross-engine bit-portable, so the correction is left to
+    the reader, not baked into the oracle-checked value.
+    """
+    m = 1 << p
+    regs = hll_registers(df, col, p, salt)
+    a = regs.agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_TAIL_BITS + 1} - reg)")
+        ).alias("__s_obs"),
+    )
+    return a.select(
+        F.lit(col).alias("col_name"),
+        F.lit(m).alias("n_buckets"),
+        (F.lit(m) - F.col("__nb")).cast("bigint").alias("n_empty"),
+        (
+            F.col("__s_obs")
+            + (F.lit(m) - F.col("__nb")) * F.lit(2 ** (_TAIL_BITS + 1)).cast("bigint")
+        ).alias("s_scaled"),
+    ).withColumn(
+        "est", F.lit(_hll_alpha_m2_c(m)) / F.col("s_scaled").cast("double")
+    )
+
+
+def hll_sql(table: str, col: str, p: int = 8, salt: str = "hll") -> str:
+    """DuckDB oracle for ``hll_estimate`` — identical bucket/rank
+    math via strpos nibble parsing, identical bigint harmonic sum,
+    and the SAME inlined alpha constant."""
+    assert p == 8
+    m = 1 << p
+    c = repr(_hll_alpha_m2_c(m))
+    nib = "(strpos('0123456789abcdef', substr({s}, {i}, 1)) - 1)"
+    b1 = nib.format(s="__h", i=1)
+    b2 = nib.format(s="__h", i=2)
+    nz = nib.format(s="__t", i=1)
+    # nested subqueries, no CTE: callers UNION ALL several of these
+    return f"""
+SELECT col_name, n_buckets, n_empty, s_scaled,
+       {c} / CAST(s_scaled AS DOUBLE) AS est
+FROM (
+  SELECT '{col}' AS col_name,
+         {m} AS n_buckets,
+         CAST({m} - COUNT(*) AS BIGINT) AS n_empty,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_TAIL_BITS + 1} - reg))
+              + ({m} - COUNT(*)) * CAST({2 ** (_TAIL_BITS + 1)} AS BIGINT) AS BIGINT)
+           AS s_scaled
+  FROM (
+    SELECT bucket, MAX(__r) AS reg FROM (
+      SELECT bucket,
+             CASE WHEN length(__t) = 0 THEN {_TAIL_BITS + 1}
+                  ELSE (12 - length(__t)) * 4
+                       + (CASE WHEN {nz} >= 8 THEN 0
+                               WHEN {nz} >= 4 THEN 1
+                               WHEN {nz} >= 2 THEN 2
+                               ELSE 3 END) + 1
+             END AS __r
+      FROM (
+        SELECT ({b1}) * 16 + ({b2}) AS bucket,
+               ltrim(substr(__h, 3, 12), '0') AS __t
+        FROM (
+          SELECT md5('{salt}|' || CAST({col} AS VARCHAR)) AS __h FROM {table}
+        )
+      )
+    ) GROUP BY 1
+  )
+)
+"""
+
+
+# --- Count-Min ---------------------------------------------------------------
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch of the ``col`` value stream: ``depth``
+    independent md5 rows, ``width`` buckets each (width=256: first 2
+    hex chars). Output: (row int, bucket int, cnt bigint) — at most
+    depth*width rows regardless of input size, sum-mergeable.
+
+    The build is one explode(depth) + one keyed count with map-side
+    combine: the shuffle carries at most depth*width rows PER
+    PARTITION, not per input row.
+    """
+    assert width == 256, "bucket extraction is spelled for width=256"
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col(col).cast("string"))),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: est = min over
+    rows of the key's bucket counter (the classic CMS upper bound —
+    est >= true count always, overshoot bounded by collisions).
+    ``keys`` is expected to be small (a candidate/probe set): it
+    explodes to depth probes and BROADCASTS onto the (tiny) sketch.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"{salt}{j}|"), F.col(key_col).cast("string")
+                                    )
+                                ),
+                                1,
+                                2,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.row", "rb.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

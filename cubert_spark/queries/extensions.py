@@ -589,10 +589,147 @@ FROM (
 """
 
 
+def q_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog (p=8) cardinality estimates for
+    orders.o_custkey and lineitem.l_partkey — md5 registers, exact
+    bigint harmonic sum, ONE IEEE divide per estimate; every register
+    and both estimates replay bit-for-bit in the oracle
+    (datapipe.sketches; accuracy vs exact counts pinned in pytest)."""
+    from cubert_spark.datapipe import sketches
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return sketches.hll_estimate(o, "o_custkey").unionAll(
+        sketches.hll_estimate(li, "l_partkey")
+    )
+
+
+def _hll_oracle() -> str:
+    from cubert_spark.datapipe import sketches
+
+    return (
+        sketches.hll_sql("orders", "o_custkey")
+        + "\nUNION ALL\n"
+        + sketches.hll_sql("lineitem", "l_partkey")
+    )
+
+
+SQL_HLL_ESTIMATE = _hll_oracle()
+
+
+def q_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 256) over the l_partkey
+    stream, point-queried for the 20 heaviest true keys: (key,
+    true_cnt, est) with est >= true_cnt always (CMS upper bound;
+    the inequality is also pytest-pinned). Sketch and probes are both
+    md5-addressed, so every counter replays in DuckDB."""
+    from cubert_spark.datapipe import sketches
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey")
+    sk = sketches.cms_sketch(li, "l_partkey")
+    probes = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.col("l_partkey"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(sk, probes.select("l_partkey"), "l_partkey")
+    return probes.join(est, "l_partkey").select("l_partkey", "true_cnt", "est")
+
+
+def _cms_bucket_sql(j: int, val: str) -> str:
+    nib = (
+        "(strpos('0123456789abcdef', substr(md5('cms%d|' || CAST(%s AS VARCHAR)), %d, 1)) - 1)"
+    )
+    return f"({nib % (j, val, 1)}) * 16 + ({nib % (j, val, 2)})"
+
+
+SQL_CMS_TOPK = f"""
+WITH rb AS (
+  {" UNION ALL ".join(f"SELECT {j} AS row, {_cms_bucket_sql(j, 'l_partkey')} AS bucket FROM lineitem" for j in range(4))}
+),
+sk AS (SELECT row, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2),
+probes AS (
+  SELECT l_partkey, COUNT(*) AS true_cnt FROM lineitem GROUP BY 1
+  ORDER BY true_cnt DESC, l_partkey LIMIT 20
+),
+pb AS (
+  {" UNION ALL ".join(f"SELECT l_partkey, {j} AS row, {_cms_bucket_sql(j, 'l_partkey')} AS bucket FROM probes" for j in range(4))}
+)
+SELECT probes.l_partkey, probes.true_cnt, est.est
+FROM probes JOIN (
+  SELECT pb.l_partkey, MIN(sk.cnt) AS est
+  FROM pb JOIN sk USING (row, bucket) GROUP BY 1
+) est USING (l_partkey)
+"""
+
+
+#: supplier-node id offset for the bipartite part<->supplier graph
+_PR_OFF = 10_000_000
+_PR_SCALE = 10 ** 12
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-quantized PageRank (3 iterations, damping 0.85, scale
+    1e12) on the bidirectional part<->supplier graph from lineitem —
+    exact bigint arithmetic end-to-end (datapipe.components.pagerank),
+    so the fixed-iteration ranks match the oracle's unrolled SQL
+    bit-for-bit. Output: supplier ranks."""
+    from cubert_spark.datapipe.components import pagerank
+
+    li = load_table(spark, sf, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(_PR_OFF) + F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=3, scale=_PR_SCALE)
+    return (
+        pr.filter(F.col("node") >= _PR_OFF)
+        .select((F.col("node") - _PR_OFF).alias("l_suppkey"), "rank_q")
+    )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nodes.u,
+         CAST((15 * {_PR_SCALE}) // (100 * (SELECT n FROM nn))
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS u, SUM({prev}.rank_q // outdeg.deg) AS s
+    FROM e JOIN {prev} ON e.u = {prev}.u JOIN outdeg ON e.u = outdeg.u
+    GROUP BY 1
+  ) c ON nodes.u = c.u
+)"""
+
+
+SQL_PAGERANK = f"""
+WITH e AS (
+  SELECT l_partkey AS u, {_PR_OFF} + l_suppkey AS v FROM lineitem
+  UNION
+  SELECT {_PR_OFF} + l_suppkey AS u, l_partkey AS v FROM lineitem
+),
+outdeg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT u, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank_q FROM nodes
+),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT u - {_PR_OFF} AS l_suppkey, rank_q FROM r3 WHERE u >= {_PR_OFF}
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
     "heavy_hitters": q_heavy_hitters,
+    "hll_estimate": q_hll_estimate,
+    "cms_topk": q_cms_topk,
+    "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -614,6 +751,9 @@ ORACLES = {
     "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
     "zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "hll_estimate": SQL_HLL_ESTIMATE,
+    "cms_topk": SQL_CMS_TOPK,
+    "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,

@@ -1677,3 +1677,76 @@ def test_bm25_matches_python_model(spark):
             expect[(qid, did)] = (hits, s, rnk)
 
     assert got == expect
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """HLL estimate within the expected relative-error band of the
+    exact cardinality, and registers are max-mergeable: merging the
+    sketches of two halves equals the sketch of the whole."""
+    from cubert_spark.catalog import load_table
+    from cubert_spark.datapipe.sketches import hll_estimate, hll_registers
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    truth = o.select("o_custkey").distinct().count()
+    est = hll_estimate(o, "o_custkey").collect()[0].est
+    # sigma ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - truth) / truth < 0.2, (est, truth)
+
+    lo = o.filter(F.col("o_orderkey") % 2 == 0)
+    hi = o.filter(F.col("o_orderkey") % 2 == 1)
+    merged = (
+        hll_registers(lo, "o_custkey").unionAll(hll_registers(hi, "o_custkey"))
+        .groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+    whole = hll_registers(o, "o_custkey")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_estimate_is_upper_bound(spark):
+    """CMS point estimates never undercount (the sketch's defining
+    guarantee), and with 4x256 counters over ~200 distinct keys the
+    overshoot stays moderate."""
+    from cubert_spark.catalog import load_table
+    from cubert_spark.datapipe.sketches import cms_estimate, cms_sketch
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select("l_partkey")
+    sk = cms_sketch(li, "l_partkey")
+    truth = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(sk, truth.select("l_partkey"), "l_partkey")
+    rows = truth.join(est, "l_partkey").collect()
+    assert rows
+    assert all(r.est >= r.true_cnt for r in rows)
+    total = li.count()
+    # eps = e/width: overshoot per key < eps * stream length (whp)
+    import math
+
+    eps = math.e / 256
+    assert all(r.est - r.true_cnt <= eps * total * 2 for r in rows)
+
+
+def test_pagerank_matches_python_integer_model(spark):
+    """pagerank's integer quantization makes it bit-replayable in
+    plain Python: run the same floor-arithmetic iterations on a small
+    hand graph and demand EXACT equality, plus mass sanity."""
+    from cubert_spark.datapipe.components import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_q for r in pagerank(df, iterations=3, scale=10**6).collect()}
+
+    scale, n = 10**6, 4
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    r = {u: scale // n for u in (1, 2, 3, 4)}
+    base = (15 * scale) // (100 * n)
+    for _ in range(3):
+        acc = {u: 0 for u in r}
+        for u, vs in out.items():
+            c = r[u] // len(vs)
+            for v in vs:
+                acc[v] += c
+        r = {u: base + (85 * acc[u]) // 100 for u in r}
+    assert got == r
+    assert sum(got.values()) <= scale  # floored mass never exceeds total
