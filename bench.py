@@ -68,6 +68,15 @@ BENCH_QUERIES = [
     "chunk_documents",
     "hashed_embedding",
     "fuzzy_pairs",
+    # r05 fifth batch: lexical retrieval (BM25 fold), changelog
+    # compaction (struct-max agg), deterministic sketches, and the
+    # 3-iteration integer PageRank loop
+    "bm25_search",
+    "cdc_upsert",
+    "hll_estimate",
+    "cms_topk",
+    "pagerank",
+    "attribution",
 ]
 
 

@@ -140,11 +140,19 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = (
-        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    # outdeg joins into every round; checkpointing it (and the node
+    # set) keeps each round's plan two joins deep instead of replaying
+    # the degree/distinct aggs per round
+    outdeg = (
+        e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     )
-    n = nodes.count()  # one scalar action; N is also a query constant
+    nodes = (
+        e.select("u")
+        .union(e.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # cheap on the checkpointed node set
     base = (15 * scale) // (100 * n)
     ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("bigint"))
 
@@ -159,17 +167,16 @@ def pagerank(
             .groupBy("u")
             .agg(F.sum("__c").alias("__in"))
         )
-        new_ranks = nodes.join(contrib, "u", "left").select(
+        ranks = nodes.join(contrib, "u", "left").select(
             "u",
             (
                 F.lit(base).cast("bigint")
                 + F.expr(f"({damping_num} * coalesce(__in, 0)) div 100")
             ).alias("rank_q"),
         )
-        new_ranks = new_ranks.persist()
-        new_ranks.count()
-        prev = ranks
-        ranks = new_ranks
-        if i > 0:
-            prev.unpersist()
+        # lineage grows two joins per round: cut it every few rounds
+        # (mid-loop only — a short fixed-iteration run stays ONE lazy
+        # job with zero intermediate actions)
+        if (i + 1) % 5 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("node"), "rank_q")

@@ -51,9 +51,13 @@ def hll_registers(
     Mergeable: max-combine registers of sub-sketches.
     """
     assert p == 8, "bucket extraction is spelled for p=8 (2 hex chars)"
+    from cubert_spark.datapipe.dedup import _spread
+
     # md5 aliased in its own projection so it's computed once per row
-    # (CollapseProject keeps the multiply-referenced alias)
-    h = df.select(
+    # (CollapseProject keeps the multiply-referenced alias); _spread
+    # parallelizes the per-row digest work when the scan has fewer
+    # splits than cores (no-op at real scale)
+    h = _spread(df, col).select(
         F.md5(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))).alias("__h")
     )
     parts = h.select(
@@ -171,8 +175,15 @@ def cms_sketch(
 
     The build is one explode(depth) + one keyed count with map-side
     combine: the shuffle carries at most depth*width rows PER
-    PARTITION, not per input row.
+    PARTITION, not per input row. Two catalogued expression-plan traps
+    avoided below (see SCALE.md round-5 notes): the bucket array is
+    aliased in its own projection (else the md5s re-run per exploded
+    row), and explode_outer + a post-filter sidesteps
+    InferFiltersFromGenerate inlining the array build twice per row
+    below the _spread exchange.
     """
+    from cubert_spark.datapipe.dedup import _spread
+
     assert width == 256, "bucket extraction is spelled for width=256"
     rows = F.array(
         *[
@@ -194,7 +205,10 @@ def cms_sketch(
         ]
     )
     return (
-        df.select(F.explode(rows).alias("rb"))
+        _spread(df, col)
+        .select(rows.alias("__rb"))
+        .select(F.explode_outer("__rb").alias("rb"))
+        .filter(F.col("rb").isNotNull())
         .select("rb.row", "rb.bucket")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))

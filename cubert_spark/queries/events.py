@@ -451,9 +451,69 @@ FROM (
 """
 
 
+def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the
+    user's most recent preceding click/view. ONE partitioned window
+    (user_id, ordered by the unique (ts, event_id)) carrying the last
+    non-null touch struct — the classic scale spelling; no self-join,
+    no per-purchase scan. All outputs are ids/timestamps/an exact
+    integer microsecond gap — nothing float to drift cross-engine."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct("ts", "event_id", "event_type"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("__t", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("__t.event_id").alias("touch_event_id"),
+            F.col("__t.event_type").alias("touch_type"),
+            F.col("__t.ts").alias("touch_ts"),
+            F.expr("timestampdiff(MICROSECOND, __t.ts, ts)").alias(
+                "micros_since_touch"
+            ),
+        )
+    )
+
+
+SQL_ATTRIBUTION = """
+SELECT event_id, user_id, ts,
+       __t.event_id AS touch_event_id,
+       __t.event_type AS touch_type,
+       __t.ts AS touch_ts,
+       epoch_us(ts - __t.ts) AS micros_since_touch
+FROM (
+  SELECT *,
+         last_value(
+           CASE WHEN event_type IN ('click', 'view')
+                THEN {'ts': ts, 'event_id': event_id, 'event_type': event_type}
+           END IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS __t
+  FROM events
+)
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "cdc_upsert": q_cdc_upsert,
+    "attribution": q_attribution,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
@@ -468,6 +528,7 @@ QUERIES = {
 ORACLES = {
     "tumbling_window": SQL_TUMBLING,
     "cdc_upsert": SQL_CDC_UPSERT,
+    "attribution": SQL_ATTRIBUTION,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
     "session_window": SQL_SESSION_WINDOW,
