@@ -706,3 +706,47 @@ def quantize_embeddings(
         F.transform(v, lambda x: F.floor(x / (maxabs / 127.0) + 0.5).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.select(F.col(id_col), scale, codes.alias("codes"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoder: split each vector into
+    ``len(codebooks)`` contiguous subvectors and assign each to its
+    best codeword — the memory side of PQ-ANN (a D-dim float vector
+    compresses to M small codes; at 100 TB the codes table is what a
+    search fleet actually holds in RAM, ~dim*4/M bytes saved per
+    vector).
+
+    ``codebooks[m]`` is the K-codeword codebook for subspace m (each
+    codeword of length D/M). Assignment is argmax dot against FIXED
+    codeword literals — with the equal-norm seeded +-1 codebooks the
+    driver query passes, dot-argmax == nearest-codeword — DECIMAL-
+    exact via the same array_sort argmax as IVF (`_argmax_centroid`),
+    ties to the smallest code. A trained float codebook swaps in
+    list-for-list (the assignment stays deterministic only if the
+    codebook is frozen, exactly like `ivf_assign_exact` vs
+    `ivf_topk`).
+
+    Output: (id, codes array<int>, dot0 double) — dot0 (subspace 0's
+    winning dot) ships so tests can check the rescoring contract
+    without decoding. One scan, zero shuffles.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    codes = []
+    dot0 = None
+    off = 1
+    for m, cb in enumerate(codebooks):
+        d_sub = len(cb[0])
+        sub = F.slice(vec, off, d_sub)
+        best_j, best_dot = _argmax_centroid(sub, cb)
+        codes.append(best_j)
+        if m == 0:
+            dot0 = best_dot.cast("double")
+        off += d_sub
+    return corpus.select(
+        F.col(id_col), F.array(*codes).alias("codes"), dot0.alias("dot0")
+    )

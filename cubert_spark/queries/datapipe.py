@@ -628,6 +628,56 @@ FROM ranked WHERE rn = 1
 """
 
 
+#: PQ: 4 subspaces x 16 dims, 8 seeded +-1 codewords each
+_PQ_CODEBOOKS = [
+    similarity.hyperplane_planes(16, 8, seed=100 + m) for m in range(4)
+]
+
+
+def q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization codes (similarity.pq_encode): 64-dim
+    embeddings -> 4 codes from fixed seeded codebooks, DECIMAL-exact
+    per-subspace argmax — the memory-compression side of PQ-ANN,
+    oracle-replayed codeword-for-codeword."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pq_encode(e, _PQ_CODEBOOKS)
+
+
+def _pq_sub_sql(m: int) -> str:
+    """Best (code, dot) for subspace m as a correlated CTE chain."""
+    return f"""
+dots{m} AS (
+  SELECT e.vec_id, cb.j,
+         SUM(CAST(e.v[{m * 16} + i] * cb.c[i] AS DECIMAL(38,18))) AS dot
+  FROM e, cb{m} cb, LATERAL UNNEST(range(1, 17)) AS t(i)
+  GROUP BY e.vec_id, cb.j
+),
+best{m} AS (
+  SELECT vec_id, j, dot FROM (
+    SELECT vec_id, j, dot,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM dots{m}
+  ) WHERE rn = 1
+)"""
+
+
+SQL_PQ_ENCODE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{",".join(f'''
+cb{m}(j, c) AS (
+  VALUES {_vals(_PQ_CODEBOOKS[m])}
+)''' for m in range(4))},
+{",".join(_pq_sub_sql(m) for m in range(4))}
+SELECT e.vec_id,
+       [CAST(best0.j AS INT), CAST(best1.j AS INT),
+        CAST(best2.j AS INT), CAST(best3.j AS INT)] AS codes,
+       CAST(best0.dot AS DOUBLE) AS dot0
+FROM e
+JOIN best0 USING (vec_id) JOIN best1 USING (vec_id)
+JOIN best2 USING (vec_id) JOIN best3 USING (vec_id)
+"""
+
+
 # --- curation: contamination / boilerplate / packing ------------------------
 
 def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
@@ -1424,6 +1474,7 @@ QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "chunk_documents": q_chunk_documents,
     "hashed_embedding": q_hashed_embedding,
+    "pq_encode": q_pq_encode,
 }
 
 ORACLES = {
@@ -1468,4 +1519,5 @@ ORACLES = {
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hashed_embedding": SQL_HASHED_EMBEDDING,
+    "pq_encode": SQL_PQ_ENCODE,
 }

@@ -510,10 +510,63 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-type outlier profile: median/MAD (the
+    median-absolute-deviation robust z-score — the outlier screen that
+    survives the heavy tails that break mean/std z-scores, companion
+    to anomaly_days). Exactness: percentile_disc picks an ACTUAL
+    element (both engines use the same lower-median convention,
+    verified), |x - med| is one exact-rounded IEEE subtract, and the
+    3*MAD gate is one exact-rounded multiply — no interpolation
+    anywhere, so the whole profile replays bit-for-bit.
+
+    Scale shape: two sort-based grouped aggs + broadcast joins of the
+    5-row med/mad tables back onto the stream; one events scan per
+    agg stage."""
+    e = load_table(spark, sf, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    j = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+            F.max("adev").alias("max_abs_dev"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med FROM events GROUP BY 1
+),
+j AS (
+  SELECT e.event_type, med.med, abs(e.value - med.med) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM j GROUP BY 1)
+SELECT j.event_type, MIN(j.med) AS med, MIN(mad.mad) AS mad,
+       COUNT(CASE WHEN j.adev > 3 * mad.mad THEN 1 END) AS n_outliers,
+       MAX(j.adev) AS max_abs_dev
+FROM j JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "cdc_upsert": q_cdc_upsert,
     "attribution": q_attribution,
+    "mad_outliers": q_mad_outliers,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
@@ -529,6 +582,7 @@ ORACLES = {
     "tumbling_window": SQL_TUMBLING,
     "cdc_upsert": SQL_CDC_UPSERT,
     "attribution": SQL_ATTRIBUTION,
+    "mad_outliers": SQL_MAD_OUTLIERS,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
     "session_window": SQL_SESSION_WINDOW,

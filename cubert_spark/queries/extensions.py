@@ -723,9 +723,71 @@ SELECT u - {_PR_OFF} AS l_suppkey, rank_q FROM r3 WHERE u >= {_PR_OFF}
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff (dataset versioning / audit op): keyed full-outer
+    compare of two table versions -> added / removed / changed rows
+    with old+new payloads. Versions here are two overlapping date
+    windows of orders, with the newer one's 'F'-status prices
+    restated (an exact *2 — IEEE-exact) so all three change classes
+    appear. One full-outer equi-join on the key; unchanged rows drop
+    out so the diff is |changes|-sized, not |table|-sized."""
+    o = load_table(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    old = o.filter(yr.isin(1995, 1996)).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = (
+        o.filter(yr.isin(1996, 1997))
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "F", F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")).alias("new_price"),
+        )
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change") != "unchanged")
+        .select("o_orderkey", "change", "old_price", "new_price")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_price FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS new_price
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old_price IS NULL THEN 'added'
+            WHEN new_price IS NULL THEN 'removed'
+            WHEN old_price <> new_price THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       old_price, new_price
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE (CASE WHEN old_price IS NULL THEN 'added'
+            WHEN new_price IS NULL THEN 'removed'
+            WHEN old_price <> new_price THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
+    "snapshot_diff": q_snapshot_diff,
     "heavy_hitters": q_heavy_hitters,
     "hll_estimate": q_hll_estimate,
     "cms_topk": q_cms_topk,
@@ -750,6 +812,7 @@ QUERIES = {
 ORACLES = {
     "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
     "zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "hll_estimate": SQL_HLL_ESTIMATE,
     "cms_topk": SQL_CMS_TOPK,
