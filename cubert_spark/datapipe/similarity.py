@@ -750,3 +750,66 @@ def pq_encode(
     return corpus.select(
         F.col(id_col), F.array(*codes).alias("codes"), dot0.alias("dot0")
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the search side of PQ-ANN. Each
+    query scores the COMPRESSED corpus — est_dot(q, x) = sum over
+    subspaces of LUT[q][m][code_m(x)], where the lookup table holds
+    the query's exact dot with every codeword. The corpus contributes
+    only its M small codes (the point of PQ: at 100 TB the float
+    vectors never move; the codes table joins a broadcast
+    |Q| x M x K lookup).
+
+    Exactness: LUT entries are DECIMAL dots against fixed codeword
+    literals; the per-candidate estimate is a DECIMAL sum of M of
+    them (order-independent), so scores and ranking replay
+    bit-for-bit. Output: (q_id, id, est, rnk) with rnk 1..k per
+    query, ties to the smallest id.
+    """
+    from pyspark.sql import Window
+
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(id_col, "codes")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    entries = []
+    off = 1
+    for m, cb in enumerate(codebooks):
+        d_sub = len(cb[0])
+        sub = F.slice("__qv", off, d_sub)
+        for j, c in enumerate(cb):
+            entries.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.lit(j).alias("j"),
+                    _dot_decimal(sub, F.array(*[F.lit(x) for x in c])).alias("ld"),
+                )
+            )
+        off += d_sub
+    # LUT array aliased in its own projection (Generate trap), then
+    # exploded: |Q| x M x K rows, broadcast onto the codes join
+    lut = (
+        q.select("q_id", F.array(*entries).alias("__lut"))
+        .select("q_id", F.explode("__lut").alias("e"))
+        .select("q_id", "e.m", "e.j", "e.ld")
+    )
+    ce = codes.select(F.col(id_col), F.posexplode("codes").alias("m", "j"))
+    scored = (
+        ce.join(F.broadcast(lut), ["m", "j"])
+        .groupBy("q_id", id_col)
+        .agg(F.sum("ld").alias("__est"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("__est"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, F.col("__est").cast("double").alias("est"), "rnk")
+    )

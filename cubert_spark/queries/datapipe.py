@@ -678,6 +678,55 @@ JOIN best2 USING (vec_id) JOIN best3 USING (vec_id)
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance search (similarity.pq_adc_topk): queries
+    score the compressed code table through a broadcast DECIMAL
+    lookup — the search half of PQ-ANN, bit-replayed in the oracle
+    (codes + LUT + DECIMAL sum, all exact)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pq_adc_topk(
+        e, e.filter(F.col("vec_id") < 5), _PQ_CODEBOOKS, k=5
+    )
+
+
+def _pq_lut_sql(m: int) -> str:
+    return f"""
+lut{m} AS (
+  SELECT q.q_id, cb.j,
+         SUM(CAST(q.v[{m * 16} + i] * cb.c[i] AS DECIMAL(38,18))) AS ld
+  FROM q, cb{m} cb, LATERAL UNNEST(range(1, 17)) AS t(i)
+  GROUP BY q.q_id, cb.j
+)"""
+
+
+SQL_PQ_ADC_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 5),
+{",".join(f'''
+cb{m}(j, c) AS (
+  VALUES {_vals(_PQ_CODEBOOKS[m])}
+)''' for m in range(4))},
+{",".join(_pq_sub_sql(m) for m in range(4))},
+{",".join(_pq_lut_sql(m) for m in range(4))},
+est AS (
+  SELECT qq.q_id, b0.vec_id,
+         l0.ld + l1.ld + l2.ld + l3.ld AS est
+  FROM best0 b0
+  JOIN best1 b1 USING (vec_id) JOIN best2 b2 USING (vec_id)
+  JOIN best3 b3 USING (vec_id)
+  CROSS JOIN (SELECT DISTINCT q_id FROM q) qq
+  JOIN lut0 l0 ON l0.q_id = qq.q_id AND l0.j = b0.j
+  JOIN lut1 l1 ON l1.q_id = qq.q_id AND l1.j = b1.j
+  JOIN lut2 l2 ON l2.q_id = qq.q_id AND l2.j = b2.j
+  JOIN lut3 l3 ON l3.q_id = qq.q_id AND l3.j = b3.j
+)
+SELECT q_id, vec_id, CAST(est AS DOUBLE) AS est, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est DESC, vec_id) AS rnk
+  FROM est
+) WHERE rnk <= 5
+"""
+
+
 # --- curation: contamination / boilerplate / packing ------------------------
 
 def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
@@ -1475,6 +1524,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "hashed_embedding": q_hashed_embedding,
     "pq_encode": q_pq_encode,
+    "pq_adc_topk": q_pq_adc_topk,
 }
 
 ORACLES = {
@@ -1520,4 +1570,5 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hashed_embedding": SQL_HASHED_EMBEDDING,
     "pq_encode": SQL_PQ_ENCODE,
+    "pq_adc_topk": SQL_PQ_ADC_TOPK,
 }

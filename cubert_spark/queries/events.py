@@ -562,11 +562,120 @@ GROUP BY 1
 """
 
 
+def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series regularization: per-user DAILY grid between first
+    and last activity, empty days filled with n_events=0 and the last
+    observed value carried forward (the resample + ffill every
+    metrics pipeline runs before modeling). Grid days come from
+    sequence+explode (pure arithmetic); the day's closing value is a
+    skew-safe struct-max over the unique (ts, event_id) order; the
+    forward fill is one partitioned last-ignore-nulls window. All
+    outputs are exact passthroughs — nothing to drift."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.struct("ts", "event_id", "value")).alias("__last"),
+    ).select(
+        "user_id", "day", "n_events", F.col("__last.value").alias("__close")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("__close", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+SQL_GAP_FILL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n_events
+  FROM events
+),
+daily AS (SELECT user_id, day, n_events, value AS close FROM ranked WHERE rn = 1),
+bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+)
+SELECT g.user_id, g.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       last_value(d.close IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+def q_rolling_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """30-day rolling revenue per customer — a RANGE-frame window (the
+    frame is over the DAY VALUE, not row counts, so sparse order
+    histories work and same-day rows aggregate symmetrically). The
+    sum routes through DECIMAL (order-independent) per the float
+    discipline. One shuffle on the customer key."""
+    o = load_table(spark, sf, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("day"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_30d"),
+    )
+
+
+SQL_ROLLING_REVENUE = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_30d
+FROM orders
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "cdc_upsert": q_cdc_upsert,
     "attribution": q_attribution,
     "mad_outliers": q_mad_outliers,
+    "gap_fill": q_gap_fill,
+    "rolling_revenue": q_rolling_revenue,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
@@ -583,6 +692,8 @@ ORACLES = {
     "cdc_upsert": SQL_CDC_UPSERT,
     "attribution": SQL_ATTRIBUTION,
     "mad_outliers": SQL_MAD_OUTLIERS,
+    "gap_fill": SQL_GAP_FILL,
+    "rolling_revenue": SQL_ROLLING_REVENUE,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
     "session_window": SQL_SESSION_WINDOW,
