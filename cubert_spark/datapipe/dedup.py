@@ -330,23 +330,44 @@ def fuzzy_pairs(
     provably share a variant, so one equi-join on the variant yields a
     candidate superset that an exact ``levenshtein`` filter then trims.
 
-    Scale shape: explode factor = len+1 per row; the variant equi-join
-    is an inverted index whose posting lists are bounded by how many
-    strings collapse to one variant (name-shaped data: tiny). The
-    verify is a per-candidate JVM levenshtein. Raising max_dist means
-    deeper deletion neighborhoods (SymSpell d=2 explodes len^2/2
-    variants) — same plan, bigger constant.
+    Scale shape: explode factor = len+1 per row for max_dist=1 and
+    ~len^2/2 for max_dist=2 (the SymSpell trade: deeper neighborhoods
+    buy recall at explode cost); the variant equi-join is an inverted
+    index whose posting lists are bounded by how many strings collapse
+    to one variant (name-shaped data: tiny). The verify is a
+    per-candidate JVM levenshtein. The SymSpell completeness property
+    holds per depth: lev(a,b) <= d  =>  some <= d-deletion variant of
+    a equals some <= d-deletion variant of b.
     """
-    if max_dist != 1:
-        raise NotImplementedError("fuzzy_pairs currently supports max_dist=1")
+    if max_dist not in (1, 2):
+        raise NotImplementedError("fuzzy_pairs supports max_dist in (1, 2)")
     c = F.col(col)
+    del1 = F.expr(
+        f"transform(sequence(1, length({col})), i ->"
+        f" concat(substr({col}, 1, i - 1), substr({col}, i + 1, length({col}))))"
+    )
     variants = F.array_union(
         F.array(c),
-        F.expr(
-            f"transform(sequence(1, length({col})), i ->"
-            f" concat(substr({col}, 1, i - 1), substr({col}, i + 1, length({col}))))"
-        ),
+        F.when(F.length(c) >= 1, del1).otherwise(F.array().cast("array<string>")),
     )
+    if max_dist == 2:
+        # depth-2 deletions: drop positions i < j in one pass over the
+        # original (delete j first so i's index is unshifted)
+        del2 = F.expr(
+            f"flatten(transform(sequence(1, length({col}) - 1), i ->"
+            f" transform(sequence(i + 1, length({col})), j ->"
+            f" concat(substr({col}, 1, i - 1),"
+            f"        substr({col}, i + 1, j - i - 1),"
+            f"        substr({col}, j + 1, length({col}))))))"
+        )
+        # guard: sequence(1, 0) runs DESCENDING in Spark, so length<2
+        # strings must short-circuit to no depth-2 variants
+        variants = F.array_union(
+            variants,
+            F.when(F.length(c) >= 2, del2).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
     side = _spread(df, id_col).select(
         F.col(id_col).alias("__id"), c.alias("__v"),
         F.explode(variants).alias("__var"),

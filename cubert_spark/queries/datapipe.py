@@ -1249,6 +1249,24 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_fuzzy_pairs2(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution at edit distance <= 2: SymSpell depth-2
+    deletion neighborhoods (~len^2/2 variants per string) — the
+    recall-vs-explode knob one notch up from fuzzy_pairs; same
+    inverted-index plan, never a product. Oracle brute-forces the
+    quadratic levenshtein."""
+    c = load_table(spark, sf, "customer")
+    return dedup.fuzzy_pairs(c.select("c_custkey", "c_name"), max_dist=2)
+
+
+SQL_FUZZY_PAIRS2 = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language deterministic downsample (stratified rebalancing —
     e.g. cap the dominant language of a crawl): en keeps 25%, zh 50%,
@@ -1521,6 +1539,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "embedding_quantize": q_embedding_quantize,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "fuzzy_pairs2": q_fuzzy_pairs2,
     "chunk_documents": q_chunk_documents,
     "hashed_embedding": q_hashed_embedding,
     "pq_encode": q_pq_encode,
@@ -1567,6 +1586,7 @@ ORACLES = {
     "profile_table": SQL_PROFILE_TABLE,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "fuzzy_pairs2": SQL_FUZZY_PAIRS2,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hashed_embedding": SQL_HASHED_EMBEDDING,
     "pq_encode": SQL_PQ_ENCODE,

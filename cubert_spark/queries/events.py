@@ -669,6 +669,70 @@ FROM orders
 """
 
 
+def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 5-minute activity
+    interval; per user, overlapping intervals merge (the classic
+    sweep: a running max of previous interval ends splits merge
+    groups) and the output is total covered time + merged-interval
+    count. The sweep is two same-spec windows over ONE user_id
+    shuffle+sort; everything is exact bigint microseconds."""
+    e = load_table(spark, sf, "events")
+    span = 300_000_000  # 5 minutes in micros
+    s = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    base = e.select(
+        "user_id", "event_id", s.alias("s"), (s + span).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(
+            F.col("__pme").isNull() | (F.col("s") > F.col("__pme")), 1
+        ).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = base.withColumn("__pme", prev_max_end).withColumn("__grp", grp)
+    merged = marked.groupBy("user_id", "__grp").agg(
+        (F.max("e") - F.min("s")).alias("__len")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_merged_intervals"),
+        F.sum("__len").alias("covered_micros"),
+    )
+
+
+SQL_INTERVAL_UNION = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+),
+marked AS (
+  SELECT *,
+         MAX(e) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pme
+  FROM base
+),
+grouped AS (
+  SELECT *,
+         SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS grp
+  FROM marked
+),
+merged AS (
+  SELECT user_id, grp, MAX(e) - MIN(s) AS len
+  FROM grouped GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_merged_intervals, SUM(len) AS covered_micros
+FROM merged GROUP BY 1
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "cdc_upsert": q_cdc_upsert,
@@ -676,6 +740,7 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "gap_fill": q_gap_fill,
     "rolling_revenue": q_rolling_revenue,
+    "interval_union": q_interval_union,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
@@ -694,6 +759,7 @@ ORACLES = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "gap_fill": SQL_GAP_FILL,
     "rolling_revenue": SQL_ROLLING_REVENUE,
+    "interval_union": SQL_INTERVAL_UNION,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
     "session_window": SQL_SESSION_WINDOW,

@@ -1750,3 +1750,28 @@ def test_pagerank_matches_python_integer_model(spark):
         r = {u: base + (85 * acc[u]) // 100 for u in r}
     assert got == r
     assert sum(got.values()) <= scale  # floored mass never exceeds total
+
+
+def test_fuzzy_pairs_depth2(spark):
+    """max_dist=2 finds transpositions-as-two-edits, double
+    substitutions, and 2-char insertions that depth-1 misses — still
+    product-free."""
+    rows = [
+        (1, "smith"), (2, "smyth"),    # d1
+        (3, "smythe"),                 # d2 vs 1 (sub + insert)
+        (4, "smiht"),                  # transposition = d2 vs 1
+        (5, "sm"),                     # far
+        (6, "jones"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in dedup.fuzzy_pairs(df, max_dist=2).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(1, 4)] == 2
+    assert got[(2, 3)] == 1
+    assert not any(6 in p for p in got)
+    assert (1, 5) not in got  # distance 3
+    from cubert_spark.plans import explain_str
+
+    plan = explain_str(dedup.fuzzy_pairs(df, max_dist=2), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
