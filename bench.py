@@ -77,6 +77,15 @@ BENCH_QUERIES = [
     "cms_topk",
     "pagerank",
     "attribution",
+    # r05 sixth batch: PQ search, depth-2 entity resolution, robust
+    # stats, time-series resample/rolling, interval sweep, versioning
+    "pq_adc_topk",
+    "fuzzy_pairs2",
+    "mad_outliers",
+    "gap_fill",
+    "rolling_revenue",
+    "interval_union",
+    "snapshot_diff",
 ]
 
 

@@ -368,20 +368,33 @@ def fuzzy_pairs(
                 F.array().cast("array<string>")
             ),
         )
-    side = _spread(df, id_col).select(
-        F.col(id_col).alias("__id"), c.alias("__v"),
-        F.explode(variants).alias("__var"),
+    # join key = xxhash64 of the variant, not the variant string: the
+    # shuffle carries 8-byte keys, and a hash collision merely ADDS a
+    # candidate pair that the exact levenshtein filter then rejects —
+    # results identical by construction
+    side = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("__id"), c.alias("__v"),
+            F.explode(variants).alias("__var"),
+        )
+        .select("__id", "__v", F.xxhash64("__var").alias("__vk"))
     )
     a = side.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__var"
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__vk"
     )
     b = side.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__var"
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__vk"
     )
+    # distinct BEFORE the levenshtein: a true pair shares MANY variants
+    # (up to ~len^2/2 at depth 2), so verifying per join row would run
+    # the edit distance once per shared variant instead of once per
+    # candidate pair (measured 3x at depth 2, sf0.1)
     return (
-        a.join(b, "__var")
+        a.join(b, "__vk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.levenshtein("__va", "__vb").alias("dist"))
+        .select("id_a", "id_b", "__va", "__vb")
         .distinct()
+        .select("id_a", "id_b", F.levenshtein("__va", "__vb").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
