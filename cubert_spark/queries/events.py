@@ -733,6 +733,148 @@ FROM merged GROUP BY 1
 """
 
 
+def q_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Observability percentile bands: exact p50/p90/p99 of value per
+    (day, event_type) via percentile_disc — each picks an ACTUAL
+    element (lower-convention, verified equal cross-engine), so the
+    whole dashboard row replays bit-for-bit. One sort-based grouped
+    agg; at scale the sort is per (day, type) partition."""
+    e = load_table(spark, sf, "events")
+    g = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+    )
+
+
+SQL_LATENCY_PERCENTILES = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear regression as an AGGREGATION (the scalable spelling of
+    per-group trend fitting): per event_type, the closed-form normal
+    equations for value-over-time, emitted as EXACT RATIONALS —
+    (slope_num/slope_den, icept_num/icept_den) in integer arithmetic
+    end-to-end. Quantization: x = hours since 2024-01-01 (truncating
+    div of epoch micros), y = milli-units (trunc(value*1000)); both
+    engine-identical. The sums fit bigint; the combining products run
+    in Spark DECIMAL(38,0) / DuckDB HUGEINT — both exact int
+    arithmetic, magnitudes < 1e30 at sf1. Emitting the rational
+    avoids the decimal->double cast (DuckDB double-rounds large
+    scaled decimals; under the normal equations\' catastrophic
+    cancellation that last-ulp difference surfaced in the intercept).
+    Consumers divide num/den for the float slope; ONE pass, one
+    keyed agg with map-side combine."""
+    e = load_table(spark, sf, "events")
+    origin = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    x = F.expr(
+        f"timestampdiff(MICROSECOND, {origin}, ts) div 3600000000"
+    )
+    y = F.expr("cast(value * 1000 as bigint)")  # trunc toward zero
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    g2 = g.select(
+        "event_type", "n",
+        num.alias("__num"), den.alias("__den"),
+        (d("sy") * (d("n") * d("sxx") - d("sx") * d("sx"))
+         - (d("n") * d("sxy") - d("sx") * d("sy")) * d("sx")).alias("__inum"),
+    )
+    return g2.select(
+        "event_type", "n",
+        F.col("__num").cast("decimal(38,0)").alias("slope_num"),
+        F.col("__den").cast("decimal(38,0)").alias("slope_den"),
+        F.col("__inum").cast("decimal(38,0)").alias("icept_num"),
+        (F.col("__den") * F.col("n").cast("decimal(38,0)")).cast("decimal(38,0)").alias("icept_den"),
+    )
+
+
+SQL_TREND_BY_TYPE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(epoch_us(ts) // 3600000000 - 473352) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(trunc(value * 1000) AS BIGINT)) AS HUGEINT) AS sy,
+         CAST(SUM((epoch_us(ts) // 3600000000 - 473352)
+                  * CAST(trunc(value * 1000) AS BIGINT)) AS HUGEINT) AS sxy,
+         CAST(SUM((epoch_us(ts) // 3600000000 - 473352)
+                  * (epoch_us(ts) // 3600000000 - 473352)) AS HUGEINT) AS sxx
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+       CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DECIMAL(38,0)) AS icept_num,
+       CAST((n * sxx - sx * sx) * n AS DECIMAL(38,0)) AS icept_den
+FROM s
+"""
+
+
+def q_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common 3-step event-type
+    sequences within a user's time-ordered stream (lead windows over
+    one user_id shuffle — never a self-join), ties broken by path.
+    The path-frequency table is the input to funnel design; counts
+    are exact."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select(
+            "user_id",
+            F.concat_ws(
+                ">",
+                "event_type",
+                F.lead("event_type", 1).over(w),
+                F.lead("event_type", 2).over(w),
+            ).alias("path"),
+            F.lead("event_type", 2).over(w).alias("__ok"),
+        )
+        .filter(F.col("__ok").isNotNull())
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("path"))
+        .limit(20)
+    )
+    w2 = Window.orderBy(F.desc("n"), F.col("path"))
+    return top.withColumn("rnk", F.row_number().over(w2).cast("int"))
+
+
+SQL_TOP_PATHS = """
+WITH steps AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM events
+)
+SELECT path, n, CAST(rnk AS INT) AS rnk FROM (
+  SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, a || '>' || b || '>' || c) AS rnk
+  FROM steps WHERE c IS NOT NULL
+  GROUP BY 1
+) WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "cdc_upsert": q_cdc_upsert,
@@ -741,6 +883,9 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "rolling_revenue": q_rolling_revenue,
     "interval_union": q_interval_union,
+    "latency_percentiles": q_latency_percentiles,
+    "trend_by_type": q_trend_by_type,
+    "top_paths": q_top_paths,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
@@ -760,6 +905,9 @@ ORACLES = {
     "gap_fill": SQL_GAP_FILL,
     "rolling_revenue": SQL_ROLLING_REVENUE,
     "interval_union": SQL_INTERVAL_UNION,
+    "latency_percentiles": SQL_LATENCY_PERCENTILES,
+    "trend_by_type": SQL_TREND_BY_TYPE,
+    "top_paths": SQL_TOP_PATHS,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,
     "session_window": SQL_SESSION_WINDOW,
