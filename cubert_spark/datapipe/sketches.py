@@ -39,6 +39,7 @@ def hll_registers(
     col: str,
     p: int = 8,
     salt: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-bucket HLL registers for ``col``: bucket = first ``p`` bits
     (p=8: first 2 hex chars) of md5, register = max over values of
@@ -57,10 +58,13 @@ def hll_registers(
     # (CollapseProject keeps the multiply-referenced alias); _spread
     # parallelizes the per-row digest work when the scan has fewer
     # splits than cores (no-op at real scale)
+    gcols = list(group_cols or [])
     h = _spread(df, col).select(
-        F.md5(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))).alias("__h")
+        *gcols,
+        F.md5(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))).alias("__h"),
     )
     parts = h.select(
+        *gcols,
         F.conv(F.substring("__h", 1, 2), 16, 10).cast("int").alias("bucket"),
         F.expr("ltrim('0', substring(__h, 3, 12))").alias("__t"),
     )
@@ -71,8 +75,10 @@ def hll_registers(
     rank = F.when(F.length("__t") == 0, F.lit(_TAIL_BITS + 1)).otherwise(
         (F.lit(12) - F.length("__t")) * 4 + extra + 1
     )
-    return parts.select("bucket", rank.alias("__r")).groupBy("bucket").agg(
-        F.max("__r").alias("reg")
+    return (
+        parts.select(*gcols, "bucket", rank.alias("__r"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("__r").alias("reg"))
     )
 
 
@@ -104,6 +110,38 @@ def hll_estimate(
     return a.select(
         F.lit(col).alias("col_name"),
         F.lit(m).alias("n_buckets"),
+        (F.lit(m) - F.col("__nb")).cast("bigint").alias("n_empty"),
+        (
+            F.col("__s_obs")
+            + (F.lit(m) - F.col("__nb")) * F.lit(2 ** (_TAIL_BITS + 1)).cast("bigint")
+        ).alias("s_scaled"),
+    ).withColumn(
+        "est", F.lit(_hll_alpha_m2_c(m)) / F.col("s_scaled").cast("double")
+    )
+
+
+def hll_estimate_by(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL estimates — approximate COUNT(DISTINCT col) GROUP
+    BY group_cols as a mergeable sketch agg: one keyed groupBy of at
+    most 2^p register rows per group, vs the exact two-level
+    distinct's full shuffle of every (group, value) pair. Same exact
+    bigint harmonic sum + single IEEE divide per group."""
+    m = 1 << p
+    regs = hll_registers(df, col, p, salt, group_cols)
+    a = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_TAIL_BITS + 1} - reg)")
+        ).alias("__s_obs"),
+    )
+    return a.select(
+        *group_cols,
         (F.lit(m) - F.col("__nb")).cast("bigint").alias("n_empty"),
         (
             F.col("__s_obs")
@@ -261,3 +299,46 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def hll_sql_by(table: str, col: str, group_col: str, p: int = 8, salt: str = "hll") -> str:
+    """DuckDB oracle for :func:`hll_estimate_by` (single group col)."""
+    assert p == 8
+    m = 1 << p
+    c = repr(_hll_alpha_m2_c(m))
+    nib = "(strpos('0123456789abcdef', substr({s}, {i}, 1)) - 1)"
+    b1 = nib.format(s="__h", i=1)
+    b2 = nib.format(s="__h", i=2)
+    nz = nib.format(s="__t", i=1)
+    return f"""
+SELECT {group_col}, n_empty, s_scaled,
+       {c} / CAST(s_scaled AS DOUBLE) AS est
+FROM (
+  SELECT {group_col},
+         CAST({m} - COUNT(*) AS BIGINT) AS n_empty,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_TAIL_BITS + 1} - reg))
+              + ({m} - COUNT(*)) * CAST({2 ** (_TAIL_BITS + 1)} AS BIGINT) AS BIGINT)
+           AS s_scaled
+  FROM (
+    SELECT {group_col}, bucket, MAX(__r) AS reg FROM (
+      SELECT {group_col}, bucket,
+             CASE WHEN length(__t) = 0 THEN {_TAIL_BITS + 1}
+                  ELSE (12 - length(__t)) * 4
+                       + (CASE WHEN {nz} >= 8 THEN 0
+                               WHEN {nz} >= 4 THEN 1
+                               WHEN {nz} >= 2 THEN 2
+                               ELSE 3 END) + 1
+             END AS __r
+      FROM (
+        SELECT {group_col}, ({b1}) * 16 + ({b2}) AS bucket,
+               ltrim(substr(__h, 3, 12), '0') AS __t
+        FROM (
+          SELECT {group_col},
+                 md5('{salt}|' || CAST({col} AS VARCHAR)) AS __h
+          FROM {table}
+        )
+      )
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+"""

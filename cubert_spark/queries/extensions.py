@@ -784,10 +784,68 @@ WHERE (CASE WHEN old_price IS NULL THEN 'added'
 """
 
 
+def q_hll_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped HLL: approximate distinct parts per returnflag as a
+    mergeable sketch agg (sketches.hll_estimate_by) — at most 256
+    register rows per group cross the wire instead of every
+    (group, part) pair; registers and estimates replay bit-for-bit."""
+    from cubert_spark.datapipe import sketches
+
+    li = load_table(spark, sf, "lineitem")
+    return sketches.hll_estimate_by(li, "l_partkey", ["l_returnflag"])
+
+
+def _hll_by_oracle() -> str:
+    from cubert_spark.datapipe import sketches
+
+    return sketches.hll_sql_by("lineitem", "l_partkey", "l_returnflag")
+
+
+SQL_HLL_BY_GROUP = _hll_by_oracle()
+
+
+def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 most frequent part pairs
+    appearing in the same order. The self-join is keyed on the order
+    (posting lists bounded by order size — ~7 line items — so the
+    quadratic is per-order constant, never corpus-wide); counts are
+    exact, rank window runs post-limit over 20 rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = pairs.orderBy(F.desc("n"), "part_a", "part_b").limit(20)
+    w = Window.orderBy(F.desc("n"), "part_a", "part_b")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+SQL_BASKET_PAIRS = """
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, part_a, part_b) AS rnk
+  FROM pairs
+) WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
     "snapshot_diff": q_snapshot_diff,
+    "hll_by_group": q_hll_by_group,
+    "basket_pairs": q_basket_pairs,
     "heavy_hitters": q_heavy_hitters,
     "hll_estimate": q_hll_estimate,
     "cms_topk": q_cms_topk,
@@ -813,6 +871,8 @@ ORACLES = {
     "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
     "zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "hll_by_group": SQL_HLL_BY_GROUP,
+    "basket_pairs": SQL_BASKET_PAIRS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "hll_estimate": SQL_HLL_ESTIMATE,
     "cms_topk": SQL_CMS_TOPK,

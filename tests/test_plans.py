@@ -380,6 +380,7 @@ _LINT_ALLOWED = {
     "sequence_pack": ("unpartitioned window",),  # |docs|/shard_size shard totals
     "heavy_hitters": ("unpartitioned window", "pairs"),  # 20-row post-limit rank + 1-row total crossJoin
     "top_paths": ("unpartitioned window",),  # 20-row post-limit rank
+    "basket_pairs": ("unpartitioned window",),  # 20-row post-limit rank
     "bm25_search": ("pairs",),  # 1-row corpus-stats crossJoin(broadcast)
 }
 
