@@ -361,3 +361,48 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         kernel, schema="id long, frame_idx int, frame_blob binary, time_sec double"
     )
+
+
+MP3_META_SCHEMA = (
+    "id long, byte_len int, version string, layer int, sample_rate int, "
+    "n_channels int, n_frames int, duration_sec double, bitrate_kbps double, "
+    "is_vbr boolean, has_xing boolean"
+)
+
+
+def mp3_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
+    """MPEG-audio metadata WITHOUT decode (datapipe.mp3): the frame
+    walker yields duration / rate / channel mode / CBR-vs-VBR / frame
+    count — the fields an audio-curation pass filters on — while
+    sample decode stays honestly stubbed (codec-library work; see
+    decode_audio). Arrow-batched mapInPandas; Mp3Error on malformed
+    streams fails the task as a data error."""
+    import pandas as pd
+
+    from cubert_spark.datapipe.mp3 import parse_mp3
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or pd.isna(i):
+                    continue
+                raw = bytes(blob)
+                m = parse_mp3(raw)
+                rows.append(
+                    {
+                        "id": int(i), "byte_len": len(raw),
+                        "version": m["version"], "layer": m["layer"],
+                        "sample_rate": m["sample_rate"],
+                        "n_channels": m["n_channels"],
+                        "n_frames": m["n_frames"],
+                        "duration_sec": m["duration_sec"],
+                        "bitrate_kbps": m["bitrate_kbps"],
+                        "is_vbr": m["is_vbr"], "has_xing": m["has_xing"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        kernel, schema=MP3_META_SCHEMA
+    )

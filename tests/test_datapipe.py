@@ -1775,3 +1775,38 @@ def test_fuzzy_pairs_depth2(spark):
 
     plan = explain_str(dedup.fuzzy_pairs(df, max_dist=2), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mp3_frame_parser_and_meta(spark):
+    """Pure-spec MPEG frame walk: CBR stream arithmetic, ID3v2 skip,
+    mono/stereo modes, and the data-error contract on garbage /
+    truncated streams; mp3_meta runs it through the Arrow kernel."""
+    import pytest as _pytest
+
+    from cubert_spark.datapipe.mp3 import Mp3Error, build_cbr_mp3, parse_mp3
+    from cubert_spark.datapipe.multimodal import mp3_meta
+
+    raw = build_cbr_mp3(100, bitrate_kbps=128, sample_rate=44100)
+    m = parse_mp3(raw)
+    assert (m["version"], m["layer"]) == ("1", 3)
+    assert m["n_frames"] == 100 and m["sample_rate"] == 44100
+    assert m["n_samples"] == 100 * 1152
+    assert abs(m["duration_sec"] - 100 * 1152 / 44100) < 1e-12
+    assert m["bitrate_kbps"] == 128.0 and not m["is_vbr"]
+
+    tagged = build_cbr_mp3(7, mono=True, id3=b"\x00" * 64)
+    m2 = parse_mp3(tagged)
+    assert m2["n_frames"] == 7 and m2["n_channels"] == 1
+    assert m2["id3v2_bytes"] == 74
+
+    with _pytest.raises(Mp3Error):
+        parse_mp3(b"not audio at all")
+    with _pytest.raises(Mp3Error):
+        parse_mp3(raw[:-10])  # truncated final frame
+
+    df = spark.createDataFrame(
+        [(1, bytearray(raw)), (2, bytearray(tagged))], "id long, blob binary"
+    )
+    got = {r.id: r for r in mp3_meta(df).collect()}
+    assert got[1].n_frames == 100 and got[2].n_channels == 1
+    assert got[1].is_vbr is False
