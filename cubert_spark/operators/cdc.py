@@ -58,7 +58,9 @@ def apply_changelog(
         F.max(packed).alias("__last"),
         F.count(F.lit(1)).alias("n_changes"),
     )
-    return g.filter(~F.col("__last.__op").isin(*delete_ops)).select(
+    if delete_ops:
+        g = g.filter(~F.col("__last.__op").isin(*delete_ops))
+    return g.select(
         *key_cols,
         *[F.col(f"__last.__s_{c}").alias(f"last_{c}") for c in seq_cols],
         F.col("__last.__op").alias("last_op"),

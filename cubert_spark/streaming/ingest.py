@@ -56,3 +56,85 @@ def ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_ops: list[str],
+    payload_cols: list[str],
+):
+    """Streaming CDC apply: maintain a latest-wins state table from a
+    changelog stream — the streaming form of
+    ``operators.cdc.apply_changelog``.
+
+    Correctness under CROSS-BATCH disorder: each batch compacts with
+    the same struct-max agg, then FULL-OUTER merges against the
+    persisted state comparing the packed sequence — a late batch
+    carrying an older record can never regress a newer stored one.
+    Tombstones are RETAINED in the state (op in ``delete_ops``), so a
+    late pre-delete update cannot resurrect a deleted key; readers
+    take ``spark.read.parquet(dir).filter(~col('last_op')
+    .isin(deletes))`` as the live snapshot. n_changes accumulates
+    across batches. The per-batch overwrite is the plain-parquet
+    spelling; a lakehouse format turns it into a MERGE commit with the
+    same steps 1-2.
+
+    Returns the started query handle (availableNow trigger).
+    """
+
+    def update(batch_df: DataFrame, _batch_id: int) -> None:
+        from cubert_spark.operators.cdc import apply_changelog
+
+        spark = batch_df.sparkSession
+        # compact the batch, KEEPING tombstone rows (delete_ops=())
+        b = apply_changelog(
+            batch_df, key_cols, seq_cols, op_col, (), payload_cols
+        )
+        try:
+            s = spark.read.parquet(snapshot_dir)
+        except Exception:  # first batch: no state yet
+            s = None
+        if s is not None:
+            bb = b.select(
+                *key_cols,
+                F.struct(*[F.col(f"last_{c}") for c in seq_cols]).alias("__bseq"),
+                *[F.col(c).alias(f"__b_{c}") for c in b.columns if c not in key_cols],
+            )
+            ss = s.select(
+                *key_cols,
+                F.struct(*[F.col(f"last_{c}") for c in seq_cols]).alias("__sseq"),
+                *[F.col(c).alias(f"__s_{c}") for c in s.columns if c not in key_cols],
+            )
+            j = ss.join(bb, list(key_cols), "full_outer")
+            batch_wins = F.col("__sseq").isNull() | (
+                F.col("__bseq").isNotNull() & (F.col("__bseq") > F.col("__sseq"))
+            )
+            value_cols = [c for c in b.columns if c not in key_cols and c != "n_changes"]
+            out = j.select(
+                *key_cols,
+                *[
+                    F.when(batch_wins, F.col(f"__b_{c}"))
+                    .otherwise(F.col(f"__s_{c}"))
+                    .alias(c)
+                    for c in value_cols
+                ],
+                (
+                    F.coalesce(F.col("__s_n_changes"), F.lit(0))
+                    + F.coalesce(F.col("__b_n_changes"), F.lit(0))
+                ).alias("n_changes"),
+            )
+        else:
+            out = b
+        # MUST cut lineage before overwriting the directory the plan reads
+        out = out.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(snapshot_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -268,3 +268,50 @@ def test_ingest_dedup_stream(spark, tmp_path):
     ingest_dedup(stream2, out, ledger).awaitTermination()
     texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert texts == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_stream_upsert_cdc(spark, tmp_path):
+    """Streaming CDC apply: latest-wins across micro-batches with
+    LATE data — an older record arriving in a later batch neither
+    regresses a newer stored value nor resurrects a deleted key
+    (tombstones are retained; the live view filters them). The final
+    state is the same whichever batch order the source picks, which
+    is exactly the property under test."""
+    from cubert_spark.streaming.ingest import stream_upsert
+
+    src = str(tmp_path / "cdc_src")
+    snap = str(tmp_path / "cdc_snap")
+
+    spark.createDataFrame(
+        [(1, 10, 100, "upsert", 1.0), (2, 10, 101, "upsert", 2.0),
+         (3, 50, 102, "delete", None)],
+        "k long, ts long, uid long, op string, v double",
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        # late old update for k1; delete for k2; late pre-delete k3
+        [(1, 5, 200, "upsert", 9.0), (2, 20, 201, "delete", None),
+         (3, 40, 202, "upsert", 7.0)],
+        "k long, ts long, uid long, op string, v double",
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("k long, ts long, uid long, op string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    stream_upsert(
+        stream, snap,
+        key_cols=["k"], seq_cols=["ts", "uid"], op_col="op",
+        delete_ops=["delete"], payload_cols=["v"],
+    ).awaitTermination()
+
+    state = {r.k: r for r in spark.read.parquet(snap).collect()}
+    assert state[1].last_ts == 10 and state[1].last_v == 1.0  # no regression
+    assert state[2].last_op == "delete" and state[2].last_ts == 20
+    assert state[3].last_op == "delete" and state[3].last_ts == 50  # no resurrection
+    assert all(state[k].n_changes == 2 for k in (1, 2, 3))
+
+    from pyspark.sql import functions as F
+
+    live = spark.read.parquet(snap).filter(~F.col("last_op").isin("delete"))
+    assert [r.k for r in live.collect()] == [1]
