@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "rolling_revenue",
     "interval_union",
     "snapshot_diff",
+    # r05 seventh batch: SemDeDup semantic dedup (cluster-bounded
+    # pair stage), KMV distinct-set algebra (two TakeOrdered
+    # sketches, tables never join), TPC-H-Q3 shipping priority
+    "semantic_dedup",
+    "kmv_set_ops",
+    "shipping_priority",
 ]
 
 

@@ -823,3 +823,63 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", id_col, F.col("__est").cast("double").alias("est"), "rnk")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster every embedding to its nearest
+    FIXED centroid (DECIMAL-exact dot argmax, ties to the smallest
+    index — the :func:`ivf_assign_exact` rule), then within each
+    cluster drop every vector whose DECIMAL-exact cosine to ANY
+    lower-id cluster-mate reaches ``threshold``. Returns the KEPT rows
+    as (id, list_id).
+
+    The drop rule is deliberately the set-based one ("has a lower-id
+    near-duplicate in the cluster"), not the sequential greedy scan:
+    it is order-deterministic, replayable in one SQL statement (the
+    driver oracle), and at most as permissive as the greedy scan —
+    both rules keep the lowest-id member of every near-dup group.
+
+    At 100 TB: the pair stage is a cluster-bounded self-join (equi-join
+    on list_id — never an all-pairs product); cluster count is the
+    knob bounding per-cluster pair volume, exactly how SemDeDup scales
+    (the paper uses k-means on 100M+ embeddings). The final anti-join
+    keys on id. Extension beyond the reference (no embedding ops in
+    /root/reference — Cubert is tuple/OLAP only)."""
+    from cubert_spark.datapipe.dedup import _spread
+
+    best_j, _ = _argmax_centroid(F.col(vec_col), centroids)
+    norm = F.sqrt(_dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double"))
+    side = _spread(corpus, id_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm.alias("__n"),
+        best_j.alias("list_id"),
+    )
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "list_id",
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "list_id",
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            _dot_decimal(F.col("__va"), F.col("__vb")).cast("double")
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return side.join(dropped, id_col, "left_anti").select(id_col, "list_id")

@@ -342,3 +342,141 @@ FROM (
   ) GROUP BY 1
 )
 """
+
+
+# --- K-Minimum-Values --------------------------------------------------------
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256, salt: str = "kmv") -> DataFrame:
+    """KMV distinct-value sketch (Bar-Yossef et al. 2002, public): the
+    ``k`` lexicographically-smallest md5 digests of the DISTINCT values
+    of ``col``. md5 hex order == numeric order of the 128-bit hash, so
+    string sort is the sketch order and every engine replays it.
+
+    Build shape at 100 TB: one distinct shuffle on the digest, then a
+    global ORDER BY + LIMIT k — Spark plans TakeOrderedAndProject
+    (per-partition top-k, driver merges k rows/partition; never a full
+    sort). Mergeable: the sketch of a union is the k smallest of the
+    concatenated sketches — same ORDER BY + LIMIT."""
+    from cubert_spark.datapipe.dedup import _spread
+
+    h = (
+        _spread(df, col)
+        .select(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))).alias("h")
+        )
+        .distinct()
+    )
+    return h.orderBy("h").limit(k)
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Distinct-cardinality set algebra from two KMV sketches — the
+    sketch-tier answer to "how many distinct keys do these two 100 TB
+    tables share" without ever joining the tables:
+
+    - union sketch = k smallest of the two sketches' union (with
+      membership flags carried through a full outer join of the
+      [<=k]-row sketches — driver-side-tiny by construction);
+    - union_est = (k-1) * 2^60 / kth60 (the classic unbiased KMV
+      estimator; kth60 = first 60 bits of the k-th smallest digest as
+      an exact bigint, so the only IEEE op is one divide of two
+      identical numbers in every engine). When the union sketch holds
+      fewer than k digests the count is EXACT (= n);
+    - inter_est = (|union sketch ∩ A ∩ B| / n) * union_est — the
+      Jaccard-scaled estimate.
+
+    One row out: (n, kth60, inter_k, union_est, inter_est)."""
+    sa = kmv_sketch(df_a, col_a, k, salt).withColumn("in_a", F.lit(1))
+    sb = kmv_sketch(df_b, col_b, k, salt).withColumn("in_b", F.lit(1))
+    u = sa.join(sb, "h", "full").select(
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    uk = u.orderBy("h").limit(k)
+    agg = uk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("h").alias("__kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_k"),
+    )
+    kth60 = F.conv(F.substring("__kth", 1, 15), 16, 10).cast("bigint")
+    with_est = agg.select(
+        "n",
+        kth60.alias("kth60"),
+        "inter_k",
+        F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+            # (k-1)*2^60 is an exact double literal (8-bit mantissa,
+            # power-of-two shift); the divide is the one IEEE op
+            F.lit(float((k - 1) * (1 << 60))) / kth60.cast("double")
+        ).alias("union_est"),
+    )
+    return with_est.select(
+        "n",
+        "kth60",
+        "inter_k",
+        "union_est",
+        (
+            F.col("inter_k").cast("double")
+            / F.col("n").cast("double")
+            * F.col("union_est")
+        ).alias("inter_est"),
+    )
+
+
+def kmv_set_ops_sql(
+    table_a: str,
+    col_a: str,
+    table_b: str,
+    col_b: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB oracle for :func:`kmv_set_ops` — same digests, same
+    sketch order, same exact-bigint kth60, same single-divide
+    estimator (hex -> bigint via DuckDB's '0x' cast, which matches
+    Spark's conv(,16,10) bit-for-bit on 15 hex chars)."""
+    scale = repr(float((k - 1) * (1 << 60)))
+    return f"""
+WITH sa AS (
+  SELECT h FROM (
+    SELECT DISTINCT md5('{salt}|' || CAST({col_a} AS VARCHAR)) AS h FROM {table_a}
+  ) ORDER BY h LIMIT {k}
+),
+sb AS (
+  SELECT h FROM (
+    SELECT DISTINCT md5('{salt}|' || CAST({col_b} AS VARCHAR)) AS h FROM {table_b}
+  ) ORDER BY h LIMIT {k}
+),
+u AS (
+  SELECT COALESCE(sa.h, sb.h) AS h,
+         CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+),
+uk AS (SELECT * FROM u ORDER BY h LIMIT {k}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(h) AS __kth,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS inter_k
+  FROM uk
+),
+est AS (
+  SELECT n,
+         CAST(('0x' || substr(__kth, 1, 15)) AS BIGINT) AS kth60,
+         inter_k,
+         CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+              ELSE {scale} / CAST(CAST(('0x' || substr(__kth, 1, 15)) AS BIGINT) AS DOUBLE)
+         END AS union_est
+  FROM agg
+)
+SELECT n, kth60, inter_k, union_est,
+       CAST(inter_k AS DOUBLE) / CAST(n AS DOUBLE) * union_est AS inter_est
+FROM est
+"""

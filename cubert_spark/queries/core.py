@@ -592,6 +592,58 @@ def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q3-style shipping priority: top-10 orders by outstanding
+    revenue (lines unshipped at the cutoff) for one market segment.
+    The selective dim filter (1/5 of customers) broadcasts; the fact
+    side shuffles only on its join keys; the final top-10 plans
+    TakeOrderedAndProject (per-partition top-k, never a global sort).
+    Revenue is the per-row IEEE product summed through DECIMAL, so
+    ordering and values replay exactly in the oracle."""
+    cutoff = "1998-06-01"
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.to_date("o_orderdate") < F.lit(cutoff)
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit(cutoff)
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, CAST(o_orderdate AS DATE), l_orderkey
+LIMIT 10
+"""
+
+
 SQL_REVENUE_BY_NATION = f"""
 SELECT n_name,
        {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
@@ -629,6 +681,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "approx_count_distinct": q_approx_count_distinct,
     "revenue_by_nation": q_revenue_by_nation,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES = {
@@ -657,4 +710,5 @@ ORACLES = {
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "wordcount": SQL_WORDCOUNT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
 }

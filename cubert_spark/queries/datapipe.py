@@ -1439,6 +1439,65 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))
 """
 
 
+#: SemDeDup cluster centroids: 16 seeded +-1 vectors (equal-norm, so
+#: dot-argmax == cosine-argmax — the ivf_assign_exact property).
+_SEMDEDUP_CENTROIDS = similarity.hyperplane_planes(_EMB_DIM, 16, seed=23)
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic deduplication (similarity.semantic_dedup):
+    cluster to 16 fixed centroids, drop within-cluster lower-id
+    near-dups, keep the rest. Threshold 0.3 is data-appropriate for
+    the synthetic embeddings (max pairwise cos ~0.51 — production
+    would run ~0.9+); same rationale as embedding_neardup. Every stage
+    is DECIMAL-exact, so kept-set and cluster ids replay bit-for-bit
+    in the oracle."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.semantic_dedup(
+        e, _SEMDEDUP_CENTROIDS, threshold=0.3
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(j, c) AS (
+  VALUES {{vals}}
+),
+dots AS (
+  SELECT e.vec_id, ct.j,
+         SUM(CAST(e.v[i] * ct.c[i] AS DECIMAL(38,18))) AS dot
+  FROM e, cents ct, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY e.vec_id, ct.j
+),
+assign AS (
+  SELECT vec_id, j AS list_id FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(ea.v[i] * eb.v[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(ea.v[i] * ea.v[i] AS DECIMAL(38,18))) AS aa,
+         SUM(CAST(eb.v[i] * eb.v[i] AS DECIMAL(38,18))) AS bb
+  FROM assign a JOIN assign b USING (list_id)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id,
+  LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT id_b AS vec_id FROM pairs
+  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))) >= 0.3
+)
+SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id
+FROM assign a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+""".replace("{vals}", _vals(_SEMDEDUP_CENTROIDS))
+
+
 #: Fixed BM25 query set over the corpus vocabulary (engine words).
 BM25_QUERIES = [
     (0, "hash join merge"),
@@ -1529,6 +1588,7 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "stratified_sample": q_stratified_sample,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
@@ -1575,6 +1635,7 @@ ORACLES = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -617,6 +617,30 @@ def _hll_oracle() -> str:
 SQL_HLL_ESTIMATE = _hll_oracle()
 
 
+def q_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-set algebra (datapipe.sketches.kmv_set_ops):
+    estimate |distinct l_partkey UNION distinct p_partkey| and their
+    intersection from two 256-digest sketches — the tables never join;
+    each side contributes a TakeOrdered k-row sketch. Every digest,
+    the exact-bigint kth60, and both one-divide estimates replay in
+    the oracle. (Extension beyond the reference: Cubert's
+    COUNT_DISTINCT tier is exact-only.)"""
+    from cubert_spark.datapipe import sketches
+
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    return sketches.kmv_set_ops(li, "l_partkey", p, "p_partkey", k=256)
+
+
+def _kmv_oracle() -> str:
+    from cubert_spark.datapipe import sketches
+
+    return sketches.kmv_set_ops_sql("lineitem", "l_partkey", "part", "p_partkey", k=256)
+
+
+SQL_KMV_SET_OPS = _kmv_oracle()
+
+
 def q_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch (depth 4 x width 256) over the l_partkey
     stream, point-queried for the 20 heaviest true keys: (key,
@@ -848,6 +872,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "heavy_hitters": q_heavy_hitters,
     "hll_estimate": q_hll_estimate,
+    "kmv_set_ops": q_kmv_set_ops,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -875,6 +900,7 @@ ORACLES = {
     "basket_pairs": SQL_BASKET_PAIRS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "hll_estimate": SQL_HLL_ESTIMATE,
+    "kmv_set_ops": SQL_KMV_SET_OPS,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,

@@ -1810,3 +1810,82 @@ def test_mp3_frame_parser_and_meta(spark):
     got = {r.id: r for r in mp3_meta(df).collect()}
     assert got[1].n_frames == 100 and got[2].n_channels == 1
     assert got[1].is_vbr is False
+
+
+def test_kmv_exact_when_k_covers_and_estimates(spark):
+    """KMV set ops: when k >= |A UNION B| the sketch IS the distinct
+    set, so union/intersection come back EXACT; with k below, the
+    union estimate stays inside the KMV error band (~1/sqrt(k))."""
+    from cubert_spark.datapipe.sketches import kmv_set_ops
+
+    a = spark.range(0, 300).selectExpr("id AS k")          # 0..299
+    b = spark.range(200, 500).selectExpr("id AS k")        # 200..499
+    # exact regime: k=1024 > |A u B| = 500
+    r = kmv_set_ops(a, "k", b, "k", k=1024).collect()[0]
+    assert r.n == 500
+    assert r.union_est == 500.0
+    assert r.inter_k == 100 and r.inter_est == 100.0
+
+    # estimate regime: k=256 << |A u B| = 20000, |A ^ B| = 4000
+    big_a = spark.range(0, 12000).selectExpr("id AS k")
+    big_b = spark.range(8000, 20000).selectExpr("id AS k")
+    r2 = kmv_set_ops(big_a, "k", big_b, "k", k=256).collect()[0]
+    assert r2.n == 256
+    assert abs(r2.union_est - 20000) / 20000 < 0.25, r2.union_est
+    assert abs(r2.inter_est - 4000) / 4000 < 0.5, r2.inter_est
+
+
+def test_kmv_sketch_mergeable(spark):
+    """The KMV sketch of a union == k smallest of the concatenated
+    per-part sketches (the mergeability that makes it a 100 TB op)."""
+    from cubert_spark.datapipe.sketches import kmv_sketch
+
+    lo = spark.range(0, 700).selectExpr("id AS k")
+    hi = spark.range(700, 1500).selectExpr("id AS k")
+    whole = spark.range(0, 1500).selectExpr("id AS k")
+    k = 64
+    merged = (
+        kmv_sketch(lo, "k", k).unionAll(kmv_sketch(hi, "k", k))
+        .orderBy("h").limit(k)
+    )
+    direct = kmv_sketch(whole, "k", k)
+    assert [r.h for r in merged.collect()] == [r.h for r in direct.collect()]
+
+
+def test_semantic_dedup_keeps_lowest_id_per_neardup_group(spark):
+    """semantic_dedup on a hand-built corpus: two clusters of
+    near-identical vectors plus isolated singletons — every near-dup
+    group keeps exactly its lowest id, singletons all survive, and
+    cluster assignment is the exact-argmax rule."""
+    from cubert_spark.datapipe.similarity import semantic_dedup
+
+    # centroids on +x and -x axes; near-dup groups hug each axis
+    centroids = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),    # group A (cluster 0)
+        (1, [1.0, 0.02, 0.0, 0.0]),    # ~dup of 0 -> dropped
+        (2, [1.0, 0.0, 0.03, 0.0]),    # ~dup of 0 -> dropped
+        (3, [-1.0, 0.01, 0.0, 0.0]),   # group B (cluster 1)
+        (4, [-1.0, 0.0, 0.02, 0.0]),   # ~dup of 3 -> dropped
+        (5, [0.1, 0.0, 0.0, 1.0]),     # singleton, cluster 0
+        (6, [-0.1, 0.0, 0.0, 1.0]),    # singleton, cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id: r.list_id for r in semantic_dedup(df, centroids, 0.99).collect()}
+    assert kept == {0: 0, 3: 1, 5: 0, 6: 1}
+
+
+def test_semantic_dedup_cluster_bound_blindness(spark):
+    """Near-dups that land in DIFFERENT clusters are (by design) not
+    compared — the documented SemDeDup recall trade for never running
+    all-pairs."""
+    from cubert_spark.datapipe.similarity import semantic_dedup
+
+    centroids = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = [
+        (0, [0.001, 1.0]),   # cluster 0 (tie-to-smallest on dot sign)
+        (1, [-0.001, 1.0]),  # nearly identical but cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r.vec_id for r in semantic_dedup(df, centroids, 0.9).collect())
+    assert kept == [0, 1]

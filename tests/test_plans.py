@@ -477,3 +477,29 @@ def test_bm25_plan_broadcasts_queries_and_groups_topk(spark):
     s = explain_str(df)
     assert "BroadcastHashJoin" in s, s
     assert "WindowGroupLimit" in s, s
+
+
+def test_shipping_priority_plan_shape(spark):
+    """TPC-H-Q3 shape: the selective customer filter broadcasts, the
+    date filters push to the scans, and the top-10 plans
+    TakeOrderedAndProject — never a global sort of the aggregate."""
+    from cubert_spark.queries.core import q_shipping_priority
+
+    df = q_shipping_priority(spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert lint(df) == []
+
+
+def test_semantic_dedup_plan_is_cluster_bounded(spark):
+    """semantic_dedup's pair stage is an equi-join on list_id (sort-
+    merge or hash on the cluster key) — no cartesian product anywhere,
+    and the kept-set anti-join stays an equi-join on the id."""
+    from cubert_spark.queries.datapipe import q_semantic_dedup
+
+    df = q_semantic_dedup(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
