@@ -92,6 +92,13 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "kmv_set_ops",
     "shipping_priority",
+    # bloom-filter semi-join pruning (fact side never shuffles).
+    # jaccard_prefix is deliberately NOT benched: its OUTPUT is
+    # quadratic in this corpus's planted dup-group sizes (~1M pairs
+    # at sf0.1 even at t=0.9) — the bench shape is covered by
+    # ngram_jaccard; the prefix-filter pruning win is pytest-pinned
+    # instead (test_jaccard_prefix_indexes_fewer_postings).
+    "bloom_prune",
 ]
 
 

@@ -398,3 +398,79 @@ def fuzzy_pairs(
         .select("id_a", "id_b", F.levenshtein("__va", "__vb").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT word-set Jaccard-similar pairs via PPJoin-style prefix
+    filtering (Xiao et al., WWW 2008 — public): index only each
+    document's PREFIX — its (|s| - ceil(t*|s|) + 1) globally-rarest
+    distinct words — instead of every posting. Two sets with
+    Jaccard >= t MUST share a prefix token (the prefix-filter
+    principle), so the candidate join is complete; the exact-count
+    verify then makes the result identical to the full inverted-index
+    join (:func:`ngram_jaccard_pairs`' shape) at a fraction of the
+    candidate volume.
+
+    Output: (id_a, id_b, jac) with id_a < id_b, jac >= threshold.
+
+    At 100 TB: the global word-frequency table is one keyed agg; the
+    rarest-first ordering makes prefix postings SMALL by construction
+    (rare words have short posting lists), which is the algorithm's
+    whole point — the candidate join shuffles prefix tokens only, and
+    frequency ordering concentrates them on low-skew keys. The
+    per-doc rank window partitions by doc (bounded). Everything is
+    integer counts + one final double divide, engine-exact."""
+    tok = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    wfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    ranked = (
+        tok.join(wfreq, "w")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "w")
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(F.col(id_col), "w", "sz")
+    a = prefix.select(F.col(id_col).alias("id_a"), "w", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "w", F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter: Jaccard >= t forces t*|B| <= |A| (|A|<=|B|)
+        .filter(F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ta = tok.select(F.col(id_col).alias("id_a"), "w")
+    tb = tok.select(F.col(id_col).alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )

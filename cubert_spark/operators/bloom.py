@@ -1,0 +1,99 @@
+"""Bloom-filter semi-join pruning — filter a 100 TB fact table by a
+dim-side key set WITHOUT shuffling the fact side: the dim keys reduce
+to a (num_bits/32)-row bitmap that broadcasts, and membership is pure
+column arithmetic plus broadcast joins. False positives only (classic
+Bloom guarantee: pruned ⊇ exact semi-join), never false negatives —
+a downstream exact join stays correct, just smaller.
+
+This is the runtime-filter idea (Spark's own InSubqueryExec /
+bloom-filter join hint lineage, and the reference's mesh-join
+LOAD-CACHED spirit at /root/reference/src/main/java/com/linkedin/
+cubert/operator/MeshJoinOperator.java) made explicit, deterministic,
+and oracle-replayable: positions are md5-derived, the bitmap is a
+bit_or aggregate, so DuckDB reproduces every bit.
+
+Sizing: num_bits=65536 / num_hashes=3 gives ~1.3 KB/1k keys; the
+false-positive rate is (1 - e^(-kn/m))^k — for n=2k keys, m=64k bits,
+k=3 that's ~0.6%. Scale num_bits with the key count; the bitmap stays
+broadcast-small (m/32 bigints) into the millions of keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int, salt: str) -> list[Column]:
+    """num_hashes deterministic bit positions for a key: the first 32
+    bits of md5('{salt}{i}|' || key) mod num_bits — engine-portable
+    (DuckDB: ('0x' || substr(md5(...),1,8))::BIGINT % num_bits)."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{i}|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % num_bits
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 65536,
+    num_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build the bitmap: (word bigint, bits bigint) with word =
+    pos >> 5 and bit pos&31 OR-ed in (32 bits per word: bit 63 would
+    overflow engines that CHECK bigint shifts, e.g. DuckDB) — at most
+    num_bits/32 rows
+    regardless of key count, sum... bit_or-mergeable across partial
+    builds (the agg IS the merge)."""
+    pos_structs = F.array(
+        *[p.alias(f"p{i}") for i, p in
+          enumerate(_positions(F.col(key_col), num_bits, num_hashes, salt))]
+    )
+    return (
+        keys.select(F.explode(pos_structs).alias("pos"))
+        .select(
+            F.shiftright("pos", 5).alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    num_bits: int = 65536,
+    num_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Keep only rows whose key MAY be in the bloom set: for each of
+    the num_hashes positions, the bitmap word must exist and have the
+    bit set. num_hashes broadcast hash joins — the big side never
+    shuffles, which is the operator's entire reason to exist."""
+    out = df
+    for i, p in enumerate(_positions(F.col(key_col), num_bits, num_hashes, salt)):
+        out = out.withColumn(f"__w{i}", F.shiftright(p, 5)).withColumn(
+            f"__b{i}", (p % 32).cast("int")
+        )
+        bm = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__bits{i}")
+            )
+        )
+        out = out.join(bm, f"__w{i}").filter(
+            F.expr(f"(shiftright(__bits{i}, __b{i}) & 1) = 1")
+        )
+    return out.drop(
+        *[c for i in range(num_hashes) for c in (f"__w{i}", f"__b{i}", f"__bits{i}")]
+    )

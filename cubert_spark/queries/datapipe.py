@@ -66,6 +66,52 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
 """
 
 
+def q_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT word-set Jaccard pairs via PPJoin prefix filtering
+    (dedup.jaccard_prefix_pairs): only each doc's rarest
+    (|s|-ceil(t|s|)+1) words are indexed, so the candidate join
+    shuffles a fraction of the postings the full inverted index
+    (ngram_jaccard) does, with an identical exact result."""
+    d = load_table(spark, sf, "documents")
+    return dedup.jaccard_prefix_pairs(d, threshold=0.9)
+
+
+SQL_JACCARD_PREFIX = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents
+  ) WHERE w <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+wfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.w, s.sz,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.w) AS pos
+  FROM tok t JOIN wfreq f USING (w) JOIN sizes s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, w, sz FROM ranked WHERE pos <= sz - CEIL(0.9 * sz) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sz AS sz_a, b.sz AS sz_b
+  FROM prefix a JOIN prefix b USING (w)
+  WHERE a.doc_id < b.doc_id AND a.sz >= CEIL(0.9 * b.sz)
+),
+inter AS (
+  SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.id_a
+  JOIN tok tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) AS jac
+FROM inter
+WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.9
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.2, num_hashes=8, band_size=2)
@@ -1589,6 +1635,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
+    "jaccard_prefix": q_jaccard_prefix,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
@@ -1636,6 +1683,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "jaccard_prefix": SQL_JACCARD_PREFIX,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -641,6 +641,80 @@ def _kmv_oracle() -> str:
 SQL_KMV_SET_OPS = _kmv_oracle()
 
 
+def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators.bloom): the dim key
+    set (part with p_size<10, ~18% of parts) reduces to a broadcast
+    bitmap; lineitem is pruned by pure column arithmetic + broadcast
+    joins — the fact side never shuffles. Output: one row with the
+    pruned row count, the exact semi-join count, and the
+    false-positive overshoot (pruned ⊇ exact always; fp bounded by
+    the (1-e^(-kn/m))^k rate). Every md5 bit position and bitmap word
+    replays in the oracle."""
+    from cubert_spark.datapipe.dedup import _spread
+    from cubert_spark.operators.bloom import bloom_build, bloom_prune
+
+    keys = load_table(spark, sf, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey"
+    )
+    # _spread: the 3x-md5-per-row probe work lands on every core even
+    # when the scan has few splits (a no-op at real scale)
+    li = _spread(
+        load_table(spark, sf, "lineitem").select(
+            "l_partkey", "l_orderkey", "l_linenumber"
+        ),
+        "l_partkey",
+    )
+    bm = bloom_build(keys, "p_partkey")
+    pruned = bloom_prune(li, "l_partkey", bm)
+    kl = keys.withColumnRenamed("p_partkey", "l_partkey")
+    n_pruned = pruned.agg(F.count(F.lit(1)).alias("pruned_rows"))
+    n_exact = li.join(F.broadcast(kl), "l_partkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact_rows")
+    )
+    # no false negatives => pruned ⊇ exact, so fp = pruned - exact
+    # (saves a third full probe pass over the fact side)
+    return n_pruned.crossJoin(n_exact).select(
+        "pruned_rows",
+        "exact_rows",
+        (F.col("pruned_rows") - F.col("exact_rows")).alias("fp_rows"),
+    )
+
+
+def _bloom_pos_sql(i: int, key: str, num_bits: int = 65536) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bloom{i}|' || CAST({key} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {num_bits}"
+    )
+
+
+SQL_BLOOM_PRUNE = f"""
+WITH keys AS (SELECT p_partkey FROM part WHERE p_size < 10),
+pos AS (
+  {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(i, 'p_partkey')} AS pos FROM keys" for i in range(3))}
+),
+bm AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+lp AS (
+  SELECT l_partkey,
+         {", ".join(f"{_bloom_pos_sql(i, 'l_partkey')} AS p{i}" for i in range(3))}
+  FROM lineitem
+),
+pruned AS (
+  SELECT lp.l_partkey FROM lp
+  {" ".join(f"JOIN bm b{i} ON b{i}.word = lp.p{i} // 32 AND ((b{i}.bits >> CAST(lp.p{i} % 32 AS INT)) & 1) = 1" for i in range(3))}
+),
+exact AS (
+  SELECT l_partkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM keys)
+)
+SELECT (SELECT COUNT(*) FROM pruned) AS pruned_rows,
+       (SELECT COUNT(*) FROM exact) AS exact_rows,
+       (SELECT COUNT(*) FROM pruned) - (SELECT COUNT(*) FROM exact) AS fp_rows
+"""
+
+
 def q_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch (depth 4 x width 256) over the l_partkey
     stream, point-queried for the 20 heaviest true keys: (key,
@@ -873,6 +947,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "hll_estimate": q_hll_estimate,
     "kmv_set_ops": q_kmv_set_ops,
+    "bloom_prune": q_bloom_prune,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -901,6 +976,7 @@ ORACLES = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "hll_estimate": SQL_HLL_ESTIMATE,
     "kmv_set_ops": SQL_KMV_SET_OPS,
+    "bloom_prune": SQL_BLOOM_PRUNE,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,

@@ -1889,3 +1889,99 @@ def test_semantic_dedup_cluster_bound_blindness(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = sorted(r.vec_id for r in semantic_dedup(df, centroids, 0.9).collect())
     assert kept == [0, 1]
+
+
+def test_jaccard_prefix_matches_bruteforce(spark):
+    """Prefix filtering is LOSSLESS for Jaccard >= t (the PPJoin
+    prefix principle): results equal the brute-force all-pairs join
+    on a seeded synthetic corpus with planted near-dup groups."""
+    import itertools
+    import random
+
+    from cubert_spark.datapipe.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for base in range(8):                       # 8 groups x 3 variants
+        words = rng.sample(vocab, 12)
+        for v in range(3):
+            w = list(words)
+            if v:                                # perturb 1-2 words
+                for _ in range(v):
+                    w[rng.randrange(len(w))] = rng.choice(vocab)
+            docs.append((base * 3 + v, " ".join(w)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r.id_a, r.id_b, round(r.jac, 9))
+        for r in jaccard_prefix_pairs(df, t).collect()
+    }
+    sets = {i: set(txt.split()) for i, txt in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= t:
+            want.add((a, b, round(jac, 9)))
+    assert got == want
+
+
+def test_jaccard_prefix_indexes_fewer_postings(spark):
+    """The point of prefix filtering: the indexed posting volume is a
+    strict fraction of the full inverted index's."""
+    from cubert_spark.catalog import load_table
+    from pyspark.sql import Window
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tok = (
+        d.select(F.col("doc_id"), F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    wfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(wfreq, "w")
+        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")))
+        .join(sizes, "doc_id")
+    )
+    t = 0.9
+    full = tok.count()
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).count()
+    assert prefix < full * 0.35, (prefix, full)
+
+
+def test_bloom_prune_superset_and_bounded_fp(spark):
+    """bloom_prune keeps every true match (no false negatives) and
+    the false-positive overshoot stays near the analytic rate."""
+    from cubert_spark.operators.bloom import bloom_build, bloom_prune
+
+    keys = spark.range(0, 500).selectExpr("id * 7 AS k")          # sparse keys
+    big = spark.range(0, 40000).selectExpr("id AS k", "id AS payload")
+    bm = bloom_build(keys, "k", num_bits=65536, num_hashes=3)
+    pruned = bloom_prune(big, "k", bm)
+    truth = big.join(keys.hint("broadcast"), "k", "left_semi")
+    missed = truth.exceptAll(pruned.select("k", "payload")).count()
+    assert missed == 0
+    fp = pruned.join(keys, "k", "left_anti").count()
+    # analytic fp rate ~ (1 - e^(-3*500/65536))^3 ~ 1.1e-5; give 100x slack
+    assert fp <= 40000 * 1.1e-3, fp
+
+
+def test_bloom_build_mergeable(spark):
+    """bit_or of two partial bitmaps == the bitmap of the union."""
+    from cubert_spark.operators.bloom import bloom_build
+
+    lo = spark.range(0, 300).selectExpr("id AS k")
+    hi = spark.range(300, 600).selectExpr("id AS k")
+    whole = spark.range(0, 600).selectExpr("id AS k")
+    merged = (
+        bloom_build(lo, "k").unionAll(bloom_build(hi, "k"))
+        .groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    direct = bloom_build(whole, "k")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0

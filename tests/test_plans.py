@@ -382,6 +382,7 @@ _LINT_ALLOWED = {
     "top_paths": ("unpartitioned window",),  # 20-row post-limit rank
     "basket_pairs": ("unpartitioned window",),  # 20-row post-limit rank
     "bm25_search": ("pairs",),  # 1-row corpus-stats crossJoin(broadcast)
+    "bloom_prune": ("pairs",),  # 1-row count summaries crossJoin(broadcast)
 }
 
 
