@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     # ngram_jaccard; the prefix-filter pruning win is pytest-pinned
     # instead (test_jaccard_prefix_indexes_fewer_postings).
     "bloom_prune",
+    # grouped 2-D skyline (window sweep) + the entity-resolution
+    # end-cap (SymSpell-blocked fuzzy edges -> CC -> survivorship)
+    "pareto_frontier",
+    "golden_record",
 ]
 
 

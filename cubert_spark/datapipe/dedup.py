@@ -321,6 +321,7 @@ def fuzzy_pairs(
     col: str = "c_name",
     id_col: str = "c_custkey",
     max_dist: int = 1,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Entity-resolution pair generation: all (id_a, id_b, dist) with
     ``levenshtein(a, b) <= max_dist`` (currently max_dist=1), found via
@@ -338,6 +339,12 @@ def fuzzy_pairs(
     per-candidate JVM levenshtein. The SymSpell completeness property
     holds per depth: lev(a,b) <= d  =>  some <= d-deletion variant of
     a equals some <= d-deletion variant of b.
+
+    ``block_cols`` (standard ER blocking keys, e.g. a region column)
+    become part of the variant JOIN KEY: cross-block candidates never
+    form, cutting posting-list volume by the block fan-out instead of
+    filtering after the join (measured 12.6 -> ~4 s on the
+    golden_record composition at sf0.1).
     """
     if max_dist not in (1, 2):
         raise NotImplementedError("fuzzy_pairs supports max_dist in (1, 2)")
@@ -372,26 +379,40 @@ def fuzzy_pairs(
     # shuffle carries 8-byte keys, and a hash collision merely ADDS a
     # candidate pair that the exact levenshtein filter then rejects —
     # results identical by construction
+    bcols = list(block_cols or [])
     side = (
         _spread(df, id_col)
         .select(
-            F.col(id_col).alias("__id"), c.alias("__v"),
+            F.col(id_col).alias("__id"), c.alias("__v"), *bcols,
             F.explode(variants).alias("__var"),
         )
-        .select("__id", "__v", F.xxhash64("__var").alias("__vk"))
+        .select(
+            "__id", "__v", *bcols,
+            F.xxhash64("__var", *bcols).alias("__vk"),
+        )
     )
     a = side.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__vk"
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__vk",
+        *[F.col(bc).alias(f"__ba_{bc}") for bc in bcols],
     )
     b = side.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__vk"
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__vk",
+        *[F.col(bc).alias(f"__bb_{bc}") for bc in bcols],
     )
     # distinct BEFORE the levenshtein: a true pair shares MANY variants
     # (up to ~len^2/2 at depth 2), so verifying per join row would run
     # the edit distance once per shared variant instead of once per
     # candidate pair (measured 3x at depth 2, sf0.1)
+    eq_blocks = [
+        F.col(f"__ba_{bc}").eqNullSafe(F.col(f"__bb_{bc}")) for bc in bcols
+    ]
+    joined = a.join(b, "__vk")
+    for cond in eq_blocks:
+        # hashing the block into __vk already co-locates; the explicit
+        # equality rejects hash collisions across blocks
+        joined = joined.filter(cond)
     return (
-        a.join(b, "__vk")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__va", "__vb")
         .distinct()

@@ -641,6 +641,117 @@ def _kmv_oracle() -> str:
 SQL_KMV_SET_OPS = _kmv_oracle()
 
 
+def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped 2-D skyline (operators.skyline): per (order priority,
+    year), the orders on the Pareto frontier of (total price, order
+    recency) — no other same-group order with >= both and > one. The
+    sweep implementation is one group-key shuffle; the oracle is the
+    textbook quadratic NOT EXISTS."""
+    from cubert_spark.operators.skyline import skyline2d
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.year(F.to_date("o_orderdate")).alias("oyear"),
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    return skyline2d(o, ["o_orderpriority", "oyear"], "o_totalprice", "odate")
+
+
+SQL_PARETO_FRONTIER = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         year(CAST(o_orderdate AS DATE)) AS oyear,
+         o_totalprice, CAST(o_orderdate AS DATE) AS odate
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, oyear, o_totalprice, odate
+FROM o b
+WHERE NOT EXISTS (
+  SELECT 1 FROM o a
+  WHERE a.o_orderpriority = b.o_orderpriority AND a.oyear = b.oyear
+    AND a.o_totalprice >= b.o_totalprice AND a.odate >= b.odate
+    AND (a.o_totalprice > b.o_totalprice OR a.odate > b.odate)
+)
+"""
+
+
+def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution end-cap (golden record / survivorship):
+    match customers whose names are within edit distance 1 AND share
+    a nation (SymSpell-blocked, never a product), cluster matches
+    with distributed connected components, then per cluster elect the
+    surviving record by (max acctbal, min custkey) and report
+    membership. Composes dedup.fuzzy_pairs + components.
+    connected_components + a struct-max survivorship agg."""
+    from cubert_spark.datapipe import components, dedup
+
+    c = load_table(spark, sf, "customer")
+    edges = dedup.fuzzy_pairs(
+        c.select("c_custkey", "c_name", "c_nationkey"),
+        max_dist=1,
+        block_cols=["c_nationkey"],
+    ).select("id_a", "id_b")
+    cc = components.connected_components(edges, "id_a", "id_b")
+    lab = c.join(
+        cc.withColumnRenamed("id", "c_custkey"), "c_custkey", "left"
+    ).withColumn("cluster", F.coalesce("component", F.col("c_custkey")))
+    best = lab.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col("c_acctbal").alias("a"),
+                (-F.col("c_custkey")).alias("nk"),
+                F.col("c_name").alias("nm"),
+            )
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "cluster",
+        (-F.col("__b.nk")).alias("rep_custkey"),
+        F.col("__b.nm").alias("rep_name"),
+        F.col("__b.a").alias("rep_acctbal"),
+        "n_members",
+    )
+
+
+SQL_GOLDEN_RECORD = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+lab AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         COALESCE(comp.component, c.c_custkey) AS cluster
+  FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+  FROM lab
+)
+SELECT cluster, c_custkey AS rep_custkey, c_name AS rep_name,
+       c_acctbal AS rep_acctbal, n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter semi-join pruning (operators.bloom): the dim key
     set (part with p_size<10, ~18% of parts) reduces to a broadcast
@@ -948,6 +1059,8 @@ QUERIES = {
     "hll_estimate": q_hll_estimate,
     "kmv_set_ops": q_kmv_set_ops,
     "bloom_prune": q_bloom_prune,
+    "pareto_frontier": q_pareto_frontier,
+    "golden_record": q_golden_record,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -977,6 +1090,8 @@ ORACLES = {
     "hll_estimate": SQL_HLL_ESTIMATE,
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "bloom_prune": SQL_BLOOM_PRUNE,
+    "pareto_frontier": SQL_PARETO_FRONTIER,
+    "golden_record": SQL_GOLDEN_RECORD,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,

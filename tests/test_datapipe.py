@@ -1985,3 +1985,24 @@ def test_bloom_build_mergeable(spark):
     direct = bloom_build(whole, "k")
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_fuzzy_pairs_block_cols(spark):
+    """block_cols: candidates only form within a block — identical
+    names in different blocks are NOT paired; within-block behavior
+    unchanged."""
+    from cubert_spark.datapipe.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "smith", 10), (2, "smyth", 10),   # same block, dist 1
+        (3, "smith", 20),                      # other block: no pair
+        (4, "jones", 10), (5, "jones", 10),   # same block, dist 0
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, region int")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(
+            df, col="name", id_col="id", max_dist=1, block_cols=["region"]
+        ).collect()
+    )
+    assert got == [(1, 2, 1), (4, 5, 0)]

@@ -246,3 +246,36 @@ def test_apply_changelog_is_agg_not_window(spark):
     s = explain_str(out)
     assert "Window" not in s, s
     assert "partial_max" in s or "HashAggregate" in s, s
+
+
+def test_skyline2d_domination_and_ties(spark):
+    """skyline2d matches the quadratic domination definition on a
+    hand case exercising ties in x, ties in y, duplicates, and
+    multi-group isolation."""
+    from cubert_spark.operators.skyline import skyline2d
+
+    rows = [
+        # group g1: frontier is (5,1), (3,4), (1,9); (3,3) dominated
+        # by (3,4) (same x, higher y); (2,4) dominated by (3,4)
+        ("g1", 1, 5, 1), ("g1", 2, 3, 4), ("g1", 3, 3, 3),
+        ("g1", 4, 2, 4), ("g1", 5, 1, 9),
+        # duplicates on the frontier both survive
+        ("g1", 6, 5, 1),
+        # group g2: single row survives
+        ("g2", 7, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, rid long, x long, y long")
+    got = sorted(r.rid for r in skyline2d(df, ["g"], "x", "y").collect())
+    assert got == [1, 2, 5, 6, 7]
+
+    # cross-check against brute force on the same data
+    data = [(g, rid, x, y) for g, rid, x, y in rows]
+    brute = [
+        rid
+        for g, rid, x, y in data
+        if not any(
+            g2 == g and x2 >= x and y2 >= y and (x2 > x or y2 > y)
+            for g2, _r2, x2, y2 in data
+        )
+    ]
+    assert got == sorted(brute)
