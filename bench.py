@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     # end-cap (SymSpell-blocked fuzzy edges -> CC -> survivorship)
     "pareto_frontier",
     "golden_record",
+    # temporal-table build + distributed quantile binning
+    "scd2_build",
+    "equidepth_histogram",
 ]
 
 

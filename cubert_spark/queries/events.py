@@ -875,8 +875,94 @@ SELECT path, n, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+def q_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval build from a
+    change stream: per user, each event becomes a version row
+    [valid_from, valid_to) with valid_to = the next change's
+    timestamp (NULL = current version) — the warehouse-standard
+    temporal table construction, one user_id shuffle+sort. Exact
+    bigint micros + milli-quantized value; total order (ts micros,
+    event_id) is engine-identical."""
+    e = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.expr("cast(value * 1000 as bigint)").alias("value_m"),
+        us.alias("vf_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("vf_us", "event_id")
+    return base.withColumn("vt_us", F.lead("vf_us").over(w))
+
+
+SQL_SCD2_BUILD = """
+SELECT user_id, event_id,
+       CAST(trunc(value * 1000) AS BIGINT) AS value_m,
+       epoch_us(ts) AS vf_us,
+       LEAD(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       ) AS vt_us
+FROM events
+"""
+
+
+def q_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (quantile-binned) value profile per event type
+    WITHOUT a per-group global sort: 7 percentile_disc cutpoints per
+    type (one sort-based keyed agg — the distributed scale path an
+    exact-NTILE formulation lacks: NTILE forces each type through one
+    reducer), broadcast back; bucket = 1 + #cutpoints strictly below
+    the value, so boundary ties land in the lowest eligible bucket —
+    deterministic in both engines (counts differ from exact NTILE
+    only at ties, by construction). Per-bucket stats are exact
+    (count, min/max passthrough, milli-quantized bigint sum)."""
+    e = load_table(spark, sf, "events")
+    k = 8
+    cuts = e.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / k}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"c{i}")
+            for i in range(1, k)
+        ]
+    )
+    j = e.join(F.broadcast(cuts), "event_type")
+    bucket = F.lit(1)
+    for i in range(1, k):
+        bucket = bucket + F.when(F.col(f"c{i}") < F.col("value"), 1).otherwise(0)
+    return (
+        j.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum(F.expr("cast(value * 1000 as bigint)")).alias("sum_m"),
+        )
+    )
+
+
+SQL_EQUIDEPTH_HISTOGRAM = f"""
+WITH cuts AS (
+  SELECT event_type,
+         {", ".join(f"quantile_disc(value, {i / 8}) AS c{i}" for i in range(1, 8))}
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       1 {"".join(f"+ (CASE WHEN c{i} < value THEN 1 ELSE 0 END)" for i in range(1, 8))} AS bucket,
+       COUNT(*) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       CAST(SUM(CAST(trunc(value * 1000) AS BIGINT)) AS BIGINT) AS sum_m
+FROM events e JOIN cuts USING (event_type)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
+    "scd2_build": q_scd2_build,
+    "equidepth_histogram": q_equidepth_histogram,
     "cdc_upsert": q_cdc_upsert,
     "attribution": q_attribution,
     "mad_outliers": q_mad_outliers,
@@ -899,6 +985,8 @@ QUERIES = {
 
 ORACLES = {
     "tumbling_window": SQL_TUMBLING,
+    "scd2_build": SQL_SCD2_BUILD,
+    "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
     "cdc_upsert": SQL_CDC_UPSERT,
     "attribution": SQL_ATTRIBUTION,
     "mad_outliers": SQL_MAD_OUTLIERS,

@@ -504,3 +504,16 @@ def test_semantic_dedup_plan_is_cluster_bounded(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_equidepth_histogram_broadcasts_cuts(spark):
+    """The cutpoint table broadcasts; the events side shuffles only
+    for the keyed aggs — no per-group global sort (no NTILE-style
+    single-partition window) anywhere in the plan."""
+    from cubert_spark.queries.events import q_equidepth_histogram
+
+    df = q_equidepth_histogram(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+    assert lint(df) == []
