@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from cubert_spark.catalog import load_table
 from cubert_spark.operators.asof import asof_join, range_join
+from cubert_spark.queries._util import dsum, dsum_sql
 
 
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -641,6 +642,46 @@ def _kmv_oracle() -> str:
 SQL_KMV_SET_OPS = _kmv_oracle()
 
 
+def q_join_ivm(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (plans.ivm): split both
+    base tables at a date cutoff into (old, delta), maintain
+    J = orders ⋈ lineitem by the delta rule
+    J_old ∪ (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB), and aggregate the
+    maintained view. The oracle re-joins the FULL tables directly —
+    the two must be result-identical (insert-only deltas). In
+    production J_old is stored and only the delta-sized terms run."""
+    from cubert_spark.plans.ivm import maintain_join
+
+    cutoff = "1999-01-01"
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("odate")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+        F.to_date("l_shipdate").alias("sdate"),
+    )
+    a_old = o.filter(F.col("odate") < cutoff)
+    d_a = o.filter(F.col("odate") >= cutoff)
+    b_old = li.filter(F.col("sdate") < cutoff)
+    d_b = li.filter(F.col("sdate") >= cutoff)
+    j_old = a_old.join(b_old, ["o_orderkey"])
+    j_new = maintain_join(j_old, a_old, b_old, d_a, d_b, ["o_orderkey"])
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j_new.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(rev).alias("revenue")
+    )
+
+
+SQL_JOIN_IVM = f"""
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped 2-D skyline (operators.skyline): per (order priority,
     year), the orders on the Pareto frontier of (total price, order
@@ -1061,6 +1102,7 @@ QUERIES = {
     "bloom_prune": q_bloom_prune,
     "pareto_frontier": q_pareto_frontier,
     "golden_record": q_golden_record,
+    "join_ivm": q_join_ivm,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -1092,6 +1134,7 @@ ORACLES = {
     "bloom_prune": SQL_BLOOM_PRUNE,
     "pareto_frontier": SQL_PARETO_FRONTIER,
     "golden_record": SQL_GOLDEN_RECORD,
+    "join_ivm": SQL_JOIN_IVM,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,

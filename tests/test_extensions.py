@@ -171,3 +171,27 @@ def test_python_datasources(spark, tmp_path):
     df = spark.createDataFrame([("blue",), ("red",)], "color string")
     enc = encode(df, d, ["color"])
     assert sorted(r["color"] for r in enc.collect()) == [1, 2]
+
+
+def test_join_delta_algebra(spark):
+    """plans.ivm: the delta rule reconstructs the full join exactly —
+    including delta-delta matches and keys present only in one side's
+    delta."""
+    from cubert_spark.plans.ivm import maintain_join
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string")
+    d_a = spark.createDataFrame([(3, "a3"), (4, "a4")], "k long, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string")
+    d_b = spark.createDataFrame([(2, "b2"), (3, "b3d"), (5, "b5")], "k long, bv string")
+
+    j_old = a_old.join(b_old, ["k"])
+    got = sorted(
+        map(tuple, maintain_join(j_old, a_old, b_old, d_a, d_b, ["k"]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            a_old.unionByName(d_a).join(b_old.unionByName(d_b), ["k"]).collect(),
+        )
+    )
+    assert got == want
