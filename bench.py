@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     # temporal-table build + distributed quantile binning
     "scd2_build",
     "equidepth_histogram",
+    # asymmetric containment dedup, bounded multi-source BFS, and the
+    # Arrow-batched zlib redundancy signal
+    "containment_pairs",
+    "bfs_hops",
+    "compression_ratio",
 ]
 
 

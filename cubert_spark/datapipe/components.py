@@ -180,3 +180,50 @@ def pagerank(
         if (i + 1) % 5 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("node"), "rank_q")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a SOURCE SET over the undirected
+    graph, bounded by ``max_hops`` — multi-source BFS by frontier
+    expansion. Output: (node, hops) for every vertex reached within
+    the bound (sources at 0); unreached vertices are absent.
+
+    Each round is one equi-join (frontier onto the symmetrized edge
+    set) + a left-anti dedup against the settled set — shuffle-on-key
+    only, no driver data. With a FIXED small bound the whole walk
+    stays ONE lazy job (no mid-loop actions); the plan doubles per
+    round (settled feeds both the anti-join and the union), so rounds
+    past ~5 cut lineage with a checkpoint — same policy as
+    :func:`pagerank`."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        nxt = reached.join(dist.select("node"), "node", "left_anti")
+        dist = dist.unionByName(nxt.withColumn("hops", F.lit(h)))
+        frontier = nxt
+        if h % 5 == 0 and h < max_hops:
+            dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return dist

@@ -495,3 +495,52 @@ def jaccard_prefix_pairs(
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: shingle-set containment
+    C(A in B) = |A ∩ B| / |A| — the signal Jaccard misses when a short
+    document is wholly QUOTED inside a long one (|A∩B|/|A| ~ 1 while
+    Jaccard ~ |A|/|B| stays small). The curation use: drop or link
+    subset-duplicates, quote farms, and boilerplate-wrapped copies.
+
+    Output: one row per unordered candidate pair with BOTH directions,
+    (id_a, id_b, sz_a, sz_b, inter, cont_ab, cont_ba), kept when
+    either direction reaches ``threshold``.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (shingle
+    equi-join, never a doc x doc product; merge-hinted so AQE never
+    broadcasts the exploded side); all counts integer-exact, the two
+    divides are single IEEE ops."""
+    base = _spread(df, id_col).select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__arr")
+    )
+    sized = base.select(
+        F.col(id_col),
+        F.size("__arr").alias("sz"),
+        F.explode_outer("__arr").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    a = sized.select(F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    b = sized.select(F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    inter = (
+        a.join(b.hint("merge"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont_ab = F.col("inter").cast("double") / F.col("sz_a").cast("double")
+    cont_ba = F.col("inter").cast("double") / F.col("sz_b").cast("double")
+    return (
+        inter.withColumn("cont_ab", cont_ab)
+        .withColumn("cont_ba", cont_ba)
+        .filter(
+            (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b", "inter", "cont_ab", "cont_ba")
+    )

@@ -509,3 +509,51 @@ def bm25_search(
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "n_hit", "score", "rnk")
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compressibility per document — the classic cheap
+    redundancy signal (Gopher-lineage quality filtering, public):
+    highly repetitive machine-generated text compresses far better
+    than natural prose, so a very LOW ratio flags boilerplate/spam and
+    a ratio near 1 flags high-entropy noise.
+
+    Arrow-batched ``mapInPandas`` (the Python work is one C zlib call
+    per doc — no row-at-a-time UDF); a FIXED level makes the output
+    bytes, lengths, and ratio deterministic for a given zlib build
+    (pytest model-checks exact equality against the Python reference;
+    no DuckDB oracle — SQL engines have no zlib, so the driver records
+    the rows-only check).
+
+    Output: (id, raw_len, comp_len, ratio = comp_len/raw_len; ratio
+    NULL for empty docs)."""
+    import pandas as pd
+
+    out_schema = f"{id_col} long, raw_len int, comp_len int, ratio double"
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            rl = [len(b) for b in raw]
+            cl = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": rl,
+                    "comp_len": cl,
+                    "ratio": [c / r if r else None for c, r in zip(cl, rl)],
+                }
+            )
+
+    from cubert_spark.datapipe.dedup import _spread
+
+    return _spread(df.select(id_col, text_col), id_col).mapInPandas(
+        kernel, out_schema
+    )

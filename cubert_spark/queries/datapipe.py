@@ -66,6 +66,35 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-dup detection (dedup.containment_pairs):
+    shingle-set containment in either direction >= 0.9 — catches
+    short-doc-quoted-in-long-doc cases Jaccard misses."""
+    d = load_table(spark, sf, "documents")
+    return dedup.containment_pairs(d, threshold=0.9)
+
+
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compressibility per document (textstats.compression_ratio)
+    — redundancy/quality signal. No SQL engine has zlib, so there is
+    deliberately no oracle (rows-only driver check); exactness is
+    pinned by the pytest model-check against Python zlib."""
+    d = load_table(spark, sf, "documents")
+    return textstats.compression_ratio(d)
+
+
+SQL_CONTAINMENT_PAIRS = _SH_CTE + """
+SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b, inter,
+       CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_ab,
+       CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_ba
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
+   OR CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) >= 0.9
+"""
+
+
 def q_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT word-set Jaccard pairs via PPJoin prefix filtering
     (dedup.jaccard_prefix_pairs): only each doc's rarest
@@ -1636,6 +1665,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
     "jaccard_prefix": q_jaccard_prefix,
+    "containment_pairs": q_containment_pairs,
+    "compression_ratio": q_compression_ratio,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
@@ -1684,6 +1715,7 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "jaccard_prefix": SQL_JACCARD_PREFIX,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

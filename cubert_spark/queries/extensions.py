@@ -14,6 +14,9 @@ from cubert_spark.catalog import load_table
 from cubert_spark.operators.asof import asof_join, range_join
 from cubert_spark.queries._util import dsum, dsum_sql
 
+#: composite-graph node offset: supplier nodes live at OFF + suppkey
+_PR_OFF = 10_000_000
+
 
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """For each purchase event: the most recent prior-or-equal click by
@@ -642,6 +645,45 @@ def _kmv_oracle() -> str:
 SQL_KMV_SET_OPS = _kmv_oracle()
 
 
+def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS (datapipe.components.bfs_hops): minimum hop
+    distance from the p_size=50 part set over the bidirectional
+    part<->supplier co-purchase graph, bounded at 3 hops. Fixed small
+    bound => the whole walk is ONE lazy job; the oracle is a bounded
+    recursive-CTE walk with MIN(hops)."""
+    from cubert_spark.datapipe.components import bfs_hops
+
+    li = load_table(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(_PR_OFF) + F.col("l_suppkey")).alias("dst"),
+    )
+    sources = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(edges, sources, max_hops=3)
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE e AS (
+  SELECT l_partkey AS u, {_PR_OFF} + l_suppkey AS v FROM lineitem
+  UNION
+  SELECT {_PR_OFF} + l_suppkey AS u, l_partkey AS v FROM lineitem
+),
+s AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 50),
+walk AS (
+  SELECT node, 0 AS hops FROM s
+  UNION
+  SELECT e.v AS node, w.hops + 1 AS hops
+  FROM walk w JOIN e ON e.u = w.node
+  WHERE w.hops < 3
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY 1
+"""
+
+
 def q_join_ivm(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental maintenance of a JOIN view (plans.ivm): split both
     base tables at a date cutoff into (old, delta), maintain
@@ -915,7 +957,6 @@ FROM probes JOIN (
 
 
 #: supplier-node id offset for the bipartite part<->supplier graph
-_PR_OFF = 10_000_000
 _PR_SCALE = 10 ** 12
 
 
@@ -1103,6 +1144,7 @@ QUERIES = {
     "pareto_frontier": q_pareto_frontier,
     "golden_record": q_golden_record,
     "join_ivm": q_join_ivm,
+    "bfs_hops": q_bfs_hops,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -1135,6 +1177,7 @@ ORACLES = {
     "pareto_frontier": SQL_PARETO_FRONTIER,
     "golden_record": SQL_GOLDEN_RECORD,
     "join_ivm": SQL_JOIN_IVM,
+    "bfs_hops": SQL_BFS_HOPS,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,

@@ -2006,3 +2006,28 @@ def test_fuzzy_pairs_block_cols(spark):
         ).collect()
     )
     assert got == [(1, 2, 1), (4, 5, 0)]
+
+
+def test_compression_ratio_matches_python_model(spark):
+    """compression_ratio equals the plain-Python zlib reference
+    EXACTLY (fixed level => deterministic bytes), including the empty
+    and null-text edges."""
+    import zlib
+
+    from cubert_spark.datapipe.textstats import compression_ratio
+
+    rows = [
+        (1, "abc " * 500),                      # highly compressible
+        (2, "the quick brown fox jumps over"),  # prose-ish
+        (3, ""),                                # empty -> NULL ratio
+        (4, None),                              # null text -> as empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.raw_len, r.comp_len, r.ratio)
+           for r in compression_ratio(df).collect()}
+    for i, t in rows:
+        b = (t or "").encode("utf-8")
+        cl = len(zlib.compress(b, 6))
+        want = (len(b), cl, cl / len(b) if b else None)
+        assert got[i] == want, (i, got[i], want)
+    assert got[1][2] < 0.05 < got[2][2]
