@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "bfs_hops",
     "compression_ratio",
+    "rolling_distinct_users",
 ]
 
 

@@ -959,10 +959,50 @@ GROUP BY 1, 2
 """
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the sliding
+    count-distinct a RANGE window cannot do (COUNT DISTINCT is not
+    window-able) and naive re-counting does 7x. Scale shape: reduce to
+    distinct (user, day) first (the big shuffle, corpus-sized), then
+    explode each pair to the <=7 target days it contributes to and run
+    ONE exact count-distinct per day — shuffle volume 7x the distinct
+    pairs, not 7 full re-scans. All date arithmetic integer-exact."""
+    e = load_table(spark, sf, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+    )
+    # clip to days that exist in the data (sequence overruns the tail)
+    days = ud.select("day").distinct()
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+SQL_ROLLING_DISTINCT_USERS = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT ud.user_id, ud.day + CAST(o AS INT) AS day
+  FROM ud, LATERAL UNNEST(range(0, 7)) AS t(o)
+)
+SELECT c.day, COUNT(DISTINCT c.user_id) AS active_users_7d
+FROM contrib c
+WHERE c.day IN (SELECT day FROM days)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "scd2_build": q_scd2_build,
     "equidepth_histogram": q_equidepth_histogram,
+    "rolling_distinct_users": q_rolling_distinct_users,
     "cdc_upsert": q_cdc_upsert,
     "attribution": q_attribution,
     "mad_outliers": q_mad_outliers,
@@ -987,6 +1027,7 @@ ORACLES = {
     "tumbling_window": SQL_TUMBLING,
     "scd2_build": SQL_SCD2_BUILD,
     "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
+    "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
     "cdc_upsert": SQL_CDC_UPSERT,
     "attribution": SQL_ATTRIBUTION,
     "mad_outliers": SQL_MAD_OUTLIERS,
