@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "bfs_hops",
     "compression_ratio",
     "rolling_distinct_users",
+    "label_centroids",
 ]
 
 

@@ -294,13 +294,19 @@ def minhash_lsh_pairs(
     # on doc id and one codegen expression per candidate pair. Beats
     # the inverted-index pairwise join (shuffle of every co-occurring
     # shingle posting + a pair-keyed groupBy) 1.4x measured at sf0.1,
-    # same exact Jaccard. Set size is bounded by document length, and
-    # collect_set runs only on candidate docs (semi-join prune).
-    docsh = (
-        sh.join(cand_ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__sh"))
-    )
+    # same exact Jaccard. Set size is bounded by document length.
+    # Prune BEFORE the explode when no frequency cut is in play: the
+    # verify branch then shingles only the candidate docs instead of
+    # re-exploding the whole corpus and semi-joining after (the
+    # max_doc_freq path must keep the full-corpus explode — the freq
+    # table is a corpus-wide statistic).
+    if max_doc_freq is None:
+        vsh = shingle_table(
+            df.join(cand_ids, id_col, "left_semi"), text_col, id_col, k, None
+        )
+    else:
+        vsh = sh.join(cand_ids, id_col, "left_semi")
+    docsh = vsh.groupBy(id_col).agg(F.collect_set("shingle").alias("__sh"))
     a = docsh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
     b = docsh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))

@@ -883,3 +883,48 @@ def semantic_dedup(
         .distinct()
     )
     return side.join(dropped, id_col, "left_anti").select(id_col, "list_id")
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact per-label centroid (elementwise mean) of an embedding
+    column — class prototypes for few-shot/nearest-centroid
+    classification and drift monitoring. posexplode to (label, pos)
+    rows (array aliased in its own projection first — the catalogued
+    Generate trap), ONE keyed agg with map-side combine computing the
+    DECIMAL-exact per-position sum, then per-label reassembly via a
+    sorted struct collect. The only IEEE op per position is the final
+    sum/count divide, identical in every engine.
+
+    Output: (label, n_vecs, centroid array<double>). At 100 TB the
+    shuffle is |labels| x dim rows after partial aggregation — tiny;
+    no vector ever moves whole."""
+    from cubert_spark.datapipe.dedup import _spread
+
+    base = _spread(df, id_col).select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    ex = base.select(
+        "label", F.posexplode_outer("__v").alias("pos", "x")
+    ).filter(F.col("x").isNotNull())
+    per_pos = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = (F.col("s").cast("double") / F.col("n").cast("double")).alias("m")
+    return (
+        per_pos.select("label", "pos", mean, "n")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("centroid"),
+        )
+    )

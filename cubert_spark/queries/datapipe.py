@@ -19,6 +19,8 @@ from cubert_spark.datapipe import (
 )
 from cubert_spark.datapipe.multimodal import attach_blob_metadata, text_as_blob
 
+_EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+
 # Shared SQL fragment: the shingle inverted index (mirrors
 # datapipe.textstats.shingles with k=3: distinct word 3-grams).
 _SH_CTE = """
@@ -72,6 +74,30 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     short-doc-quoted-in-long-doc cases Jaccard misses."""
     d = load_table(spark, sf, "documents")
     return dedup.containment_pairs(d, threshold=0.9)
+
+
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-label embedding centroids (similarity.label_centroids)
+    — DECIMAL-exact per-position sums, one sum/count divide per
+    position, array reassembled in position order."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.label_centroids(e)
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+per_pos AS (
+  SELECT label, i AS pos,
+         SUM(CAST(v[i] AS DECIMAL(38,18))) AS s,
+         COUNT(*) AS n
+  FROM e, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+       array_agg(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS centroid
+FROM per_pos
+GROUP BY label
+"""
 
 
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
@@ -542,7 +568,6 @@ FROM documents
 # DECIMAL accumulation, so buckets, candidates, and cosines diff
 # bit-for-bit cross-engine.
 
-_EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 _LSH_EXACT_PLANES = similarity.hyperplane_planes(_EMB_DIM, 6, seed=42)
 _IVF_EXACT_CENTROIDS = similarity.hyperplane_planes(_EMB_DIM, 8, seed=7)
 
@@ -1667,6 +1692,7 @@ QUERIES = {
     "jaccard_prefix": q_jaccard_prefix,
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
+    "label_centroids": q_label_centroids,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
@@ -1716,6 +1742,7 @@ ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "jaccard_prefix": SQL_JACCARD_PREFIX,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -100,3 +100,53 @@ def test_cmr_parser_total(src):
         compile_script(src)
     except ScriptError:
         pass
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),        # group
+            st.integers(0, 8),        # x
+            st.integers(0, 8),        # y
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_skyline2d_matches_bruteforce_property(spark, rows):
+    """skyline2d == quadratic domination filter on random small
+    datasets (duplicates included — Hypothesis generates plenty)."""
+    from cubert_spark.operators.skyline import skyline2d
+
+    data = [(g, i, x, y) for i, (g, x, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, rid long, x long, y long")
+    got = sorted(r.rid for r in skyline2d(df, ["g"], "x", "y").collect())
+    want = sorted(
+        rid
+        for g, rid, x, y in data
+        if not any(
+            g2 == g and x2 >= x and y2 >= y and (x2 > x or y2 > y)
+            for g2, _r, x2, y2 in data
+        )
+    )
+    assert got == want
+
+
+@given(
+    st.sets(st.integers(0, 400), min_size=1, max_size=120),
+    st.sets(st.integers(0, 400), min_size=1, max_size=120),
+)
+@settings(max_examples=8, deadline=None)
+def test_kmv_exact_regime_property(spark, sa, sb):
+    """With k >= |A u B|, KMV set ops return EXACT union and
+    intersection cardinalities for arbitrary overlapping sets."""
+    from cubert_spark.datapipe.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(v,) for v in sa], "k long")
+    b = spark.createDataFrame([(v,) for v in sb], "k long")
+    r = kmv_set_ops(a, "k", b, "k", k=1024).collect()[0]
+    assert r.n == len(sa | sb)
+    assert r.union_est == float(len(sa | sb))
+    assert r.inter_k == len(sa & sb)
+    assert r.inter_est == float(len(sa & sb))
