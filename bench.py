@@ -147,7 +147,7 @@ def main() -> None:
     # No module-global caches exist any more (the r04 shingle cache
     # was removed after A/B showed recompute beats it), so runs are
     # order-independent by construction.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -180,8 +180,9 @@ def main() -> None:
                 "n_runs_per_query": n_runs,
                 # bench-protocol version: 1 = single-shot (r01-r03),
                 # 2 = min-of-n repeats (r04), 3 = + medians, no
-                # module-global caches (r05+). Cross-round tooling
-                # should compare like-versioned numbers.
+                # module-global caches, default n=3 repeats (r05+;
+                # box variance made min-of-2 gate-flaky). Cross-round
+                # tooling should compare like-versioned numbers.
                 "bench_schema_version": 3,
                 "sf": sf,
             }

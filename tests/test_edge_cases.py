@@ -90,3 +90,83 @@ def test_connected_components_empty(spark):
 
     e = spark.createDataFrame([], "id_a long, id_b long")
     assert components.connected_components(e).count() == 0
+
+
+def test_bloom_empty_key_set(spark):
+    """An empty dim set builds an empty bitmap and prunes EVERYTHING
+    (no word rows to join) — the degenerate case stays correct."""
+    from cubert_spark.operators.bloom import bloom_build, bloom_prune
+
+    keys = spark.range(0).selectExpr("id AS k")
+    big = spark.range(100).selectExpr("id AS k", "id AS p")
+    bm = bloom_build(keys, "k")
+    assert bm.count() == 0
+    assert bloom_prune(big, "k", bm).count() == 0
+
+
+def test_skyline_single_and_empty_groups(spark):
+    """Single-row groups are their own frontier; empty input yields
+    empty output with the input schema preserved."""
+    from cubert_spark.operators.skyline import skyline2d
+
+    one = spark.createDataFrame([("g", 1, 2, 3)], "g string, rid long, x long, y long")
+    assert [r.rid for r in skyline2d(one, ["g"], "x", "y").collect()] == [1]
+    empty = one.filter("rid < 0")
+    out = skyline2d(empty, ["g"], "x", "y")
+    assert out.count() == 0
+    assert out.columns == ["g", "x", "rid", "y"] or set(out.columns) == {"g", "x", "rid", "y"}
+
+
+def test_kmv_k1_and_identical_sets(spark):
+    """k=1 degenerates sanely (n=1, jaccard from the single digest);
+    identical sets give inter_est == union_est exactly when k covers."""
+    from cubert_spark.datapipe.sketches import kmv_set_ops
+
+    a = spark.range(0, 50).selectExpr("id AS k")
+    r = kmv_set_ops(a, "k", a, "k", k=1024).collect()[0]
+    assert r.n == 50 and r.inter_k == 50
+    assert r.union_est == 50.0 and r.inter_est == 50.0
+    r1 = kmv_set_ops(a, "k", a, "k", k=1).collect()[0]
+    assert r1.n == 1 and r1.inter_k == 1
+
+
+def test_containment_pairs_identical_and_disjoint(spark):
+    """Identical docs give containment 1.0 both ways; shingle-disjoint
+    docs produce no pair row at all."""
+    from cubert_spark.datapipe.dedup import containment_pairs
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "x y z w q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+           for r in containment_pairs(df, 0.5).collect()}
+    assert got == {(1, 2): (1.0, 1.0)}
+
+
+def test_scd2_single_event_user(spark):
+    """A user with one change has one open-ended version."""
+    from cubert_spark.queries.events import q_scd2_build  # noqa: F401  (shape via direct frame)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 6.0), (3, 20, 7.0)],
+        "event_id long, user_id long, value double",
+    ).withColumn("vf_us", F.col("event_id") * 1000)
+    w = Window.partitionBy("user_id").orderBy("vf_us", "event_id")
+    out = {r.event_id: r.vt_us for r in df.withColumn("vt_us", F.lead("vf_us").over(w)).collect()}
+    assert out == {1: None, 2: 3000, 3: None}
+
+
+def test_bfs_unreached_and_source_overlap(spark):
+    """Sources at hop 0 even when also reachable later; disconnected
+    vertices absent from the output."""
+    from cubert_spark.datapipe.components import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], "src long, dst long")
+    src = spark.createDataFrame([(2,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=3).collect()}
+    assert got == {2: 0, 1: 1, 3: 1}
