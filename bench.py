@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "compression_ratio",
     "rolling_distinct_users",
     "label_centroids",
+    "large_orders",
 ]
 
 

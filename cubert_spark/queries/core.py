@@ -627,6 +627,53 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume customers: orders whose total
+    line quantity exceeds a threshold, joined back to customer, top
+    100 by quantity. The HAVING subquery becomes an aggregated
+    semi-side join: lineitem aggregates ONCE (keyed agg with map-side
+    combine), the filtered keys then join orders/customer; top-100
+    plans TakeOrderedAndProject. Quantity sums run through DECIMAL."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_LARGE_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY 1
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
 SQL_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey,
        {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
@@ -682,6 +729,7 @@ QUERIES = {
     "approx_count_distinct": q_approx_count_distinct,
     "revenue_by_nation": q_revenue_by_nation,
     "shipping_priority": q_shipping_priority,
+    "large_orders": q_large_orders,
 }
 
 ORACLES = {
@@ -711,4 +759,5 @@ ORACLES = {
     "wordcount": SQL_WORDCOUNT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "large_orders": SQL_LARGE_ORDERS,
 }
