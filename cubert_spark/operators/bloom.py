@@ -24,18 +24,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _positions(key: Column, num_bits: int, num_hashes: int, salt: str) -> list[Column]:
-    """num_hashes deterministic bit positions for a key: the first 32
-    bits of md5('{salt}{i}|' || key) mod num_bits — engine-portable
-    (DuckDB: ('0x' || substr(md5(...),1,8))::BIGINT % num_bits)."""
+def _digest_cols(key: Column, num_hashes: int, salt: str) -> list[Column]:
+    """ceil(num_hashes/4) md5 digest expressions for a key. Callers
+    MUST alias these in their own projection before chunking —
+    referencing the raw expression from several chunk expressions
+    re-evaluates the digest per chunk (CollapseProject keeps a
+    multiply-referenced alias; the catalogued md5 lesson)."""
+    out = []
+    for g in range((num_hashes + 3) // 4):
+        salt_g = f"{salt}|" if g == 0 else f"{salt}{g}|"
+        out.append(F.md5(F.concat(F.lit(salt_g), key.cast("string"))))
+    return out
+
+
+def _chunk_positions(num_bits: int, num_hashes: int) -> list[Column]:
+    """Bit positions from pre-aliased digest columns __h0, __h1, ...:
+    position i = 32-bit chunk i%4 of digest i//4, mod num_bits — one
+    digest per 4 hashes (the minhash md5-lane chunking), engine-
+    portable (DuckDB: ('0x' || substr(md5(..), 1+8j, 8))::BIGINT)."""
     return [
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}{i}|"), key.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        F.conv(F.substring(F.col(f"__h{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10)
+        .cast("bigint")
         % num_bits
         for i in range(num_hashes)
     ]
@@ -54,12 +63,11 @@ def bloom_build(
     num_bits/32 rows
     regardless of key count, sum... bit_or-mergeable across partial
     builds (the agg IS the merge)."""
-    pos_structs = F.array(
-        *[p.alias(f"p{i}") for i, p in
-          enumerate(_positions(F.col(key_col), num_bits, num_hashes, salt))]
-    )
+    hs = _digest_cols(F.col(key_col), num_hashes, salt)
+    with_h = keys.select(*[h.alias(f"__h{g}") for g, h in enumerate(hs)])
+    pos_structs = F.array(*_chunk_positions(num_bits, num_hashes))
     return (
-        keys.select(F.explode(pos_structs).alias("pos"))
+        with_h.select(F.explode(pos_structs).alias("pos"))
         .select(
             F.shiftright("pos", 5).alias("word"),
             F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias("b"),
@@ -81,8 +89,11 @@ def bloom_prune(
     the num_hashes positions, the bitmap word must exist and have the
     bit set. num_hashes broadcast hash joins — the big side never
     shuffles, which is the operator's entire reason to exist."""
-    out = df
-    for i, p in enumerate(_positions(F.col(key_col), num_bits, num_hashes, salt)):
+    hs = _digest_cols(F.col(key_col), num_hashes, salt)
+    out = df.select(
+        "*", *[h.alias(f"__h{g}") for g, h in enumerate(hs)]
+    )
+    for i, p in enumerate(_chunk_positions(num_bits, num_hashes)):
         out = out.withColumn(f"__w{i}", F.shiftright(p, 5)).withColumn(
             f"__b{i}", (p % 32).cast("int")
         )
@@ -94,6 +105,6 @@ def bloom_prune(
         out = out.join(bm, f"__w{i}").filter(
             F.expr(f"(shiftright(__bits{i}, __b{i}) & 1) = 1")
         )
-    return out.drop(
-        *[c for i in range(num_hashes) for c in (f"__w{i}", f"__b{i}", f"__bits{i}")]
-    )
+    drops = [f"__h{g}" for g in range((num_hashes + 3) // 4)]
+    drops += [c for i in range(num_hashes) for c in (f"__w{i}", f"__b{i}", f"__bits{i}")]
+    return out.drop(*drops)

@@ -875,8 +875,9 @@ def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _bloom_pos_sql(i: int, key: str, num_bits: int = 65536) -> str:
+    # chunk i of ONE digest (mirrors operators.bloom._positions)
     return (
-        f"CAST(('0x' || substr(md5('bloom{i}|' || CAST({key} AS VARCHAR)), 1, 8)) "
+        f"CAST(('0x' || substr(md5('bloom|' || CAST({key} AS VARCHAR)), {1 + 8 * i}, 8)) "
         f"AS BIGINT) % {num_bits}"
     )
 
