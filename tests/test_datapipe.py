@@ -2031,3 +2031,26 @@ def test_compression_ratio_matches_python_model(spark):
         want = (len(b), cl, cl / len(b) if b else None)
         assert got[i] == want, (i, got[i], want)
     assert got[1][2] < 0.05 < got[2][2]
+
+
+def test_cc_fast_path_equals_loop_path(spark):
+    """The union-find small-graph fast path and the distributed
+    label-propagation loop produce IDENTICAL labels on random graphs
+    (chains, stars, cliques, singleton-edge mixes)."""
+    import random
+
+    from cubert_spark.datapipe.components import connected_components
+
+    rng = random.Random(11)
+    edges = set()
+    for _ in range(200):
+        a, b = rng.randrange(120), rng.randrange(120)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    fast = {(r.id, r.component) for r in connected_components(df).collect()}
+    loop = {
+        (r.id, r.component)
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == loop and fast
