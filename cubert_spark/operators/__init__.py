@@ -40,6 +40,9 @@ from cubert_spark.operators.dictionary import (
     refresh_dictionary,
 )
 from cubert_spark.operators.blockgen import blockgen, load_block, BlockSpec
+from cubert_spark.operators.bloom import bloom_build, bloom_prune
+from cubert_spark.operators.skyline import skyline2d
+from cubert_spark.operators.cdc import apply_changelog
 
 __all__ = [
     "generate",
@@ -73,4 +76,8 @@ __all__ = [
     "blockgen",
     "load_block",
     "BlockSpec",
+    "bloom_build",
+    "bloom_prune",
+    "skyline2d",
+    "apply_changelog",
 ]

@@ -15,3 +15,4 @@ __all__ = [
     "scan_read_schema",
     "shuffle_count",
 ]
+from cubert_spark.plans.ivm import join_delta, maintain_join  # noqa: E402,F401
