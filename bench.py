@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "label_centroids",
     "large_orders",
+    "phrase_search",
+    "pmi_pairs",
 ]
 
 

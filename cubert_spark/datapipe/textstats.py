@@ -557,3 +557,118 @@ def compression_ratio(
     return _spread(df.select(id_col, text_col), id_col).mapInPandas(
         kernel, out_schema
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a positional inverted index — the
+    position-aware retrieval step BM25 (bag-of-words) cannot do.
+    Each document explodes to (id, word, pos); the i-th phrase word
+    must appear at pos = start + i, so the phrase is an i-fold
+    equi-join on (id, pos offset) — at scale each join keys on the
+    (word-filtered) posting lists, never a scan per phrase word.
+    Output: (id, n_matches) per matching doc, match count = distinct
+    start positions.
+
+    Word tokenization = split on single space (the corpus convention
+    shared with shingles/token_count)."""
+    words = phrase.split(" ")
+    if not words:
+        raise ValueError("empty phrase")
+    from cubert_spark.datapipe.dedup import _spread
+
+    base = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    pos = base.select(
+        F.col(id_col), F.posexplode_outer("__w").alias("pos", "w")
+    ).filter(F.col("w").isNotNull())
+    # filter to the phrase's vocabulary FIRST: posting lists for the
+    # phrase words only (pushdown-friendly IN-filter)
+    out = (
+        pos.filter(F.col("w") == words[0])
+        .select(F.col(id_col), F.col("pos").alias("start"))
+    )
+    for i, wd in enumerate(words[1:], start=1):
+        nxt = pos.filter(F.col("w") == wd).select(
+            F.col(id_col), (F.col("pos") - i).alias("start")
+        )
+        out = out.join(nxt, [id_col, "start"])
+    return out.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top collocations by PMI over adjacent word pairs (bigrams) —
+    the classic corpus-statistics op (Church & Hanks 1990, public).
+    Log-free determinism: PMI = log(p_xy/(p_x p_y)) is MONOTONE in
+    the lift ratio n_xy*N/(n_x*n_y), so the ranking orders by the
+    exact-DECIMAL lift and never evaluates a logarithm — consumers
+    take the log if they want nats. Counts are token occurrences
+    (unigram N = total tokens, bigram count over adjacent pairs).
+
+    One explode + two keyed aggs + two broadcast-sized joins
+    (vocabulary aggregates); the 20-row post-limit rank is the same
+    documented pattern as heavy_hitters/top_paths."""
+    from pyspark.sql import Window
+
+    from cubert_spark.datapipe.dedup import _spread
+
+    base = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    uni = (
+        base.select(F.explode_outer("__w").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("N"))
+    # sequence(0, -1) runs DESCENDING in Spark (the catalogued
+    # fuzzy_pairs guard): short docs must short-circuit to no bigrams
+    bg_arr = base.select(
+        F.expr(
+            "CASE WHEN size(__w) >= 2 THEN "
+            "transform(sequence(0, size(__w) - 2), "
+            "i -> struct(__w[i] AS x, __w[i+1] AS y)) "
+            "ELSE array() END"
+        ).alias("__bg")
+    )
+    big = (
+        bg_arr.select(F.explode_outer("__bg").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    nx = uni.select(F.col("w").alias("x"), F.col("n").alias("n_x"))
+    ny = uni.select(F.col("w").alias("y"), F.col("n").alias("n_y"))
+    # lift through ONE IEEE divide of exact bigint products (decimal
+    # division scales differ BETWEEN engines — Spark truncates the
+    # quotient to its result scale, DuckDB to another; bigint cross
+    # products are exact in both and the single divide is identical)
+    lift = (F.col("n_xy") * F.col("N")).cast("double") / (
+        F.col("n_x") * F.col("n_y")
+    ).cast("double")
+    scored = (
+        big.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lift", lift)
+    )
+    w = Window.orderBy(F.desc("lift"), "x", "y")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+        .select("x", "y", "n_xy", "n_x", "n_y", "lift", "rnk")
+    )

@@ -100,6 +100,70 @@ GROUP BY label
 """
 
 
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-word phrase search over a positional inverted index
+    (textstats.phrase_search): per-word posting lists equi-joined on
+    (doc, start offset) — position-aware retrieval BM25 cannot do."""
+    d = load_table(spark, sf, "documents")
+    return textstats.phrase_search(d, "slow hash batch")
+
+
+SQL_PHRASE_SEARCH = """
+WITH pos AS (
+  SELECT doc_id, ws[i] AS w, CAST(i - 1 AS BIGINT) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL UNNEST(range(1, len(ws) + 1)) AS t(i)
+)
+SELECT p0.doc_id, COUNT(*) AS n_matches
+FROM (SELECT doc_id, pos AS start FROM pos WHERE w = 'slow') p0
+JOIN (SELECT doc_id, pos - 1 AS start FROM pos WHERE w = 'hash') p1
+  USING (doc_id, start)
+JOIN (SELECT doc_id, pos - 2 AS start FROM pos WHERE w = 'batch') p2
+  USING (doc_id, start)
+GROUP BY 1
+"""
+
+
+def q_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 collocations by PMI lift (textstats.pmi_pairs) —
+    log-free: ranked by the exact-DECIMAL lift n_xy*N/(n_x*n_y),
+    which orders identically to PMI."""
+    d = load_table(spark, sf, "documents")
+    return textstats.pmi_pairs(d, min_count=5, top_k=20)
+
+
+SQL_PMI_PAIRS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (
+  SELECT t.w, COUNT(*) AS n
+  FROM w, LATERAL UNNEST(ws) AS t(w)
+  GROUP BY 1
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM uni),
+big AS (
+  SELECT ws[i] AS x, ws[i + 1] AS y, COUNT(*) AS n_xy
+  FROM w, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT big.x, big.y, big.n_xy, nx.n AS n_x, ny.n AS n_y,
+         CAST(CAST(big.n_xy AS BIGINT) * total.N AS DOUBLE)
+           / CAST(CAST(nx.n AS BIGINT) * CAST(ny.n AS BIGINT) AS DOUBLE)
+           AS lift
+  FROM big
+  JOIN uni nx ON nx.w = big.x
+  JOIN uni ny ON ny.w = big.y
+  CROSS JOIN total
+)
+SELECT x, y, n_xy, n_x, n_y, lift, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, x, y) AS rnk FROM scored
+) WHERE rnk <= 20
+"""
+
+
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib compressibility per document (textstats.compression_ratio)
     — redundancy/quality signal. No SQL engine has zlib, so there is
@@ -1693,6 +1757,8 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
     "label_centroids": q_label_centroids,
+    "phrase_search": q_phrase_search,
+    "pmi_pairs": q_pmi_pairs,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
@@ -1743,6 +1809,8 @@ ORACLES = {
     "jaccard_prefix": SQL_JACCARD_PREFIX,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "pmi_pairs": SQL_PMI_PAIRS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
