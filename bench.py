@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "large_orders",
     "phrase_search",
     "pmi_pairs",
+    "merge_roundtrip",
 ]
 
 

@@ -306,3 +306,40 @@ def store_zorder(
         .drop("__z", *[f"__{m}_{c}" for c in zorder_by for m in ("min", "max")])
     )
     out.write.format(fmt).mode(mode).options(**options).save(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """MERGE INTO for plain-parquet tables — the storage half of the
+    CDC story (operators.cdc compacts changelogs; this applies one to
+    a stored table): delta rows REPLACE same-key stored rows, rows
+    with ``delete_col`` true remove their key, every other stored row
+    carries forward.
+
+    Rewrite = base anti-join delta-keys ∪ delta-inserts — the only
+    join keys on ``key_cols`` and the delta side is small by
+    construction (broadcastable), so the base never shuffles; at
+    100 TB pair this with partitioned layout so only touched
+    partitions rewrite. Commit = write to a scratch dir then swap
+    (the plain-parquet stand-in for a table format's atomic commit;
+    readers mid-swap need a real table format — documented limit)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(path)
+    dkeys = delta.select(*key_cols).distinct()
+    keep = base.join(F.broadcast(dkeys), list(key_cols), "left_anti")
+    ins = delta
+    if delete_col is not None:
+        ins = delta.filter(~F.col(delete_col)).drop(delete_col)
+    merged = keep.unionByName(ins)
+    staged = path.rstrip("/") + ".__staged"
+    merged.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)

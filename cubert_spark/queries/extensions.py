@@ -556,6 +556,53 @@ GROUP BY o_orderstatus
 """
 
 
+def q_merge_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO round trip (catalog.merge_upsert): store a narrow
+    orders table, merge a delta that REPLACES every 10th key (doubled
+    price) and DELETES keys ≡ 3 (mod 17) among them, read back and
+    aggregate. The oracle computes the same merge relationally — the
+    storage swap must be exactly the anti-join ∪ inserts algebra."""
+    import os as _os
+
+    from cubert_spark.catalog import merge_upsert
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = "/tmp/cubert_spark_merge_rt_%s_%d" % (
+        _os.path.basename(sf.rstrip("/")), _os.getpid(),
+    )
+    o.write.mode("overwrite").parquet(path)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        (F.col("o_orderkey") % 17 == 3).alias("__del"),
+    )
+    merge_upsert(spark, path, delta, ["o_orderkey"], delete_col="__del")
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+SQL_MERGE_ROUNDTRIP = f"""
+WITH delta AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice,
+         (o_orderkey % 17 = 3) AS del
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM delta WHERE NOT del
+)
+SELECT o_orderpriority, COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total
+FROM merged GROUP BY 1
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Key-skew profile (the salting operators' diagnostic sibling):
     top-20 heaviest l_partkey posting lists with their share of all
@@ -1146,6 +1193,7 @@ QUERIES = {
     "golden_record": q_golden_record,
     "join_ivm": q_join_ivm,
     "bfs_hops": q_bfs_hops,
+    "merge_roundtrip": q_merge_roundtrip,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -1179,6 +1227,7 @@ ORACLES = {
     "golden_record": SQL_GOLDEN_RECORD,
     "join_ivm": SQL_JOIN_IVM,
     "bfs_hops": SQL_BFS_HOPS,
+    "merge_roundtrip": SQL_MERGE_ROUNDTRIP,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,
