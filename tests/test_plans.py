@@ -517,3 +517,48 @@ def test_equidepth_histogram_broadcasts_cuts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
     assert lint(df) == []
+
+
+def test_newest_queries_plan_hygiene(spark):
+    """The latest additions keep the doctrine: no cartesian products,
+    equi-joins only where expected, lint-clean (or documented)."""
+    from cubert_spark.queries.datapipe import (
+        q_containment_pairs,
+        q_label_centroids,
+        q_phrase_search,
+        q_semantic_dedup,
+    )
+    from cubert_spark.queries.events import q_rolling_distinct_users, q_scd2_build
+
+    for fn in (
+        q_containment_pairs,
+        q_label_centroids,
+        q_phrase_search,
+        q_semantic_dedup,
+        q_rolling_distinct_users,
+        q_scd2_build,
+    ):
+        df = fn(spark, SF)
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+        assert lint(df) == [], fn.__name__
+
+
+def test_merge_upsert_base_never_shuffles(spark, tmp_path):
+    """merge_upsert's rewrite plan: delta keys broadcast into the base
+    anti-join — no hash-exchange of the base table."""
+    from cubert_spark.catalog import merge_upsert
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "mu")
+    base = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    base.write.parquet(path)
+    delta = spark.range(0, 10).selectExpr("id * 7 AS k", "id AS v").withColumn(
+        "__del", F.col("k") % 2 == 0
+    )
+    merge_upsert(spark, path, delta, ["k"], delete_col="__del")
+    back = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    # deleted: even multiples of 7 below 70; replaced: odd multiples
+    assert 0 not in back and 14 not in back
+    assert back[7] == 1 and back[21] == 3
+    assert back[1] == 2 and len(back) == 1000 - 10 + 5
