@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "phrase_search",
     "pmi_pairs",
     "merge_roundtrip",
+    "pii_redact",
 ]
 
 

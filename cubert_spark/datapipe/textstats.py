@@ -672,3 +672,38 @@ def pmi_pairs(
         .filter(F.col("rnk") <= top_k)
         .select("x", "y", "n_xy", "n_x", "n_y", "lift", "rnk")
     )
+
+
+#: redaction placeholders, applied in this chain order (deterministic
+#: in both engines — each step operates on the previous step's output)
+PII_REDACTIONS = (
+    ("n_emails", "<EMAIL>"),
+    ("n_phones", "<PHONE>"),
+    ("n_ipv4", "<IP>"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """REDACTION companion to :func:`pii_counts` (the NeMo-Curator /
+    Dolma-style PII scrub, public toolchain lineage): mask email /
+    phone / IPv4 lookalikes with typed placeholders. Pure codegen
+    regexp_replace chain — one scan, zero shuffle; the patterns are
+    exactly PII_PATTERNS (already proven engine-portable by the
+    pii_counts oracle row). Output: (id, redacted, n_redacted) with
+    the count taken on the ORIGINAL text."""
+    red = F.col(text_col)
+    for key, token in PII_REDACTIONS:
+        red = F.regexp_replace(red, PII_PATTERNS[key], token)
+    n = None
+    for key, _ in PII_REDACTIONS:
+        c = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS[key]), F.lit(0))
+        )
+        n = c if n is None else (n + c)
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        n.cast("bigint").alias("n_redacted"),
+    )

@@ -100,6 +100,34 @@ GROUP BY label
 """
 
 
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (textstats.pii_redact): email/phone/IPv4
+    lookalikes masked with typed placeholders, count on the original
+    text — one codegen scan, zero shuffle."""
+    d = load_table(spark, sf, "documents")
+    return textstats.pii_redact(d)
+
+
+def _pii_redact_oracle() -> str:
+    from cubert_spark.datapipe.textstats import PII_PATTERNS, PII_REDACTIONS
+
+    red = "text"
+    for key, token in PII_REDACTIONS:
+        pat = PII_PATTERNS[key].replace("'", "''")
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[k].replace(chr(39), chr(39) * 2)}'))"
+        for k, _ in PII_REDACTIONS
+    )
+    return f"""
+SELECT doc_id, {red} AS redacted, CAST({counts} AS BIGINT) AS n_redacted
+FROM documents
+"""
+
+
+SQL_PII_REDACT = _pii_redact_oracle()
+
+
 def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-word phrase search over a positional inverted index
     (textstats.phrase_search): per-word posting lists equi-joined on
@@ -1758,6 +1786,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "label_centroids": q_label_centroids,
     "phrase_search": q_phrase_search,
+    "pii_redact": q_pii_redact,
     "pmi_pairs": q_pmi_pairs,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1810,6 +1839,7 @@ ORACLES = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "pii_redact": SQL_PII_REDACT,
     "pmi_pairs": SQL_PMI_PAIRS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -2054,3 +2054,22 @@ def test_cc_fast_path_equals_loop_path(spark):
         for r in connected_components(df, small_graph_edges=0).collect()
     }
     assert fast == loop and fast
+
+
+def test_pii_redact_masks_and_counts(spark):
+    """pii_redact: typed placeholders replace every lookalike, counts
+    come from the ORIGINAL text, clean docs pass through unchanged."""
+    from cubert_spark.datapipe.textstats import pii_redact
+
+    rows = [
+        (1, "mail me at a.b@example.com or c@d.org thanks"),
+        (2, "server 10.0.0.1 and 192.168.1.255 up"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.redacted, r.n_redacted) for r in pii_redact(df).collect()}
+    assert got[1] == ("mail me at <EMAIL> or <EMAIL> thanks", 2)
+    assert got[2] == ("server <IP> and <IP> up", 2)
+    assert got[3][0] == "call <PHONE> now" and got[3][1] == 1
+    assert got[4] == ("no pii here at all", 0)
