@@ -2073,3 +2073,45 @@ def test_pii_redact_masks_and_counts(spark):
     assert got[2] == ("server <IP> and <IP> up", 2)
     assert got[3][0] == "call <PHONE> now" and got[3][1] == 1
     assert got[4] == ("no pii here at all", 0)
+
+
+def test_audio_spectral_sine_and_model_check(spark):
+    """audio_spectral on synthesized PCM16 sines: the dominant bin
+    lands on the tone frequency (within one bin), and every field
+    equals the direct-numpy reference exactly."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from cubert_spark.datapipe.multimodal import audio_spectral
+
+    def make_wav(freq, sr=8000, n=4000):
+        t = np.arange(n) / sr
+        pcm = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    rows = [(1, make_wav(440.0)), (2, make_wav(1000.0))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r.id: r for r in audio_spectral(df).collect()}
+    bin_hz = 8000 / 2048
+    assert abs(got[1].dominant_hz - 440.0) <= bin_hz
+    assert abs(got[2].dominant_hz - 1000.0) <= bin_hz
+    # exact model check against the same numpy computation
+    for i, blob in rows:
+        with wave.open(io.BytesIO(blob)) as w:
+            n = min(w.getnframes(), 2048)
+            x = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64) / 32768.0
+        mag = np.abs(np.fft.rfft(x, n=2048))
+        freqs = np.fft.rfftfreq(2048, d=1.0 / 8000)
+        tot = mag.sum()
+        cen = float((mag * freqs).sum() / tot)
+        assert got[i].centroid_hz == cen
+        assert got[i].dominant_hz == float(freqs[int(np.argmax(mag))])
