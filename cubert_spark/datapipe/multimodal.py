@@ -84,6 +84,33 @@ def _resize_nearest(arr, w: int, h: int):
     return arr[yi][:, xi]
 
 
+def _decode_any_image(raw: bytes):
+    """Format-dispatch to the pure-spec decoders (BMP / sequential +
+    progressive JPEG / 8- & 16-bit PNG incl. Adam7); anything else is
+    a missing codec (NotImplementedError), while a corrupt payload of
+    a recognized format is a DATA error (ValueError)."""
+    if raw[:2] == b"\xff\xd8":
+        from cubert_spark.datapipe.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        from cubert_spark.datapipe.png import decode_png
+
+        return decode_png(raw)
+    try:
+        return decode_bmp(raw)
+    except ValueError as e:
+        if "not a BMP" not in str(e):
+            # a real BMP with corrupt payload is a DATA error, not a
+            # missing codec
+            raise
+        raise NotImplementedError(
+            f"no codec for this image format ({e}); BMP, "
+            "baseline JPEG and 8-bit PNG decode natively, "
+            "others need a decoder plugged into decode_images"
+        ) from e
+
+
 def decode_images(
     df: DataFrame,
     blob_col: str = "blob",
@@ -133,27 +160,7 @@ def decode_images(
                         }
                     )
                     continue
-                if raw[:2] == b"\xff\xd8":
-                    from cubert_spark.datapipe.jpeg import decode_jpeg
-
-                    img = decode_jpeg(raw)
-                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
-                    from cubert_spark.datapipe.png import decode_png
-
-                    img = decode_png(raw)
-                else:
-                    try:
-                        img = decode_bmp(raw)
-                    except ValueError as e:
-                        if "not a BMP" not in str(e):
-                            # a real BMP with corrupt payload is a DATA
-                            # error, not a missing codec
-                            raise
-                        raise NotImplementedError(
-                            f"no codec for this image format ({e}); BMP, "
-                            "baseline JPEG and 8-bit PNG decode natively, "
-                            "others need a decoder plugged into decode_images"
-                        ) from e
+                img = _decode_any_image(raw)
                 small = _resize_nearest(img, w, h).astype("float64") / 255.0
                 means = small.mean(axis=(0, 1))
                 rows.append(
@@ -478,4 +485,70 @@ def audio_spectral(
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         kernel, schema=AUDIO_SPECTRAL_SCHEMA
+    )
+
+
+PHASH_SCHEMA = "id long, phash bigint, width int, height int"
+
+
+def image_phash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+) -> DataFrame:
+    """64-bit perceptual hash (classic DCT pHash, public algorithm):
+    decode -> grayscale -> nearest-resize to 32x32 -> 2-D DCT-II
+    (exact 32x32 basis matmuls, no FFT library) -> the low-frequency
+    8x8 block (skipping DC) -> bit i = coefficient > median. Images
+    that LOOK the same hash within a few bits, so image near-dup
+    detection becomes the same pipeline as text simhash: group by
+    hash for exact perceptual dups, band the 64 bits for
+    hamming-tolerant candidate pairs.
+
+    Arrow-batched mapInPandas over the pure-spec decoders; numpy
+    double DCT is deterministic for a fixed build (pytest pins
+    identical-image equality and small hamming distance under noise,
+    vs large distance for unrelated images)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        n = 32
+        # DCT-II basis: D[k, i] = c_k cos(pi (2i+1) k / (2N))
+        i = np.arange(n)
+        k = np.arange(n)[:, None]
+        D = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        D[0] *= 1.0 / np.sqrt(2.0)
+        D *= np.sqrt(2.0 / n)
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or pd.isna(rid):
+                    continue
+                img = _decode_any_image(bytes(blob))
+                gray = (
+                    _resize_nearest(img, n, n).astype("float64").mean(axis=2)
+                )
+                coef = D @ gray @ D.T
+                block = coef[:8, :8].flatten()[1:]  # drop DC
+                med = float(np.median(block))
+                bits = 0
+                for j, v in enumerate(block):
+                    if v > med:
+                        bits |= 1 << j
+                # 63 payload bits; bit 63 stays 0 so the bigint is
+                # non-negative in every engine
+                rows.append(
+                    {
+                        "id": int(rid), "phash": int(bits),
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        kernel, schema=PHASH_SCHEMA
     )

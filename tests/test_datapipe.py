@@ -2115,3 +2115,51 @@ def test_audio_spectral_sine_and_model_check(spark):
         cen = float((mag * freqs).sum() / tot)
         assert got[i].centroid_hz == cen
         assert got[i].dominant_hz == float(freqs[int(np.argmax(mag))])
+
+
+def test_image_phash_neardup_vs_unrelated(spark):
+    """pHash: identical images hash identically; a lightly-noised
+    variant stays within a small hamming distance; an unrelated image
+    is far. Exercises the real BMP decode path."""
+    import struct
+
+    import numpy as np
+
+    from cubert_spark.datapipe.multimodal import image_phash
+
+    def encode_bmp(arr):
+        """Arbitrary-pixel bottom-up 24-bit BMP from an (h, w, 3) RGB
+        uint8 array (test-local generalization of _make_bmp)."""
+        h, w = arr.shape[:2]
+        pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+        rows = b"".join(
+            arr[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+        )
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54
+        ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        return header + rows
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    # smooth it so the perceptual signal isn't pure noise
+    smooth = (base // 3 + 85).astype(np.uint8)
+    noised = smooth.copy()
+    noised[::7, ::9] = np.clip(noised[::7, ::9] + 12, 0, 255)
+    other = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+    rows = [
+        (1, encode_bmp(smooth)),
+        (2, encode_bmp(smooth)),
+        (3, encode_bmp(noised)),
+        (4, encode_bmp(other)),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r.id: r.phash for r in image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert got[1] == got[2]
+    assert ham(got[1], got[3]) <= 10, ham(got[1], got[3])
+    assert ham(got[1], got[4]) >= 16, ham(got[1], got[4])
