@@ -360,12 +360,15 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256, salt: str = "kmv") -> Data
     from cubert_spark.datapipe.dedup import _spread
 
     h = (
-        _spread(df, col)
+        _spread(df.filter(F.col(col).isNotNull()), col)
         .select(
             F.md5(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))).alias("h")
         )
         .distinct()
     )
+    # NULL keys are excluded EXPLICITLY: a null digest would sort
+    # nulls-first in Spark but nulls-last in DuckDB — silent
+    # cross-engine divergence in the k-th value
     return h.orderBy("h").limit(k)
 
 
@@ -446,12 +449,14 @@ def kmv_set_ops_sql(
     return f"""
 WITH sa AS (
   SELECT h FROM (
-    SELECT DISTINCT md5('{salt}|' || CAST({col_a} AS VARCHAR)) AS h FROM {table_a}
+    SELECT DISTINCT md5('{salt}|' || CAST({col_a} AS VARCHAR)) AS h
+    FROM {table_a} WHERE {col_a} IS NOT NULL
   ) ORDER BY h LIMIT {k}
 ),
 sb AS (
   SELECT h FROM (
-    SELECT DISTINCT md5('{salt}|' || CAST({col_b} AS VARCHAR)) AS h FROM {table_b}
+    SELECT DISTINCT md5('{salt}|' || CAST({col_b} AS VARCHAR)) AS h
+    FROM {table_b} WHERE {col_b} IS NOT NULL
   ) ORDER BY h LIMIT {k}
 ),
 u AS (
