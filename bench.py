@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "pmi_pairs",
     "merge_roundtrip",
     "pii_redact",
+    "mode_by_group",
 ]
 
 

@@ -556,6 +556,49 @@ GROUP BY o_orderstatus
 """
 
 
+def q_mode_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group MODE (most frequent l_quantity per return
+    flag, ties to the smallest value): value-count agg then ONE
+    struct-max — two keyed shuffles, no window sort. The struct-max
+    spelling is the same skew-safe argmax idiom as cdc/golden_record;
+    the oracle is the ROW_NUMBER formulation."""
+    li = load_table(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("l_returnflag").agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("c"),
+                (-F.col("l_quantity")).alias("nq"),
+            )
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    )
+    return best.select(
+        "l_returnflag",
+        (-F.col("__b.nq")).alias("mode_quantity"),
+        F.col("__b.c").alias("mode_count"),
+        "n_distinct_values",
+    )
+
+
+SQL_MODE_BY_GROUP = """
+SELECT l_returnflag, mode_quantity, mode_count, n_distinct_values
+FROM (
+  SELECT l_returnflag, l_quantity AS mode_quantity, cnt AS mode_count,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n_distinct_values,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC
+         ) AS rn
+  FROM (
+    SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1, 2
+  )
+) WHERE rn = 1
+"""
+
+
 def q_merge_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO round trip (catalog.merge_upsert): store a narrow
     orders table, merge a delta that REPLACES every 10th key (doubled
@@ -1194,6 +1237,7 @@ QUERIES = {
     "join_ivm": q_join_ivm,
     "bfs_hops": q_bfs_hops,
     "merge_roundtrip": q_merge_roundtrip,
+    "mode_by_group": q_mode_by_group,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -1228,6 +1272,7 @@ ORACLES = {
     "join_ivm": SQL_JOIN_IVM,
     "bfs_hops": SQL_BFS_HOPS,
     "merge_roundtrip": SQL_MERGE_ROUNDTRIP,
+    "mode_by_group": SQL_MODE_BY_GROUP,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,
