@@ -383,6 +383,8 @@ _LINT_ALLOWED = {
     "basket_pairs": ("unpartitioned window",),  # 20-row post-limit rank
     "bm25_search": ("pairs",),  # 1-row corpus-stats crossJoin(broadcast)
     "bloom_prune": ("pairs",),  # 1-row count summaries crossJoin(broadcast)
+    # 1-row corpus-total crossJoin(broadcast) + 20-row post-limit rank
+    "pmi_pairs": ("pairs", "unpartitioned window"),
 }
 
 
