@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "merge_roundtrip",
     "pii_redact",
     "mode_by_group",
+    "quantile_histogram",
 ]
 
 

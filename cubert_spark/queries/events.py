@@ -998,8 +998,78 @@ GROUP BY 1
 """
 
 
+def q_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGEABLE approximate quantiles from a fixed-bin histogram —
+    the 100 TB alternative to percentile_disc's per-group sort: one
+    keyed (type, bin) count (map-side combine; 64 rows per group max,
+    union-mergeable across days/partitions), then the quantile q is
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q*n) — exact integer rule, error bounded by the bin width.
+    The cumulative window runs over <= 64 rows per group. Everything
+    is integer arithmetic + literal bin edges, so the approximation
+    itself replays bit-for-bit in the oracle, and pytest pins it
+    within one bin width of the exact percentile. The bin RANGE must
+    cover the data (clamped outliers would bias edge quantiles —
+    the first run of this query had [0,100) bins under a max of 560
+    and missed p90 by 25; range chosen from the profiled max)."""
+    lo, hi, nb = 0.0, 640.0, 128
+    wdt = (hi - lo) / nb
+    e = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    b = F.least(
+        F.lit(nb - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - lo) / wdt).cast("int")),
+    )
+    hist = e.groupBy("event_type", b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("n").over(wc)).withColumn(
+        "tot", F.sum("n").over(wt)
+    )
+    agg_cols = [F.max("tot").alias("n_rows")]
+    for q in (50, 90, 99):
+        target = F.expr(f"({q} * tot + 99) div 100")
+        agg_cols.append(
+            (
+                F.lit(lo)
+                + F.min(F.when(F.col("cum") >= target, F.col("bin"))) * F.lit(wdt)
+            ).alias(f"p{q}_bin_lo")
+        )
+    return cum.groupBy("event_type").agg(*agg_cols)
+
+
+SQL_QUANTILE_HISTOGRAM = """
+WITH hist AS (
+  SELECT event_type,
+         LEAST(127, GREATEST(0, CAST(FLOOR((value - 0.0) / 5.0) AS INT))) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(tot) AS BIGINT) AS n_rows,
+       0.0 + MIN(CASE WHEN cum >= (50 * tot + 99) // 100 THEN bin END) * 5.0 AS p50_bin_lo,
+       0.0 + MIN(CASE WHEN cum >= (90 * tot + 99) // 100 THEN bin END) * 5.0 AS p90_bin_lo,
+       0.0 + MIN(CASE WHEN cum >= (99 * tot + 99) // 100 THEN bin END) * 5.0 AS p99_bin_lo
+FROM cum GROUP BY 1
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
+    "quantile_histogram": q_quantile_histogram,
     "scd2_build": q_scd2_build,
     "equidepth_histogram": q_equidepth_histogram,
     "rolling_distinct_users": q_rolling_distinct_users,
@@ -1026,6 +1096,7 @@ QUERIES = {
 ORACLES = {
     "tumbling_window": SQL_TUMBLING,
     "scd2_build": SQL_SCD2_BUILD,
+    "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
     "cdc_upsert": SQL_CDC_UPSERT,

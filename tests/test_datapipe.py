@@ -2163,3 +2163,30 @@ def test_image_phash_neardup_vs_unrelated(spark):
     assert got[1] == got[2]
     assert ham(got[1], got[3]) <= 10, ham(got[1], got[3])
     assert ham(got[1], got[4]) >= 16, ham(got[1], got[4])
+
+
+def test_quantile_histogram_within_bin_width(spark):
+    """Histogram quantiles land within one bin width of the exact
+    percentile_disc values (the sketch's error bound)."""
+    from cubert_spark.queries.events import q_quantile_histogram
+    from cubert_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.event_type: r for r in q_quantile_histogram(spark, sf).collect()}
+    e = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+        )
+        .collect()
+    }
+    bin_w = 640.0 / 128
+    for t, a in approx.items():
+        for q in (50, 90, 99):
+            est = getattr(a, f"p{q}_bin_lo")
+            true = getattr(exact[t], f"p{q}")
+            assert abs(est - true) <= bin_w, (t, q, est, true)
