@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "mode_by_group",
     "quantile_histogram",
+    "rfm_scores",
 ]
 
 

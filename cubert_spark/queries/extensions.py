@@ -556,6 +556,83 @@ GROUP BY o_orderstatus
 """
 
 
+def q_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary — the
+    classic warehouse segmentation): per customer, integer days since
+    last order (vs the corpus max date), order count, and
+    DECIMAL-exact spend; each dimension then bins into quintiles via
+    broadcast percentile_disc cutpoints — the same distributed
+    binning as equidepth_histogram, no global NTILE sort. Score = 1 +
+    #cutpoints strictly below the value (ascending by raw value;
+    consumers flip recency's direction — documented convention)."""
+    o = load_table(spark, sf, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("__maxd"))
+    per_c = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("__maxd"), F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    cuts = per_c.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q / 5}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"__{c}_c{q}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    j = per_c.crossJoin(F.broadcast(cuts))
+    out = j
+    for c, alias in (
+        ("recency_days", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        score = F.lit(1)
+        for q in (1, 2, 3, 4):
+            score = score + F.when(
+                F.col(f"__{c}_c{q}") < F.col(c), 1
+            ).otherwise(0)
+        out = out.withColumn(alias, score)
+    return out.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    )
+
+
+def _rfm_cut_sql(c: str, q: int) -> str:
+    return f"quantile_disc({c}, {q / 5})"
+
+
+SQL_RFM_SCORES = f"""
+WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+per_c AS (
+  SELECT o_custkey,
+         MIN(datediff('day', CAST(o_orderdate AS DATE), maxd.md)) AS recency_days,
+         COUNT(*) AS frequency,
+         {dsum_sql('o_totalprice')} AS monetary
+  FROM orders, maxd
+  GROUP BY o_custkey, maxd.md
+),
+cuts AS (
+  SELECT
+    {", ".join(f"{_rfm_cut_sql(c, q)} AS {c}_c{q}" for c in ('recency_days', 'frequency', 'monetary') for q in (1, 2, 3, 4))}
+  FROM per_c
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+  1 {"".join(f"+ (CASE WHEN recency_days_c{q} < recency_days THEN 1 ELSE 0 END)" for q in (1, 2, 3, 4))} AS r_score,
+  1 {"".join(f"+ (CASE WHEN frequency_c{q} < frequency THEN 1 ELSE 0 END)" for q in (1, 2, 3, 4))} AS f_score,
+  1 {"".join(f"+ (CASE WHEN monetary_c{q} < monetary THEN 1 ELSE 0 END)" for q in (1, 2, 3, 4))} AS m_score
+FROM per_c, cuts
+"""
+
+
 def q_mode_by_group(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-group MODE (most frequent l_quantity per return
     flag, ties to the smallest value): value-count agg then ONE
@@ -1238,6 +1315,7 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "merge_roundtrip": q_merge_roundtrip,
     "mode_by_group": q_mode_by_group,
+    "rfm_scores": q_rfm_scores,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -1273,6 +1351,7 @@ ORACLES = {
     "bfs_hops": SQL_BFS_HOPS,
     "merge_roundtrip": SQL_MERGE_ROUNDTRIP,
     "mode_by_group": SQL_MODE_BY_GROUP,
+    "rfm_scores": SQL_RFM_SCORES,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,

@@ -385,6 +385,7 @@ _LINT_ALLOWED = {
     "bloom_prune": ("pairs",),  # 1-row count summaries crossJoin(broadcast)
     # 1-row corpus-total crossJoin(broadcast) + 20-row post-limit rank
     "pmi_pairs": ("pairs", "unpartitioned window"),
+    "rfm_scores": ("pairs",),  # 1-row max-date + 1-row cutpoints crossJoin(broadcast)
 }
 
 
