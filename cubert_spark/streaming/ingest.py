@@ -138,3 +138,43 @@ def stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_embeddings(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental ANN-index ingestion: as embeddings stream in, each
+    micro-batch assigns every vector to its IVF list (DECIMAL-exact
+    argmax against FIXED centroid literals — similarity.
+    ivf_assign_exact's rule, so streamed assignments match a batch
+    build bit-for-bit) and appends to a parquet layout PARTITIONED BY
+    list_id. Search then probes only its lists' partitions — the
+    directory layout IS the inverted index, maintained by appends
+    with no compaction step or global rebuild.
+
+    Returns the started query handle (availableNow trigger). At
+    scale: per-batch work is one codegen expression map + a
+    partitioned append; no shuffle, no state store (assignment is
+    stateless), restart-safe via the checkpoint."""
+    from cubert_spark.datapipe.similarity import _argmax_centroid
+
+    def update(batch_df: DataFrame, _batch_id: int) -> None:
+        best_j, _ = _argmax_centroid(F.col(vec_col), centroids)
+        (
+            batch_df.withColumn("list_id", best_j)
+            .write.partitionBy("list_id")
+            .mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -315,3 +315,39 @@ def test_stream_upsert_cdc(spark, tmp_path):
 
     live = spark.read.parquet(snap).filter(~F.col("last_op").isin("delete"))
     assert [r.k for r in live.collect()] == [1]
+
+
+def test_ingest_embeddings_matches_batch_index(spark, tmp_path):
+    """Streamed IVF ingestion == batch index build: list assignments
+    of vectors ingested across two micro-batches match
+    ivf_assign_exact bit-for-bit, and a single-list probe prunes to
+    that list's partition directory."""
+    from cubert_spark.datapipe.similarity import hyperplane_planes, ivf_assign_exact
+    from cubert_spark.streaming.ingest import ingest_embeddings
+    from cubert_spark.catalog import load_table
+
+    cents = hyperplane_planes(64, 4, seed=3)
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "src")
+    e.filter("vec_id % 2 = 0").coalesce(1).write.parquet(src + "/f1")
+    e.filter("vec_id % 2 = 1").coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "index")
+    ingest_embeddings(
+        stream, out, str(tmp_path / "ckpt"), cents
+    ).awaitTermination()
+
+    got = {r.vec_id: r.list_id for r in spark.read.parquet(out).collect()}
+    want = {r.vec_id: r.list_id for r in ivf_assign_exact(e, cents).collect()}
+    assert got == want and len(got) == e.count()
+
+    probe = spark.read.parquet(out).filter("list_id = 1")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(list_id" in plan, plan
