@@ -493,6 +493,51 @@ SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk
 """
 
 
+def q_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED vector search (the vector-DB pre-filter pattern,
+    public: probe only corpus vectors whose metadata matches a
+    predicate): exact cosine top-5 among label=2 vectors only. The
+    filter applies BEFORE scoring, so at scale it pushes into the
+    corpus scan/partition layout (PushedFilters on a label-partitioned
+    index; cf. streaming.ingest_embeddings' layout) — never
+    score-then-filter, which starves k when the predicate is
+    selective."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(
+        e.filter(F.col("label") == 2),
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+    )
+
+
+SQL_FILTERED_ANN = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE label = 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(qv[i] * cv[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(qv[i] * qv[i] AS DECIMAL(38,18))) AS qq,
+         SUM(CAST(cv[i] * cv[i] AS DECIMAL(38,18))) AS cc
+  FROM q, c, LATERAL UNNEST(range(1, len(qv) + 1)) AS t(i)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+                    neighbor_id
+         ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs (n-gram Jaccard >= 0.2) → duplicate clusters via
     distributed connected components (min-label propagation)."""
@@ -1787,6 +1832,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "phrase_search": q_phrase_search,
     "pii_redact": q_pii_redact,
+    "filtered_ann": q_filtered_ann,
     "pmi_pairs": q_pmi_pairs,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1840,6 +1886,7 @@ ORACLES = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "pii_redact": SQL_PII_REDACT,
+    "filtered_ann": SQL_FILTERED_ANN,
     "pmi_pairs": SQL_PMI_PAIRS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
