@@ -341,5 +341,11 @@ def merge_upsert(
     merged = keep.unionByName(ins)
     staged = path.rstrip("/") + ".__staged"
     merged.write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
+    # swap via two renames, not delete-then-rename: a crash between
+    # them leaves either the old table or both directories — never
+    # NO table. Cleanup of the old copy is the only non-critical step.
+    bak = path.rstrip("/") + ".__old"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
     os.rename(staged, path)
+    shutil.rmtree(bak, ignore_errors=True)

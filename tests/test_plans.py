@@ -374,6 +374,7 @@ _LINT_ALLOWED = {
     "dict_encode": ("unpartitioned window",),   # dictionary build: dict is tiny
     "dict_refresh": ("unpartitioned window", "pairs"),  # tiny dict + 1-row max-code side
     "embedding_topk": ("pairs",),  # documented broadcast-Q brute-force scorer
+    "filtered_ann": ("pairs",),   # same scorer over the pre-filtered corpus
     "mixture_sample": ("pairs",),  # 1-row total-T crossJoin(broadcast)
     "tfidf_top_terms": ("pairs",),  # 1-row corpus-count crossJoin(broadcast)
     "range_join": ("pairs",),      # non-equi by definition
