@@ -556,6 +556,39 @@ GROUP BY o_orderstatus
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """STORE -> LOAD through ORC (the second columnar format beside
+    parquet; Spark-native writer/reader with predicate pushdown and
+    column pruning): write orders, read back through a filtered
+    aggregate. The oracle runs the same aggregate on the original
+    table — the format hop must be lossless."""
+    import os as _os
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = "/tmp/cubert_spark_orc_rt_%s_%d" % (
+        _os.path.basename(sf.rstrip("/")), _os.getpid(),
+    )
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+SQL_ORC_ROUNDTRIP = f"""
+SELECT o_orderpriority, COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total
+FROM orders WHERE o_totalprice > 100000
+GROUP BY 1
+"""
+
+
 def q_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer scoring (recency / frequency / monetary — the
     classic warehouse segmentation): per customer, integer days since
@@ -1316,6 +1349,7 @@ QUERIES = {
     "merge_roundtrip": q_merge_roundtrip,
     "mode_by_group": q_mode_by_group,
     "rfm_scores": q_rfm_scores,
+    "orc_roundtrip": q_orc_roundtrip,
     "cms_topk": q_cms_topk,
     "pagerank": q_pagerank,
     "avro_evolution": q_avro_evolution,
@@ -1352,6 +1386,7 @@ ORACLES = {
     "merge_roundtrip": SQL_MERGE_ROUNDTRIP,
     "mode_by_group": SQL_MODE_BY_GROUP,
     "rfm_scores": SQL_RFM_SCORES,
+    "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "cms_topk": SQL_CMS_TOPK,
     "pagerank": SQL_PAGERANK,
     "avro_evolution": SQL_AVRO_EVOLUTION,
