@@ -150,3 +150,70 @@ def test_kmv_exact_regime_property(spark, sa, sb):
     assert r.union_est == float(len(sa | sb))
     assert r.inter_k == len(sa & sb)
     assert r.inter_est == float(len(sa & sb))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 25), min_size=3, max_size=10),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_containment_pairs_matches_bruteforce_property(spark, docs):
+    """containment_pairs == the quadratic set-containment filter on
+    random small corpora (3-gram shingle sets over word tokens)."""
+    from cubert_spark.datapipe.dedup import containment_pairs
+
+    texts = [" ".join(f"w{t}" for t in d) for d in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.sz_a, r.sz_b)
+        for r in containment_pairs(df, t).collect()
+    }
+
+    def sh(words):
+        w = words.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and (inter / len(sa) >= t or inter / len(sb) >= t):
+                want[(a, b)] = (inter, len(sa), len(sb))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_mode_by_group_matches_python_property(spark, rows):
+    """The struct-max mode (ties to smallest value) equals the Python
+    Counter model on random grouped data."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    best = counts.groupBy("g").agg(
+        F.max(F.struct(F.col("cnt").alias("c"), (-F.col("v")).alias("nv"))).alias("b")
+    )
+    got = {r.g: (-r.b.nv, r.b.c) for r in best.collect()}
+    want = {}
+    for g in {g for g, _ in rows}:
+        c = Counter(v for gg, v in rows if gg == g)
+        m = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+        want[g] = m
+    assert got == want
