@@ -480,8 +480,12 @@ def jaccard_prefix_pairs(
     cand = (
         a.join(b, "w")
         .filter(F.col("id_a") < F.col("id_b"))
-        # size filter: Jaccard >= t forces t*|B| <= |A| (|A|<=|B|)
+        # size filter, BOTH directions: jac >= t forces
+        # inter >= t*union >= t*max(|A|,|B|), and inter <= min(|A|,|B|),
+        # so each side's size must reach t x the other's — true pairs
+        # satisfy both, everything else prunes before the distinct
         .filter(F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+        .filter(F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )

@@ -244,6 +244,7 @@ cand AS (
                   a.sz AS sz_a, b.sz AS sz_b
   FROM prefix a JOIN prefix b USING (w)
   WHERE a.doc_id < b.doc_id AND a.sz >= CEIL(0.9 * b.sz)
+    AND b.sz >= CEIL(0.9 * a.sz)
 ),
 inter AS (
   SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS inter
