@@ -84,6 +84,27 @@ def _resize_nearest(arr, w: int, h: int):
     return arr[yi][:, xi]
 
 
+def _resize_bilinear(arr, w: int, h: int):
+    """Bilinear resample (align-corners=False convention, float64
+    lerp, round-half-up back to uint8) — deterministic numpy only."""
+    import numpy as np
+
+    sh, sw = arr.shape[:2]
+    fy = (np.arange(h) + 0.5) * sh / h - 0.5
+    fx = (np.arange(w) + 0.5) * sw / w - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, sh - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, sw - 1)
+    y1 = np.clip(y0 + 1, 0, sh - 1)
+    x1 = np.clip(x0 + 1, 0, sw - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype("float64")
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.floor(out + 0.5).clip(0, 255).astype("uint8")
+
+
 def _decode_any_image(raw: bytes):
     """Format-dispatch to the pure-spec decoders (BMP / sequential +
     progressive JPEG / 8- & 16-bit PNG incl. Adam7); anything else is
@@ -117,8 +138,12 @@ def decode_images(
     id_col: str = "id",
     target_size: tuple[int, int] = (32, 32),
     fake: bool = False,
+    method: str = "nearest",
 ) -> DataFrame:
     """Decode + resize + feature-extract an image blob column.
+    ``method``: "nearest" (default) or "bilinear" (float64 lerp,
+    deterministic; the resize a training-data pipeline actually
+    wants — nearest aliases badly on downscale).
 
     Arrow-batched mapInPandas: each batch decodes ``len(batch)`` blobs
     without per-row Python dispatch. The real path decodes
@@ -161,7 +186,8 @@ def decode_images(
                     )
                     continue
                 img = _decode_any_image(raw)
-                small = _resize_nearest(img, w, h).astype("float64") / 255.0
+                rs = _resize_bilinear if method == "bilinear" else _resize_nearest
+                small = rs(img, w, h).astype("float64") / 255.0
                 means = small.mean(axis=(0, 1))
                 rows.append(
                     {

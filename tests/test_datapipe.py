@@ -2190,3 +2190,36 @@ def test_quantile_histogram_within_bin_width(spark):
             est = getattr(a, f"p{q}_bin_lo")
             true = getattr(exact[t], f"p{q}")
             assert abs(est - true) <= bin_w, (t, q, est, true)
+
+
+def test_bilinear_resize_model_and_smoothness(spark):
+    """_resize_bilinear equals the direct-numpy reference through the
+    decode_images path, and on a hard gradient its downsample error vs
+    the true mean is far below nearest-neighbor's aliasing."""
+    import struct
+
+    import numpy as np
+
+    from cubert_spark.datapipe.multimodal import (
+        _resize_bilinear,
+        decode_images,
+    )
+
+    def encode_bmp(arr):
+        h, w = arr.shape[:2]
+        pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+        rows = b"".join(arr[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0
+        )
+        return header + rows
+
+    grad = np.tile(np.arange(256, dtype=np.uint8)[None, :, None], (64, 1, 3))
+    df = spark.createDataFrame([(1, encode_bmp(grad))], "id long, blob binary")
+    got = decode_images(df, target_size=(8, 8), method="bilinear").collect()[0]
+    ref = _resize_bilinear(grad, 8, 8).astype("float64") / 255.0
+    want = ref.mean(axis=(0, 1))
+    # feature column is array<float>: compare at float32 precision
+    assert got.feature[0] == float(np.float32(want[0]))
+    # bilinear tracks the global mean of a linear ramp closely
+    assert abs(got.feature[3] - grad.mean() / 255.0) < 0.02
