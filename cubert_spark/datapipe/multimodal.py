@@ -6,8 +6,9 @@ decode for REAL (stdlib ``wave``; pure-Python datapipe.flac), as do
 uncompressed 24-bit BMP images (pure struct/numpy parsing),
 sequential AND progressive JPEG (datapipe.jpeg), 8/16-bit PNG
 including Adam7 interlacing (datapipe.png); progressive-MP4 frame
-sampling demuxes via datapipe.mp4. Formats that need external codecs
-(MP3/AAC, video-codec decode) are stubbed — NotImplementedError, or
+sampling demuxes via datapipe.mp4, and MJPEG AVI decodes to REAL
+pixels (datapipe.avi demux + the JPEG codec). Formats that need
+external codecs (MP3/AAC, H.264+ video decode) are stubbed — NotImplementedError, or
 a deterministic fake (``fake=True``) so the Spark-side plumbing
 (schema, Arrow batch shape, partitioning) is fully testable either
 way. The mapInPandas pipelines, batch sizing and output schemas are
@@ -372,14 +373,28 @@ def sample_frames(
                         )
                     continue
                 # container sniff first (mirrors the image-signature
-                # checks): anything that isn't ISO BMFF is a missing-
-                # demuxer case; Mp4Error past this point is CORRUPT
-                # DATA in a real MP4 and fails the task honestly.
+                # checks): anything that isn't ISO BMFF or RIFF/AVI is
+                # a missing-demuxer case; Mp4Error/AviError past this
+                # point is CORRUPT DATA and fails the task honestly.
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    from cubert_spark.datapipe.avi import parse_avi
+
+                    meta = parse_avi(raw)
+                    spf = meta.get("us_per_frame", 0) / 1e6
+                    for fi in range(0, len(meta["frames"]), every_nth):
+                        rows.append(
+                            {
+                                "id": int(i), "frame_idx": fi,
+                                "frame_blob": meta["frames"][fi],
+                                "time_sec": fi * spf,
+                            }
+                        )
+                    continue
                 if raw[4:8] != b"ftyp":
                     raise NotImplementedError(
                         "no demuxer for this container; progressive MP4 "
-                        "demuxes natively (datapipe.mp4), others need a "
-                        "demuxer plugged into sample_frames"
+                        "and MJPEG AVI demux natively (datapipe.mp4/avi), "
+                        "others need a demuxer plugged into sample_frames"
                     )
                 frames = video_samples(raw, every_nth)
                 for fi, fblob, t in frames:
@@ -577,4 +592,70 @@ def image_phash(
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         kernel, schema=PHASH_SCHEMA
+    )
+
+
+VIDEO_FRAME_FEATURES_SCHEMA = (
+    "id long, frame_idx int, time_sec double, width int, height int, "
+    "feature array<float>"
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    every_nth: int = 1,
+    target_size: tuple[int, int] = (32, 32),
+) -> DataFrame:
+    """REAL video pixel decode for MJPEG AVI blobs: demux (datapipe.
+    avi), decode each sampled frame's JPEG bitstream with the
+    pure-spec codec (datapipe.jpeg), resize, and emit per-frame
+    features (mean R/G/B/gray — the same feature contract as
+    decode_images). The first video tier that produces PIXELS without
+    a codec library; H.264+ containers still raise via sample_frames'
+    honest stub path.
+
+    Arrow-batched mapInPandas; per-frame cost is one JPEG decode +
+    one resize — the pipeline shape that scales out per blob row."""
+    import pandas as pd
+
+    w, h = target_size
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from cubert_spark.datapipe.avi import parse_avi
+        from cubert_spark.datapipe.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or pd.isna(i):
+                    continue
+                raw = bytes(blob)
+                meta = parse_avi(raw)
+                spf = meta.get("us_per_frame", 0) / 1e6
+                for fi in range(0, len(meta["frames"]), every_nth):
+                    img = decode_jpeg(meta["frames"][fi])
+                    if img.ndim == 2:
+                        img = img[:, :, None].repeat(3, axis=2)
+                    small = (
+                        _resize_nearest(img, w, h).astype("float64") / 255.0
+                    )
+                    means = small.mean(axis=(0, 1))
+                    rows.append(
+                        {
+                            "id": int(i), "frame_idx": fi,
+                            "time_sec": fi * spf,
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "feature": [
+                                float(means[0]), float(means[1]),
+                                float(means[2]), float(means.mean()),
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        kernel, schema=VIDEO_FRAME_FEATURES_SCHEMA
     )

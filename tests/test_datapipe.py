@@ -2223,3 +2223,62 @@ def test_bilinear_resize_model_and_smoothness(spark):
     assert got.feature[0] == float(np.float32(want[0]))
     # bilinear tracks the global mean of a linear ramp closely
     assert abs(got.feature[3] - grad.mean() / 255.0) < 0.02
+
+
+def test_mjpeg_avi_end_to_end(spark):
+    """REAL video decode: encode 3 distinct frames with the pure-spec
+    JPEG codec, wrap them in a spec-correct MJPEG AVI, then (a)
+    sample_frames demuxes the container, (b) decode_video_frames
+    produces PIXELS whose per-frame means track the originals within
+    JPEG quantization loss."""
+    import numpy as np
+
+    from cubert_spark.datapipe import jpeg
+    from cubert_spark.datapipe.avi import encode_mjpeg_avi, parse_avi
+    from cubert_spark.datapipe.multimodal import decode_video_frames, sample_frames
+
+    frames_rgb = []
+    for shade in (40, 128, 216):
+        img = np.full((24, 32, 3), shade, dtype=np.uint8)
+        img[:, :16, 0] = 255 - shade  # left half differs per channel
+        frames_rgb.append(img)
+    enc = [jpeg.encode_baseline_jpeg(f) for f in frames_rgb]
+    avi = encode_mjpeg_avi(enc, 32, 24, fps=5)
+
+    # parser round-trip
+    meta = parse_avi(avi)
+    assert meta["width"] == 32 and meta["height"] == 24
+    assert meta["handler"] == "MJPG" and len(meta["frames"]) == 3
+    assert meta["frames"][1] == enc[1]
+
+    df = spark.createDataFrame([(1, avi)], "id long, blob binary")
+    sampled = sample_frames(df, every_nth=2).collect()
+    assert [r.frame_idx for r in sampled] == [0, 2]
+    assert bytes(sampled[1].frame_blob) == enc[2]
+    assert sampled[1].time_sec == 2 * 0.2
+
+    decoded = {r.frame_idx: r for r in decode_video_frames(df).collect()}
+    assert len(decoded) == 3
+    for fi, img in enumerate(frames_rgb):
+        want = img.astype("float64").mean(axis=(0, 1)) / 255.0
+        got = decoded[fi].feature
+        for c in range(3):
+            assert abs(got[c] - want[c]) < 0.03, (fi, c, got[c], want[c])
+
+
+def test_avi_rejects_non_mjpeg_and_garbage(spark):
+    """Honest stubs: an H.264-handler AVI raises NotImplementedError;
+    RIFF garbage raises the AviError data-error class."""
+    import struct
+
+    import pytest
+
+    from cubert_spark.datapipe.avi import AviError, encode_mjpeg_avi, parse_avi
+
+    avi = bytearray(encode_mjpeg_avi([b"x"], 8, 8))
+    pos = avi.find(b"vids") + 4
+    avi[pos : pos + 4] = b"H264"
+    with pytest.raises(NotImplementedError):
+        parse_avi(bytes(avi))
+    with pytest.raises(AviError):
+        parse_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
