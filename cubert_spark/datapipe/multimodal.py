@@ -119,6 +119,10 @@ def _decode_any_image(raw: bytes):
         from cubert_spark.datapipe.png import decode_png
 
         return decode_png(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        from cubert_spark.datapipe.gif import decode_gif
+
+        return decode_gif(raw)[0]  # first frame for the image contract
     try:
         return decode_bmp(raw)
     except ValueError as e:

@@ -2282,3 +2282,50 @@ def test_avi_rejects_non_mjpeg_and_garbage(spark):
         parse_avi(bytes(avi))
     with pytest.raises(AviError):
         parse_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_gif_roundtrip_and_animation(spark):
+    """Pure-spec GIF: encode -> decode is LOSSLESS (palette format);
+    animated frames composite in order; decode_images consumes a GIF
+    blob through the signature dispatch."""
+    import numpy as np
+
+    from cubert_spark.datapipe.gif import decode_gif, encode_gif
+    from cubert_spark.datapipe.multimodal import decode_images
+
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    f1 = palette[rng.integers(0, 7, size=(13, 17))]
+    f2 = f1.copy()
+    f2[3:7, 2:9] = palette[0]
+    raw = encode_gif([f1, f2])
+    frames = decode_gif(raw)
+    assert len(frames) == 2
+    assert (frames[0] == f1).all()
+    assert (frames[1] == f2).all()
+
+    df = spark.createDataFrame([(1, raw)], "id long, blob binary")
+    got = decode_images(df, target_size=(13, 17)).collect()[0]
+    assert (got.width, got.height) == (17, 13)
+    want = f1.astype("float64").mean(axis=(0, 1)) / 255.0
+    assert abs(got.feature[0] - want[0]) < 0.05
+
+
+def test_gif_wide_palette_and_errors(spark):
+    """256-color palettes exercise the 12-bit LZW width-growth path in
+    the decoder (encoder resets before growth); malformed inputs raise
+    the GifError data-error class."""
+    import numpy as np
+    import pytest
+
+    from cubert_spark.datapipe.gif import GifError, decode_gif, encode_gif
+
+    colors = np.arange(256, dtype=np.uint8)
+    img = np.stack([colors, colors, colors], axis=1)[None].repeat(9, axis=0)
+    raw = encode_gif([img])
+    assert (decode_gif(raw)[0] == img).all()
+
+    with pytest.raises(GifError):
+        decode_gif(b"GIF89a" + b"\x00" * 8)
+    with pytest.raises(GifError):
+        decode_gif(b"notagif")
