@@ -628,6 +628,7 @@ def decode_video_frames(
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from cubert_spark.datapipe.avi import parse_avi
+        from cubert_spark.datapipe.gif import decode_gif
         from cubert_spark.datapipe.jpeg import decode_jpeg
 
         for pdf in batches:
@@ -636,10 +637,22 @@ def decode_video_frames(
                 if blob is None or pd.isna(i):
                     continue
                 raw = bytes(blob)
-                meta = parse_avi(raw)
-                spf = meta.get("us_per_frame", 0) / 1e6
-                for fi in range(0, len(meta["frames"]), every_nth):
-                    img = decode_jpeg(meta["frames"][fi])
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: already-composited RGB frames
+                    gframes = decode_gif(raw)
+                    frame_src = [(fi, gframes[fi], 0.0) for fi in
+                                 range(0, len(gframes), every_nth)]
+                else:
+                    meta = parse_avi(raw)
+                    spf = meta.get("us_per_frame", 0) / 1e6
+                    frame_src = [
+                        (fi, None, fi * spf)
+                        for fi in range(0, len(meta["frames"]), every_nth)
+                    ]
+                for fi, pre, t in frame_src:
+                    img = pre if pre is not None else decode_jpeg(
+                        meta["frames"][fi]
+                    )
                     if img.ndim == 2:
                         img = img[:, :, None].repeat(3, axis=2)
                     small = (
@@ -649,7 +662,7 @@ def decode_video_frames(
                     rows.append(
                         {
                             "id": int(i), "frame_idx": fi,
-                            "time_sec": fi * spf,
+                            "time_sec": t,
                             "width": int(img.shape[1]),
                             "height": int(img.shape[0]),
                             "feature": [

@@ -2329,3 +2329,22 @@ def test_gif_wide_palette_and_errors(spark):
         decode_gif(b"GIF89a" + b"\x00" * 8)
     with pytest.raises(GifError):
         decode_gif(b"notagif")
+
+
+def test_decode_video_frames_gif_animation(spark):
+    """Animated GIF through the video tier: per-frame pixel features
+    are LOSSLESS (palette format) against the source frames."""
+    import numpy as np
+
+    from cubert_spark.datapipe.gif import encode_gif
+    from cubert_spark.datapipe.multimodal import decode_video_frames
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    f1 = palette[np.zeros((8, 8), dtype=int)]        # all red
+    f2 = palette[np.ones((8, 8), dtype=int)]         # all green
+    raw = encode_gif([f1, f2])
+    df = spark.createDataFrame([(1, raw)], "id long, blob binary")
+    got = {r.frame_idx: r.feature for r in
+           decode_video_frames(df, target_size=(8, 8)).collect()}
+    assert got[0][0] == 1.0 and got[0][1] == 0.0
+    assert got[1][1] == 1.0 and got[1][0] == 0.0
