@@ -123,6 +123,15 @@ def _decode_any_image(raw: bytes):
         from cubert_spark.datapipe.gif import decode_gif
 
         return decode_gif(raw)[0]  # first frame for the image contract
+    if raw[:2] in (b"II", b"MM") and len(raw) >= 4 and raw[2:4] in (
+        b"\x2a\x00", b"\x00\x2a"
+    ):
+        from cubert_spark.datapipe.tiff import decode_tiff
+
+        img = decode_tiff(raw)
+        if img.ndim == 2:  # grayscale -> 3-channel for the contract
+            img = img[:, :, None].repeat(3, axis=2)
+        return img
     try:
         return decode_bmp(raw)
     except ValueError as e:

@@ -2348,3 +2348,36 @@ def test_decode_video_frames_gif_animation(spark):
            decode_video_frames(df, target_size=(8, 8)).collect()}
     assert got[0][0] == 1.0 and got[0][1] == 0.0
     assert got[1][1] == 1.0 and got[1][0] == 0.0
+
+
+def test_tiff_roundtrip_and_dispatch(spark):
+    """Uncompressed TIFF: encode -> decode lossless (RGB and gray,
+    both through decode_images' dispatch); compressed TIFF raises the
+    honest NotImplementedError; garbage raises TiffError."""
+    import numpy as np
+    import pytest
+
+    from cubert_spark.datapipe.multimodal import decode_images
+    from cubert_spark.datapipe.tiff import TiffError, decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, size=(11, 14, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(9, 6), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(rgb)) == rgb).all()
+    assert (decode_tiff(encode_tiff(gray)) == gray).all()
+
+    df = spark.createDataFrame([(1, encode_tiff(rgb))], "id long, blob binary")
+    got = decode_images(df, target_size=(14, 11)).collect()[0]
+    assert (got.width, got.height) == (14, 11)
+    want = rgb.astype("float64").mean(axis=(0, 1)) / 255.0
+    assert abs(got.feature[0] - want[0]) < 1e-6
+
+    lzw = bytearray(encode_tiff(rgb))
+    # flip the compression tag value (type SHORT at value offset) to 5
+    import struct as _s
+    idx = bytes(lzw).find(_s.pack("<HHI", 259, 3, 1))
+    lzw[idx + 8] = 5
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+    with pytest.raises(TiffError):
+        decode_tiff(b"II\x2b\x00bad")
