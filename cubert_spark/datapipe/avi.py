@@ -39,7 +39,7 @@ def _chunks(raw: bytes, start: int, end: int):
         pos = data_e + (size & 1)  # pad byte on odd sizes
 
 
-def parse_avi(raw: bytes) -> dict:
+def _parse_avi_impl(raw: bytes) -> dict:
     """Parse an AVI: header metadata + the MJPEG video frames.
 
     Returns {width, height, us_per_frame, n_frames, handler,
@@ -130,3 +130,15 @@ def encode_mjpeg_avi(
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(raw: bytes):
+    """Typed-error boundary: any low-level struct/index failure from a
+    truncated or corrupt byte stream surfaces as AviError (the parser's
+    documented data-error class), never a raw struct.error."""
+    import struct as _struct
+
+    try:
+        return _parse_avi_impl(raw)
+    except (_struct.error, IndexError) as e:
+        raise AviError(f"truncated or corrupt input: {e}") from e

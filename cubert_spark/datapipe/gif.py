@@ -93,7 +93,7 @@ def _sub_blocks(raw: bytes, pos: int) -> tuple[bytes, int]:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(raw: bytes) -> list[np.ndarray]:
+def _decode_gif_impl(raw: bytes) -> list[np.ndarray]:
     """Decode every frame to an (h, w, 3) RGB uint8 array on the
     logical-screen canvas (frames composited over the previous one at
     their offsets — the draw-over disposal common case). Raises
@@ -237,3 +237,15 @@ def encode_gif(frames: list[np.ndarray]) -> bytes:
         out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+def decode_gif(raw: bytes):
+    """Typed-error boundary: any low-level struct/index failure from a
+    truncated or corrupt byte stream surfaces as GifError (the parser's
+    documented data-error class), never a raw struct.error."""
+    import struct as _struct
+
+    try:
+        return _decode_gif_impl(raw)
+    except (_struct.error, IndexError) as e:
+        raise GifError(f"truncated or corrupt input: {e}") from e

@@ -51,7 +51,7 @@ def _read_ifd(raw: bytes, off: int, bo: str) -> dict[int, list[int]]:
     return tags
 
 
-def decode_tiff(raw: bytes) -> np.ndarray:
+def _decode_tiff_impl(raw: bytes) -> np.ndarray:
     """Decode an uncompressed strip-based TIFF to (h, w, 3) RGB or
     (h, w) grayscale uint8 (8 bits/sample; both byte orders)."""
     if len(raw) < 8 or raw[:2] not in (b"II", b"MM"):
@@ -142,3 +142,15 @@ def encode_tiff(img: np.ndarray) -> bytes:
     if not gray:
         out += struct.pack("<HHH", 8, 8, 8)
     return bytes(out)
+
+
+def decode_tiff(raw: bytes):
+    """Typed-error boundary: any low-level struct/index failure from a
+    truncated or corrupt byte stream surfaces as TiffError (the parser's
+    documented data-error class), never a raw struct.error."""
+    import struct as _struct
+
+    try:
+        return _decode_tiff_impl(raw)
+    except (_struct.error, IndexError) as e:
+        raise TiffError(f"truncated or corrupt input: {e}") from e

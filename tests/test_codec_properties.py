@@ -110,3 +110,49 @@ def test_wavext_container_roundtrip_property(seed, nch, tag_i):
         assert np.array_equal(wx.mulaw_encode(wx.mulaw_decode(codes)), codes)
     elif tag == wx.WAVE_FORMAT_ALAW:
         assert np.abs(out.astype(int) - pcm.astype(int)).max() <= 1024
+
+
+@given(st.binary(min_size=0, max_size=200), st.integers(0, 3))
+@settings(max_examples=120, deadline=None)
+def test_new_parsers_fail_typed_on_garbage(data, which):
+    """GIF/TIFF/AVI parsers reject arbitrary bytes with their typed
+    error classes (or NotImplementedError for recognized-but-
+    unsupported) — never IndexError/struct.error/KeyError."""
+    from cubert_spark.datapipe.avi import AviError, parse_avi
+    from cubert_spark.datapipe.gif import GifError, decode_gif
+    from cubert_spark.datapipe.tiff import TiffError, decode_tiff
+
+    # bias some inputs toward valid magics so parsing goes deeper
+    prefixes = [b"", b"GIF89a", b"II\x2a\x00", b"RIFF\xff\x00\x00\x00AVI "]
+    raw = prefixes[which] + data
+    for fn, err in ((decode_gif, GifError), (decode_tiff, TiffError), (parse_avi, AviError)):
+        try:
+            fn(raw)
+        except (err, NotImplementedError, ValueError):
+            pass  # typed rejection (ValueError parents the err classes)
+
+
+@given(st.integers(1, 60))
+@settings(max_examples=40, deadline=None)
+def test_new_codecs_truncation_is_typed(cut):
+    """Truncating VALID gif/tiff/avi files at any byte raises the
+    typed error (or decodes a shorter-but-valid prefix) — no raw
+    struct/index crashes from the guts of the parsers."""
+    import numpy as np
+
+    from cubert_spark.datapipe.avi import AviError, encode_mjpeg_avi, parse_avi
+    from cubert_spark.datapipe.gif import GifError, decode_gif, encode_gif
+    from cubert_spark.datapipe.tiff import TiffError, decode_tiff, encode_tiff
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    files = [
+        (encode_gif([img]), GifError, decode_gif),
+        (encode_tiff(img), TiffError, decode_tiff),
+        (encode_mjpeg_avi([b"\xff\xd8fake"], 4, 4), AviError, parse_avi),
+    ]
+    for raw, err, fn in files:
+        trunc = raw[: max(0, len(raw) - cut)]
+        try:
+            fn(trunc)
+        except (err, NotImplementedError, ValueError):
+            pass
