@@ -123,6 +123,13 @@ def _decode_any_image(raw: bytes):
         from cubert_spark.datapipe.gif import decode_gif
 
         return decode_gif(raw)[0]  # first frame for the image contract
+    if raw[:2] in (b"P5", b"P6"):
+        from cubert_spark.datapipe.tiff import decode_netpbm
+
+        img = decode_netpbm(raw)
+        if img.ndim == 2:
+            img = img[:, :, None].repeat(3, axis=2)
+        return img
     if raw[:2] in (b"II", b"MM") and len(raw) >= 4 and raw[2:4] in (
         b"\x2a\x00", b"\x00\x2a"
     ):

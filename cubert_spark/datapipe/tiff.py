@@ -154,3 +154,51 @@ def decode_tiff(raw: bytes):
         return _decode_tiff_impl(raw)
     except (_struct.error, IndexError) as e:
         raise TiffError(f"truncated or corrupt input: {e}") from e
+
+
+# --- Netpbm (PGM P5 / PPM P6) -------------------------------------------------
+# Co-located here with the other header-simple raster codecs.
+
+def decode_netpbm(raw: bytes) -> np.ndarray:
+    """Binary Netpbm (public spec): P5 grayscale / P6 RGB, 8-bit
+    maxval. Whitespace/comment-tolerant header per the spec."""
+    if raw[:2] not in (b"P5", b"P6"):
+        raise TiffError("not a binary Netpbm (P5/P6) file")
+    rgb = raw[:2] == b"P6"
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        if pos >= len(raw):
+            raise TiffError("truncated Netpbm header")
+        c = raw[pos : pos + 1]
+        if c == b"#":
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            try:
+                vals.append(int(raw[start:pos]))
+            except ValueError as e:
+                raise TiffError("bad Netpbm header token") from e
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit Netpbm supported")
+    pos += 1  # the single whitespace after maxval
+    spp = 3 if rgb else 1
+    need = w * h * spp
+    if len(raw) - pos < need:
+        raise TiffError("Netpbm pixel data short")
+    arr = np.frombuffer(raw, np.uint8, need, pos)
+    return arr.reshape(h, w, 3) if rgb else arr.reshape(h, w)
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """Write binary P5 (gray) / P6 (RGB) from uint8 arrays."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    head = (b"P5" if gray else b"P6") + f"\n{w} {h}\n255\n".encode()
+    return head + img.tobytes()

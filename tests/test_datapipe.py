@@ -2381,3 +2381,24 @@ def test_tiff_roundtrip_and_dispatch(spark):
         decode_tiff(bytes(lzw))
     with pytest.raises(TiffError):
         decode_tiff(b"II\x2b\x00bad")
+
+
+def test_netpbm_roundtrip_and_dispatch(spark):
+    """Binary Netpbm: P6/P5 round-trips losslessly incl. comment-laden
+    headers, and a PPM blob flows through decode_images' dispatch."""
+    import numpy as np
+
+    from cubert_spark.datapipe.multimodal import decode_images
+    from cubert_spark.datapipe.tiff import decode_netpbm, encode_netpbm
+
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    assert (decode_netpbm(encode_netpbm(rgb)) == rgb).all()
+    assert (decode_netpbm(encode_netpbm(gray)) == gray).all()
+    commented = b"P6\n# a comment\n9 7\n255\n" + rgb.tobytes()
+    assert (decode_netpbm(commented) == rgb).all()
+
+    df = spark.createDataFrame([(1, encode_netpbm(rgb))], "id long, blob binary")
+    got = decode_images(df, target_size=(9, 7)).collect()[0]
+    assert (got.width, got.height) == (9, 7)
