@@ -6,9 +6,10 @@ decode for REAL (stdlib ``wave``; pure-Python datapipe.flac), as do
 uncompressed 24-bit BMP images (pure struct/numpy parsing),
 sequential AND progressive JPEG (datapipe.jpeg), 8/16-bit PNG
 including Adam7 interlacing (datapipe.png); progressive-MP4 frame
-sampling demuxes via datapipe.mp4, and MJPEG AVI decodes to REAL
-pixels (datapipe.avi demux + the JPEG codec). Formats that need
-external codecs (MP3/AAC, H.264+ video decode) are stubbed — NotImplementedError, or
+sampling demuxes via datapipe.mp4, MJPEG AVI and animated GIF decode
+to REAL pixels, and GIF/TIFF/Netpbm join the image dispatch. Formats
+that need external codecs (MP3/AAC, H.264+ video decode) are
+stubbed — NotImplementedError, or
 a deterministic fake (``fake=True``) so the Spark-side plumbing
 (schema, Arrow batch shape, partitioning) is fully testable either
 way. The mapInPandas pipelines, batch sizing and output schemas are
@@ -108,9 +109,10 @@ def _resize_bilinear(arr, w: int, h: int):
 
 def _decode_any_image(raw: bytes):
     """Format-dispatch to the pure-spec decoders (BMP / sequential +
-    progressive JPEG / 8- & 16-bit PNG incl. Adam7); anything else is
-    a missing codec (NotImplementedError), while a corrupt payload of
-    a recognized format is a DATA error (ValueError)."""
+    progressive JPEG / 8- & 16-bit PNG incl. Adam7 / GIF first frame /
+    baseline TIFF / binary Netpbm); anything else is a missing codec
+    (NotImplementedError), while a corrupt payload of a recognized
+    format is a DATA error (ValueError)."""
     if raw[:2] == b"\xff\xd8":
         from cubert_spark.datapipe.jpeg import decode_jpeg
 
@@ -167,12 +169,13 @@ def decode_images(
     wants — nearest aliases badly on downscale).
 
     Arrow-batched mapInPandas: each batch decodes ``len(batch)`` blobs
-    without per-row Python dispatch. The real path decodes
-    uncompressed 24-bit BMP, sequential and progressive JPEG, and
-    8/16-bit PNG with or without Adam7 interlacing (all pure
-    numpy/stdlib — see datapipe.jpeg / datapipe.png; reports SOURCE
-    dimensions, resizes nearest-neighbor to ``target_size``, features
-    = mean R/G/B/gray in [0,1]); formats outside that set raise
+    without per-row Python dispatch. The real path decodes six
+    formats, all pure numpy/stdlib: uncompressed 24-bit BMP,
+    sequential AND progressive JPEG, 8/16-bit PNG incl. Adam7, GIF
+    (first frame), baseline TIFF (both byte orders), and binary
+    Netpbm P5/P6 (see datapipe.jpeg/png/gif/tiff). Reports SOURCE
+    dimensions, resizes to ``target_size``, features = mean
+    R/G/B/gray in [0,1]; formats outside that set raise
     NotImplementedError until a codec is plugged in. ``fake=True``
     keeps the deterministic stand-in (dimensions = target, features
     from the digest).
