@@ -695,3 +695,57 @@ def decode_video_frames(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         kernel, schema=VIDEO_FRAME_FEATURES_SCHEMA
     )
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    max_hamming: int = 10,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs — the visual analog of text
+    minhash-LSH, end to end: decode -> :func:`image_phash` -> band the
+    64-bit hash into ``n_bands`` 16-bit keys -> candidate self-join on
+    (band_idx, band_key) -> exact hamming verify <= ``max_hamming``.
+    By the pigeonhole principle two hashes within
+    (n_bands - 1) bits MUST share a band, and near-dups far below the
+    bound almost always do — the same recall argument as minhash
+    banding, with the same never-all-pairs candidate shape.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b. Everything after
+    the per-blob decode is JVM expressions (band extraction, join,
+    bit_count) — the Python cost is exactly one pHash per image."""
+    ph = image_phash(df, blob_col, id_col).select("id", "phash")
+    bands = ph.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(f"(phash >> {16 * b}) & 65535").alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "phash", "bk.band_idx", "bk.band_key")
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("phash").alias("__pa"),
+        "band_idx", "band_key",
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("phash").alias("__pb"),
+        "band_idx", "band_key",
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__pa", "__pb")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(__pa ^ __pb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

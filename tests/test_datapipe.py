@@ -2402,3 +2402,38 @@ def test_netpbm_roundtrip_and_dispatch(spark):
     df = spark.createDataFrame([(1, encode_netpbm(rgb))], "id long, blob binary")
     got = decode_images(df, target_size=(9, 7)).collect()[0]
     assert (got.width, got.height) == (9, 7)
+
+
+def test_phash_neardup_pairs(spark):
+    """Visual near-dup pairs: duplicates and a lightly-noised variant
+    pair up; an unrelated image does not."""
+    import struct
+
+    import numpy as np
+
+    from cubert_spark.datapipe.multimodal import phash_neardup_pairs
+
+    def encode_bmp(arr):
+        h, w = arr.shape[:2]
+        pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+        rows = b"".join(arr[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+        return (
+            struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+            + rows
+        )
+
+    rng = np.random.default_rng(8)
+    base = (rng.integers(0, 256, size=(40, 52, 3), dtype=np.uint8) // 3 + 80).astype(
+        np.uint8
+    )
+    noised = base.copy()
+    noised[::9, ::11] = np.clip(noised[::9, ::11] + 10, 0, 255)
+    other = rng.integers(0, 256, size=(40, 52, 3), dtype=np.uint8)
+    rows = [(1, encode_bmp(base)), (2, encode_bmp(base)),
+            (3, encode_bmp(noised)), (4, encode_bmp(other))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {(r.id_a, r.id_b): r.hamming for r in phash_neardup_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got and got[(1, 3)] <= 10
+    assert (1, 4) not in got and (2, 4) not in got
