@@ -307,6 +307,17 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     JPEG to (h, w, 3) RGB uint8 (grayscale replicates to 3 channels).
     Raises JpegError for malformed input, NotImplementedError for
     arithmetic-coded / lossless / hierarchical / 12-bit files."""
+    import struct as _struct
+
+    try:
+        return _decode_jpeg_impl(raw)
+    except (_struct.error, IndexError) as e:
+        # typed boundary: truncated bitstreams must surface as the
+        # documented data-error class, never a raw struct/index crash
+        raise JpegError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg_impl(raw: bytes) -> np.ndarray:
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2

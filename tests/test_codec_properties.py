@@ -156,3 +156,47 @@ def test_new_codecs_truncation_is_typed(cut):
             fn(trunc)
         except (err, NotImplementedError, ValueError):
             pass
+
+
+@given(st.binary(min_size=0, max_size=150), st.integers(0, 4))
+@settings(max_examples=100, deadline=None)
+def test_media_parsers_fail_typed_on_garbage(data, which):
+    """jpeg/png/flac/mp3/mp4 parsers reject arbitrary bytes with
+    ValueError-family or NotImplementedError — never raw
+    struct/index/key errors (the same boundary contract as
+    gif/tiff/avi)."""
+    from cubert_spark.datapipe import flac, jpeg, mp3, mp4, png
+
+    prefixes = [b"", b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"fLaC",
+                b"\x00\x00\x00\x18ftypisom"]
+    raw = prefixes[which] + data
+    for fn in (jpeg.decode_jpeg, png.decode_png, flac.decode_flac,
+               mp3.parse_mp3, mp4.demux_mp4):
+        try:
+            fn(raw)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@given(st.integers(1, 80))
+@settings(max_examples=50, deadline=None)
+def test_media_codecs_truncation_is_typed(cut):
+    """Truncating valid jpeg/png/flac files at any byte raises the
+    ValueError family, never a raw struct/index crash."""
+    import numpy as np
+
+    from cubert_spark.datapipe import flac, jpeg, png
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    sine = (np.sin(np.arange(400) / 5) * 1000).astype("<i2")
+    files = [
+        (jpeg.encode_baseline_jpeg(img), jpeg.decode_jpeg),
+        (png.encode_png(img), png.decode_png),
+        (flac.encode_flac(sine, 8000, 16), flac.decode_flac),
+    ]
+    for raw, fn in files:
+        trunc = raw[: max(0, len(raw) - cut)]
+        try:
+            fn(trunc)
+        except (ValueError, NotImplementedError):
+            pass
