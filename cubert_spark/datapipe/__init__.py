@@ -5,13 +5,20 @@ star; beyond the reference's surface).
 - ``similarity`` — embedding cosine top-k (exact + fast paths).
 - ``textstats``  — token counts, quality scores, language ID,
   document fingerprints.
-- ``multimodal`` — opaque binary columns with typed metadata; decode /
-  resize / frame-sample plumbing (decode stubbed: media libs are not
-  in this container; the Spark-side schema/batching is real).
+- ``multimodal`` — opaque binary columns with typed metadata; REAL
+  pure-spec decode for six image formats (BMP/JPEG/PNG/GIF/TIFF/
+  Netpbm), WAV/FLAC/G.711/ADPCM audio, MJPEG-AVI + animated-GIF
+  video frames; pHash near-dup, spectral audio features; codecs that
+  genuinely need external libraries stay honest stubs.
 - ``components`` — connected components over near-dup pair graphs
   (pairs → duplicate clusters with a representative).
 - ``sampling``   — deterministic hash-keyed sampling / train-test
-  splits / stratified downsampling.
+  splits / stratified downsampling / dataset mixing.
+- ``curation``   — contamination screens, boilerplate removal,
+  paragraph dedup, normalization, chunking, sequence packing.
+- ``sketches``   — deterministic HyperLogLog, Count-Min, KMV set
+  algebra.
+- ``bpe``        — bounded-deterministic BPE train + Arrow apply.
 
 Determinism doctrine: every hash used for bucketing/signatures is
 md5-based (cross-engine reproducible), never engine-internal hash().
@@ -20,10 +27,13 @@ row-at-a-time UDFs.
 """
 
 from cubert_spark.datapipe import (  # noqa: F401
+    bpe,
     components,
+    curation,
     dedup,
     multimodal,
     sampling,
     similarity,
+    sketches,
     textstats,
 )
