@@ -421,3 +421,74 @@ def chunk_documents(
             F.size(chunk).alias("n_tokens"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """One-call dataset datasheet — the summary block of a dataset
+    card (public practice: Datasheets for Datasets, Gebru et al.):
+    long-format (metric, key, value) rows covering
+
+    - size:      docs, total tokens, total chars
+    - dedup:     distinct contents, exact-dup docs (count beyond the
+                 first copy of each content hash)
+    - languages: doc count per ``lang_col`` value (skipped if None)
+    - quality:   token-count p10/p50/p90 (percentile_disc — actual
+                 elements, engine-exact)
+
+    Three keyed aggregates + one tiny union — each branch reads the
+    corpus once and reduces immediately; nothing quadratic, nothing
+    driver-side. Values are exact bigints cast to double only for the
+    shared long-format column."""
+    from cubert_spark.datapipe.textstats import token_count
+
+    base = _spread(df, id_col).select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
+    )
+    v = F.col("v").cast("double")
+
+    size = base.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(token_count(F.col("__t"))).alias("tokens"),
+        F.sum(F.length("__t")).alias("chars"),
+    ).selectExpr(
+        "stack(3, 'size', 'docs', double(docs),"
+        " 'size', 'tokens', double(tokens),"
+        " 'size', 'chars', double(chars)) AS (metric, key, v)"
+    )
+    dup = (
+        base.groupBy(F.md5("__t").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("distinct_contents"),
+            F.sum(F.col("n") - 1).alias("exact_dup_docs"),
+        )
+        .selectExpr(
+            "stack(2, 'dedup', 'distinct_contents', double(distinct_contents),"
+            " 'dedup', 'exact_dup_docs', double(exact_dup_docs)) AS (metric, key, v)"
+        )
+    )
+    qual = base.select(token_count(F.col("__t")).alias("tc")).agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY tc)").alias("p10"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY tc)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY tc)").alias("p90"),
+    ).selectExpr(
+        "stack(3, 'quality', 'tokens_p10', double(p10),"
+        " 'quality', 'tokens_p50', double(p50),"
+        " 'quality', 'tokens_p90', double(p90)) AS (metric, key, v)"
+    )
+    out = size.unionByName(dup).unionByName(qual)
+    if lang_col:
+        langs = base.groupBy("__lang").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("languages").alias("metric"),
+            F.col("__lang").cast("string").alias("key"),
+            F.col("n").cast("double").alias("v"),
+        )
+        out = out.unionByName(langs)
+    return out.select("metric", "key", v.alias("value"))

@@ -494,6 +494,46 @@ SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk
 """
 
 
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """One-call dataset datasheet (curation.corpus_report): size,
+    exact-dup, language and token-percentile rows in long format —
+    three keyed aggregates + a tiny union, nothing quadratic."""
+    from cubert_spark.datapipe import curation
+
+    d = load_table(spark, sf, "documents")
+    return curation.corpus_report(d)
+
+
+SQL_CORPUS_REPORT = """
+WITH tc AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(text, '\\s+')) AS n_tok,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT 'size' AS metric, 'docs' AS key, CAST(COUNT(*) AS DOUBLE) AS value FROM tc
+UNION ALL
+SELECT 'size', 'tokens', CAST(SUM(n_tok) AS DOUBLE) FROM tc
+UNION ALL
+SELECT 'size', 'chars', CAST(SUM(n_chars) AS DOUBLE) FROM tc
+UNION ALL
+SELECT 'dedup', 'distinct_contents', CAST(COUNT(*) AS DOUBLE)
+FROM (SELECT md5(text) FROM tc GROUP BY 1)
+UNION ALL
+SELECT 'dedup', 'exact_dup_docs', CAST(SUM(n - 1) AS DOUBLE)
+FROM (SELECT COUNT(*) AS n FROM tc GROUP BY md5(text))
+UNION ALL
+SELECT 'quality', 'tokens_p10', CAST(quantile_disc(n_tok, 0.1) AS DOUBLE) FROM tc
+UNION ALL
+SELECT 'quality', 'tokens_p50', CAST(quantile_disc(n_tok, 0.5) AS DOUBLE) FROM tc
+UNION ALL
+SELECT 'quality', 'tokens_p90', CAST(quantile_disc(n_tok, 0.9) AS DOUBLE) FROM tc
+UNION ALL
+SELECT 'languages', CAST(lang AS VARCHAR), CAST(COUNT(*) AS DOUBLE)
+FROM tc GROUP BY lang
+"""
+
+
 def q_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
     """FILTERED vector search (the vector-DB pre-filter pattern,
     public: probe only corpus vectors whose metadata matches a
@@ -1834,6 +1874,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "pii_redact": q_pii_redact,
     "filtered_ann": q_filtered_ann,
+    "corpus_report": q_corpus_report,
     "pmi_pairs": q_pmi_pairs,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1888,6 +1929,7 @@ ORACLES = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "pii_redact": SQL_PII_REDACT,
     "filtered_ann": SQL_FILTERED_ANN,
+    "corpus_report": SQL_CORPUS_REPORT,
     "pmi_pairs": SQL_PMI_PAIRS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -2437,3 +2437,25 @@ def test_phash_neardup_pairs(spark):
     assert got.get((1, 2)) == 0
     assert (1, 3) in got and got[(1, 3)] <= 10
     assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_corpus_report_values(spark):
+    """corpus_report's long-format rows equal independently computed
+    facts on a hand corpus (dups, tokens, languages, percentiles)."""
+    from cubert_spark.datapipe.curation import corpus_report
+
+    rows = [
+        (1, "a b c", "en"),
+        (2, "a b c", "en"),          # exact dup of 1
+        (3, "x y z w", "fr"),
+        (4, "one two", "en"),
+        (5, "uno", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.metric, r.key): r.value for r in corpus_report(df).collect()}
+    assert got[("size", "docs")] == 5.0
+    assert got[("size", "tokens")] == 3 + 3 + 4 + 2 + 1
+    assert got[("dedup", "distinct_contents")] == 4.0
+    assert got[("dedup", "exact_dup_docs")] == 1.0
+    assert got[("languages", "en")] == 3.0 and got[("languages", "es")] == 1.0
+    assert got[("quality", "tokens_p50")] == 3.0
