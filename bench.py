@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "mode_by_group",
     "quantile_histogram",
     "rfm_scores",
+    "corpus_report",
 ]
 
 
