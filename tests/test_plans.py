@@ -566,3 +566,29 @@ def test_merge_upsert_base_never_shuffles(spark, tmp_path):
     assert 0 not in back and 14 not in back
     assert back[7] == 1 and back[21] == 3
     assert back[1] == 2 and len(back) == 1000 - 10 + 5
+
+
+# Shuffle-count ceilings measured on the shipped plans (sf0.001).
+# A NEW Exchange anywhere in these queries fails CI — the cheapest
+# tripwire for accidental repartitions/join-strategy regressions.
+_SHUFFLE_CEILINGS = {
+    "q1_groupby_agg": 1, "join_inner": 1, "mesh_join": 1,
+    "cube_count_distinct": 2, "topn": 1, "distinct": 1,
+    "sort_limit": 0, "wordcount": 1, "revenue_by_nation": 1,
+    "shipping_priority": 1, "large_orders": 1, "dedup_exact": 1,
+    "token_counts": 0, "scd2_build": 1, "rolling_distinct_users": 4,
+    "mode_by_group": 2, "equidepth_histogram": 2, "pareto_frontier": 2,
+    "kmv_set_ops": 4, "bloom_prune": 5, "corpus_report": 6,
+    "rfm_scores": 2, "quantile_histogram": 2,
+}
+
+
+def test_headline_shuffle_counts_hold(spark):
+    """Every headline query plans at most its recorded shuffle count.
+    (Fewer is fine — Catalyst improving; more is a regression.)"""
+    from cubert_spark.queries import all_queries
+
+    qs = all_queries()
+    for name, ceiling in sorted(_SHUFFLE_CEILINGS.items()):
+        got = shuffle_count(qs[name](spark, SF))
+        assert got <= ceiling, (name, got, ceiling)
