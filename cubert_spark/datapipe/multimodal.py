@@ -661,6 +661,13 @@ def decode_video_frames(
                     gframes = decode_gif(raw)
                     frame_src = [(fi, gframes[fi], 0.0) for fi in
                                  range(0, len(gframes), every_nth)]
+                elif raw[4:8] == b"ftyp":
+                    raise NotImplementedError(
+                        "MP4 frames are H.264+ access units that need a "
+                        "real codec; use sample_frames for the demuxed "
+                        "(still-encoded) units, or MJPEG-AVI / GIF for "
+                        "native pixel decode"
+                    )
                 else:
                     meta = parse_avi(raw)
                     spf = meta.get("us_per_frame", 0) / 1e6

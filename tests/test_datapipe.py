@@ -2459,3 +2459,18 @@ def test_corpus_report_values(spark):
     assert got[("dedup", "exact_dup_docs")] == 1.0
     assert got[("languages", "en")] == 3.0 and got[("languages", "es")] == 1.0
     assert got[("quality", "tokens_p50")] == 3.0
+
+
+def test_decode_video_frames_mp4_helpful_error(spark):
+    """Passing an MP4 to the pixel-decode tier raises the honest
+    NotImplementedError pointing at sample_frames, not a confusing
+    AVI parse failure."""
+    import pytest
+
+    from cubert_spark.datapipe.multimodal import decode_video_frames
+
+    mp4ish = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    df = spark.createDataFrame([(1, mp4ish)], "id long, blob binary")
+    with pytest.raises(Exception) as ei:
+        decode_video_frames(df).collect()
+    assert "sample_frames" in str(ei.value)
