@@ -2474,3 +2474,45 @@ def test_decode_video_frames_mp4_helpful_error(spark):
     with pytest.raises(Exception) as ei:
         decode_video_frames(df).collect()
     assert "sample_frames" in str(ei.value)
+
+
+def test_lossless_codecs_mutually_consistent(spark):
+    """Five independent encode/decode paths (BMP, PNG, GIF, TIFF,
+    Netpbm) must reproduce the SAME pixels for the same image — a
+    mutual cross-validation of five separate codec implementations
+    (any one diverging fails against the other four)."""
+    import struct
+
+    import numpy as np
+
+    from cubert_spark.datapipe.gif import encode_gif
+    from cubert_spark.datapipe.multimodal import _decode_any_image
+    from cubert_spark.datapipe.png import encode_png
+    from cubert_spark.datapipe.tiff import encode_netpbm, encode_tiff
+
+    def encode_bmp(arr):
+        h, w = arr.shape[:2]
+        pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+        rows = b"".join(arr[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+        return (
+            struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+            + rows
+        )
+
+    rng = np.random.default_rng(17)
+    # <=256 distinct colors so GIF can hold it losslessly
+    palette = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 200, size=(21, 33))]
+
+    blobs = {
+        "bmp": encode_bmp(img),
+        "png": encode_png(img),
+        "gif": encode_gif([img]),
+        "tiff": encode_tiff(img),
+        "netpbm": encode_netpbm(img),
+    }
+    decoded = {k: _decode_any_image(b) for k, b in blobs.items()}
+    for k, arr in decoded.items():
+        assert arr.shape == img.shape, k
+        assert (arr == img).all(), f"{k} diverged from the source pixels"
