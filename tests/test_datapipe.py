@@ -2516,3 +2516,36 @@ def test_lossless_codecs_mutually_consistent(spark):
     for k, arr in decoded.items():
         assert arr.shape == img.shape, k
         assert (arr == img).all(), f"{k} diverged from the source pixels"
+
+
+def test_audio_codecs_mutually_consistent(spark):
+    """WAV (stdlib) and FLAC (pure-Python) carrying the SAME PCM16
+    samples decode to identical features through decode_audio — two
+    independent decode paths cross-validating each other."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from cubert_spark.datapipe import flac
+    from cubert_spark.datapipe.multimodal import decode_audio
+
+    t = np.arange(4000)
+    pcm = (np.sin(t / 7.0) * 12000 + np.sin(t / 3.1) * 5000).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    wav_blob = buf.getvalue()
+    flac_blob = flac.encode_flac(pcm, 8000, 16)
+
+    df = spark.createDataFrame(
+        [(1, wav_blob), (2, flac_blob)], "id long, blob binary"
+    )
+    got = {r.id: r for r in decode_audio(df).collect()}
+    assert got[1].n_samples == got[2].n_samples == 4000
+    assert got[1].sample_rate == got[2].sample_rate == 8000
+    assert got[1].rms == got[2].rms
+    assert got[1].envelope == got[2].envelope
