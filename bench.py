@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "quantile_histogram",
     "rfm_scores",
     "corpus_report",
+    "returned_items",
 ]
 
 

@@ -658,6 +658,48 @@ def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item reporting: top-20 customers by
+    revenue lost to returns in a quarter. Fact side filters push to
+    the lineitem scan (returnflag) and orders scan (date band); the
+    nation dim broadcasts; top-20 plans TakeOrderedAndProject.
+    Revenue through DECIMAL."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-04-01"))
+    )
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1998-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 SQL_LARGE_ORDERS = f"""
 SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate,
@@ -730,6 +772,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
+    "returned_items": q_returned_items,
 }
 
 ORACLES = {
@@ -760,4 +803,5 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "large_orders": SQL_LARGE_ORDERS,
+    "returned_items": SQL_RETURNED_ITEMS,
 }
