@@ -6,10 +6,13 @@ Prints ONE JSON line:
 {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect). The set mirrors BASELINE.md §2's bench protocol:
-scan-agg, 2-way join, count-distinct cube, window top-n, distinct,
-global sort, plus the datapipe headliners (minhash dedup, embedding
-top-k, wordcount).
+no driver collect). The set started as BASELINE.md §2's protocol
+(scan-agg, joins, count-distinct cube, window top-n, distinct, global
+sort, minhash dedup, embedding top-k, wordcount) and grew batch by
+batch with every heavyweight operator added since — ~70 queries
+spanning curation, retrieval, sketches, graph, temporal analytics,
+storage roundtrips and the TPC-H-flavored depth set. Per-query
+rationale and round-over-round deltas live in SCALE.md.
 """
 
 from __future__ import annotations
