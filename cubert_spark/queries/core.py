@@ -658,6 +658,36 @@ def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q6-style forecast revenue change: one filtered scan, one
+    global aggregate — every predicate (date band, discount band,
+    quantity cap) pushes to the parquet scan; zero joins, zero wide
+    shuffles (partial -> final agg only). Revenue through DECIMAL."""
+    li = load_table(spark, sf, "lineitem")
+    out = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_FORECAST_REVENUE = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
 def q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-Q10-style returned-item reporting: top-20 customers by
     revenue lost to returns in a quarter. Fact side filters push to
@@ -773,6 +803,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
     "returned_items": q_returned_items,
+    "forecast_revenue": q_forecast_revenue,
 }
 
 ORACLES = {
@@ -804,4 +835,5 @@ ORACLES = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "large_orders": SQL_LARGE_ORDERS,
     "returned_items": SQL_RETURNED_ITEMS,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
 }
