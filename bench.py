@@ -34,12 +34,18 @@ BENCH_QUERIES = [
     "sort_limit",
     "wordcount",
     "minhash_lsh",
+    # minhash_lsh_fast moved out of queries() in r6 (no oracle is
+    # possible for the JVM hash path) but stays benched via _EXTRA —
+    # it is the production-speed tier, so its perf still gates.
     "minhash_lsh_fast",
     "embedding_topk",
     "sessionize",
     "asof_join",
     "summary_rewrite",
     "corpus_pipeline",
+    # r6: ivf_topk now times the attested recall-contract query (ANN
+    # probe + in-query exact brute-force ground truth), so its number
+    # includes one embedding_topk-shaped pass on top of the index probe
     "ivf_topk",
     # r02 additions: heaviest previously-unbenched operators, so
     # regressions in them show up in round-over-round deltas
@@ -136,8 +142,20 @@ def main() -> None:
 
     from cubert_spark import get_session
     from cubert_spark.queries import all_queries
+    from cubert_spark.queries import datapipe as _dp
 
-    spark = get_session("cubert-bench")
+    # bench-only rows: implemented + pytest-pinned operators that have
+    # no possible oracle and therefore live outside queries()
+    _extra = {"minhash_lsh_fast": _dp.q_minhash_lsh_fast}
+
+    # Console progress bars are stderr \r-frame floods — at ~70
+    # queries x 3 runs they overflowed the driver's capture budget in
+    # r5 and truncated the machine-readable record (BENCH_r05.json
+    # "parsed": null). Bench output discipline: progress bars off,
+    # stdout carries EXACTLY one line — the JSON.
+    spark = get_session(
+        "cubert-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     queries = all_queries()
 
     # JVM/codegen/parquet-reader warmup on a trivial action (not
@@ -165,7 +183,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        fn = queries[name]
+        fn = queries.get(name) or _extra[name]
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -181,26 +199,26 @@ def main() -> None:
         print(f"# {name}: min={timings[name]:.3f}s runs={runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "medians": medians,
-                "runs": raw_runs,
-                "n_runs_per_query": n_runs,
-                # bench-protocol version: 1 = single-shot (r01-r03),
-                # 2 = min-of-n repeats (r04), 3 = + medians, no
-                # module-global caches, default n=3 repeats (r05+;
-                # box variance made min-of-2 gate-flaky). Cross-round
-                # tooling should compare like-versioned numbers.
-                "bench_schema_version": 3,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "bench_total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "medians": medians,
+            "runs": raw_runs,
+            "n_runs_per_query": n_runs,
+            # bench-protocol version: 1 = single-shot (r01-r03),
+            # 2 = min-of-n repeats (r04), 3 = + medians, no
+            # module-global caches, default n=3 repeats (r05+;
+            # box variance made min-of-2 gate-flaky). Cross-round
+            # tooling should compare like-versioned numbers.
+            "bench_schema_version": 3,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    print(payload, flush=True)
     spark.stop()
 
 

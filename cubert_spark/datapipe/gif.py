@@ -160,6 +160,10 @@ def _decode_gif_impl(raw: bytes) -> list[np.ndarray]:
         else:
             region[:, :] = rgb
         frames.append(canvas.copy())
+        # GIF89a: a Graphic Control Extension applies only to the
+        # FIRST rendering block after it — reset so a frame with no
+        # GCE of its own doesn't inherit the previous transparency
+        transparent = None
     if not frames:
         raise GifError("no image data in GIF")
     return frames

@@ -187,3 +187,105 @@ def video_samples(
             raise Mp4Error(f"sample {i} byte range exceeds file")
         out.append((i, raw[off : off + size], t))
     return out
+
+# --- MJPEG-in-MP4 muxer ------------------------------------------------------
+# Writer counterpart of demux_mp4 for the one video codec this repo
+# decodes natively (the pure-spec JPEG codec): each sample is a whole
+# JPEG bitstream, sample entry fourcc 'jpeg' (ISO/IEC 14496-12 visual
+# sample entry). With this both container families — RIFF/AVI and ISO
+# BMFF/MP4 — round-trip to real pixels without any codec library.
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), fourcc) + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+def encode_mjpeg_mp4(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 5,
+    timescale: int = 1000,
+) -> bytes:
+    """Mux already-encoded JPEG bitstreams into a minimal progressive
+    MP4 (ftyp + mdat + moov; one 'vide' track, sample entry 'jpeg',
+    one chunk per sample, absolute stco offsets). The output parses
+    with demux_mp4/video_samples sample-for-sample and decodes with
+    decode_video_frames' MJPEG-in-MP4 path."""
+    if not jpeg_frames:
+        raise Mp4Error("no frames to mux")
+    for f in jpeg_frames:
+        if f[:2] != b"\xff\xd8":
+            raise Mp4Error("frame is not a JPEG bitstream (missing SOI)")
+    n = len(jpeg_frames)
+    delta = max(timescale // max(fps, 1), 1)
+    duration = n * delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(jpeg_frames)
+    # absolute sample offsets: ftyp, then mdat header (8), then frames
+    base = len(ftyp) + 8
+    offsets = []
+    off = base
+    for f in jpeg_frames:
+        offsets.append(off)
+        off += len(f)
+    mdat = _box(b"mdat", mdat_payload)
+
+    # stbl leaves
+    entry = (
+        struct.pack(">I4s", 86, b"jpeg")
+        + b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_idx
+        + b"\x00" * 16                                  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)        # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)            # reserved + frame_count
+        + b"\x0bMotion JPEG" + b"\x00" * 20             # compressorname (32)
+        + struct.pack(">Hh", 24, -1)                    # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *map(len, jpeg_frames)),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">I", n) + struct.pack(f">{n}I", *offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    url = _full(b"url ", 0, 1, b"")
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)                # times, track_id, reserved
+        + struct.pack(">I", duration) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)              # layer/group/volume/res
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH2s", 0x00010000, 0x0100, b"\x00\x00") + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),          # pre_defined + next_track
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -631,13 +631,14 @@ def decode_video_frames(
     every_nth: int = 1,
     target_size: tuple[int, int] = (32, 32),
 ) -> DataFrame:
-    """REAL video pixel decode for MJPEG AVI blobs: demux (datapipe.
-    avi), decode each sampled frame's JPEG bitstream with the
-    pure-spec codec (datapipe.jpeg), resize, and emit per-frame
-    features (mean R/G/B/gray — the same feature contract as
-    decode_images). The first video tier that produces PIXELS without
-    a codec library; H.264+ containers still raise via sample_frames'
-    honest stub path.
+    """REAL video pixel decode for MJPEG blobs in BOTH container
+    families: MJPEG AVI (datapipe.avi) and MJPEG-in-MP4 (datapipe.mp4,
+    sample entry 'jpeg') demux natively, each sampled frame's JPEG
+    bitstream decodes with the pure-spec codec (datapipe.jpeg), then
+    resize + per-frame features (mean R/G/B/gray — the same feature
+    contract as decode_images). Produces PIXELS without any codec
+    library; H.264+ samples still raise the honest
+    NotImplementedError.
 
     Arrow-batched mapInPandas; per-frame cost is one JPEG decode +
     one resize — the pipeline shape that scales out per blob row."""
@@ -662,12 +663,24 @@ def decode_video_frames(
                     frame_src = [(fi, gframes[fi], 0.0) for fi in
                                  range(0, len(gframes), every_nth)]
                 elif raw[4:8] == b"ftyp":
-                    raise NotImplementedError(
-                        "MP4 frames are H.264+ access units that need a "
-                        "real codec; use sample_frames for the demuxed "
-                        "(still-encoded) units, or MJPEG-AVI / GIF for "
-                        "native pixel decode"
-                    )
+                    # MJPEG-in-MP4 (sample entry 'jpeg', each sample a
+                    # whole JPEG bitstream) decodes natively via the
+                    # demuxer + pure-spec JPEG codec; anything else in
+                    # an MP4 is H.264+ access units -> honest reject
+                    from cubert_spark.datapipe.mp4 import video_samples
+
+                    samples = video_samples(raw, every_nth)
+                    if not all(sb[:2] == b"\xff\xd8" for _, sb, _ in samples):
+                        raise NotImplementedError(
+                            "MP4 video samples are not JPEG bitstreams "
+                            "(H.264+ needs a real codec); MJPEG-in-MP4, "
+                            "MJPEG-AVI and GIF decode to pixels natively; "
+                            "use sample_frames for the demuxed "
+                            "(still-encoded) units"
+                        )
+                    frame_src = [
+                        (fi, decode_jpeg(sb), t) for fi, sb, t in samples
+                    ]
                 else:
                     meta = parse_avi(raw)
                     spf = meta.get("us_per_frame", 0) / 1e6
@@ -715,10 +728,14 @@ def phash_neardup_pairs(
     minhash-LSH, end to end: decode -> :func:`image_phash` -> band the
     64-bit hash into ``n_bands`` 16-bit keys -> candidate self-join on
     (band_idx, band_key) -> exact hamming verify <= ``max_hamming``.
-    By the pigeonhole principle two hashes within
-    (n_bands - 1) bits MUST share a band, and near-dups far below the
-    bound almost always do — the same recall argument as minhash
-    banding, with the same never-all-pairs candidate shape.
+    Recall contract, precisely: the pigeonhole guarantee covers only
+    hamming <= n_bands - 1 (two hashes that differ in fewer bits than
+    there are bands MUST share an intact band); with the defaults
+    (n_bands=4, max_hamming=10) pairs at distance 4..10 are found only
+    PROBABILISTICALLY — a pair whose differing bits straddle all four
+    bands is missed. That is the standard LSH trade; for guaranteed
+    recall up to d, set n_bands >= d + 1 (more bands = more candidate
+    join volume, same never-all-pairs shape).
 
     Output: (id_a, id_b, hamming) with id_a < id_b. Everything after
     the per-blob decode is JVM expressions (band extraction, join,

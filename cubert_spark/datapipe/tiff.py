@@ -78,6 +78,16 @@ def _decode_tiff_impl(raw: bytes) -> np.ndarray:
             f"TIFF compression {compression} needs a codec; only "
             "uncompressed (1) decodes natively"
         )
+    # PhotometricInterpretation (tag 262): 0 = WhiteIsZero (grayscale,
+    # inverted), 1 = BlackIsZero, 2 = RGB. Palette-color (3) and
+    # beyond need a color map / extra channels — reject rather than
+    # silently decode palette indices as gray.
+    photometric = one(262, 1)
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} unsupported (baseline "
+            "grayscale/RGB only; palette-color needs tag 320 lookup)"
+        )
     spp = one(277, 1)
     bits = t.get(258, [8] * spp)
     if any(b != 8 for b in bits):
@@ -100,6 +110,8 @@ def _decode_tiff_impl(raw: bytes) -> np.ndarray:
         raise TiffError("strip data short of pixels")
     arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
     _ = rows_per_strip
+    if photometric == 0:  # min-is-white: invert to the BlackIsZero convention
+        arr = 255 - arr
     if spp == 1:
         return arr.reshape(h, w)
     return arr.reshape(h, w, 3)

@@ -556,16 +556,27 @@ SELECT COUNT(*) AS n, 'only_1995' AS set_op FROM (SELECT DISTINCT o_custkey FROM
 
 def q_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HLL-sketch count-distinct — the 100 TB scale path where exact
-    distinct is unnecessary (rows-only check: sketch estimates are
-    engine-specific, so no value oracle; the driver records the weaker
-    row-count match)."""
+    distinct is unnecessary. Driver-checkable contract: the sketch
+    estimate itself is engine-specific, so the query emits the exact
+    count plus a ``within_5pct`` boolean asserting the sketch landed
+    inside HLL's published error envelope (relSD defaults to 0.05);
+    the oracle derives the same columns from exact math (TRUE
+    literal), so a sketch regression flips the hash red."""
     o = load_table(spark, sf, "orders")
-    return group_by(
+    g = group_by(
         o,
         ["o_orderpriority"],
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        # rsd 0.01 (2^14 registers): measured error <=1% at the test
+        # SFs, so the 5% envelope holds with 5x margin (the default
+        # rsd 0.05 measured up to 9.7% off — outside its own 1-sigma)
+        F.approx_count_distinct("o_custkey", 0.01).alias("__approx"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+    within = (
+        F.abs(F.col("__approx") - F.col("exact_customers"))
+        <= F.col("exact_customers") * F.lit(0.05)
+    ).alias("within_5pct")
+    return g.select("o_orderpriority", "exact_customers", within)
 
 
 def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
@@ -806,10 +817,20 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
 }
 
+SQL_APPROX_COUNT_DISTINCT = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
 ORACLES = {
     "set_ops": SQL_SET_OPS,
-    # approx_count_distinct: intentionally no oracle (sketch values are
-    # engine-specific); driver records rows-only.
+    # approx_count_distinct: the sketch estimate is engine-specific, so
+    # the contract is exact count + a within-envelope boolean the
+    # oracle asserts from exact math (TRUE).
+    "approx_count_distinct": SQL_APPROX_COUNT_DISTINCT,
     "generate_filter": SQL_GENERATE_FILTER,
     "q1_groupby_agg": SQL_Q1,
     "groupby_all": SQL_GROUPBY_ALL,

@@ -79,9 +79,25 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-label embedding centroids (similarity.label_centroids)
     — DECIMAL-exact per-position sums, one sum/count divide per
-    position, array reassembled in position order."""
+    position. The API returns (label, n_vecs, centroid array<double>);
+    the query surface posexplodes to (label, n_vecs, pos, centroid_val)
+    rows because the driver's pandas canonicalizer cannot sort
+    list-typed cells (the r1 collect_bag lesson)."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.label_centroids(e)
+    c = similarity.label_centroids(e)
+    ex = c.select(
+        "label",
+        "n_vecs",
+        F.posexplode("centroid").alias("pos", "__cv"),
+    )
+    # ROUND(x, 9) on both engines: the raw mean differs by 1-3 ulp
+    # cross-engine (decimal(38,18)->double conversion is single-rounded
+    # in Spark, double-rounded in DuckDB for >2^53-scaled sums); both
+    # engines correctly round the same 9-decimal value, so the rounded
+    # mean replays bit-for-bit
+    return ex.select(
+        "label", "n_vecs", "pos", F.round("__cv", 9).alias("centroid_val")
+    )
 
 
 SQL_LABEL_CENTROIDS = f"""
@@ -93,10 +109,9 @@ per_pos AS (
   FROM e, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
   GROUP BY 1, 2
 )
-SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
-       array_agg(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS centroid
+SELECT label, CAST(n AS BIGINT) AS n_vecs, CAST(pos - 1 AS INT) AS pos,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS centroid_val
 FROM per_pos
-GROUP BY label
 """
 
 
@@ -194,11 +209,38 @@ FROM (
 
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib compressibility per document (textstats.compression_ratio)
-    — redundancy/quality signal. No SQL engine has zlib, so there is
-    deliberately no oracle (rows-only driver check); exactness is
-    pinned by the pytest model-check against Python zlib."""
+    — redundancy/quality signal. No SQL engine has zlib, so the
+    driver-checkable contract is: exact raw UTF-8 byte length (DuckDB
+    ``strlen`` replays it) plus a ``comp_ok`` boolean asserting the
+    zlib output obeys its published invariants — non-empty stream,
+    within compressBound(n) = n + (n>>12) + (n>>14) + (n>>25) + 13,
+    and ratio consistent with comp_len/raw_len. The oracle derives the
+    same columns from exact math (TRUE literal). Bit-exact zlib values
+    stay pinned by the pytest model-check against Python zlib."""
     d = load_table(spark, sf, "documents")
-    return textstats.compression_ratio(d)
+    cr = textstats.compression_ratio(d)
+    bound = (
+        F.col("raw_len")
+        + F.shiftright("raw_len", 12)
+        + F.shiftright("raw_len", 14)
+        + F.shiftright("raw_len", 25)
+        + F.lit(13)
+    )
+    ratio_ok = F.when(
+        F.col("raw_len") > 0,
+        F.col("ratio")
+        == F.col("comp_len").cast("double") / F.col("raw_len").cast("double"),
+    ).otherwise(F.col("ratio").isNull())
+    comp_ok = (
+        (F.col("comp_len") > 0) & (F.col("comp_len") <= bound) & ratio_ok
+    ).alias("comp_ok")
+    return cr.select("doc_id", "raw_len", comp_ok)
+
+
+SQL_COMPRESSION_RATIO = """
+SELECT doc_id, CAST(strlen(text) AS INT) AS raw_len, TRUE AS comp_ok
+FROM documents
+"""
 
 
 SQL_CONTAINMENT_PAIRS = _SH_CTE + """
@@ -460,11 +502,26 @@ FROM documents
 """
 
 
+def _round9(df: DataFrame, *cols: str) -> DataFrame:
+    """ROUND(x, 9) the named float columns: the raw decimal->double
+    conversion drifts 1-3 ulp cross-engine on >2^53-scaled DECIMAL
+    sums (Spark single-rounds via BigDecimal.doubleValue, DuckDB
+    double-rounds via int128->double / 10^scale), and both engines
+    correctly round the shared 9-decimal value — the same discipline
+    as the oracles' ROUND(..., 9)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(c, 9))
+    return out
+
+
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-5 for query vectors vec_id < 5 (decimal-exact
     dot products; see datapipe.similarity)."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+    return _round9(
+        similarity.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5), "cos"
+    )
 
 
 SQL_EMBEDDING_TOPK = """
@@ -490,7 +547,7 @@ ranked AS (
          ) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+SELECT query_id, neighbor_id, ROUND(cos, 9) AS cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
 """
 
 
@@ -544,10 +601,13 @@ def q_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
     score-then-filter, which starves k when the predicate is
     selective."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.cosine_topk(
-        e.filter(F.col("label") == 2),
-        e.filter(F.col("vec_id") < 5),
-        k=5,
+    return _round9(
+        similarity.cosine_topk(
+            e.filter(F.col("label") == 2),
+            e.filter(F.col("vec_id") < 5),
+            k=5,
+        ),
+        "cos",
     )
 
 
@@ -575,7 +635,7 @@ ranked AS (
          ) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+SELECT query_id, neighbor_id, ROUND(cos, 9) AS cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
 """
 
 
@@ -701,24 +761,72 @@ FROM documents
 """
 
 
-def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (approximate, KMeans quantizer -> rows-only check: no
-    cross-engine oracle for an approximate index)."""
-    e = load_table(spark, sf, "embeddings")
-    return similarity.ivf_topk(
-        e, e.filter(F.col("vec_id") < 5), k=5, n_lists=8, nprobe=3,
-        max_iter=4,
+def _ann_recall_contract(
+    ann: DataFrame, exact: DataFrame, k: int, min_total_hits: int
+) -> DataFrame:
+    """Driver-checkable contract for an approximate index: per query,
+    emit ``full_k`` (the index returned all k neighbors) and
+    ``recall_ok`` (the query SET found >= min_total_hits members of
+    the EXACT top-k sets, computed in the same query as ground
+    truth). Both are deterministic for a seeded index on fixed data;
+    the oracle asserts them from exact math (TRUE literals). A recall
+    regression — worse hashing, broken probe order, a quantizer bug —
+    flips the hash red instead of hiding behind a rows-only check.
+    The floor is corpus-level because the synthetic embeddings are
+    unstructured noise (max pairwise cos ~0.5): per-query recall on
+    data with no true near neighbors is exactly what ANN is allowed
+    to trade away, while a broken index drops to ~zero hits."""
+    hits = ann.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
     )
+    total = F.broadcast(hits.agg(F.count(F.lit(1)).alias("__total_hits")))
+    per_q = (
+        ann.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_ann"))
+        .crossJoin(total)
+    )
+    return per_q.select(
+        "query_id",
+        (F.col("__n_ann") == k).alias("full_k"),
+        (F.col("__total_hits") >= min_total_hits).alias("recall_ok"),
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (approximate, KMeans quantizer). The neighbor list is
+    engine-specific, so the attested contract is recall against the
+    in-query exact brute-force top-k (see _ann_recall_contract;
+    measured 15/25 hits at sf0.001, 12/25 at sf0.01 with nprobe=3 of
+    8 lists — floor 6 holds 2x); the raw neighbor surface stays
+    available as similarity.ivf_topk and the deterministic twin
+    ivf_topk_exact."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ann = similarity.ivf_topk(e, q, k=5, n_lists=8, nprobe=3, max_iter=4)
+    exact = similarity.cosine_topk(e, q, k=5)
+    return _ann_recall_contract(ann, exact, k=5, min_total_hits=6)
 
 
 def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-probe LSH ANN (rows-only: approximate index, no
-    cross-engine oracle; recall floor asserted in
-    tests/test_datapipe.py::test_lsh_bucketed_recall)."""
+    """Multi-probe LSH ANN. Same recall contract as q_ivf_topk
+    (measured 3/25 hits at both test SFs — a 3-of-64-buckets probe
+    over noise embeddings keeps what it's allowed to keep; floor 1
+    distinguishes a working index from a broken one). Raw surface:
+    similarity.lsh_bucketed_topk + the deterministic twin
+    lsh_ann_exact; recall floor on clustered data asserted in
+    tests/test_datapipe.py::test_lsh_bucketed_recall."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.lsh_bucketed_topk(
-        e, e.filter(F.col("vec_id") < 5), k=5, num_planes=6, multi_probe=2
-    )
+    q = e.filter(F.col("vec_id") < 5)
+    ann = similarity.lsh_bucketed_topk(e, q, k=5, num_planes=6, multi_probe=2)
+    exact = similarity.cosine_topk(e, q, k=5)
+    return _ann_recall_contract(ann, exact, k=5, min_total_hits=1)
+
+
+SQL_ANN_RECALL = """
+SELECT vec_id AS query_id, TRUE AS full_k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
 
 
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
@@ -754,9 +862,12 @@ def q_lsh_ann_exact(spark: SparkSession, sf: str) -> DataFrame:
     """LSH ANN with decimal-exact sign + rescoring (single-probe):
     the oracle-checkable twin of lsh_ann."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.lsh_exact_topk(
-        e, e.filter(F.col("vec_id") < 5), k=5, num_planes=6, seed=42,
-        dim=_EMB_DIM,
+    return _round9(
+        similarity.lsh_exact_topk(
+            e, e.filter(F.col("vec_id") < 5), k=5, num_planes=6, seed=42,
+            dim=_EMB_DIM,
+        ),
+        "cos",
     )
 
 
@@ -809,7 +920,7 @@ ranked AS (
          ) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+SELECT query_id, neighbor_id, ROUND(cos, 9) AS cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
 """
 
 
@@ -818,7 +929,7 @@ def q_ivf_assign_exact(spark: SparkSession, sf: str) -> DataFrame:
     decimal-exact argmax — the oracle-checkable twin of ivf_topk's
     assignment stage."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.ivf_assign_exact(e, _IVF_EXACT_CENTROIDS)
+    return _round9(similarity.ivf_assign_exact(e, _IVF_EXACT_CENTROIDS), "dot")
 
 
 def q_ivf_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -827,8 +938,12 @@ def q_ivf_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
     twin of ivf_topk end-to-end (ivf_assign_exact covers only the
     assignment stage)."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.ivf_exact_topk(
-        e, e.filter(F.col("vec_id") < 5), _IVF_EXACT_CENTROIDS, k=5, nprobe=3
+    return _round9(
+        similarity.ivf_exact_topk(
+            e, e.filter(F.col("vec_id") < 5), _IVF_EXACT_CENTROIDS, k=5,
+            nprobe=3,
+        ),
+        "cos",
     )
 
 
@@ -881,7 +996,7 @@ ranked AS (
          ) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+SELECT query_id, neighbor_id, ROUND(cos, 9) AS cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
 """.replace("{vals}", _vals(_IVF_EXACT_CENTROIDS))
 
 
@@ -901,7 +1016,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
   FROM dots
 )
-SELECT vec_id, CAST(j AS INT) AS list_id, CAST(dot AS DOUBLE) AS dot
+SELECT vec_id, CAST(j AS INT) AS list_id, ROUND(CAST(dot AS DOUBLE), 9) AS dot
 FROM ranked WHERE rn = 1
 """
 
@@ -916,9 +1031,17 @@ def q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization codes (similarity.pq_encode): 64-dim
     embeddings -> 4 codes from fixed seeded codebooks, DECIMAL-exact
     per-subspace argmax — the memory-compression side of PQ-ANN,
-    oracle-replayed codeword-for-codeword."""
+    oracle-replayed codeword-for-codeword. The API returns codes as
+    array<int>; the query surface posexplodes to (vec_id, pos, code,
+    dot0) rows for the driver's canonicalizer."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.pq_encode(e, _PQ_CODEBOOKS)
+    enc = similarity.pq_encode(e, _PQ_CODEBOOKS)
+    # posexplode_outer: see q_hashed_embedding (always 4 codes)
+    return enc.select(
+        "vec_id",
+        F.round("dot0", 9).alias("dot0"),
+        F.posexplode_outer("codes").alias("pos", "code"),
+    )
 
 
 def _pq_sub_sql(m: int) -> str:
@@ -947,12 +1070,14 @@ cb{m}(j, c) AS (
 )''' for m in range(4))},
 {",".join(_pq_sub_sql(m) for m in range(4))}
 SELECT e.vec_id,
-       [CAST(best0.j AS INT), CAST(best1.j AS INT),
-        CAST(best2.j AS INT), CAST(best3.j AS INT)] AS codes,
-       CAST(best0.dot AS DOUBLE) AS dot0
+       ROUND(CAST(best0.dot AS DOUBLE), 9) AS dot0,
+       CAST(p AS INT) AS pos,
+       CAST(CASE p WHEN 0 THEN best0.j WHEN 1 THEN best1.j
+                   WHEN 2 THEN best2.j ELSE best3.j END AS INT) AS code
 FROM e
 JOIN best0 USING (vec_id) JOIN best1 USING (vec_id)
-JOIN best2 USING (vec_id) JOIN best3 USING (vec_id)
+JOIN best2 USING (vec_id) JOIN best3 USING (vec_id),
+LATERAL UNNEST(range(0, 4)) AS t(p)
 """
 
 
@@ -962,8 +1087,11 @@ def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     lookup — the search half of PQ-ANN, bit-replayed in the oracle
     (codes + LUT + DECIMAL sum, all exact)."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.pq_adc_topk(
-        e, e.filter(F.col("vec_id") < 5), _PQ_CODEBOOKS, k=5
+    return _round9(
+        similarity.pq_adc_topk(
+            e, e.filter(F.col("vec_id") < 5), _PQ_CODEBOOKS, k=5
+        ),
+        "est",
     )
 
 
@@ -998,7 +1126,7 @@ est AS (
   JOIN lut2 l2 ON l2.q_id = qq.q_id AND l2.j = b2.j
   JOIN lut3 l3 ON l3.q_id = qq.q_id AND l3.j = b3.j
 )
-SELECT q_id, vec_id, CAST(est AS DOUBLE) AS est, CAST(rnk AS INT) AS rnk FROM (
+SELECT q_id, vec_id, ROUND(CAST(est AS DOUBLE), 9) AS est, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est DESC, vec_id) AS rnk
   FROM est
 ) WHERE rnk <= 5
@@ -1258,7 +1386,7 @@ def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
 SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({c}) AS VARCHAR) AS min_val,
        CAST(MAX({c}) AS VARCHAR) AS max_val
@@ -1441,9 +1569,20 @@ WHERE lang.lang_pred = 'en'
 
 def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashing document embedder (dim 32): bucket counts
-    L2-normalized — exact bigint norms, IEEE divides."""
+    L2-normalized — exact bigint norms, IEEE divides. The API returns
+    (doc_id, vec array<double>, n_terms); the query surface
+    posexplodes to (doc_id, n_terms, pos, val) rows for the driver's
+    canonicalizer."""
     d = load_table(spark, sf, "documents")
-    return textstats.hashed_bow_embedding(d, dim=32)
+    h = textstats.hashed_bow_embedding(d, dim=32)
+    # posexplode_OUTER, deliberately: inner posexplode makes
+    # InferFiltersFromGenerate push a size(vec)>0 filter below the
+    # projection, inlining the md5-heavy vec expression once per
+    # position (measured 252 s vs 8 s at sf0.1). vec always has
+    # exactly 32 elements, so outer semantics are identical.
+    return h.select(
+        "doc_id", "n_terms", F.posexplode_outer("vec").alias("pos", "val")
+    )
 
 
 SQL_HASHED_EMBEDDING = f"""
@@ -1464,15 +1603,14 @@ c AS (
 ),
 s AS (
   SELECT doc_id, n_terms, counts,
-         list_sum(list_transform(counts, c -> c * c)) AS ss
+         CAST(list_sum(list_transform(counts, c -> c * c)) AS BIGINT) AS ss
   FROM c
 )
-SELECT doc_id,
+SELECT doc_id, n_terms, CAST(j AS INT) AS pos,
        CASE WHEN ss > 0
-            THEN list_transform(counts, c -> CAST(c AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)))
-            ELSE list_transform(counts, c -> 0.0) END AS vec,
-       n_terms
-FROM s
+            THEN CAST(counts[j + 1] AS DOUBLE) / sqrt(CAST(ss AS DOUBLE))
+            ELSE 0.0 END AS val
+FROM s, LATERAL UNNEST(range(0, 32)) AS t2(j)
 """
 
 
@@ -1586,9 +1724,9 @@ t AS (
 m AS (
   SELECT doc_id,
          CAST(len(terms) AS INT) AS n_terms,
-         COALESCE(list_sum(list_transform(
+         CAST(COALESCE(list_sum(list_transform(
            terms, s -> ws[1 + ({_hash16_sql('s', 'hls')}) % 128]
-         )), 0) AS margin
+         )), 0) AS BIGINT) AS margin
   FROM t, w
 )
 SELECT doc_id, n_terms, margin,
@@ -1640,20 +1778,29 @@ WHERE CAST({_hash16_sql('d.doc_id', 'mix')} AS DOUBLE) < frac.f * 65536.0
 
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of the embeddings table — codes and
-    scales bit-replayable (floor(x+0.5) rounding, fixed IEEE ops)."""
+    scales bit-replayable (floor(x+0.5) rounding, fixed IEEE ops). The
+    API returns codes as array<int>; the query surface posexplodes to
+    (vec_id, scale, pos, code) rows for the driver's canonicalizer."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.quantize_embeddings(e)
+    q = similarity.quantize_embeddings(e)
+    # posexplode_outer: see q_hashed_embedding (codes is always
+    # dim elements; inner explode would re-inline the quantize
+    # expressions into an inferred size-filter)
+    return q.select(
+        "vec_id", "scale", F.posexplode_outer("codes").alias("pos", "code")
+    )
 
 
-SQL_EMBEDDING_QUANTIZE = """
+SQL_EMBEDDING_QUANTIZE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
 SELECT vec_id,
        maxabs / 127.0 AS scale,
-       CASE WHEN maxabs > 0
-            THEN list_transform(v, x -> CAST(FLOOR(x / (maxabs / 127.0) + 0.5) AS INT))
-            ELSE list_transform(v, x -> 0) END AS codes
-FROM m
+       CAST(i - 1 AS INT) AS pos,
+       CAST(CASE WHEN maxabs > 0
+                 THEN FLOOR(v[i] / (maxabs / 127.0) + 0.5)
+                 ELSE 0 END AS INT) AS code
+FROM m, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
 """
 
 
@@ -1673,8 +1820,11 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     to miss, and the oracle replays the same buckets so both engines
     miss identically."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.embedding_neardup_pairs(
-        e, threshold=0.3, num_planes=6, seed=42, dim=_EMB_DIM
+    return _round9(
+        similarity.embedding_neardup_pairs(
+            e, threshold=0.3, num_planes=6, seed=42, dim=_EMB_DIM
+        ),
+        "cos",
     )
 
 
@@ -1711,7 +1861,7 @@ scored AS (
   GROUP BY cand.id_a, cand.id_b
 )
 SELECT id_a, id_b,
-       CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos
+       ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 9) AS cos
 FROM scored
 WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) >= 0.3
 """
@@ -1837,7 +1987,9 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
-    "minhash_lsh_fast": q_minhash_lsh_fast,  # rows-only: JVM hash
+    # minhash_lsh_fast: JVM-hash twin of minhash_lsh — API + pytest
+    # agreement-test surface only (a rows-only driver row would be a
+    # guaranteed red; the md5 path above holds the oracle line).
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1850,8 +2002,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "per_group_sample": q_per_group_sample,
     "train_test_split": q_train_test_split,
-    "ivf_topk": q_ivf_topk,  # rows-only: approximate ANN
-    "lsh_ann": q_lsh_ann,  # rows-only: approximate ANN (multi-probe)
+    "ivf_topk": q_ivf_topk,  # recall contract vs in-query exact top-k
+    "lsh_ann": q_lsh_ann,  # recall contract vs in-query exact top-k
     "lsh_ann_exact": q_lsh_ann_exact,
     "ivf_assign_exact": q_ivf_assign_exact,
     "ivf_topk_exact": q_ivf_topk_exact,
@@ -1861,7 +2013,9 @@ QUERIES = {
     "contamination": q_contamination,
     "boilerplate_removal": q_boilerplate_removal,
     "sequence_pack": q_sequence_pack,
-    "bpe_tokenize": q_bpe_tokenize,  # rows-only: trained on the input sf
+    # bpe_tokenize (trained-on-input-sf path): API + pytest surface
+    # only — merges depend on the input corpus, so no oracle can
+    # replay them; bpe_apply_exact holds the driver line.
     "bpe_apply_exact": q_bpe_apply_exact,
     "ngram_novelty": q_ngram_novelty,
     "stratified_sample": q_stratified_sample,
@@ -1904,6 +2058,9 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "ivf_topk": SQL_ANN_RECALL,
+    "lsh_ann": SQL_ANN_RECALL,
+    "compression_ratio": SQL_COMPRESSION_RATIO,
     "lsh_ann_exact": SQL_LSH_ANN_EXACT,
     "ivf_assign_exact": SQL_IVF_ASSIGN_EXACT,
     "ivf_topk_exact": SQL_IVF_TOPK_EXACT,

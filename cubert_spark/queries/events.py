@@ -728,7 +728,8 @@ merged AS (
   SELECT user_id, grp, MAX(e) - MIN(s) AS len
   FROM grouped GROUP BY 1, 2
 )
-SELECT user_id, COUNT(*) AS n_merged_intervals, SUM(len) AS covered_micros
+SELECT user_id, COUNT(*) AS n_merged_intervals,
+       CAST(SUM(len) AS BIGINT) AS covered_micros
 FROM merged GROUP BY 1
 """
 
@@ -798,12 +799,17 @@ def q_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
         (d("sy") * (d("n") * d("sxx") - d("sx") * d("sx"))
          - (d("n") * d("sxy") - d("sx") * d("sy")) * d("sx")).alias("__inum"),
     )
+    # the rationals leave as STRINGS: pandas keeps Spark decimals as
+    # objects but DuckDB's .df() converts DECIMAL to float64, so a raw
+    # decimal output can never hash-match the driver — digit strings
+    # replay exactly on both engines with no precision ceiling
     return g2.select(
         "event_type", "n",
-        F.col("__num").cast("decimal(38,0)").alias("slope_num"),
-        F.col("__den").cast("decimal(38,0)").alias("slope_den"),
-        F.col("__inum").cast("decimal(38,0)").alias("icept_num"),
-        (F.col("__den") * F.col("n").cast("decimal(38,0)")).cast("decimal(38,0)").alias("icept_den"),
+        F.col("__num").cast("decimal(38,0)").cast("string").alias("slope_num"),
+        F.col("__den").cast("decimal(38,0)").cast("string").alias("slope_den"),
+        F.col("__inum").cast("decimal(38,0)").cast("string").alias("icept_num"),
+        (F.col("__den") * F.col("n").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").alias("icept_den"),
     )
 
 
@@ -820,10 +826,10 @@ WITH s AS (
   FROM events GROUP BY 1
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
-       CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DECIMAL(38,0)) AS icept_num,
-       CAST((n * sxx - sx * sx) * n AS DECIMAL(38,0)) AS icept_den
+       CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+       CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS VARCHAR) AS icept_num,
+       CAST((n * sxx - sx * sx) * n AS VARCHAR) AS icept_den
 FROM s
 """
 

@@ -475,7 +475,7 @@ def q_clustered_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_CLUSTERED_ROUNDTRIP = """
-SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM orders
 WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 AND o_custkey <= 500
 GROUP BY o_orderpriority
@@ -514,8 +514,8 @@ SELECT o_custkey, o_orderkey,
        CAST(NTILE(4) OVER w AS INT) AS quartile,
        PERCENT_RANK() OVER w AS pct_rank,
        CUME_DIST() OVER w AS cdist,
-       SUM(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_keys
+       CAST(SUM(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_keys
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -549,7 +549,7 @@ def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_ZORDER_ROUNDTRIP = """
-SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM orders
 WHERE o_custkey <= 400 AND o_orderkey <= 20000
 GROUP BY o_orderstatus
@@ -939,7 +939,9 @@ def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
         "o_totalprice",
         F.to_date("o_orderdate").alias("odate"),
     )
-    return skyline2d(o, ["o_orderpriority", "oyear"], "o_totalprice", "odate")
+    return skyline2d(
+        o, ["o_orderpriority", "oyear"], "o_totalprice", "odate"
+    ).select("o_orderkey", "o_orderpriority", "oyear", "o_totalprice", "odate")
 
 
 SQL_PARETO_FRONTIER = """

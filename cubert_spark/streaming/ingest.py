@@ -160,15 +160,23 @@ def ingest_embeddings(
     Returns the started query handle (availableNow trigger). At
     scale: per-batch work is one codegen expression map + a
     partitioned append; no shuffle, no state store (assignment is
-    stateless), restart-safe via the checkpoint."""
+    stateless). Exactly-once under retries: each batch writes its own
+    (list_id, batch_id) partitions with DYNAMIC partition overwrite,
+    so a retry after a partial write replaces exactly the partitions
+    that batch owns (assignment is deterministic, so the retry touches
+    the same set) instead of appending duplicates. Readers probing
+    ``list_id=J`` are unaffected — batch_id is just a sub-partition
+    level under each list."""
     from cubert_spark.datapipe.similarity import _argmax_centroid
 
-    def update(batch_df: DataFrame, _batch_id: int) -> None:
+    def update(batch_df: DataFrame, batch_id: int) -> None:
         best_j, _ = _argmax_centroid(F.col(vec_col), centroids)
         (
             batch_df.withColumn("list_id", best_j)
-            .write.partitionBy("list_id")
-            .mode("append")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("list_id", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .parquet(out_dir)
         )
 

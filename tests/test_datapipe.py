@@ -2284,6 +2284,61 @@ def test_avi_rejects_non_mjpeg_and_garbage(spark):
         parse_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
 
+def test_mjpeg_mp4_end_to_end(spark):
+    """REAL video decode for the second container family: encode 3
+    frames with the pure-spec JPEG codec, mux into a minimal
+    progressive MP4 (sample entry 'jpeg'), then (a) the demuxer
+    round-trips samples byte-for-byte, (b) sample_frames emits the
+    encoded units, (c) decode_video_frames produces PIXELS within JPEG
+    quantization loss; a non-JPEG MP4 sample still raises honestly."""
+    import numpy as np
+    import pytest
+
+    from cubert_spark.datapipe import jpeg
+    from cubert_spark.datapipe.mp4 import demux_mp4, encode_mjpeg_mp4
+    from cubert_spark.datapipe.multimodal import decode_video_frames, sample_frames
+
+    frames_rgb = []
+    for shade in (40, 128, 216):
+        img = np.full((24, 32, 3), shade, dtype=np.uint8)
+        img[:, :16, 0] = 255 - shade
+        frames_rgb.append(img)
+    enc = [jpeg.encode_baseline_jpeg(f) for f in frames_rgb]
+    mp4 = encode_mjpeg_mp4(enc, 32, 24, fps=5)
+
+    track = demux_mp4(mp4)[0]
+    assert track["handler"] == "vide" and track["codec"] == "jpeg"
+    assert len(track["samples"]) == 3
+
+    df = spark.createDataFrame([(1, mp4)], "id long, blob binary")
+    sampled = sample_frames(df, every_nth=2).collect()
+    assert [r.frame_idx for r in sampled] == [0, 2]
+    assert bytes(sampled[1].frame_blob) == enc[2]
+    assert abs(sampled[1].time_sec - 0.4) < 1e-9
+
+    decoded = {r.frame_idx: r for r in decode_video_frames(df).collect()}
+    assert len(decoded) == 3
+    for fi, img in enumerate(frames_rgb):
+        want = img.astype("float64").mean(axis=(0, 1)) / 255.0
+        got = decoded[fi].feature
+        for c in range(3):
+            assert abs(got[c] - want[c]) < 0.03, (fi, c, got[c], want[c])
+
+    # an MP4 whose samples are NOT JPEG (e.g. H.264 AUs) still rejects
+    from cubert_spark.datapipe.mp4 import Mp4Error
+
+    with pytest.raises(Mp4Error):
+        encode_mjpeg_mp4([b"\x00\x00\x00\x01gB"], 8, 8)  # muxer refuses too
+    fake_au = b"\xff\xd8" + enc[0][2:]  # valid jpeg for mux...
+    mp4_bad = bytearray(encode_mjpeg_mp4([fake_au], 32, 24))
+    # ...then corrupt the stored sample's SOI in-place
+    soi_at = bytes(mp4_bad).find(b"\xff\xd8")
+    mp4_bad[soi_at] = 0x00
+    df_bad = spark.createDataFrame([(1, bytes(mp4_bad))], "id long, blob binary")
+    with pytest.raises(Exception, match="not JPEG|real codec"):
+        decode_video_frames(df_bad).collect()
+
+
 def test_gif_roundtrip_and_animation(spark):
     """Pure-spec GIF: encode -> decode is LOSSLESS (palette format);
     animated frames composite in order; decode_images consumes a GIF
@@ -2309,6 +2364,38 @@ def test_gif_roundtrip_and_animation(spark):
     assert (got.width, got.height) == (17, 13)
     want = f1.astype("float64").mean(axis=(0, 1)) / 255.0
     assert abs(got.feature[0] - want[0]) < 0.05
+
+
+def test_gif_gce_scope_is_one_frame(spark):
+    """GIF89a: a Graphic Control Extension applies only to the NEXT
+    rendering block. A transparency GCE injected before frame 1 must
+    not leak into frame 2 (which has no GCE): frame 2 paints fully
+    even where its pixels use the frame-1 transparent index."""
+    import numpy as np
+
+    from cubert_spark.datapipe.gif import decode_gif, encode_gif
+
+    red = np.array([255, 0, 0], dtype=np.uint8)
+    green = np.array([0, 255, 0], dtype=np.uint8)
+    f1 = np.broadcast_to(green, (6, 6, 3)).copy()
+    f2 = np.broadcast_to(red, (6, 6, 3)).copy()
+    raw = bytearray(encode_gif([f1, f2]))
+
+    # locate the GCT and find red's palette index
+    flags = raw[10]
+    assert flags & 0x80
+    n = 2 << (flags & 7)
+    gct = np.frombuffer(bytes(raw[13 : 13 + 3 * n]), np.uint8).reshape(n, 3)
+    tidx = next(i for i in range(n) if (gct[i] == red).all())
+
+    # inject a GCE (transparent-color = red) before the FIRST image
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, tidx, 0x00])
+    pos = 13 + 3 * n
+    patched = bytes(raw[:pos]) + gce + bytes(raw[pos:])
+
+    frames = decode_gif(patched)
+    assert (frames[0] == f1).all()  # frame 1 is all-green, unaffected
+    assert (frames[1] == f2).all()  # frame 2 must not inherit transparency
 
 
 def test_gif_wide_palette_and_errors(spark):
@@ -2381,6 +2468,20 @@ def test_tiff_roundtrip_and_dispatch(spark):
         decode_tiff(bytes(lzw))
     with pytest.raises(TiffError):
         decode_tiff(b"II\x2b\x00bad")
+
+    # PhotometricInterpretation (tag 262): 0 = WhiteIsZero decodes
+    # INVERTED; palette-color (3) is an honest reject, never silently
+    # decoded as gray
+    enc = bytes(encode_tiff(gray))
+    idx262 = enc.find(_s.pack("<HHI", 262, 3, 1))
+    assert idx262 > 0, "encoder must write photometric tag"
+    inv = bytearray(enc)
+    inv[idx262 + 8] = 0
+    assert (decode_tiff(bytes(inv)) == 255 - gray).all()
+    pal = bytearray(enc)
+    pal[idx262 + 8] = 3
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(pal))
 
 
 def test_netpbm_roundtrip_and_dispatch(spark):

@@ -387,6 +387,10 @@ _LINT_ALLOWED = {
     # 1-row corpus-total crossJoin(broadcast) + 20-row post-limit rank
     "pmi_pairs": ("pairs", "unpartitioned window"),
     "rfm_scores": ("pairs",),  # 1-row max-date + 1-row cutpoints crossJoin(broadcast)
+    # recall contracts: brute-force exact ground truth (documented) +
+    # 1-row total-hits crossJoin(broadcast)
+    "ivf_topk": ("pairs",),
+    "lsh_ann": ("pairs",),
 }
 
 

@@ -351,3 +351,17 @@ def test_ingest_embeddings_matches_batch_index(spark, tmp_path):
     probe = spark.read.parquet(out).filter("list_id = 1")
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(list_id" in plan, plan
+
+    # idempotency under replay: a fresh checkpoint re-delivers the
+    # same files as the same batch ids; dynamic (list_id, batch_id)
+    # partition overwrite must replace, not append — no duplicates
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    ingest_embeddings(
+        stream2, out, str(tmp_path / "ckpt2"), cents
+    ).awaitTermination()
+    again = {r.vec_id: r.list_id for r in spark.read.parquet(out).collect()}
+    assert again == want and spark.read.parquet(out).count() == e.count()
