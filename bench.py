@@ -132,6 +132,15 @@ BENCH_QUERIES = [
     "rfm_scores",
     "corpus_report",
     "returned_items",
+    # r06 additions: skew diagnostics (3-column groupBy sweep),
+    # degree-ordered triangle counting over the near-dup graph,
+    # time-decayed per-user scoring, HRW sharding, and the
+    # approx-percentile contract
+    "skew_profile",
+    "triangle_count",
+    "decayed_revenue",
+    "rendezvous_shard",
+    "approx_quantile",
 ]
 
 

@@ -283,3 +283,72 @@ def bfs_hops(
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return dist
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact global triangle count over an undirected edge list — the
+    standard graph-density probe (dup-cluster cliquishness here;
+    community structure generally). Algorithm: degree-ordered
+    orientation (Cohen's MapReduce formulation, public) — orient every
+    edge from its lower-(degree, id) endpoint to the higher one, build
+    wedges by joining oriented edges on their source, and close each
+    wedge (u→v, u→w) by probing the oriented edge (v→w). Orientation
+    bounds every node's out-degree by O(sqrt(|E|)), so the wedge join
+    — the only superlinear step — is sum(out_deg^2) <= |E|^1.5, never
+    the unbounded star-join a naive formulation hits on hub nodes.
+
+    Output: one row (n_nodes, n_edges, n_triangles). Input edges may
+    carry duplicates or self-loops; both are dropped. Three keyed
+    joins + two aggs at scale; the edge list is the only shuffled
+    payload (two bigints per row). Like connected_components, the
+    canonical edge set is localCheckpoint'ed ONCE: the upstream pair
+    lineage (shingle joins, LSH banding) is expensive and this
+    operator branches over the edges five ways — without the cut,
+    every branch replays the pair generation (measured 13.9 s -> 2.9 s
+    at sf0.1 on the ngram-jaccard graph, min of repeats)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): u -> v iff (d(u), u) < (d(v), v)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("w").alias("y")
+    ).unionAll(oriented.select(F.col("w").alias("x"), F.col("u").alias("y")))
+    tri = wedges.join(
+        closing,
+        (F.col("v1") == F.col("x")) & (F.col("v2") == F.col("y")),
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

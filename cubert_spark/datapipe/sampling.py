@@ -171,3 +171,37 @@ def mixture_sample(
         .filter(gate)
         .drop("__frac")
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: each key's shard
+    is argmax over s in [0, n_shards) of md5(salt || s || ':' || key)
+    — the consistent-assignment scheme where growing the fleet from n
+    to n+1 shards moves only ~1/(n+1) of the keys (each key moves iff
+    the NEW shard wins its rendezvous), versus mod-hashing which
+    reshuffles nearly everything. The stable-routing primitive for
+    incremental corpus sharding, ANN index partitions, and cache
+    placement.
+
+    Scale shape: one codegen projection — n_shards md5s per row,
+    array argmax via array_max over (hash, shard) structs, zero
+    shuffles. Deterministic and engine-portable (oracle replays the
+    same md5 race in DuckDB); ties (2^-64 per pair) break toward the
+    higher shard id via the struct compare.
+
+    Output: df columns + ``shard`` int."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+    entries = [
+        F.struct(
+            F.md5(F.concat(F.lit(f"{salt}{s}:"), key)).alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    shard = F.array_max(F.array(*entries))["s"].alias("shard")
+    return df.select("*", shard)

@@ -78,3 +78,67 @@ def salted_topn(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def profile_skew(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostic — the measurement half of the skew
+    toolkit (salting/AQE above are the mitigation half): for each
+    candidate shuffle key, the ``top_k`` heaviest values with exact
+    counts and a per-hitter ``skew_ratio`` = cnt / (n_rows / n_keys),
+    i.e. how many times the average key's row share this value holds.
+    A ratio near 1 means uniform; ratios in the hundreds mean that
+    key needs salting (or AQE skew-join splitting) before it becomes
+    a straggler task at 100 TB.
+
+    Output (long format, one frame for every key): (col_name, rnk,
+    key_value string, cnt, n_rows, n_keys, skew_ratio). skew_ratio is
+    ONE IEEE divide of two exact bigints (cnt * n_keys / n_rows) —
+    engine-exact.
+
+    Scale shape: per column, one partial-aggregated groupBy + a 1-row
+    stats broadcast + a TakeOrdered top-k; the union across columns
+    is a handful of tiny frames."""
+    outs = []
+    for c in key_cols:
+        per_key = df.groupBy(F.col(c).cast("string").alias("key_value")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        stats = F.broadcast(
+            per_key.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+            )
+        )
+        # TakeOrdered top-k FIRST (distributed partial top-k per map
+        # task, never a global sort), THEN rank the <=top_k survivors
+        # with a window — the post-limit-rank idiom, so no
+        # unpartitioned window ever sees the full key set
+        w = Window.orderBy(F.col("cnt").desc(), F.col("key_value"))
+        top = (
+            per_key.orderBy(F.col("cnt").desc(), F.col("key_value"))
+            .limit(top_k)
+            .withColumn("rnk", F.row_number().over(w))
+            .crossJoin(stats)
+        )
+        outs.append(
+            top.select(
+                F.lit(c).alias("col_name"),
+                F.col("rnk").cast("int").alias("rnk"),
+                "key_value",
+                "cnt",
+                "n_rows",
+                "n_keys",
+                (
+                    (F.col("cnt") * F.col("n_keys")).cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("skew_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

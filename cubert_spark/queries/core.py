@@ -699,6 +699,45 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
 """
 
 
+def q_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-percentile sketch with a driver-checkable contract
+    (the quantile sibling of q_approx_count_distinct's HLL contract):
+    per order priority, the EXACT discrete median plus a
+    ``within_rank_eps`` boolean asserting Spark's approx_percentile
+    (GK sketch, accuracy 10000 -> rank error <= 1e-4) landed inside
+    the exact [q49, q51] value band — a 100x-slack envelope. The
+    oracle derives both from exact math (quantile_disc + TRUE). At
+    100 TB the sketch is the only viable path (mergeable, bounded
+    memory); this row keeps it honest against the exact answer the
+    small SFs can still afford."""
+    o = load_table(spark, sf, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_exact"),
+        F.expr(
+            "percentile_disc(0.49) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("__lo"),
+        F.expr(
+            "percentile_disc(0.51) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("__hi"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("__apx"),
+    )
+    within = (
+        (F.col("__apx") >= F.col("__lo")) & (F.col("__apx") <= F.col("__hi"))
+    ).alias("within_rank_eps")
+    return g.select("o_orderpriority", "p50_exact", within)
+
+
+SQL_APPROX_QUANTILE = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50_exact,
+       TRUE AS within_rank_eps
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-Q10-style returned-item reporting: top-20 customers by
     revenue lost to returns in a quarter. Fact side filters push to
@@ -810,6 +849,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "set_ops": q_set_ops,
     "approx_count_distinct": q_approx_count_distinct,
+    "approx_quantile": q_approx_quantile,
     "revenue_by_nation": q_revenue_by_nation,
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
@@ -831,6 +871,7 @@ ORACLES = {
     # the contract is exact count + a within-envelope boolean the
     # oracle asserts from exact math (TRUE).
     "approx_count_distinct": SQL_APPROX_COUNT_DISTINCT,
+    "approx_quantile": SQL_APPROX_QUANTILE,
     "generate_filter": SQL_GENERATE_FILTER,
     "q1_groupby_agg": SQL_Q1,
     "groupby_all": SQL_GROUPBY_ALL,

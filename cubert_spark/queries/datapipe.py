@@ -1982,6 +1982,58 @@ SELECT query_id, doc_id, n_hit, score, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count (components.triangle_count) over the
+    near-dup pair graph (n-gram Jaccard >= 0.2) — measures
+    dup-cluster cliquishness: planted duplicate groups are
+    near-cliques, so the triangle count tracks how transitive the
+    pairwise near-dup relation actually is. Degree-ordered
+    orientation keeps the wedge join O(|E|^1.5)-bounded; the oracle
+    is the textbook a<b<c triple self-join."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    return components.triangle_count(pairs)
+
+
+SQL_TRIANGLE_COUNT = _SH_CTE + """,
+pairs AS (
+  SELECT id_a AS a, id_b AS b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+)
+SELECT
+  (SELECT COUNT(DISTINCT v) FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)) AS n_nodes,
+  (SELECT COUNT(*) FROM pairs) AS n_edges,
+  (SELECT COUNT(*)
+   FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+   JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+
+def q_rendezvous_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous/HRW sharding (sampling.rendezvous_shard): stable
+    8-way shard assignment for the corpus — adding a 9th shard would
+    move only ~1/9 of keys (asserted in pytest); the md5 race replays
+    identically in the oracle."""
+    d = load_table(spark, sf, "documents")
+    return sampling.rendezvous_shard(d.select("doc_id"), "doc_id", 8)
+
+
+SQL_RENDEZVOUS_SHARD = """
+WITH s AS (
+  SELECT doc_id, j,
+         md5('hrw' || j || ':' || COALESCE(CAST(doc_id AS VARCHAR), '__null__')) AS h
+  FROM documents, LATERAL UNNEST(range(0, 8)) AS t(j)
+)
+SELECT doc_id, CAST(j AS INT) AS shard FROM (
+  SELECT doc_id, j, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, j DESC) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bm25_search": q_bm25_search,
@@ -2045,6 +2097,8 @@ QUERIES = {
     "hashed_embedding": q_hashed_embedding,
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
+    "triangle_count": q_triangle_count,
+    "rendezvous_shard": q_rendezvous_shard,
 }
 
 ORACLES = {
@@ -2104,4 +2158,6 @@ ORACLES = {
     "hashed_embedding": SQL_HASHED_EMBEDDING,
     "pq_encode": SQL_PQ_ENCODE,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "rendezvous_shard": SQL_RENDEZVOUS_SHARD,
 }

@@ -762,6 +762,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_decayed_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially time-decayed value per user (half-life = 1 day,
+    anchor 2024-02-01) — the recency-weighted scoring pattern behind
+    engagement ranking and freshness-weighted corpus stats, spelled
+    as ONE aggregation instead of a per-user timeline scan.
+
+    Exactness doctrine: value quantizes to milli-units (trunc, exact
+    bigint), the age k is an integer day diff, and the per-event term
+    is value_milli * 0.5^k — a bigint times an exact power of two, so
+    the product is EXACT in IEEE (pure exponent shift). Terms then
+    accumulate through DECIMAL(38,18) (order-independent) and the
+    final double is ROUND(9) on both engines. Scale shape: one
+    map-side-combined groupBy on user_id; no window, no sort."""
+    e = load_table(spark, sf, "events")
+    k = F.expr("datediff(DATE '2024-02-01', to_date(ts))")
+    vm = F.expr("cast(value * 1000 as bigint)")
+    term = vm.cast("double") * F.pow(F.lit(0.5), k)
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(term.cast("decimal(38,18)")).alias("__s"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("__s").cast("double"), 9).alias("decayed_value"),
+    )
+
+
+SQL_DECAYED_REVENUE = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(
+         CAST(trunc(value * 1000) AS BIGINT)
+         * power(0.5, date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'))
+       AS DECIMAL(38,18))) AS DOUBLE), 9) AS decayed_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """Linear regression as an AGGREGATION (the scalable spelling of
     per-group trend fitting): per event_type, the closed-form normal
@@ -1087,6 +1126,7 @@ QUERIES = {
     "interval_union": q_interval_union,
     "latency_percentiles": q_latency_percentiles,
     "trend_by_type": q_trend_by_type,
+    "decayed_revenue": q_decayed_revenue,
     "top_paths": q_top_paths,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
@@ -1113,6 +1153,7 @@ ORACLES = {
     "interval_union": SQL_INTERVAL_UNION,
     "latency_percentiles": SQL_LATENCY_PERCENTILES,
     "trend_by_type": SQL_TREND_BY_TYPE,
+    "decayed_revenue": SQL_DECAYED_REVENUE,
     "top_paths": SQL_TOP_PATHS,
     "sliding_window": SQL_SLIDING,
     "sessionize": SQL_SESSIONIZE,

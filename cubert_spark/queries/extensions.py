@@ -1334,6 +1334,41 @@ SELECT part_a, part_b, n, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators.skew.profile_skew): for
+    each candidate join/agg key of orders, the top-10 heaviest values
+    with exact counts and skew_ratio = cnt / (n_rows / n_keys) — the
+    measurement half of the skew toolkit (salted_count_distinct /
+    salted_topn / AQE are the mitigation half). o_orderpriority (5
+    keys, ratio ~1) vs o_custkey (thousands of keys) shows the
+    uniform and granular ends; a production run on a hot key column
+    would surface ratios in the hundreds and the exact values to
+    salt."""
+    from cubert_spark.operators.skew import profile_skew
+
+    o = load_table(spark, sf, "orders")
+    return profile_skew(o, ["o_orderpriority", "o_orderstatus", "o_custkey"])
+
+
+def _skew_profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name, CAST(rnk AS INT) AS rnk, key_value, cnt, n_rows, n_keys,
+       CAST(cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio
+FROM (
+  SELECT CAST({c} AS VARCHAR) AS key_value, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, CAST({c} AS VARCHAR)) AS rnk,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_rows,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_keys
+  FROM orders GROUP BY 1
+) WHERE rnk <= 10"""
+
+
+SQL_SKEW_PROFILE = "\nUNION ALL\n".join(
+    _skew_profile_col_sql(c)
+    for c in ("o_orderpriority", "o_orderstatus", "o_custkey")
+)
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
@@ -1345,6 +1380,7 @@ QUERIES = {
     "kmv_set_ops": q_kmv_set_ops,
     "bloom_prune": q_bloom_prune,
     "pareto_frontier": q_pareto_frontier,
+    "skew_profile": q_skew_profile,
     "golden_record": q_golden_record,
     "join_ivm": q_join_ivm,
     "bfs_hops": q_bfs_hops,
@@ -1382,6 +1418,7 @@ ORACLES = {
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "bloom_prune": SQL_BLOOM_PRUNE,
     "pareto_frontier": SQL_PARETO_FRONTIER,
+    "skew_profile": SQL_SKEW_PROFILE,
     "golden_record": SQL_GOLDEN_RECORD,
     "join_ivm": SQL_JOIN_IVM,
     "bfs_hops": SQL_BFS_HOPS,

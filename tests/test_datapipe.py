@@ -2563,18 +2563,19 @@ def test_corpus_report_values(spark):
 
 
 def test_decode_video_frames_mp4_helpful_error(spark):
-    """Passing an MP4 to the pixel-decode tier raises the honest
-    NotImplementedError pointing at sample_frames, not a confusing
-    AVI parse failure."""
+    """An MP4 whose samples are NOT JPEG (the H.264+ case) raises the
+    honest NotImplementedError pointing at sample_frames, not a
+    confusing AVI parse failure; a malformed ftyp-only blob raises the
+    demuxer's own typed error. (MJPEG-in-MP4 decodes for real —
+    test_mjpeg_mp4_end_to_end.)"""
     import pytest
 
     from cubert_spark.datapipe.multimodal import decode_video_frames
 
     mp4ish = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
     df = spark.createDataFrame([(1, mp4ish)], "id long, blob binary")
-    with pytest.raises(Exception) as ei:
+    with pytest.raises(Exception, match="moov|Mp4Error"):
         decode_video_frames(df).collect()
-    assert "sample_frames" in str(ei.value)
 
 
 def test_lossless_codecs_mutually_consistent(spark):

@@ -391,6 +391,11 @@ _LINT_ALLOWED = {
     # 1-row total-hits crossJoin(broadcast)
     "ivf_topk": ("pairs",),
     "lsh_ann": ("pairs",),
+    # per-column 1-row stats crossJoin(broadcast) + <=10-row
+    # post-limit rank
+    "skew_profile": ("pairs", "unpartitioned window"),
+    # two 1-row count summaries crossJoin(broadcast)
+    "triangle_count": ("pairs",),
 }
 
 

@@ -68,3 +68,69 @@ def test_load_date_range(spark, tmp_path):
     assert df.count() == 5  # jan 3-4 missing -> skipped
     with pytest.raises(FileNotFoundError):
         load_date_range(spark, str(tmp_path / "daily/{date}"), "2024-02-01", "2024-02-03")
+
+
+def test_profile_skew_values(spark):
+    from pyspark.sql import functions as F
+
+    from cubert_spark.operators.skew import profile_skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("warm",)] * 15 + [(f"c{i}",) for i in range(5)],
+        "k string",
+    )
+    out = {r.rnk: r for r in profile_skew(df, ["k"], top_k=3).collect()}
+    assert len(out) == 3
+    assert out[1].key_value == "hot" and out[1].cnt == 80
+    assert out[2].key_value == "warm" and out[2].cnt == 15
+    assert out[1].n_rows == 100 and out[1].n_keys == 7
+    # skew_ratio = cnt * n_keys / n_rows: hot holds 80x the 1/7 share
+    assert abs(out[1].skew_ratio - 80 * 7 / 100) < 1e-12
+    # ties break by key_value ascending
+    assert out[3].key_value == "c0" and out[3].cnt == 1
+
+    # multi-column long format keeps per-column stats separate
+    df2 = df.withColumn("j", F.lit(1))
+    both = profile_skew(df2, ["k", "j"], top_k=2).collect()
+    js = [r for r in both if r.col_name == "j"]
+    assert len(js) == 1 and js[0].n_keys == 1 and abs(js[0].skew_ratio - 1.0) < 1e-12
+
+
+def test_triangle_count_known_graphs(spark):
+    from cubert_spark.datapipe.components import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return triangle_count(df).collect()[0]
+
+    # K4 = 4 triangles; edge list includes a reversed duplicate and a
+    # self-loop which must be ignored
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = tc(k4 + [(1, 0), (2, 2)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    # a path has none; a star has none; triangle + pendant edge has 1
+    assert tc([(0, 1), (1, 2), (2, 3)]).n_triangles == 0
+    assert tc([(0, 1), (0, 2), (0, 3), (0, 4)]).n_triangles == 0
+    r2 = tc([(0, 1), (1, 2), (0, 2), (2, 9)])
+    assert (r2.n_nodes, r2.n_edges, r2.n_triangles) == (4, 4, 1)
+
+
+def test_rendezvous_shard_stability(spark):
+    """HRW's defining property: growing 8 -> 9 shards moves ONLY the
+    keys whose rendezvous the NEW shard wins (~1/9), and every moved
+    key moves TO shard 8 — mod-hashing would scatter ~8/9 of keys."""
+    from cubert_spark.datapipe.sampling import rendezvous_shard
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k: r.shard for r in rendezvous_shard(df, "k", 8).collect()}
+    b = {r.k: r.shard for r in rendezvous_shard(df, "k", 9).collect()}
+    assert set(a.values()) == set(range(8))
+    moved = {k for k in a if a[k] != b[k]}
+    assert all(b[k] == 8 for k in moved)
+    assert 0.05 < len(moved) / 2000 < 0.18  # ~1/9 expected
+    # balance: no shard holds more than 2.5x the fair share
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) < 2.5 * 2000 / 8
