@@ -141,6 +141,13 @@ BENCH_QUERIES = [
     "decayed_revenue",
     "rendezvous_shard",
     "approx_quantile",
+    # exact-substring-style span dedup (|tokens|-row hash shuffle)
+    # and the JSONL interchange roundtrip
+    "duplicate_spans",
+    "jsonl_roundtrip",
+    # six-rule data-quality suite: fused single-scan aggregates +
+    # keyed uniqueness agg + two broadcast anti-joins
+    "dq_expectations",
 ]
 
 

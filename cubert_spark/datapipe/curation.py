@@ -492,3 +492,76 @@ def corpus_report(
         )
         out = out.unionByName(langs)
     return out.select("metric", "key", v.alias("value"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span detection — the n-gram-hash spelling of
+    exact-substring training-data dedup (Lee et al. 2021's ExactSubstr
+    finds repeated spans with a suffix array; production corpus
+    pipelines approximate it with fixed-length token-window hashes,
+    which shuffles |tokens| small rows instead of building a
+    distributed suffix array): every ``span_tokens``-token window
+    hashes to md5(terms joined by 0x1f); a span is duplicated when its
+    hash occurs more than once in the corpus (across OR within docs —
+    self-repetition is the same training-data pathology).
+
+    Output per doc: (id, n_spans, n_dup_spans, dup_frac) where
+    dup_frac is ONE IEEE divide of two exact bigints (0.0 for docs
+    too short to have spans). Downstream: filter high-dup_frac docs,
+    or join back to cut the spans themselves.
+
+    Scale shape: one map stage emits (id, span_hash), one groupBy on
+    the hash (partial-agg combines repeated spans early), one semi
+    join back, one per-doc agg. No arrays ever shuffle — only 16-byte
+    hashes."""
+    k = span_tokens
+    terms = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = _spread(df, id_col).select(F.col(id_col), terms.alias("__t"))
+    starts = F.when(
+        F.size("__t") >= k, F.sequence(F.lit(0), F.size("__t") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select(
+        id_col,
+        F.explode_outer(starts).alias("__i"),
+        F.col("__t"),
+    ).filter(F.col("__i").isNotNull())
+    spans = ex.select(
+        id_col,
+        F.md5(F.concat_ws("\x1f", F.slice("__t", F.col("__i") + 1, k))).alias(
+            "__sh"
+        ),
+    )
+    occ = spans.groupBy("__sh").agg(F.count(F.lit(1)).alias("__nocc"))
+    per_doc = (
+        spans.join(occ, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__nocc") > 1, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.coalesce("n_spans", F.lit(1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

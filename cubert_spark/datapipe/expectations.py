@@ -1,0 +1,141 @@
+"""Data-quality expectations — declarative table checks evaluated as
+ONE long-format report (the dbt-test / Great-Expectations pattern,
+public, re-expressed as pure DataFrame algebra): each rule compiles to
+an aggregate or anti-join counting VIOLATIONS, so the whole suite is a
+handful of scans with map-side-combined counts — no row ever leaves
+the executors, and a green suite costs one number per rule.
+
+Rules (each a (rule, column, n_violations, n_checked) row):
+
+- ``not_null(col)``        — NULL cells.
+- ``unique(*cols)``        — rows in excess of one per key.
+- ``accepted_values(col, values)`` — cells outside the domain.
+- ``in_range(col, lo, hi)``— cells outside [lo, hi] (NULLs ignored;
+  not_null covers those).
+- ``foreign_key(col, dim_df, dim_col)`` — non-null child keys with
+  no parent (LEFT ANTI join; the dim side broadcasts when small;
+  NULL keys are not_null's business, per SQL FK semantics).
+
+No reference analog (`/root/reference` has no data-quality surface);
+extension motivated by the same pipeline-hygiene needs as VALIDATE
+(`src/operator/ValidationOperator.java`), which checks schema shape —
+these check VALUES.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Expectation:
+    rule: str
+    column: str
+    counter: object  # aggregate Column counting violations (None: join rule)
+    join_probe: tuple | None = field(default=None)  # (dim_df, dim_col, col)
+
+
+def not_null(col: str) -> Expectation:
+    return Expectation(
+        "not_null", col, F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+    )
+
+
+def accepted_values(col: str, values: list) -> Expectation:
+    ok = F.col(col).isin(list(values))
+    return Expectation(
+        "accepted_values", col,
+        F.sum(F.when(F.col(col).isNull() | ~ok, 1).otherwise(0)),
+    )
+
+
+def in_range(col: str, lo, hi) -> Expectation:
+    bad = F.col(col).isNotNull() & (~F.col(col).between(lo, hi))
+    return Expectation(
+        "in_range", col, F.sum(F.when(bad, 1).otherwise(0))
+    )
+
+
+def unique(*cols: str) -> Expectation:
+    return Expectation("unique", ",".join(cols), None)
+
+
+def foreign_key(col: str, dim_df: DataFrame, dim_col: str) -> Expectation:
+    return Expectation(
+        "foreign_key", col, None, join_probe=(dim_df, dim_col, col)
+    )
+
+
+def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """Evaluate every rule; return (rule, column, n_violations,
+    n_checked) rows, one per rule, deterministic order-free.
+
+    Plan shape: all aggregate-style rules fuse into ONE pass over the
+    table (a single groupBy().agg with many counters); each unique()
+    adds one keyed agg; each foreign_key() adds one anti-join whose
+    dim side broadcasts under the session threshold. Violations are
+    counted, never collected."""
+    agg_rules = [r for r in rules if r.counter is not None]
+    outs = []
+    if agg_rules:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, r in enumerate(agg_rules):
+            aggs.append(r.counter.cast("bigint").alias(f"__v{i}"))
+        one = df.agg(*aggs)
+        stack_args = []
+        for i, r in enumerate(agg_rules):
+            stack_args.append(f"'{r.rule}', '{r.column}', __v{i}")
+        outs.append(
+            one.select(
+                F.expr(
+                    f"stack({len(agg_rules)}, "
+                    + ", ".join(stack_args)
+                    + ") as (rule, col_name, n_violations)"
+                ),
+                F.col("__n").alias("n_checked"),
+            ).select("rule", "col_name", "n_violations", "n_checked")
+        )
+    for r in rules:
+        if r.rule == "unique":
+            cols = r.column.split(",")
+            per_key = df.groupBy(*[F.col(c) for c in cols]).agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            outs.append(
+                per_key.agg(
+                    F.sum(F.col("__c") - 1).cast("bigint").alias("n_violations"),
+                    F.sum("__c").alias("n_checked"),
+                ).select(
+                    F.lit("unique").alias("rule"),
+                    F.lit(r.column).alias("col_name"),
+                    "n_violations",
+                    "n_checked",
+                )
+            )
+        elif r.rule == "foreign_key":
+            dim_df, dim_col, col = r.join_probe
+            child = df.select(F.col(col)).filter(F.col(col).isNotNull())
+            orphans = child.join(
+                dim_df.select(F.col(dim_col).alias(col)).distinct(),
+                col,
+                "left_anti",
+            )
+            outs.append(
+                orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+                .crossJoin(
+                    F.broadcast(child.agg(F.count(F.lit(1)).alias("n_checked")))
+                )
+                .select(
+                    F.lit("foreign_key").alias("rule"),
+                    F.lit(r.column).alias("col_name"),
+                    "n_violations",
+                    "n_checked",
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

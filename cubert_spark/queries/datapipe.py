@@ -2034,6 +2034,40 @@ SELECT doc_id, CAST(j AS INT) AS shard FROM (
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated 8-token spans per document (curation.duplicate_spans)
+    — the n-gram-hash spelling of exact-substring dedup; high dup_frac
+    marks boilerplate/self-repetition the doc-level dedup tiers keep."""
+    d = load_table(spark, sf, "documents")
+    return curation.duplicate_spans(d, span_tokens=8)
+
+
+SQL_DUPLICATE_SPANS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         md5(array_to_string(tok[i + 1 : i + 8], chr(31))) AS sh
+  FROM t, LATERAL UNNEST(range(0, GREATEST(len(tok) - 8 + 1, 0))) AS u(i)
+),
+g AS (SELECT sh, COUNT(*) AS nocc FROM sp GROUP BY 1),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN nocc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sp JOIN g USING (sh) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(pd.n_spans, 0) AS n_spans,
+       COALESCE(pd.n_dup, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(pd.n_spans, 0) > 0
+            THEN CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_spans AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bm25_search": q_bm25_search,
@@ -2099,6 +2133,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
     "rendezvous_shard": q_rendezvous_shard,
+    "duplicate_spans": q_duplicate_spans,
 }
 
 ORACLES = {
@@ -2160,4 +2195,5 @@ ORACLES = {
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "rendezvous_shard": SQL_RENDEZVOUS_SHARD,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
 }

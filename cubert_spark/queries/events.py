@@ -768,34 +768,43 @@ def q_decayed_revenue(spark: SparkSession, sf: str) -> DataFrame:
     engagement ranking and freshness-weighted corpus stats, spelled
     as ONE aggregation instead of a per-user timeline scan.
 
-    Exactness doctrine: value quantizes to milli-units (trunc, exact
-    bigint), the age k is an integer day diff, and the per-event term
-    is value_milli * 0.5^k — a bigint times an exact power of two, so
-    the product is EXACT in IEEE (pure exponent shift). Terms then
-    accumulate through DECIMAL(38,18) (order-independent) and the
-    final double is ROUND(9) on both engines. Scale shape: one
-    map-side-combined groupBy on user_id; no window, no sort."""
+    Exactness doctrine — FIXED-POINT, not float: value quantizes to
+    milli-units (trunc, exact bigint), the age k is an integer day
+    diff clamped to [0, 31], and the per-event term is
+    v_milli * 2^(31-k) — an exact BIGINT product (no double ever
+    enters the aggregation; a first cut that cast v*0.5^k through
+    DECIMAL(38,18) failed at sf0.1 because the double->decimal cast
+    of a long binary fraction rounds differently per engine). The
+    bigint sum is exact; the reported double is sum's
+    correctly-rounded int64->double conversion (identical in every
+    IEEE engine) times the exact scale 2^-31 (pure exponent shift).
+    Headroom: max |term| = v_milli * 2^31 <= 2^51 at this data's
+    value range; at 100 TB swap the bigint for DECIMAL(38,0). Scale
+    shape: one map-side-combined groupBy on user_id; no window, no
+    sort."""
     e = load_table(spark, sf, "events")
-    k = F.expr("datediff(DATE '2024-02-01', to_date(ts))")
-    vm = F.expr("cast(value * 1000 as bigint)")
-    term = vm.cast("double") * F.pow(F.lit(0.5), k)
+    k = "least(greatest(datediff(DATE '2024-02-01', to_date(ts)), 0), 31)"
+    term = F.expr(
+        f"cast(value * 1000 as bigint) * shiftleft(cast(1 as bigint), 31 - ({k}))"
+    )
     g = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(term.cast("decimal(38,18)")).alias("__s"),
+        F.sum(term).alias("__s"),
     )
     return g.select(
         "user_id",
         "n_events",
-        F.round(F.col("__s").cast("double"), 9).alias("decayed_value"),
+        (F.col("__s").cast("double") * F.lit(2.0**-31)).alias("decayed_value"),
     )
 
 
 SQL_DECAYED_REVENUE = """
 SELECT user_id, COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(
+       CAST(CAST(SUM(
          CAST(trunc(value * 1000) AS BIGINT)
-         * power(0.5, date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'))
-       AS DECIMAL(38,18))) AS DOUBLE), 9) AS decayed_value
+         * (CAST(1 AS BIGINT) << (31 - LEAST(GREATEST(
+             date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'), 0), 31)))
+       ) AS BIGINT) AS DOUBLE) * power(2.0, -31) AS decayed_value
 FROM events
 GROUP BY user_id
 """

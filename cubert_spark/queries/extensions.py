@@ -1369,6 +1369,106 @@ SQL_SKEW_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """STORE -> LOAD through JSON Lines (the interchange format every
+    corpus pipeline ingests from and exports to; Spark-native
+    writer/reader — schema applied on read, so the hop is typed, not
+    stringly): write orders' keys/priority/price as JSONL, read back
+    with an explicit schema, and run a filtered aggregate the oracle
+    replays on the original table. Gzip-compressed parts: JSONL's
+    size penalty is the format's cost, compression is the standard
+    mitigation, and codec split-boundaries are Spark's problem, not
+    the query's."""
+    import os as _os
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = "/tmp/cubert_spark_jsonl_rt_%s_%d" % (
+        _os.path.basename(sf.rstrip("/")), _os.getpid(),
+    )
+    o.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).json(path)
+    return (
+        back.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+SQL_JSONL_ROUNDTRIP = f"""
+SELECT o_orderpriority, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS total
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+"""
+
+
+def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation suite (datapipe.expectations): six
+    dbt-style rules over lineitem as one long-format violation report
+    — aggregate rules fuse into a single scan, uniqueness is one
+    keyed agg, each referential check is one anti-join with a
+    broadcast dim. Complements VALIDATE (schema shape) with VALUE
+    checks; on TPC-H-clean data every row reports 0 violations, and
+    the oracle derives the same counts relationally."""
+    from cubert_spark.datapipe import expectations as X
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    p = load_table(spark, sf, "part")
+    rules = [
+        X.not_null("l_orderkey"),
+        X.accepted_values("l_returnflag", ["A", "N", "R"]),
+        X.in_range("l_discount", 0.0, 0.1),
+        X.unique("l_orderkey", "l_linenumber"),
+        X.foreign_key("l_orderkey", o, "o_orderkey"),
+        X.foreign_key("l_partkey", p, "p_partkey"),
+    ]
+    return X.run_expectations(li, rules)
+
+
+SQL_DQ_EXPECTATIONS = """
+WITH n AS (SELECT COUNT(*) AS n FROM lineitem)
+SELECT 'not_null' AS rule, 'l_orderkey' AS col_name,
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations,
+       n.n AS n_checked FROM n
+UNION ALL
+SELECT 'accepted_values', 'l_returnflag',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+       n.n FROM n
+UNION ALL
+SELECT 'in_range', 'l_discount',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1)) AS BIGINT),
+       n.n FROM n
+UNION ALL
+SELECT 'unique', 'l_orderkey,l_linenumber',
+       CAST((SELECT SUM(c - 1) FROM (
+          SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)) AS BIGINT),
+       n.n FROM n
+UNION ALL
+SELECT 'foreign_key', 'l_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IS NOT NULL
+               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS BIGINT) FROM n
+UNION ALL
+SELECT 'foreign_key', 'l_partkey',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_partkey IS NOT NULL
+               AND l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL) AS BIGINT) FROM n
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
@@ -1381,6 +1481,8 @@ QUERIES = {
     "bloom_prune": q_bloom_prune,
     "pareto_frontier": q_pareto_frontier,
     "skew_profile": q_skew_profile,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "dq_expectations": q_dq_expectations,
     "golden_record": q_golden_record,
     "join_ivm": q_join_ivm,
     "bfs_hops": q_bfs_hops,
@@ -1419,6 +1521,8 @@ ORACLES = {
     "bloom_prune": SQL_BLOOM_PRUNE,
     "pareto_frontier": SQL_PARETO_FRONTIER,
     "skew_profile": SQL_SKEW_PROFILE,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "dq_expectations": SQL_DQ_EXPECTATIONS,
     "golden_record": SQL_GOLDEN_RECORD,
     "join_ivm": SQL_JOIN_IVM,
     "bfs_hops": SQL_BFS_HOPS,

@@ -2651,3 +2651,61 @@ def test_audio_codecs_mutually_consistent(spark):
     assert got[1].sample_rate == got[2].sample_rate == 8000
     assert got[1].rms == got[2].rms
     assert got[1].envelope == got[2].envelope
+
+
+def test_duplicate_spans_semantics(spark):
+    """A repeated 8-token span is flagged whether it repeats WITHIN a
+    doc or ACROSS docs; unique text and too-short docs report zero."""
+    from cubert_spark.datapipe.curation import duplicate_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, span + " one two " + span),          # self-repeat
+        (2, span + " completely different tail words here now ok"),
+        (3, "unique words only nine tokens long right here now ok"),
+        (4, "short doc"),                         # < 8 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(df, span_tokens=8).collect()}
+    assert out[4].n_spans == 0 and out[4].dup_frac == 0.0
+    assert out[3].n_dup_spans == 0
+    # doc 1 contains the span twice -> duplicated; doc 2 shares it once
+    assert out[1].n_dup_spans >= 2
+    assert out[2].n_dup_spans >= 1
+    assert 0 < out[2].dup_frac <= 1.0
+    # doc 2's tail spans are unique
+    assert out[2].n_dup_spans < out[2].n_spans
+
+
+def test_expectations_catch_planted_violations(spark):
+    """Every rule type must COUNT its planted violations (the driver
+    row runs on clean TPC-H data where all-zero is correct; this test
+    proves the rules actually fire)."""
+    from cubert_spark.datapipe import expectations as X
+
+    child = spark.createDataFrame(
+        [
+            (1, "A", 0.05, 10),
+            (1, "A", 0.05, 10),      # dup key (1, 'A')... unique on (k, flag)
+            (2, "Z", 0.5, 99),       # bad flag, out-of-range, orphan fk
+            (None, "N", None, 10),   # null k; null discount ignored by range
+        ],
+        "k int, flag string, disc double, fk int",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "d int")
+    rules = [
+        X.not_null("k"),
+        X.accepted_values("flag", ["A", "N", "R"]),
+        X.in_range("disc", 0.0, 0.1),
+        X.unique("k", "flag"),
+        X.foreign_key("fk", dim, "d"),
+    ]
+    got = {
+        (r.rule, r.col_name): (r.n_violations, r.n_checked)
+        for r in X.run_expectations(child, rules).collect()
+    }
+    assert got[("not_null", "k")] == (1, 4)
+    assert got[("accepted_values", "flag")] == (1, 4)
+    assert got[("in_range", "disc")] == (1, 4)      # NULL disc not counted
+    assert got[("unique", "k,flag")] == (1, 4)      # one excess row
+    assert got[("foreign_key", "fk")] == (1, 4)     # 99 orphaned; nulls n/a

@@ -396,6 +396,8 @@ _LINT_ALLOWED = {
     "skew_profile": ("pairs", "unpartitioned window"),
     # two 1-row count summaries crossJoin(broadcast)
     "triangle_count": ("pairs",),
+    # per-FK-rule 1-row n_checked crossJoin(broadcast)
+    "dq_expectations": ("pairs",),
 }
 
 

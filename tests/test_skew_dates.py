@@ -134,3 +134,32 @@ def test_rendezvous_shard_stability(spark):
 
     counts = Counter(a.values())
     assert max(counts.values()) < 2.5 * 2000 / 8
+
+
+def test_triangle_count_random_graphs_vs_bruteforce(spark):
+    """Seeded Erdos-Renyi graphs: the oriented-wedge count equals the
+    O(n^3) Python brute force — cross-validates the orientation logic
+    (ties, symmetric closing probes) beyond hand-picked shapes."""
+    import itertools
+
+    import numpy as np
+
+    from cubert_spark.datapipe.components import triangle_count
+
+    rng = np.random.default_rng(77)
+    for n, p in ((12, 0.3), (15, 0.5), (10, 0.8)):
+        edges = [
+            (int(a), int(b))
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        adj = set(edges)
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = triangle_count(df).collect()[0]
+        assert got.n_triangles == want, (n, p, got.n_triangles, want)
+        assert got.n_edges == len(edges)
