@@ -332,10 +332,14 @@ def triangle_count(
     lt = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # oriented is referenced four ways below (both wedge legs + both
+    # closing directions) — checkpoint it like the edge set so each
+    # branch reuses the computed orientation instead of replaying the
+    # two degree joins (21 -> 8 planned exchanges)
     oriented = ranked.select(
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
     o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
     wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))

@@ -591,6 +591,10 @@ _SHUFFLE_CEILINGS = {
     "mode_by_group": 2, "equidepth_histogram": 2, "pareto_frontier": 2,
     "kmv_set_ops": 4, "bloom_prune": 5, "corpus_report": 6,
     "rfm_scores": 2, "quantile_histogram": 2,
+    # r6 operators
+    "skew_profile": 6, "triangle_count": 5, "decayed_revenue": 1,
+    "rendezvous_shard": 0, "approx_quantile": 1, "duplicate_spans": 3,
+    "dq_expectations": 3, "jsonl_roundtrip": 1,
 }
 
 
