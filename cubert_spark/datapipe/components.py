@@ -343,12 +343,12 @@ def triangle_count(
     o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
     o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
     wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
-    closing = oriented.select(
-        F.col("u").alias("x"), F.col("w").alias("y")
-    ).unionAll(oriented.select(F.col("w").alias("x"), F.col("u").alias("y")))
+    # close wedges against the canonical a<b edge set directly: the
+    # wedge filter is v1 < v2 BY ID, exactly e's orientation, so the
+    # both-directions union of oriented edges would shuffle 2|E| rows
+    # where |E| suffice
     tri = wedges.join(
-        closing,
-        (F.col("v1") == F.col("x")) & (F.col("v2") == F.col("y")),
+        e, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
     )
     return (
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))

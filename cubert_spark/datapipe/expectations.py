@@ -5,16 +5,16 @@ an aggregate or anti-join counting VIOLATIONS, so the whole suite is a
 handful of scans with map-side-combined counts — no row ever leaves
 the executors, and a green suite costs one number per rule.
 
-Rules (each a (rule, column, n_violations, n_checked) row):
+Rules (each a (rule, col_name, n_violations, n_checked) row):
 
 - ``not_null(col)``        — NULL cells.
 - ``unique(*cols)``        — rows in excess of one per key.
-- ``accepted_values(col, values)`` — cells outside the domain.
-- ``in_range(col, lo, hi)``— cells outside [lo, hi] (NULLs ignored;
-  not_null covers those).
+- ``accepted_values(col, values)`` — non-NULL cells outside the
+  domain (NULLs are not_null's business — dbt semantics; every rule
+  here follows the same NULL doctrine).
+- ``in_range(col, lo, hi)``— non-NULL cells outside [lo, hi].
 - ``foreign_key(col, dim_df, dim_col)`` — non-null child keys with
-  no parent (LEFT ANTI join; the dim side broadcasts when small;
-  NULL keys are not_null's business, per SQL FK semantics).
+  no parent (LEFT ANTI join; the dim side broadcasts when small).
 
 No reference analog (`/root/reference` has no data-quality surface);
 extension motivated by the same pipeline-hygiene needs as VALIDATE
@@ -45,10 +45,9 @@ def not_null(col: str) -> Expectation:
 
 
 def accepted_values(col: str, values: list) -> Expectation:
-    ok = F.col(col).isin(list(values))
+    bad = F.col(col).isNotNull() & ~F.col(col).isin(list(values))
     return Expectation(
-        "accepted_values", col,
-        F.sum(F.when(F.col(col).isNull() | ~ok, 1).otherwise(0)),
+        "accepted_values", col, F.sum(F.when(bad, 1).otherwise(0))
     )
 
 
@@ -70,24 +69,44 @@ def foreign_key(col: str, dim_df: DataFrame, dim_col: str) -> Expectation:
 
 
 def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
-    """Evaluate every rule; return (rule, column, n_violations,
+    """Evaluate every rule; return (rule, col_name, n_violations,
     n_checked) rows, one per rule, deterministic order-free.
 
-    Plan shape: all aggregate-style rules fuse into ONE pass over the
-    table (a single groupBy().agg with many counters); each unique()
-    adds one keyed agg; each foreign_key() adds one anti-join whose
-    dim side broadcasts under the session threshold. Violations are
-    counted, never collected."""
+    Plan shape: all aggregate-style rules AND every foreign_key's
+    non-null n_checked counter fuse into ONE pass over the table (a
+    single agg with many counters); each unique() adds one keyed agg;
+    each foreign_key() adds one anti-join whose dim side broadcasts
+    under the session threshold. Violations are counted, never
+    collected. Counters coalesce to 0 so an empty table reports clean
+    zeros, not NULLs."""
+    if not rules:
+        raise ValueError("run_expectations: empty rule list")
     agg_rules = [r for r in rules if r.counter is not None]
+    fk_rules = [r for r in rules if r.rule == "foreign_key"]
     outs = []
+
+    # one fused pass: total row count, every aggregate rule's
+    # violation counter, and each FK rule's non-null child-key count
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(agg_rules):
+        aggs.append(
+            F.coalesce(r.counter.cast("bigint"), F.lit(0)).alias(f"__v{i}")
+        )
+    for j, r in enumerate(fk_rules):
+        _, _, col = r.join_probe
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0))
+                .cast("bigint"),
+                F.lit(0),
+            ).alias(f"__fk{j}")
+        )
+    one = F.broadcast(df.agg(*aggs))
+
     if agg_rules:
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for i, r in enumerate(agg_rules):
-            aggs.append(r.counter.cast("bigint").alias(f"__v{i}"))
-        one = df.agg(*aggs)
-        stack_args = []
-        for i, r in enumerate(agg_rules):
-            stack_args.append(f"'{r.rule}', '{r.column}', __v{i}")
+        stack_args = [
+            f"'{r.rule}', '{r.column}', __v{i}" for i, r in enumerate(agg_rules)
+        ]
         outs.append(
             one.select(
                 F.expr(
@@ -106,8 +125,10 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             )
             outs.append(
                 per_key.agg(
-                    F.sum(F.col("__c") - 1).cast("bigint").alias("n_violations"),
-                    F.sum("__c").alias("n_checked"),
+                    F.coalesce(
+                        F.sum(F.col("__c") - 1).cast("bigint"), F.lit(0)
+                    ).alias("n_violations"),
+                    F.coalesce(F.sum("__c"), F.lit(0)).alias("n_checked"),
                 ).select(
                     F.lit("unique").alias("rule"),
                     F.lit(r.column).alias("col_name"),
@@ -116,6 +137,7 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 )
             )
         elif r.rule == "foreign_key":
+            j = fk_rules.index(r)
             dim_df, dim_col, col = r.join_probe
             child = df.select(F.col(col)).filter(F.col(col).isNotNull())
             orphans = child.join(
@@ -125,9 +147,7 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             )
             outs.append(
                 orphans.agg(F.count(F.lit(1)).alias("n_violations"))
-                .crossJoin(
-                    F.broadcast(child.agg(F.count(F.lit(1)).alias("n_checked")))
-                )
+                .crossJoin(one.select(F.col(f"__fk{j}").alias("n_checked")))
                 .select(
                     F.lit("foreign_key").alias("rule"),
                     F.lit(r.column).alias("col_name"),

@@ -104,9 +104,15 @@ def profile_skew(
     is a handful of tiny frames."""
     outs = []
     for c in key_cols:
-        per_key = df.groupBy(F.col(c).cast("string").alias("key_value")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+        # NULL is a real (and often the hottest) key: represent it as
+        # the sentinel string so it ranks like any other value and the
+        # ordering is engine-portable (Spark sorts NULLs first, SQL
+        # engines default NULLS LAST — a latent tiebreak divergence)
+        per_key = df.groupBy(
+            F.coalesce(F.col(c).cast("string"), F.lit("__null__")).alias(
+                "key_value"
+            )
+        ).agg(F.count(F.lit(1)).alias("cnt"))
         stats = F.broadcast(
             per_key.agg(
                 F.sum("cnt").alias("n_rows"),

@@ -238,7 +238,7 @@ def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_COMPRESSION_RATIO = """
-SELECT doc_id, CAST(strlen(text) AS INT) AS raw_len, TRUE AS comp_ok
+SELECT doc_id, CAST(COALESCE(strlen(text), 0) AS INT) AS raw_len, TRUE AS comp_ok
 FROM documents
 """
 
@@ -762,7 +762,8 @@ FROM documents
 
 
 def _ann_recall_contract(
-    ann: DataFrame, exact: DataFrame, k: int, min_total_hits: int
+    q_df: DataFrame, ann: DataFrame, exact: DataFrame, k: int,
+    min_total_hits: int, id_col: str = "vec_id",
 ) -> DataFrame:
     """Driver-checkable contract for an approximate index: per query,
     emit ``full_k`` (the index returned all k neighbors) and
@@ -781,14 +782,21 @@ def _ann_recall_contract(
         ["query_id", "neighbor_id"],
     )
     total = F.broadcast(hits.agg(F.count(F.lit(1)).alias("__total_hits")))
+    # anchor the output on the QUERY SET, not the ANN result: a query
+    # whose probe returns zero candidates must surface as
+    # full_k = false, not vanish into an opaque row-count mismatch
     per_q = (
-        ann.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__n_ann"))
+        q_df.select(F.col(id_col).alias("query_id"))
+        .join(
+            ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n_ann")),
+            "query_id",
+            "left",
+        )
         .crossJoin(total)
     )
     return per_q.select(
         "query_id",
-        (F.col("__n_ann") == k).alias("full_k"),
+        (F.coalesce("__n_ann", F.lit(0)) == k).alias("full_k"),
         (F.col("__total_hits") >= min_total_hits).alias("recall_ok"),
     )
 
@@ -805,7 +813,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     ann = similarity.ivf_topk(e, q, k=5, n_lists=8, nprobe=3, max_iter=4)
     exact = similarity.cosine_topk(e, q, k=5)
-    return _ann_recall_contract(ann, exact, k=5, min_total_hits=6)
+    return _ann_recall_contract(q, ann, exact, k=5, min_total_hits=6)
 
 
 def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
@@ -820,7 +828,7 @@ def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     ann = similarity.lsh_bucketed_topk(e, q, k=5, num_planes=6, multi_probe=2)
     exact = similarity.cosine_topk(e, q, k=5)
-    return _ann_recall_contract(ann, exact, k=5, min_total_hits=1)
+    return _ann_recall_contract(q, ann, exact, k=5, min_total_hits=1)
 
 
 SQL_ANN_RECALL = """

@@ -826,9 +826,15 @@ def q_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
     Consumers divide num/den for the float slope; ONE pass, one
     keyed agg with map-side combine."""
     e = load_table(spark, sf, "events")
-    origin = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    # x = FLOOR-of-absolute-epoch-hours minus the origin's hour, NOT
+    # trunc of the signed diff: `timestampdiff(...) div` truncates
+    # toward zero, which diverges from the oracle's epoch_us // floor
+    # for any pre-origin, non-hour-aligned timestamp. unix_micros is
+    # positive for this data's epoch range, so div == floor and both
+    # engines quantize identically on either side of the origin.
     x = F.expr(
-        f"timestampdiff(MICROSECOND, {origin}, ts) div 3600000000"
+        "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 3600000000) - 473352"
     )
     y = F.expr("cast(value * 1000 as bigint)")  # trunc toward zero
     g = e.groupBy("event_type").agg(

@@ -1355,8 +1355,8 @@ def _skew_profile_col_sql(c: str) -> str:
 SELECT '{c}' AS col_name, CAST(rnk AS INT) AS rnk, key_value, cnt, n_rows, n_keys,
        CAST(cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio
 FROM (
-  SELECT CAST({c} AS VARCHAR) AS key_value, COUNT(*) AS cnt,
-         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, CAST({c} AS VARCHAR)) AS rnk,
+  SELECT COALESCE(CAST({c} AS VARCHAR), '__null__') AS key_value, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, COALESCE(CAST({c} AS VARCHAR), '__null__')) AS rnk,
          CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_rows,
          CAST(COUNT(*) OVER () AS BIGINT) AS n_keys
   FROM orders GROUP BY 1
@@ -1442,7 +1442,8 @@ SELECT 'not_null' AS rule, 'l_orderkey' AS col_name,
 UNION ALL
 SELECT 'accepted_values', 'l_returnflag',
        CAST((SELECT COUNT(*) FROM lineitem
-             WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+             WHERE l_returnflag IS NOT NULL
+               AND l_returnflag NOT IN ('A','N','R')) AS BIGINT),
        n.n FROM n
 UNION ALL
 SELECT 'in_range', 'l_discount',

@@ -186,3 +186,43 @@ def ingest_embeddings(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def monitor_expectations(
+    stream_df: DataFrame,
+    rules: list,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming data-quality monitoring: evaluate a
+    datapipe.expectations rule suite on EVERY micro-batch and append
+    the long-format violation report stamped with batch_id — the
+    freshness-window quality dashboard feed (per-batch rows compose:
+    violation counts are additive across batches for the same rule,
+    so any window's totals are one GROUP BY over this table).
+
+    Same exactly-once discipline as ingest_embeddings: each batch
+    overwrites its own batch_id partition dynamically, so a retry
+    replaces its partial report instead of double-counting.
+
+    Per-batch cost is the batch-side plan of run_expectations (one
+    fused agg + per-unique keyed agg + per-FK anti-join) — bounded by
+    the micro-batch, no streaming state."""
+    from cubert_spark.datapipe.expectations import run_expectations
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            run_expectations(batch_df, rules)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

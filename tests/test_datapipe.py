@@ -2689,6 +2689,7 @@ def test_expectations_catch_planted_violations(spark):
             (1, "A", 0.05, 10),      # dup key (1, 'A')... unique on (k, flag)
             (2, "Z", 0.5, 99),       # bad flag, out-of-range, orphan fk
             (None, "N", None, 10),   # null k; null discount ignored by range
+            (3, None, 0.01, None),   # NULL flag/fk: not_null's business only
         ],
         "k int, flag string, disc double, fk int",
     )
@@ -2704,8 +2705,20 @@ def test_expectations_catch_planted_violations(spark):
         (r.rule, r.col_name): (r.n_violations, r.n_checked)
         for r in X.run_expectations(child, rules).collect()
     }
-    assert got[("not_null", "k")] == (1, 4)
-    assert got[("accepted_values", "flag")] == (1, 4)
-    assert got[("in_range", "disc")] == (1, 4)      # NULL disc not counted
-    assert got[("unique", "k,flag")] == (1, 4)      # one excess row
-    assert got[("foreign_key", "fk")] == (1, 4)     # 99 orphaned; nulls n/a
+    assert got[("not_null", "k")] == (1, 5)
+    assert got[("accepted_values", "flag")] == (1, 5)  # NULL flag NOT counted
+    assert got[("in_range", "disc")] == (1, 5)      # NULL disc not counted
+    assert got[("unique", "k,flag")] == (1, 5)      # one excess row
+    assert got[("foreign_key", "fk")] == (1, 4)     # 99 orphaned; NULL fk n/a
+
+    # empty table: clean zeros, not NULLs; empty rule list raises
+    import pytest
+
+    empty = child.limit(0)
+    z = {
+        (r.rule, r.col_name): (r.n_violations, r.n_checked)
+        for r in X.run_expectations(empty, rules).collect()
+    }
+    assert all(v == (0, 0) for v in z.values()), z
+    with pytest.raises(ValueError):
+        X.run_expectations(child, [])

@@ -365,3 +365,50 @@ def test_ingest_embeddings_matches_batch_index(spark, tmp_path):
     ).awaitTermination()
     again = {r.vec_id: r.list_id for r in spark.read.parquet(out).collect()}
     assert again == want and spark.read.parquet(out).count() == e.count()
+
+
+def test_monitor_expectations_stream_matches_batch(spark, tmp_path):
+    """Streaming quality monitor: per-batch violation reports summed
+    across batches equal the one-shot batch report on the full data
+    (violation counters are additive), and each batch is stamped."""
+    from pyspark.sql import functions as F
+
+    from cubert_spark.datapipe import expectations as X
+    from cubert_spark.streaming.ingest import monitor_expectations
+
+    rows = [(1, "A"), (2, "Z"), (None, "A"), (3, "A"), (3, "A"), (4, None)]
+    df = spark.createDataFrame(rows, "k int, flag string")
+    src = str(tmp_path / "src")
+    df.filter("k <= 2 OR k IS NULL").coalesce(1).write.parquet(src + "/f1")
+    df.filter("k >= 3").coalesce(1).write.parquet(src + "/f2")
+
+    rules = [
+        X.not_null("k"),
+        X.accepted_values("flag", ["A", "N", "R"]),
+        X.unique("k", "flag"),
+    ]
+    stream = (
+        spark.readStream.schema("k int, flag string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "report")
+    monitor_expectations(
+        stream, rules, out, str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    rep = spark.read.parquet(out)
+    assert rep.select("batch_id").distinct().count() == 2
+    summed = {
+        (r.rule, r.col_name): (r.v, r.c)
+        for r in rep.groupBy("rule", "col_name")
+        .agg(F.sum("n_violations").alias("v"), F.sum("n_checked").alias("c"))
+        .collect()
+    }
+    # batch-split note: unique() is additive only for keys that never
+    # straddle a batch boundary — true here by construction (k<=2 | k>=3)
+    want = {
+        (r.rule, r.col_name): (r.n_violations, r.n_checked)
+        for r in X.run_expectations(df, rules).collect()
+    }
+    assert summed == want, (summed, want)
