@@ -16,3 +16,5 @@ __all__ = [
     "shuffle_count",
 ]
 from cubert_spark.plans.ivm import join_delta, maintain_join  # noqa: E402,F401
+from cubert_spark.plans.advisor import scale_projection  # noqa: E402,F401
+from cubert_spark.plans.advisor import report as scale_report  # noqa: E402,F401

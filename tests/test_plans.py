@@ -621,3 +621,36 @@ def test_every_query_documented_in_coverage():
     text = open(os.path.join(root, "COVERAGE.md")).read()
     missing = [n for n in sorted(all_queries()) if n not in text]
     assert missing == [], missing
+
+
+def test_scale_advisor_projects_shuffles_and_broadcast_flips(spark):
+    """plans.advisor: a scan->agg plan reports one scan-derived
+    Aggregate boundary whose projection scales linearly; a star join
+    flags the dimension side that broadcasts today but not at factor;
+    a pure map pipeline reports no boundaries."""
+    from cubert_spark.plans.advisor import report, scale_projection
+    from cubert_spark.queries.core import q1_groupby_agg, q_revenue_by_nation
+
+    f = scale_projection(q1_groupby_agg(spark, SF), factor=1000)
+    aggs = [x for x in f if x.node == "Aggregate"]
+    assert len(aggs) == 1
+    a = aggs[0]
+    assert a.confidence == "scan-derived"
+    assert a.est_bytes_now > 0
+    assert a.est_bytes_at_factor == a.est_bytes_now * 1000
+
+    f2 = scale_projection(q_revenue_by_nation(spark, SF), factor=100000)
+    sides = [x for x in f2 if x.node == "Join(side)"]
+    assert sides, "star-join dims must flag the broadcast->shuffle flip"
+    assert all(
+        x.est_bytes_now <= 32 << 20 < x.est_bytes_at_factor for x in sides
+    )
+    # post-join boundaries carry the upper-bound caveat
+    assert any(x.confidence.startswith("upper-bound") for x in f2)
+
+    # pure map pipeline: no findings, and the report says so
+    from cubert_spark.catalog import load_table
+
+    mapped = load_table(spark, SF, "orders").select("o_orderkey")
+    assert scale_projection(mapped) == []
+    assert "pure map pipeline" in report(mapped)
