@@ -2722,3 +2722,46 @@ def test_expectations_catch_planted_violations(spark):
     assert all(v == (0, 0) for v in z.values()), z
     with pytest.raises(ValueError):
         X.run_expectations(child, [])
+
+
+def test_cdc_chunking_properties_and_blob_dedup(spark):
+    """Content-defined chunking: size bounds hold; an INSERT only
+    perturbs chunks near the edit (every later boundary
+    re-synchronizes — the property fixed-size chunking lacks); and
+    blob_dedup_stats finds a shared segment planted in two blobs at
+    DIFFERENT offsets."""
+    import numpy as np
+
+    from cubert_spark.datapipe.cdc_chunk import blob_dedup_stats, chunk_boundaries
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=20000, dtype=np.uint8).tobytes()
+    b = chunk_boundaries(data)
+    sizes = [b[0]] + [b[i] - b[i - 1] for i in range(1, len(b))]
+    assert all(s <= 1024 for s in sizes)
+    assert all(s > 64 for s in sizes[:-1])  # last chunk may be short
+    assert 100 < sum(sizes) / len(sizes) < 600  # ~avg_size target
+
+    # resynchronization under an insert at offset 5000
+    data2 = data[:5000] + bytes(10) + data[5000:]
+    b2 = chunk_boundaries(data2)
+    tail1 = {x for x in b if x > 6100}
+    tail2 = {x - 10 for x in b2 if x > 6110}
+    assert tail1 and tail1 == (tail1 & tail2)  # every tail boundary realigns
+
+    # cross-blob dedup: a 5KB shared segment at different offsets
+    shared = rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes()
+    blob_a = data[:3000] + shared + data[3000:8000]
+    blob_b = data[8000:9500] + shared + data[9500:12000]
+    blob_c = data[12000:18000]  # no overlap
+    df = spark.createDataFrame(
+        [(1, blob_a), (2, blob_b), (3, blob_c)], "id long, blob binary"
+    )
+    stats = {r.id: r for r in blob_dedup_stats(df).collect()}
+    assert stats[1].n_bytes == len(blob_a)
+    # the interior of the shared segment dedups on both carriers (the
+    # first/last chunk of the segment merge with surrounding bytes, so
+    # the edges — up to ~a mean chunk per side — are the CDC toll)
+    assert stats[1].dup_bytes > 2000 and stats[2].dup_bytes > 2000
+    assert stats[1].dup_bytes == stats[2].dup_bytes  # same interior chunks
+    assert stats[3].dup_bytes == 0 and stats[3].dup_frac == 0.0
