@@ -148,6 +148,10 @@ BENCH_QUERIES = [
     # six-rule data-quality suite: fused single-scan aggregates +
     # keyed uniqueness agg + two broadcast anti-joins
     "dq_expectations",
+    # TPC-H depth additions: Q7-style 6-table bilateral volume and
+    # Q14-style promotion share (broadcast part dim)
+    "nation_volume",
+    "promo_revenue",
 ]
 
 

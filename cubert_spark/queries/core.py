@@ -699,6 +699,137 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
 """
 
 
+def q_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q7-style bilateral shipping volume: revenue flowing
+    between two nation pairs per year — a 6-table join chain
+    (lineitem |><| orders |><| customer |><| nation AND |><| supplier
+    |><| nation again on the other leg). Both nation dims broadcast
+    (they are 25 rows at any SF); the fact side shuffles only on its
+    join keys; the cross-pair predicate prunes before aggregation.
+    Revenue through DECIMAL."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    su = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair_ok = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(n1, su.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("l_year"),
+        )
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_NATION_VOLUME = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(CAST(l_shipdate AS DATE)) AS l_year,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q12-style conditional priority split: per line status in
+    one shipping year, how many lines belong to high- vs low-priority
+    orders (the testdata schema has no shipmode/receipt columns, so
+    the Q12 SHAPE — band-filtered fact join + conditional-CASE counts
+    — runs on the status dimension). One join on the order key, exact
+    integer aggregation, the date band pushed to the lineitem scan."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    band = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        band.join(o, band.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPMODE_PRIORITY = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q14-style promotion effect: the share of one month's
+    revenue from PROMO parts. Part (the smaller side at any ratio of
+    this schema) broadcasts; numerator and denominator are both
+    DECIMAL-exact sums; the final percentage is ONE IEEE divide of the
+    two exact decimals cast to double."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    band = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    g = band.join(p, band.l_partkey == p.p_partkey).agg(
+        dsum(F.when(promo, rev).otherwise(F.lit(0.0))).alias("promo_revenue"),
+        dsum(rev).alias("total_revenue"),
+    )
+    return g.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        ).alias("promo_pct"),
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM (
+  SELECT {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+         {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1997-10-01'
+)
+"""
+
+
 def q_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate-percentile sketch with a driver-checkable contract
     (the quantile sibling of q_approx_count_distinct's HLL contract):
@@ -855,6 +986,9 @@ QUERIES = {
     "large_orders": q_large_orders,
     "returned_items": q_returned_items,
     "forecast_revenue": q_forecast_revenue,
+    "nation_volume": q_nation_volume,
+    "shipmode_priority": q_shipmode_priority,
+    "promo_revenue": q_promo_revenue,
 }
 
 SQL_APPROX_COUNT_DISTINCT = """
@@ -872,6 +1006,9 @@ ORACLES = {
     # oracle asserts from exact math (TRUE).
     "approx_count_distinct": SQL_APPROX_COUNT_DISTINCT,
     "approx_quantile": SQL_APPROX_QUANTILE,
+    "nation_volume": SQL_NATION_VOLUME,
+    "shipmode_priority": SQL_SHIPMODE_PRIORITY,
+    "promo_revenue": SQL_PROMO_REVENUE,
     "generate_filter": SQL_GENERATE_FILTER,
     "q1_groupby_agg": SQL_Q1,
     "groupby_all": SQL_GROUPBY_ALL,

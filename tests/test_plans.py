@@ -595,6 +595,9 @@ _SHUFFLE_CEILINGS = {
     "skew_profile": 6, "triangle_count": 5, "decayed_revenue": 1,
     "rendezvous_shard": 0, "approx_quantile": 1, "duplicate_spans": 3,
     "dq_expectations": 3, "jsonl_roundtrip": 1,
+    # TPC-H depth: Q7-style one fact shuffle with all dims broadcast;
+    # Q14-style is a pure broadcast-join global agg
+    "nation_volume": 1, "shipmode_priority": 1, "promo_revenue": 0,
 }
 
 
