@@ -349,3 +349,38 @@ def merge_upsert(
     os.rename(path, bak)
     os.rename(staged, path)
     shutil.rmtree(bak, ignore_errors=True)
+
+
+def vacuum_versions(
+    path_pattern: str,
+    keep_last: int = 3,
+    dry_run: bool = False,
+) -> tuple[list[str], list[str]]:
+    """Retention for versioned (date-named) layouts: of every
+    directory matching ``path_pattern`` (same glob position as
+    ``#LATEST`` — e.g. ``/data/daily/#LATEST`` vacuums
+    ``/data/daily/*``), keep the ``keep_last`` lexicographically
+    greatest versions and delete the rest. The lifecycle complement
+    of resolve_latest — Cubert managed this with per-script
+    ONCOMPLETION rm blocks (grammar ONCOMPLETION,
+    FileSystemUtils.java); here it is one idempotent library call a
+    scheduler can own.
+
+    Returns (kept, removed), both sorted. ``dry_run`` reports without
+    deleting. ``keep_last`` must be >= 1 — the newest version (what
+    ``#LATEST`` resolves to) is never deletable through this API.
+    Local-FS here; on an object store the rmtree becomes a prefix
+    delete."""
+    import glob as _glob
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    pattern = path_pattern.replace("#LATEST", "*")
+    versions = sorted(p for p in _glob.glob(pattern) if os.path.isdir(p))
+    kept = versions[-keep_last:]
+    removed = versions[: max(0, len(versions) - keep_last)]
+    if not dry_run:
+        for p in removed:
+            shutil.rmtree(p)
+    return kept, removed

@@ -195,3 +195,35 @@ def test_join_delta_algebra(spark):
         )
     )
     assert got == want
+
+
+def test_vacuum_versions_retention(spark, tmp_path):
+    """vacuum_versions keeps the newest N dated versions, #LATEST
+    still resolves to the same head afterwards, dry_run deletes
+    nothing, and keep_last=0 is rejected (the head is never deletable)."""
+    import os
+
+    import pytest
+
+    from cubert_spark.catalog import resolve_latest, vacuum_versions
+
+    base = tmp_path / "daily"
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"):
+        (base / d).mkdir(parents=True)
+        (base / d / "part.txt").write_text(d)
+    pat = str(base / "#LATEST")
+    head = resolve_latest(pat)
+
+    kept, removed = vacuum_versions(pat, keep_last=2, dry_run=True)
+    assert len(kept) == 2 and len(removed) == 2
+    assert all(os.path.exists(p) for p in removed)  # dry run
+
+    kept, removed = vacuum_versions(pat, keep_last=2)
+    assert [os.path.basename(p) for p in kept] == ["2024-01-03", "2024-01-04"]
+    assert not any(os.path.exists(p) for p in removed)
+    assert resolve_latest(pat) == head  # the head survived
+
+    # idempotent; and vacuuming below the population is a no-op
+    assert vacuum_versions(pat, keep_last=5)[1] == []
+    with pytest.raises(ValueError):
+        vacuum_versions(pat, keep_last=0)
