@@ -1470,6 +1470,47 @@ SELECT 'foreign_key', 'l_partkey',
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet schema evolution on LOAD (the mergeSchema path —
+    Cubert-side analog: the Avro reader-schema evolution already
+    covered by avro_evolution, here for the primary columnar format):
+    two parquet writes of the SAME logical table where the second adds
+    a column; reading the directory with mergeSchema=true null-pads
+    the old files, and the aggregate proves both eras contribute. The
+    oracle replays the union-with-nulls relationally."""
+    import os as _os
+
+    o = load_table(spark, sf, "orders")
+    path = "/tmp/cubert_spark_schevo_%s_%d" % (
+        _os.path.basename(sf.rstrip("/")), _os.getpid(),
+    )
+    era1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    era2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice")
+    )
+    era1.write.mode("overwrite").parquet(path + "/era=1")
+    era2.write.mode("overwrite").parquet(path + "/era=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        path + "/era=1", path + "/era=2"
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        dsum(F.coalesce("o_totalprice", F.lit(0.0))).alias("price_sum"),
+    )
+
+
+SQL_SCHEMA_EVOLUTION = f"""
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_price,
+       {dsum_sql('CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0.0 END')} AS price_sum
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
@@ -1484,6 +1525,7 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "dq_expectations": q_dq_expectations,
+    "schema_evolution": q_schema_evolution,
     "golden_record": q_golden_record,
     "join_ivm": q_join_ivm,
     "bfs_hops": q_bfs_hops,
@@ -1524,6 +1566,7 @@ ORACLES = {
     "skew_profile": SQL_SKEW_PROFILE,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "dq_expectations": SQL_DQ_EXPECTATIONS,
+    "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "golden_record": SQL_GOLDEN_RECORD,
     "join_ivm": SQL_JOIN_IVM,
     "bfs_hops": SQL_BFS_HOPS,

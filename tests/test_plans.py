@@ -598,6 +598,7 @@ _SHUFFLE_CEILINGS = {
     # TPC-H depth: Q7-style one fact shuffle with all dims broadcast;
     # Q14-style is a pure broadcast-join global agg
     "nation_volume": 1, "shipmode_priority": 1, "promo_revenue": 0,
+    "schema_evolution": 1,
 }
 
 
