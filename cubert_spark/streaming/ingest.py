@@ -226,3 +226,65 @@ def monitor_expectations(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_topn(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str,
+    key_cols: list[str],
+    k: int,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Streaming per-window top-k (trending items): tumbling-window
+    counts per key, and when the watermark closes a window, rank its
+    keys and persist the top ``k`` — the leaderboard feed no single
+    streaming operator expresses (windowed aggregation cannot be
+    followed by a rank in the same continuous query; Spark forbids
+    stacking stateful operators there).
+
+    Mechanics: the windowed count stream runs in APPEND mode, so a
+    window's rows are all emitted in the one micro-batch where the
+    watermark passes its end; foreachBatch ranks exactly the closed
+    windows it received and dynamic-overwrites each window's
+    partition (win_start) — retries rewrite the same partitions, so
+    the sink is exactly-once like ingest_embeddings.
+
+    Per-batch state is the window counts (bounded by watermark);
+    the rank runs over at most |keys-per-window| rows per closed
+    window."""
+    from cubert_spark.streaming.windows import tumbling_agg
+    from pyspark.sql import Window
+
+    agg = tumbling_agg(
+        stream_df, ts_col, window, key_cols,
+        [F.count(F.lit(1)).alias("n")], watermark=watermark,
+    )
+
+    def update(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        wnd = Window.partitionBy("win_start").orderBy(
+            F.col("n").desc(), *[F.col(c) for c in key_cols]
+        )
+        (
+            batch_df.select(
+                F.col("w.start").alias("win_start"), *key_cols, "n"
+            )
+            .withColumn("rnk", F.row_number().over(wnd))
+            .filter(F.col("rnk") <= k)
+            .write.partitionBy("win_start")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -412,3 +412,69 @@ def test_monitor_expectations_stream_matches_batch(spark, tmp_path):
         for r in X.run_expectations(df, rules).collect()
     }
     assert summed == want, (summed, want)
+
+
+def test_windowed_topn_stream_matches_batch(spark, events_dir, tmp_path):
+    """Streaming per-window top-k == batch per-window top-k over every
+    CLOSED window (append mode only emits a window once the watermark
+    passes its end, so the final windows inside the watermark horizon
+    are legitimately still open when the availableNow replay ends)."""
+    import datetime
+
+    from pyspark.sql import Window as W
+
+    from cubert_spark.streaming import read_parquet_stream
+    from cubert_spark.streaming.ingest import windowed_topn
+
+    batch = _batch_events(spark, events_dir)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=30)
+    wnd = W.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    expected = {
+        (r.win_start, r.rnk): (r.event_type, r.n)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(horizon))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        .withColumn("rnk", F.row_number().over(wnd))
+        .filter("rnk <= 2")
+        .collect()
+    }
+    # time-ordered micro-batches: the shared events_dir repartitions
+    # randomly, so its first file would advance the watermark across
+    # the whole month and later files' rows would be dropped as late —
+    # the standard watermark contract, not a windowed_topn property
+    src = str(tmp_path / "bytime")
+    batch.filter("ts < TIMESTAMP '2024-01-11'").coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    batch.filter(
+        "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'"
+    ).coalesce(1).write.parquet(src + "/f1")
+    batch.filter("ts >= TIMESTAMP '2024-01-21'").coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "top")
+    windowed_topn(
+        stream, "ts", "1 hour", ["event_type"], 2, out,
+        str(tmp_path / "ckpt"), watermark="30 minutes",
+    ).awaitTermination()
+    got = {
+        (r.win_start, r.rnk): (r.event_type, r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    # every closed window matches the batch top-k exactly
+    assert expected.items() <= got.items(), (
+        len(expected), len(got),
+        sorted(set(expected) - set(got))[:3],
+    )
+    assert len(got) > 10
