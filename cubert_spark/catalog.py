@@ -87,6 +87,16 @@ class Catalog:
             self.table(n).createOrReplaceTempView(n)
 
 
+def _latest_candidates(path_pattern: str) -> list[str]:
+    """The shared #LATEST candidate set: every filesystem match of the
+    pattern with #LATEST as a glob star, sorted ascending (newest
+    last). resolve_latest and vacuum_versions both resolve through
+    here so they can never disagree about what the newest version is."""
+    import glob as _glob
+
+    return sorted(_glob.glob(path_pattern.replace("#LATEST", "*")))
+
+
 def resolve_latest(path: str) -> str:
     """``#LATEST`` path tag (FileSystemUtils.java:247-271 /
     CHANGELOG:45): each #LATEST globs to the lexicographically
@@ -95,12 +105,10 @@ def resolve_latest(path: str) -> str:
     fs.globStatus against the object store."""
     if "#LATEST" not in path:
         return path
-    import glob as _glob
-
-    matches = _glob.glob(path.replace("#LATEST", "*"))
+    matches = _latest_candidates(path)
     if not matches:
         raise FileNotFoundError(f"no paths match {path!r}")
-    return max(matches)
+    return matches[-1]
 
 
 def load(
@@ -371,16 +379,20 @@ def vacuum_versions(
     ``#LATEST`` resolves to) is never deletable through this API.
     Local-FS here; on an object store the rmtree becomes a prefix
     delete."""
-    import glob as _glob
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    pattern = path_pattern.replace("#LATEST", "*")
-    versions = sorted(p for p in _glob.glob(pattern) if os.path.isdir(p))
+    # the SAME candidate set resolve_latest uses (files and dirs), so
+    # "the newest version is never deletable" is computed over exactly
+    # what #LATEST resolves against
+    versions = _latest_candidates(path_pattern)
     kept = versions[-keep_last:]
     removed = versions[: max(0, len(versions) - keep_last)]
     if not dry_run:
         for p in removed:
-            shutil.rmtree(p)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
     return kept, removed

@@ -8,13 +8,14 @@ chunking: inserting or deleting bytes only perturbs the chunks
 around the edit — every other boundary re-synchronizes, so shared
 segments dedup even at different byte offsets in different blobs.
 
-Implementation shape: the per-blob chunker is one numpy pass inside
-an Arrow-batched ``mapInPandas`` kernel (the Gear table lookup and
-mask test vectorize poorly per-byte in pure Python, so the kernel
-uses a stride loop over a uint64 rolling value — still C-speed via
-numpy scalar ops on the byte array); everything after the kernel is
-JVM algebra: chunk-hash groupBy, per-blob dup stats. Only 16-byte
-chunk hashes ever shuffle, never blob bytes.
+Implementation shape: the per-blob chunker does its random-access
+work (the 256-entry Gear table lookup over every byte) in ONE
+vectorized numpy pass, then a plain-int rolling loop declares
+boundaries, inside an Arrow-batched ``mapInPandas`` kernel;
+everything after the kernel is JVM algebra: chunk-hash groupBy,
+per-blob dup stats. Only 16-byte chunk hashes ever shuffle, never
+blob bytes. (At production blob sizes swap the boundary loop for a
+C/Cython gear pass — the kernel contract is unchanged.)
 
 No SQL oracle is possible (no rolling Gear hash in any SQL engine);
 like the codec tier this surface is pytest-pinned: boundary
@@ -123,7 +124,15 @@ def chunk_blobs(
                 columns=[id_col, "chunk_idx", "offset", "length", "chunk_hash"],
             )
 
-    return df.select(id_col, blob_col).mapInPandas(kernel, schema)
+    # drop NULL-id rows BEFORE the kernel: a single NaN id coerces the
+    # whole pandas id column to float64 (corrupting ids above 2^53)
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(id_col, blob_col)
+        .filter(F.col(id_col).isNotNull())
+        .mapInPandas(kernel, schema)
+    )
 
 
 def blob_dedup_stats(
@@ -142,18 +151,27 @@ def blob_dedup_stats(
     chunks = chunk_blobs(df, blob_col, id_col, **chunk_kw)
     occ = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("__n"))
     j = chunks.join(occ, "chunk_hash")
-    return (
-        j.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("length").alias("n_bytes"),
-            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("dup_chunks"),
-            F.sum(F.when(F.col("__n") > 1, F.col("length")).otherwise(0)).alias(
-                "dup_bytes"
-            ),
-        )
-        .withColumn(
-            "dup_frac",
-            F.col("dup_bytes").cast("double") / F.col("n_bytes").cast("double"),
-        )
+    per_blob = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("length").alias("n_bytes"),
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        F.sum(F.when(F.col("__n") > 1, F.col("length")).otherwise(0)).alias(
+            "dup_bytes"
+        ),
+    )
+    # left-join back so empty (and NULL) blobs report zero rows rather
+    # than vanishing — a caller reconciling the report against the
+    # corpus must see every id
+    ids = df.select(id_col).filter(F.col(id_col).isNotNull()).distinct()
+    return ids.join(per_blob, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_bytes", F.lit(0)).alias("n_bytes"),
+        F.coalesce("dup_chunks", F.lit(0)).alias("dup_chunks"),
+        F.coalesce("dup_bytes", F.lit(0)).alias("dup_bytes"),
+        F.when(
+            F.coalesce("n_bytes", F.lit(0)) > 0,
+            F.coalesce("dup_bytes", F.lit(0)).cast("double")
+            / F.coalesce("n_bytes", F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
     )

@@ -92,6 +92,7 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
         aggs.append(
             F.coalesce(r.counter.cast("bigint"), F.lit(0)).alias(f"__v{i}")
         )
+    fk_index = {id(r): j for j, r in enumerate(fk_rules)}
     for j, r in enumerate(fk_rules):
         _, _, col = r.join_probe
         aggs.append(
@@ -137,7 +138,10 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 )
             )
         elif r.rule == "foreign_key":
-            j = fk_rules.index(r)
+            # id()-keyed lookup: list.index would invoke the dataclass
+            # __eq__ over Column/DataFrame fields (fragile) and rescan
+            # the list per rule
+            j = fk_index[id(r)]
             dim_df, dim_col, col = r.join_probe
             child = df.select(F.col(col)).filter(F.col(col).isNotNull())
             orphans = child.join(

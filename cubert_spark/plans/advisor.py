@@ -51,13 +51,6 @@ class ScaleFinding:
     confidence: str = "scan-derived"
 
 
-def _has_join_below(jnode) -> bool:
-    for n in _walk(jnode):
-        if n.nodeName() == "Join":
-            return True
-    return False
-
-
 def _walk(jnode):
     yield jnode
     children = jnode.children()
@@ -72,11 +65,26 @@ def _size(jnode) -> int:
         return -1
 
 
+def _is_shuffling(jnode, name: str) -> bool:
+    """True when this logical node compiles to an exchange. Sort and
+    Repartition carry flags: Sort(global=false) is
+    sortWithinPartitions and Repartition(shuffle=false) is coalesce —
+    neither shuffles."""
+    try:
+        if name == "Sort":
+            return bool(getattr(jnode, "global")())
+        if name == "Repartition":
+            return bool(jnode.shuffle())
+    except Exception:
+        pass
+    return True
+
+
 def scale_projection(
     df: DataFrame,
     factor: float = 1000.0,
     target_partition_bytes: int = 256 << 20,
-    broadcast_threshold: int = 32 << 20,
+    broadcast_threshold: int | None = None,
 ) -> list[ScaleFinding]:
     """Project every shuffle boundary and join input of ``df``'s
     optimized plan to ``factor``× current size. Returns one finding
@@ -84,21 +92,36 @@ def scale_projection(
 
     ``factor`` scales every relation uniformly — the right model for
     "same pipeline, bigger corpus"; when dimensions are fixed-size
-    (nation, region) the broadcast advice is conservative."""
+    (nation, region) the broadcast advice is conservative.
+    ``broadcast_threshold`` defaults to the SESSION's
+    spark.sql.autoBroadcastJoinThreshold so "broadcasts today" means
+    what this session would actually plan."""
+    if broadcast_threshold is None:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        broadcast_threshold = _parse_bytes(raw)
     plan = df._jdf.queryExecution().optimizedPlan()
     findings: list[ScaleFinding] = []
-    for node in _walk(plan):
+
+    def visit(node) -> bool:
+        """Bottom-up single pass; returns whether the subtree contains
+        a Join (ONE traversal total — a per-node _has_join_below walk
+        would be quadratic in py4j round-trips)."""
         name = node.nodeName()
-        if name in _SHUFFLE_NODES:
-            children = node.children()
-            child_bytes = 0
-            joins_below = False
-            for i in range(children.size()):
-                child = children.apply(i)
-                s = _size(child)
-                if s > 0:
-                    child_bytes += s
-                joins_below = joins_below or _has_join_below(child)
+        children = node.children()
+        has_join = name == "Join"
+        child_bytes = 0
+        joins_below = False
+        child_sizes = []
+        for i in range(children.size()):
+            child = children.apply(i)
+            joins_below = visit(child) or joins_below
+            sz = _size(child)
+            child_sizes.append(sz)
+            if sz > 0:
+                child_bytes += sz
+        if name in _SHUFFLE_NODES and _is_shuffling(node, name):
             projected = int(child_bytes * factor)
             parts = max(1, projected // target_partition_bytes)
             findings.append(
@@ -128,21 +151,19 @@ def scale_projection(
             # flag each side that is broadcast-sized today but not at
             # factor x — the silent plan flip that turns a map-side
             # join into the pipeline's biggest shuffle
-            children = node.children()
-            for i in range(children.size()):
-                s = _size(children.apply(i))
-                if s <= 0:
+            for sz in child_sizes:
+                if sz <= 0:
                     continue
-                projected = int(s * factor)
-                if s <= broadcast_threshold < projected:
+                projected = int(sz * factor)
+                if sz <= broadcast_threshold < projected:
                     findings.append(
                         ScaleFinding(
                             node="Join(side)",
                             detail="broadcast-sized today, NOT at factor",
-                            est_bytes_now=s,
+                            est_bytes_now=sz,
                             est_bytes_at_factor=projected,
                             advice=(
-                                f"side is {_fmt(s)} now (broadcasts) but "
+                                f"side is {_fmt(sz)} now (broadcasts) but "
                                 f"~{_fmt(projected)} at {factor:g}x — the "
                                 "plan silently flips to a shuffle join; "
                                 "pre-bucket both sides on the join key, or "
@@ -150,7 +171,22 @@ def scale_projection(
                             ),
                         )
                     )
+        return has_join or joins_below
+
+    visit(plan)
     return findings
+
+
+def _parse_bytes(v) -> int:
+    """spark.sql.autoBroadcastJoinThreshold accepts '10MB'-style
+    strings or plain byte counts."""
+    s = str(v).strip().lower()
+    for suf, mul in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                     ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                     ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mul)
+    return int(s)
 
 
 def _fmt(n: int) -> str:

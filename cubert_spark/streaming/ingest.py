@@ -197,9 +197,14 @@ def monitor_expectations(
     """Streaming data-quality monitoring: evaluate a
     datapipe.expectations rule suite on EVERY micro-batch and append
     the long-format violation report stamped with batch_id — the
-    freshness-window quality dashboard feed (per-batch rows compose:
-    violation counts are additive across batches for the same rule,
-    so any window's totals are one GROUP BY over this table).
+    freshness-window quality dashboard feed. Aggregate rules
+    (not_null / accepted_values / in_range) and foreign_key are
+    row-local, so their per-batch counts are additive: any window's
+    totals are one GROUP BY over this table. unique() is
+    BATCH-SCOPED — it counts duplicates within each micro-batch, and
+    a key straddling two batches is not seen; for corpus-lifetime
+    uniqueness run the batch suite on the landed table (or dedup at
+    ingest with ingest_dedup's ledger).
 
     Same exactly-once discipline as ingest_embeddings: each batch
     overwrites its own batch_id partition dynamically, so a retry
@@ -264,8 +269,9 @@ def windowed_topn(
     )
 
     def update(batch_df: DataFrame, _batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
+        # write unconditionally: a dynamic overwrite of an empty frame
+        # touches no partitions, and guarding with take(1) would
+        # recompute the whole micro-batch a second time for the write
         wnd = Window.partitionBy("win_start").orderBy(
             F.col("n").desc(), *[F.col(c) for c in key_cols]
         )

@@ -2755,9 +2755,12 @@ def test_cdc_chunking_properties_and_blob_dedup(spark):
     blob_b = data[8000:9500] + shared + data[9500:12000]
     blob_c = data[12000:18000]  # no overlap
     df = spark.createDataFrame(
-        [(1, blob_a), (2, blob_b), (3, blob_c)], "id long, blob binary"
+        [(1, blob_a), (2, blob_b), (3, blob_c), (4, b"")],
+        "id long, blob binary",
     )
     stats = {r.id: r for r in blob_dedup_stats(df).collect()}
+    # empty blobs report zeros instead of vanishing from the report
+    assert (stats[4].n_chunks, stats[4].n_bytes, stats[4].dup_frac) == (0, 0, 0.0)
     assert stats[1].n_bytes == len(blob_a)
     # the interior of the shared segment dedups on both carriers (the
     # first/last chunk of the segment merge with surrounding bytes, so
