@@ -219,25 +219,57 @@ def main() -> None:
         print(f"# {name}: min={timings[name]:.3f}s runs={runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Per-query relative spread (max-min)/min from the raw runs: the
+    # round-over-round regression rule (SCALE.md) flags a query only
+    # when the new min exceeds the old min + its observed spread, so
+    # single-shot box weather doesn't read as a code regression.
+    spreads = {
+        n: round((max(r) - min(r)) / min(r), 3) if min(r) > 0 else 0.0
+        for n, r in raw_runs.items()
+    }
+    # stdout carries ONE compact line with per-query mins only: the
+    # driver's capture budget is ~2 KB and the full medians+runs
+    # payload (~6.4 KB at 80 queries) truncated the official record in
+    # r5 AND r6 ("parsed": null). Everything else goes to
+    # BENCH_DETAIL.json next to this script (committed per-round).
     payload = json.dumps(
         {
             "metric": "bench_total_wall_sec",
             "value": total,
             "unit": "sec",
-            "queries": timings,
-            "medians": medians,
-            "runs": raw_runs,
-            "n_runs_per_query": n_runs,
+            # stdout mins rounded to 2 decimals for capture headroom;
+            # BENCH_DETAIL.json keeps the full 3-decimal mins + runs
+            "queries": {n: round(v, 2) for n, v in timings.items()},
+            "n_runs": n_runs,
             # bench-protocol version: 1 = single-shot (r01-r03),
             # 2 = min-of-n repeats (r04), 3 = + medians, no
-            # module-global caches, default n=3 repeats (r05+;
-            # box variance made min-of-2 gate-flaky). Cross-round
-            # tooling should compare like-versioned numbers.
-            "bench_schema_version": 3,
+            # module-global caches, default n=3 repeats (r05+),
+            # 4 = compact stdout (mins only; medians/runs/spreads in
+            # BENCH_DETAIL.json). Mins are computed identically across
+            # v3/v4, so cross-round min comparisons remain valid.
+            "v": 4,
             "sf": sf,
         },
         separators=(",", ":"),
     )
+    detail = {
+        "metric": "bench_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "medians": medians,
+        "runs": raw_runs,
+        "spreads": spreads,
+        "n_runs_per_query": n_runs,
+        "bench_schema_version": 4,
+        "sf": sf,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
     print(payload, flush=True)
     spark.stop()
 

@@ -105,8 +105,15 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     one = F.broadcast(df.agg(*aggs))
 
     if agg_rules:
+        # rule/column names are interpolated into a SQL stack()
+        # expression; double any single quote so a name containing a
+        # quote can't break the parse or inject expression text
+        def _q(s: str) -> str:
+            return "'" + str(s).replace("'", "''") + "'"
+
         stack_args = [
-            f"'{r.rule}', '{r.column}', __v{i}" for i, r in enumerate(agg_rules)
+            f"{_q(r.rule)}, {_q(r.column)}, __v{i}"
+            for i, r in enumerate(agg_rules)
         ]
         outs.append(
             one.select(

@@ -174,6 +174,11 @@ class ParityResult:
     cols_duck: tuple
     match: bool
     detail: str = ""
+    # 0==0 rows is a green hash compare that verifies nothing about the
+    # query's math (the r6 nation_volume FRANCE/GERMANY bug hid behind
+    # it). The gate treats vacuous green as a failure unless the query
+    # is explicitly allowlisted with a reason.
+    vacuous: bool = False
 
     def __bool__(self) -> bool:
         return self.match
@@ -241,7 +246,10 @@ def compare(
             elif k == "float":
                 canon[c] = canon[c].astype("float64")
     if np.array_equal(_hash_frame(scanon), _hash_frame(dcanon)):
-        return ParityResult(name, len(scanon), len(dcanon), scols, dcols, True)
+        return ParityResult(
+            name, len(scanon), len(dcanon), scols, dcols, True,
+            vacuous=len(scanon) == 0,
+        )
 
     # hashes differ -> build a readable diff with the loose normalizer
     def _sort_key(row):

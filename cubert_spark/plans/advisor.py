@@ -51,13 +51,6 @@ class ScaleFinding:
     confidence: str = "scan-derived"
 
 
-def _walk(jnode):
-    yield jnode
-    children = jnode.children()
-    for i in range(children.size()):
-        yield from _walk(children.apply(i))
-
-
 def _size(jnode) -> int:
     try:
         return int(jnode.stats().sizeInBytes())  # py4j converts BigInt

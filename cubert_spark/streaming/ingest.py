@@ -259,7 +259,19 @@ def windowed_topn(
 
     Per-batch state is the window counts (bounded by watermark);
     the rank runs over at most |keys-per-window| rows per closed
-    window."""
+    window.
+
+    CAVEAT (one-shot backfills): append mode emits a window only when
+    the watermark passes its END. With trigger(availableNow), windows
+    whose end is still inside the watermark horizon when the input is
+    exhausted stay open and are NOT written — a one-shot run over a
+    finite source omits the newest ``watermark``-worth of windows by
+    design (they'd be emitted by the next run once later data advances
+    the watermark). For a complete point-in-time leaderboard over
+    landed data, use the batch twin ``queries.events.q_windowed_topn``
+    (same window algebra, no watermark withholding) — or call
+    ``flush_open_windows`` with the landed source after the stream
+    drains."""
     from cubert_spark.streaming.windows import tumbling_agg
     from pyspark.sql import Window
 
@@ -293,4 +305,51 @@ def windowed_topn(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def flush_open_windows(
+    batch_df: DataFrame,
+    ts_col: str,
+    window: str,
+    key_cols: list[str],
+    k: int,
+    out_dir: str,
+):
+    """Complete a ``windowed_topn`` one-shot backfill: compute the
+    per-window top-k over the LANDED source in batch mode (no
+    watermark, so nothing is withheld) for exactly the windows the
+    streaming run left open, and write them to the same partitioned
+    sink. Idempotent — already-persisted windows are anti-joined away,
+    so re-running flushes nothing twice, and a retry dynamic-overwrites
+    only the partitions it owns.
+
+    Cost: one windowed count + rank over the source, pruned by the
+    anti-join to open windows only (the broadcast side is the distinct
+    persisted win_start list, tiny by construction)."""
+    import os
+
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    full = (
+        batch_df.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), *key_cols
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), *key_cols, "n")
+    )
+    if os.path.isdir(out_dir):
+        done = spark.read.parquet(out_dir).select("win_start").distinct()
+        full = full.join(F.broadcast(done), "win_start", "left_anti")
+    wnd = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), *[F.col(c) for c in key_cols]
+    )
+    (
+        full.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= k)
+        .write.partitionBy("win_start")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(out_dir)
     )
