@@ -152,6 +152,11 @@ BENCH_QUERIES = [
     # Q14-style promotion share (broadcast part dim)
     "nation_volume",
     "promo_revenue",
+    # r07 additions: the streaming-twin batch rows (leaderboard window
+    # algebra shared with streaming.ingest.rank_windows; expectations
+    # rule engine shared with the streaming monitor)
+    "windowed_topn",
+    "events_expectations",
 ]
 
 
@@ -161,12 +166,15 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from cubert_spark import get_session
-    from cubert_spark.queries import all_queries
+    from cubert_spark.queries import all_queries, folded_queries
     from cubert_spark.queries import datapipe as _dp
 
     # bench-only rows: implemented + pytest-pinned operators that have
     # no possible oracle and therefore live outside queries()
     _extra = {"minhash_lsh_fast": _dp.q_minhash_lsh_fast}
+    # folded contract-twins (driver inventory consolidation, r7) stay
+    # benched — perf coverage is independent of attestation rotation
+    _extra.update(folded_queries())
 
     # Console progress bars are stderr \r-frame floods — at ~70
     # queries x 3 runs they overflowed the driver's capture budget in

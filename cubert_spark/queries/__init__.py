@@ -69,15 +69,120 @@ def _ordered(merged):
     }
 
 
-def all_queries():
+#: Contract-twin rows FOLDED OUT of the driver-declared inventory
+#: (r6 VERDICT task 2): each is a near-duplicate of a declared row —
+#: an exact ground-truth twin whose approximate sibling now embeds its
+#: own contract, a salted/plan-variant of the same math, or a narrow
+#: variant of a family with a declared representative. Folding shrinks
+#: the driver's 50-rows/round rotation period to ≤2.4 rounds at 120
+#: declared rows WITH NO COVERAGE LOSS: every folded query keeps its
+#: implementation, oracle, bench entry (where benched), and runs in
+#: the same strict local parity gate (tests/test_oracle_parity.py
+#: parametrizes declared ∪ folded). value = the declared row(s) that
+#: keep the operator family driver-attested.
+FOLDED: dict[str, str] = {
+    # exact ground-truth twins of contract-carrying approximate rows
+    "lsh_ann_exact": "lsh_ann (embeds in-query recall contract)",
+    "ivf_assign_exact": "ivf_topk (embeds in-query recall contract)",
+    "ivf_topk_exact": "ivf_topk (embeds in-query recall contract)",
+    "approx_count_distinct": "hll_estimate (register-exact HLL oracle)",
+    "hll_by_group": "hll_estimate (same sketch, grouped variant)",
+    "pq_encode": "pq_adc_topk (ADC search includes the encode path)",
+    # salted plan-variants of declared exact rows (plan pytest-pinned)
+    "salted_count_distinct": "count_distinct (same math, salted plan)",
+    "salted_topn": "topn (same math, salted plan)",
+    # cube family subsets of grouping_sets/grouping_combos
+    "rollup": "grouping_sets / cube_additive",
+    "grouping_id": "grouping_sets (same grouping_id machinery)",
+    # join/family variants with a declared representative
+    "join_full_outer": "join_left_outer (same merge-join matrix)",
+    # deterministic-sampling family: stratified + mixture stay declared
+    "det_sample": "stratified_sample (same md5-expression filter)",
+    "per_group_sample": "stratified_sample",
+    "train_test_split": "stratified_sample",
+    "weighted_sample": "mixture_sample (same weighted-pick algebra)",
+    # text-stats family: text_quality/quality_classifier/pii_redact stay
+    "pii_counts": "pii_redact (same regex chains, counting variant)",
+    "token_counts": "text_quality (same tokenizer columns)",
+    "ngram_novelty": "tfidf family via contamination/ngram_jaccard",
+    "repetition_stats": "text_quality (same repetition columns)",
+    "normalize_text": "corpus_pipeline (normalize is its first stage)",
+    # streaming-window batch twins: tumbling_window/sessionize stay
+    "session_window": "sessionize (same session-gap algebra)",
+    "sliding_window": "tumbling_window (same window() machinery)",
+    # dedup family: minhash_lsh/ngram_jaccard/containment_pairs stay
+    "jaccard_prefix": "ngram_jaccard (prefix filter is its pruning)",
+    "neardup_dedup": "minhash_lsh + dedup winner-elect in paragraph_dedup",
+    "simhash": "minhash_lsh (hash-sketch dedup family)",
+    "dedup_clusters": "golden_record (runs the same CC machinery)",
+    "fuzzy_pairs2": "fuzzy_pairs (d=2 variant of the same SymSpell join)",
+    # histogram/percentile family: equidepth + approx_quantile stay
+    "value_histogram": "equidepth_histogram",
+    "quantile_histogram": "equidepth_histogram",
+    "latency_percentiles": "median_percentile (same exact-percentile op)",
+    # storage roundtrips: parquet/avro/jsonl/clustered/zorder stay
+    "orc_roundtrip": "jsonl_roundtrip (same STORE->LOAD agg shape)",
+    # TPC-H depth variants: q1/shipping/returned/nation/promo stay
+    "forecast_revenue": "promo_revenue (same band-filtered agg shape)",
+    "large_orders": "shipping_priority (same join+having shape)",
+    # events family: funnel/top_paths/attribution/decayed stay
+    "event_transitions": "top_paths (same lag-window pair algebra)",
+    "retention": "funnel (same cohort min-time algebra)",
+    "rolling_distinct_users": "rolling_revenue (same range-frame window)",
+    # co-occurrence / robust-stats / profiling twins
+    "basket_pairs": "pmi_pairs (same pair-generation join)",
+    "heavy_hitters": "cms_topk (exact twin of the sketch top-k)",
+    "anomaly_days": "mad_outliers (same median/MAD robust math)",
+    "mode_by_group": "median_percentile (same per-group argmax shape)",
+    "json_props": "scalar_functions (same expression-only shape)",
+    "corpus_report": "profile_table (same fused profiling scan)",
+    "blocklist_filter": "contamination (same blocklist DFA pass)",
+    # CDC family: cdc_upsert + scd2_build stay declared
+    "join_ivm": "cdc_upsert (same delta-merge algebra)",
+    "snapshot_diff": "scd2_build (same keyed-diff machinery)",
+    # retrieval family: bm25_search + embedding_topk stay declared
+    "phrase_search": "bm25_search (same inverted-index join)",
+    "tfidf_top_terms": "bm25_search (same tf-idf weighting fold)",
+    "embedding_quantize": "pq_adc_topk (same quantization kernels)",
+    "filtered_ann": "embedding_topk (same top-k scorer, filtered)",
+    # graph family: pagerank + triangle_count + golden_record stay
+    "bfs_hops": "pagerank (same checkpointed edge-iteration loop)",
+}
+
+
+def _merged():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return _ordered(out)
+    return out
 
 
-def all_oracles():
+def _merged_oracles():
     out = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    return _ordered(out)
+    return out
+
+
+def all_queries():
+    """Driver-declared inventory (FOLDED twins excluded)."""
+    out = _merged()
+    return _ordered({n: f for n, f in out.items() if n not in FOLDED})
+
+
+def all_oracles():
+    out = _merged_oracles()
+    return _ordered({n: s for n, s in out.items() if n not in FOLDED})
+
+
+def folded_queries():
+    """The folded contract-twin rows — NOT driver-declared, but still
+    verified by the local strict parity gate and (where listed) the
+    bench set."""
+    out = _merged()
+    return {n: out[n] for n in sorted(FOLDED) if n in out}
+
+
+def folded_oracles():
+    out = _merged_oracles()
+    return {n: out[n] for n in sorted(FOLDED) if n in out}

@@ -1127,6 +1127,89 @@ FROM cum GROUP BY 1
 """
 
 
+
+
+def q_windowed_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-window top-k leaderboard, batch twin of the streaming
+    trending feed (streaming.ingest.windowed_topn): hourly tumbling
+    counts per event_type, then the SHARED rank
+    (streaming.ingest.rank_windows — the same function the streaming
+    sink and flush_open_windows call) kept to the top 3 per window
+    with the deterministic (count desc, key asc) tie-break. This row
+    is the driver attestation for the streaming leaderboard's window
+    algebra. One shuffle for the count, one on win_start for the rank;
+    WindowGroupLimit prunes to k per window map-side."""
+    from cubert_spark.streaming.ingest import rank_windows
+
+    e = load_table(spark, sf, "events")
+    counted = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    return rank_windows(counted, ["event_type"], 3)
+
+
+SQL_WINDOWED_TOPN = """
+SELECT win_start, event_type, n, rnk FROM (
+  SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+         COUNT(*) AS n,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY DATE_TRUNC('hour', ts)
+           ORDER BY COUNT(*) DESC, event_type
+         ) AS INT) AS rnk
+  FROM events GROUP BY 1, 2
+) WHERE rnk <= 3
+"""
+
+
+def q_events_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectations over the EVENTS stream table — the
+    driver attestation for the streaming monitor's shared rule
+    engine (streaming.ingest.monitor_expectations evaluates exactly
+    datapipe.expectations.run_expectations per micro-batch; this row
+    runs the same function over the landed table). Two rules are
+    deliberately violated by the data (event_type 'error' outside the
+    accepted set; value above 250) so the report carries non-zero
+    counts and the parity check exercises real violation math, plus a
+    clean not_null and a keyed uniqueness check. One fused scan + one
+    keyed agg; no joins (no FK rule — events has no enforced dim)."""
+    from cubert_spark.datapipe import expectations as X
+
+    e = load_table(spark, sf, "events")
+    rules = [
+        X.not_null("event_id"),
+        X.accepted_values("event_type", ["click", "view", "purchase", "signup"]),
+        X.in_range("value", 0.0, 250.0),
+        X.unique("event_id"),
+    ]
+    return X.run_expectations(e, rules)
+
+
+SQL_EVENTS_EXPECTATIONS = """
+WITH n AS (SELECT COUNT(*) AS n FROM events)
+SELECT 'not_null' AS rule, 'event_id' AS col_name,
+       CAST((SELECT COUNT(*) FROM events WHERE event_id IS NULL) AS BIGINT) AS n_violations,
+       n.n AS n_checked FROM n
+UNION ALL
+SELECT 'accepted_values', 'event_type',
+       CAST((SELECT COUNT(*) FROM events
+             WHERE event_type IS NOT NULL
+               AND event_type NOT IN ('click','view','purchase','signup')) AS BIGINT),
+       n.n FROM n
+UNION ALL
+SELECT 'in_range', 'value',
+       CAST((SELECT COUNT(*) FROM events
+             WHERE value IS NOT NULL AND (value < 0.0 OR value > 250.0)) AS BIGINT),
+       n.n FROM n
+UNION ALL
+SELECT 'unique', 'event_id',
+       CAST((SELECT SUM(c - 1) FROM (
+          SELECT COUNT(*) AS c FROM events GROUP BY event_id)) AS BIGINT),
+       n.n FROM n
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "quantile_histogram": q_quantile_histogram,
@@ -1152,6 +1235,8 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "value_histogram": q_value_histogram,
     "anomaly_days": q_anomaly_days,
+    "windowed_topn": q_windowed_topn,
+    "events_expectations": q_events_expectations,
 }
 
 ORACLES = {
@@ -1179,4 +1264,6 @@ ORACLES = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "anomaly_days": SQL_ANOMALY_DAYS,
+    "windowed_topn": SQL_WINDOWED_TOPN,
+    "events_expectations": SQL_EVENTS_EXPECTATIONS,
 }

@@ -14,7 +14,7 @@ replay-window dedup, wrong for corpus-lifetime dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -273,7 +273,6 @@ def windowed_topn(
     ``flush_open_windows`` with the landed source after the stream
     drains."""
     from cubert_spark.streaming.windows import tumbling_agg
-    from pyspark.sql import Window
 
     agg = tumbling_agg(
         stream_df, ts_col, window, key_cols,
@@ -284,15 +283,13 @@ def windowed_topn(
         # write unconditionally: a dynamic overwrite of an empty frame
         # touches no partitions, and guarding with take(1) would
         # recompute the whole micro-batch a second time for the write
-        wnd = Window.partitionBy("win_start").orderBy(
-            F.col("n").desc(), *[F.col(c) for c in key_cols]
-        )
         (
-            batch_df.select(
-                F.col("w.start").alias("win_start"), *key_cols, "n"
+            rank_windows(
+                batch_df.select(
+                    F.col("w.start").alias("win_start"), *key_cols, "n"
+                ),
+                key_cols, k,
             )
-            .withColumn("rnk", F.row_number().over(wnd))
-            .filter(F.col("rnk") <= k)
             .write.partitionBy("win_start")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
@@ -305,6 +302,22 @@ def windowed_topn(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def rank_windows(counted: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """The leaderboard rank shared by the streaming sink
+    (``windowed_topn``'s per-batch update), the backfill completer
+    (``flush_open_windows``) and the batch twin query
+    (``queries.events.q_windowed_topn`` — the driver-attested row for
+    this logic): per win_start, row_number over (count desc, keys asc
+    — the deterministic tie-break) kept to the top ``k``. One shuffle
+    on win_start; WindowGroupLimit prunes to k per window map-side."""
+    wnd = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), *[F.col(c) for c in key_cols]
+    )
+    return counted.withColumn("rnk", F.row_number().over(wnd)).filter(
+        F.col("rnk") <= k
     )
 
 
@@ -329,8 +342,6 @@ def flush_open_windows(
     persisted win_start list, tiny by construction)."""
     import os
 
-    from pyspark.sql import Window
-
     spark = batch_df.sparkSession
     full = (
         batch_df.groupBy(
@@ -342,12 +353,8 @@ def flush_open_windows(
     if os.path.isdir(out_dir):
         done = spark.read.parquet(out_dir).select("win_start").distinct()
         full = full.join(F.broadcast(done), "win_start", "left_anti")
-    wnd = Window.partitionBy("win_start").orderBy(
-        F.col("n").desc(), *[F.col(c) for c in key_cols]
-    )
     (
-        full.withColumn("rnk", F.row_number().over(wnd))
-        .filter(F.col("rnk") <= k)
+        rank_windows(full, key_cols, k)
         .write.partitionBy("win_start")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")

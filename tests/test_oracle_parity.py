@@ -7,16 +7,39 @@ from __future__ import annotations
 import pytest
 
 from cubert_spark.oracle import compare, duck_connect
-from cubert_spark.queries import all_oracles, all_queries
+from cubert_spark.queries import (
+    FOLDED,
+    all_oracles,
+    all_queries,
+    folded_oracles,
+    folded_queries,
+)
 
-QUERIES = all_queries()
-ORACLES = all_oracles()
+# declared ∪ folded: folding a contract-twin out of the DRIVER surface
+# must not remove it from the LOCAL gate — every folded query keeps
+# its full oracle parity check here.
+QUERIES = {**all_queries(), **folded_queries()}
+ORACLES = {**all_oracles(), **folded_oracles()}
+
+
+def test_folded_names_exist():
+    """Every FOLDED name references a real query (typo guard), and
+    folding never drops a query that had no declared implementation."""
+    assert set(folded_queries()) == set(FOLDED)
 
 # Queries allowed to return 0 rows at sf0.001 (the gate SF) — each with
 # the reason the emptiness is legitimate. Everything else failing with
 # "vacuous" means its predicate selects nothing from the testdata and
 # the green hash verifies no math (the r6 nation_volume bug class).
-VACUOUS_OK: dict[str, str] = {}
+VACUOUS_OK: dict[str, str] = {
+    "phrase_search": (
+        "the fixed 3-word phrase 'slow hash batch' occurs 8x at sf0.01"
+        " (the driver SF) and 6x at sf0.1, but sf0.001's ~2.7k trigram"
+        " slots vs the 31-word vocab's 29.8k trigram space make any"
+        " fixed phrase a ~9% draw there — 0 matches is the data being"
+        " small, not the query being broken"
+    ),
+}
 
 
 @pytest.fixture(scope="module")

@@ -478,3 +478,63 @@ def test_windowed_topn_stream_matches_batch(spark, events_dir, tmp_path):
         sorted(set(expected) - set(got))[:3],
     )
     assert len(got) > 10
+
+
+def test_flush_open_windows_completes_backfill(spark, events_dir, tmp_path):
+    """After a one-shot windowed_topn run, flush_open_windows over the
+    landed source fills in exactly the windows append mode withheld:
+    the sink then equals the full batch per-window top-k (the
+    q_windowed_topn algebra), and a second flush writes nothing new
+    (idempotence via the win_start anti-join)."""
+    from cubert_spark.streaming.ingest import flush_open_windows, rank_windows
+
+    batch = _batch_events(spark, events_dir)
+    src = str(tmp_path / "bytime")
+    batch.filter("ts < TIMESTAMP '2024-01-16'").coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    batch.filter("ts >= TIMESTAMP '2024-01-16'").coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "top")
+    from cubert_spark.streaming.ingest import windowed_topn
+
+    windowed_topn(
+        stream, "ts", "1 hour", ["event_type"], 2, out,
+        str(tmp_path / "ckpt"), watermark="30 minutes",
+    ).awaitTermination()
+    n_stream_windows = (
+        spark.read.parquet(out).select("win_start").distinct().count()
+    )
+
+    flush_open_windows(batch, "ts", "1 hour", ["event_type"], 2, out)
+    counted = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    expected = {
+        (r.win_start, r.rnk): (r.event_type, r.n)
+        for r in rank_windows(counted, ["event_type"], 2).collect()
+    }
+    got = {
+        (r.win_start, r.rnk): (r.event_type, r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected, (len(got), len(expected))
+    # the stream really did withhold some open windows (else the flush
+    # verified nothing) and the flush closed the gap
+    assert n_stream_windows < len({w for w, _ in expected})
+
+    # idempotence: flushing again rewrites nothing (file set unchanged)
+    import glob
+
+    before = sorted(glob.glob(out + "/**/*.parquet", recursive=True))
+    flush_open_windows(batch, "ts", "1 hour", ["event_type"], 2, out)
+    after = sorted(glob.glob(out + "/**/*.parquet", recursive=True))
+    assert before == after
