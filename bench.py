@@ -157,6 +157,13 @@ BENCH_QUERIES = [
     # rule engine shared with the streaming monitor)
     "windowed_topn",
     "events_expectations",
+    # r07 second batch: bigram-LM quality scoring (token-key joins),
+    # DPR-style hard-negative mining (broadcast-anchor scorer), and
+    # the near-dup ingest screen (band-ledger anti-joins — the
+    # streaming ingest_neardup twin)
+    "lm_perplexity",
+    "hard_negatives",
+    "neardup_ingest",
 ]
 
 

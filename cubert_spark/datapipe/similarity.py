@@ -928,3 +928,60 @@ def label_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training
+    (public recipe: DPR, Karpukhin et al. 2020 — for each anchor, the
+    most-similar corpus items with a DIFFERENT label are the hardest
+    negatives): exact cosine top-k over the cross-label slice.
+
+    Same scale shape as cosine_topk (anchors broadcast, corpus
+    scanned once, WindowGroupLimit cuts k map-side) with one extra
+    codegen predicate (label inequality) before scoring — the
+    label filter PRUNES pairs, it never adds a join. DECIMAL-exact
+    dot products, so the DuckDB oracle reproduces every score."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("__qvec"),
+            F.sqrt(
+                _dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")
+            ).alias("__qnorm"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("__clabel"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(
+            _dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")
+        ).alias("__cnorm"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("anchor_label") != F.col("__clabel"))
+        .withColumn(
+            "cos",
+            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("anchor_id", "anchor_label", "negative_id", "cos", "rnk")
+    )

@@ -147,6 +147,11 @@ FOLDED: dict[str, str] = {
     "filtered_ann": "embedding_topk (same top-k scorer, filtered)",
     # graph family: pagerank + triangle_count + golden_record stay
     "bfs_hops": "pagerank (same checkpointed edge-iteration loop)",
+    # r7 second pass (hold the inventory at 120 after adding the
+    # lm_perplexity / hard_negatives / neardup_ingest rows)
+    "tumbling_window": "windowed_topn (embeds the same tumbling count)",
+    "gather": "set_ops (same union-family machinery, r3-attested)",
+    "pivot_apply": "multipass (the PIVOT row's other representative)",
 }
 
 

@@ -2076,7 +2076,181 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+
+
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc bigram LM perplexity (datapipe.lm.lm_perplexity): the
+    CCNet-style quality filter — score every document under an
+    add-one bigram model trained on the corpus itself. Every
+    probability is a ratio of exact bigint counts, so the one ln()
+    per bigram is the only libm call; ROUND(,9)/(,6) absorbs its
+    <=2-ulp cross-engine drift (the documented float doctrine)."""
+    from cubert_spark.datapipe.lm import lm_perplexity
+
+    return lm_perplexity(load_table(spark, sf, "documents"))
+
+
+SQL_LM_PERPLEXITY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT ws[i] AS x FROM w, LATERAL UNNEST(range(1, len(ws) + 1)) AS t(i)),
+uni AS (SELECT x, COUNT(*) AS c_x FROM tok GROUP BY 1),
+v AS (SELECT COUNT(*) AS V FROM uni),
+bg AS (SELECT doc_id, ws[i] AS x, ws[i + 1] AS y
+       FROM w, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+       WHERE len(ws) >= 2),
+bgc AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+scored AS (
+  SELECT bg.doc_id,
+         -ln(CAST(bgc.c_xy + 1 AS DOUBLE) / CAST(uni.c_x + v.V AS DOUBLE)) AS nll
+  FROM bg JOIN bgc USING (x, y) JOIN uni USING (x) CROSS JOIN v
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, AVG(nll) AS a
+        FROM scored GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(a, 9) AS avg_nll, ROUND(EXP(a), 6) AS ppl
+FROM agg
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): for each of
+    the 10 anchor vectors, the 5 most-cosine-similar vectors with a
+    DIFFERENT cluster label — the DPR-style contrastive-training
+    negative set. DECIMAL-exact dot products; anchors broadcast; the
+    corpus never shuffles before the WindowGroupLimit k-cut."""
+    e = load_table(spark, sf, "embeddings")
+    return _round9(
+        similarity.hard_negatives(e, e.filter(F.col("vec_id") < 10), k=5),
+        "cos",
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS negative_id, label AS clabel,
+             CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT anchor_id, anchor_label, negative_id,
+         SUM(CAST(qv[i] * cv[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(qv[i] * qv[i] AS DECIMAL(38,18))) AS qq,
+         SUM(CAST(cv[i] * cv[i] AS DECIMAL(38,18))) AS cc
+  FROM q, c, LATERAL UNNEST(range(1, len(qv) + 1)) AS t(i)
+  WHERE anchor_label <> clabel
+  GROUP BY anchor_id, anchor_label, negative_id
+),
+ranked AS (
+  SELECT anchor_id, anchor_label, negative_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+                    negative_id
+         ) AS rnk
+  FROM scored
+)
+SELECT anchor_id, anchor_label, negative_id, ROUND(cos, 9) AS cos,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the streaming near-dup ingest
+    (streaming.ingest.ingest_neardup — this row is its driver
+    attestation): screen the src19 "incoming batch" against a band
+    LEDGER built from the rest of the corpus, using the same
+    shingle -> minhash -> band functions and the same admission rule:
+    rejected iff any band key exists in the ledger or is shared by a
+    smaller-id doc within the batch. Output: every src19 doc with its
+    admitted flag. md5-lane minhash, so the oracle reproduces every
+    band key."""
+    from cubert_spark.datapipe.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sh = shingle_table(d, "text", "doc_id", 3)
+    bands = lsh_bands(minhash_signature(sh, "doc_id", 8), "doc_id", 8, 2)
+    src = d.select("doc_id", "source")
+    # the band table feeds FOUR consumers (batch slice, ledger slice,
+    # both hit joins) — checkpoint once or the shingle+signature build
+    # re-executes per branch (the components.py lineage pattern)
+    bands = bands.join(src, "doc_id").localCheckpoint(eager=True)
+    batch = bands.filter(F.col("source") == "src19")
+    ledger = bands.filter(F.col("source") != "src19").select(
+        "band_idx", "band_key"
+    )
+    hit_ledger = (
+        batch.join(ledger, ["band_idx", "band_key"])
+        .select("doc_id")
+        .distinct()
+    )
+    smaller = batch.select(
+        "band_idx", "band_key", F.col("doc_id").alias("__other")
+    )
+    hit_batch = (
+        batch.join(smaller, ["band_idx", "band_key"])
+        .filter(F.col("__other") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    rejected = hit_ledger.union(hit_batch).distinct().withColumn(
+        "__rej", F.lit(True)
+    )
+    return (
+        d.filter(F.col("source") == "src19")
+        .select("doc_id")
+        .join(rejected, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(~F.col("__rej"), F.lit(True)).alias("admitted"),
+        )
+    )
+
+
+_NI_SIG_COLS = ",\n       ".join(
+    f"MIN(substr(md5('{i // 4}|' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+    for i in range(8)
+)
+_NI_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_key FROM sig"
+    for b in range(4)
+)
+
+SQL_NEARDUP_INGEST = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i+2), ' ') AS shingle
+  FROM w, LATERAL UNNEST(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+),
+sig AS (SELECT doc_id, {_NI_SIG_COLS} FROM sh GROUP BY doc_id),
+all_bands AS ({_NI_BANDS}),
+bands AS (SELECT b.doc_id, b.band_idx, b.band_key, d.source
+          FROM all_bands b JOIN documents d USING (doc_id)),
+batch AS (SELECT * FROM bands WHERE source = 'src19'),
+ledger AS (SELECT band_idx, band_key FROM bands WHERE source <> 'src19'),
+rejected AS (
+  SELECT DISTINCT b.doc_id FROM batch b
+  JOIN ledger l ON b.band_idx = l.band_idx AND b.band_key = l.band_key
+  UNION
+  SELECT DISTINCT a.doc_id FROM batch a
+  JOIN batch b2 ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+              AND b2.doc_id < a.doc_id
+)
+SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM rejected) AS admitted
+FROM documents WHERE source = 'src19'
+"""
+
+
 QUERIES = {
+    "lm_perplexity": q_lm_perplexity,
+    "hard_negatives": q_hard_negatives,
+    "neardup_ingest": q_neardup_ingest,
     "dedup_exact": q_dedup_exact,
     "bm25_search": q_bm25_search,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2145,6 +2319,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_perplexity": SQL_LM_PERPLEXITY,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "neardup_ingest": SQL_NEARDUP_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,
     "bm25_search": SQL_BM25_SEARCH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -360,3 +360,89 @@ def flush_open_windows(
         .mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def ingest_neardup(
+    stream_df: DataFrame,
+    out_dir: str,
+    ledger_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+):
+    """Streaming NEAR-duplicate ingest: admit only documents that are
+    not LSH-near-duplicates of anything already admitted — the
+    MinHash-band sibling of ``ingest_dedup``'s exact-hash ledger.
+
+    The cross-batch state is a parquet BAND ledger: (band_idx,
+    band_key) rows of every admitted doc (num_hashes/band_size rows
+    per doc — bounded, anti-join-able, restart-safe; the same
+    100 TB-ledger argument as ingest_dedup). Admission rule, applied
+    per micro-batch and replayable relationally (the driver-attested
+    batch twin ``queries.datapipe.q_neardup_ingest`` runs the same
+    rule over a landed corpus):
+
+      a doc is REJECTED iff any of its band keys (1) exists in the
+      ledger, or (2) is shared by a smaller-id doc in the same batch.
+
+    Rule (2) is conservative-greedy: a doc colliding only with a
+    same-batch doc that was itself rejected is still rejected —
+    over-rejection only; an admitted near-dup of an admitted doc is
+    impossible. MinHash lanes use the md5 chunk path
+    (datapipe.dedup.minhash_signature), so the ledger is
+    engine-portable and the twin's DuckDB oracle reproduces every
+    band key bit-for-bit."""
+    from cubert_spark.datapipe.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingle_table,
+    )
+
+    def update(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh = shingle_table(batch_df, text_col, id_col, k)
+        bands = lsh_bands(
+            minhash_signature(sh, id_col, num_hashes), id_col,
+            num_hashes, band_size,
+        )
+        # rule (2): any band shared with a smaller id in this batch
+        smaller = bands.select(
+            "band_idx", "band_key", F.col(id_col).alias("__other")
+        )
+        hit_in_batch = (
+            bands.join(smaller, ["band_idx", "band_key"])
+            .filter(F.col("__other") < F.col(id_col))
+            .select(id_col)
+            .distinct()
+        )
+        # rule (1): any band present in the ledger
+        try:
+            seen = spark.read.parquet(ledger_dir).select(
+                "band_idx", "band_key"
+            )
+            hit_ledger = (
+                bands.join(seen, ["band_idx", "band_key"])
+                .select(id_col)
+                .distinct()
+            )
+            rejected = hit_in_batch.union(hit_ledger).distinct()
+        except Exception:  # first batch: no ledger yet
+            rejected = hit_in_batch
+        admitted = batch_df.join(rejected, id_col, "left_anti")
+        adm_bands = bands.join(rejected, id_col, "left_anti")
+        # MUST cut lineage before writing: the ledger append below is
+        # read BY the bands plan — same trap as ingest_dedup
+        admitted = admitted.localCheckpoint(eager=True)
+        adm_bands = adm_bands.localCheckpoint(eager=True)
+        adm_bands.select("band_idx", "band_key", F.col(id_col)).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        admitted.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2768,3 +2768,26 @@ def test_cdc_chunking_properties_and_blob_dedup(spark):
     assert stats[1].dup_bytes > 2000 and stats[2].dup_bytes > 2000
     assert stats[1].dup_bytes == stats[2].dup_bytes  # same interior chunks
     assert stats[3].dup_bytes == 0 and stats[3].dup_frac == 0.0
+
+
+def test_lm_perplexity_orders_fluency(spark):
+    """Bigram perplexity semantics: a document made of the corpus's
+    dominant bigram scores lower perplexity than a document of
+    one-off bigrams; ppl == exp(avg_nll); n_bigrams == len-1."""
+    from cubert_spark.datapipe.lm import lm_perplexity
+
+    rows = [
+        (1, "a b a b a b a b a b"),       # the dominant pattern
+        (2, "a b a b a b a b a b"),
+        (3, "a b a b a b a b a b"),
+        (4, "q w e r t y u i o p"),       # all singleton bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(r["n_bigrams"] == 9 for r in got.values())
+    assert got[1]["ppl"] < got[4]["ppl"]
+    import math
+
+    for r in got.values():
+        assert abs(r["ppl"] - round(math.exp(r["avg_nll"]), 6)) < 1e-5

@@ -398,6 +398,11 @@ _LINT_ALLOWED = {
     "triangle_count": ("pairs",),
     # per-FK-rule 1-row n_checked crossJoin(broadcast)
     "dq_expectations": ("pairs",),
+    # 1-row |vocab| crossJoin(broadcast)
+    "lm_perplexity": ("pairs",),
+    # documented broadcast-anchor brute-force scorer (embedding_topk's
+    # shape with a label-inequality prune)
+    "hard_negatives": ("pairs",),
 }
 
 
@@ -600,6 +605,9 @@ _SHUFFLE_CEILINGS = {
     # Q14-style is a pure broadcast-join global agg
     "nation_volume": 1, "shipmode_priority": 1, "promo_revenue": 0,
     "schema_evolution": 1,
+    # r7 operators: streaming twins + LLM-pipeline additions
+    "windowed_topn": 2, "events_expectations": 1,
+    "lm_perplexity": 7, "hard_negatives": 1, "neardup_ingest": 7,
 }
 
 
@@ -729,6 +737,11 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "pagerank": "degree/rank tables grow with the graph; iterations "
                 "are keyed equi-joins over checkpointed edges — AQE "
                 "picks the join strategy per iteration at true sizes",
+    # r7 additions
+    "lm_perplexity": "broadcast sides = vocabulary aggregates (unigram "
+                     "counts + 1-row |V|); AQE re-plans if the vocab "
+                     "outgrows the threshold",
+    "hard_negatives": "broadcast side = the fixed anchor-vector set",
 }
 
 

@@ -538,3 +538,76 @@ def test_flush_open_windows_completes_backfill(spark, events_dir, tmp_path):
     flush_open_windows(batch, "ts", "1 hour", ["event_type"], 2, out)
     after = sorted(glob.glob(out + "/**/*.parquet", recursive=True))
     assert before == after
+
+
+def test_ingest_neardup_stream(spark, tmp_path):
+    """Streaming near-dup ingest: a doc near-identical (shared minhash
+    band) to anything admitted in ANY earlier micro-batch is rejected;
+    within a batch the smaller id wins; genuinely novel docs are
+    admitted. Parity: the final admitted set equals applying the same
+    band rule batch-by-batch in plain batch code (the shared
+    shingle/minhash/band functions are the attested logic)."""
+    from cubert_spark.datapipe.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingle_table,
+    )
+    from cubert_spark.streaming.ingest import ingest_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"              # shares most 3-shingles with base
+    novel = "completely different words compose this other document body here"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, novel)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(10, base + " more"), (11, "fresh unrelated content appears in the second batch only")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    ingest_neardup(stream, out, ledger).awaitTermination()
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # batch replay of the same rule, batch by batch
+    def bands_of(df):
+        return lsh_bands(
+            minhash_signature(shingle_table(df, "text", "doc_id", 3), "doc_id", 8),
+            "doc_id", 8, 2,
+        )
+
+    expected, ledger_rows = [], None
+    for batch in (
+        spark.read.parquet(src + "/f1"),
+        spark.read.parquet(src + "/f2"),
+    ):
+        b = bands_of(batch)
+        smaller = b.select("band_idx", "band_key", F.col("doc_id").alias("o"))
+        rej = (
+            b.join(smaller, ["band_idx", "band_key"])
+            .filter(F.col("o") < F.col("doc_id"))
+            .select("doc_id")
+        )
+        if ledger_rows is not None:
+            rej = rej.union(
+                b.join(ledger_rows, ["band_idx", "band_key"]).select("doc_id")
+            )
+        adm = batch.join(rej.distinct(), "doc_id", "left_anti")
+        expected += [r["doc_id"] for r in adm.select("doc_id").collect()]
+        adm_b = b.join(rej.distinct(), "doc_id", "left_anti").select(
+            "band_idx", "band_key"
+        ).localCheckpoint(eager=True)
+        ledger_rows = adm_b if ledger_rows is None else ledger_rows.union(adm_b)
+
+    assert admitted == sorted(expected)
+    # semantic spot checks: base admitted, its near-dups rejected,
+    # novel docs admitted across batches
+    assert 1 in admitted and 3 in admitted and 11 in admitted
+    assert 2 not in admitted and 10 not in admitted
