@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "hard_negatives",
     "neardup_ingest",
+    # point-in-time SCD2 enrichment + versioned-snapshot reads
+    "temporal_join",
+    "time_travel",
 ]
 
 

@@ -396,3 +396,93 @@ def vacuum_versions(
             else:
                 os.remove(p)
     return kept, removed
+
+
+# --- versioned commit log (time travel) -------------------------------------
+
+def _txlog_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_txlog")
+
+
+def tx_versions(path: str) -> list[int]:
+    """Committed versions of a tx table, ascending (empty if none)."""
+    import os
+    import re
+
+    d = _txlog_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        m = re.fullmatch(r"v(\d+)\.json", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def tx_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` to a versioned table (the public Delta-lake /
+    Iceberg snapshot idea in its minimal parquet-native form — no
+    reference analog; the reference's nearest concept is dated
+    #LATEST layouts, which ``vacuum_versions`` manages):
+
+    - data files are IMMUTABLE: each commit writes new parquet files
+      into a unique ``data/c{N}/`` directory and never touches old
+      ones;
+    - a manifest ``_txlog/v{N}.json`` lists the file set of version N
+      (append = parent's files + new; overwrite = new only);
+    - the manifest is written to a temp name and ``os.rename``d —
+      atomic on POSIX, so readers see either version N-1 or N, never
+      a partial file list (snapshot isolation for single-writer use;
+      multi-writer coordination needs a real lakehouse format).
+
+    Returns the committed version number (1-based).
+    ``tx_read(spark, path, version=K)`` time-travels to any retained
+    version; storage is reclaimed only by dropping whole versions
+    (files referenced by any retained manifest are never rewritten).
+    """
+    import json
+    import os
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"tx_commit: unknown mode {mode!r}")
+    versions = tx_versions(path)
+    parent = versions[-1] if versions else 0
+    n = parent + 1
+    data_dir = os.path.join(path, "data", f"c{n}")
+    df.write.mode("error").parquet(data_dir)
+    new_files = [
+        os.path.join("data", f"c{n}", f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    files = list(new_files)
+    if mode == "append" and parent:
+        with open(os.path.join(_txlog_dir(path), f"v{parent}.json")) as fh:
+            files = json.load(fh)["files"] + files
+    os.makedirs(_txlog_dir(path), exist_ok=True)
+    tmp = os.path.join(_txlog_dir(path), f".v{n}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": n, "mode": mode, "files": files}, fh)
+    os.rename(tmp, os.path.join(_txlog_dir(path), f"v{n}.json"))
+    return n
+
+
+def tx_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a tx table at ``version`` (default: latest). The manifest's
+    file list IS the snapshot — no directory listing races, and a
+    concurrent commit cannot change what this reader sees."""
+    import json
+    import os
+
+    versions = tx_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no tx log at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
+        files = json.load(fh)["files"]
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])

@@ -93,3 +93,46 @@ def range_join(
     interval sets, pre-bucket both sides instead."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return left.join(F.broadcast(ranges), cond, how)
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    valid_from: str,
+    valid_to: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal (event-time as-of) enrichment against an SCD2
+    dimension: each fact row joins the dimension VERSION that was
+    valid at the fact's timestamp — ``valid_from <= ts < valid_to``
+    with NULL valid_to meaning the open current version. The
+    warehouse-standard point-in-time join (Flink's temporal table
+    join, Kimball SCD2 lookup; public concepts), and the third member
+    of the as-of family here (asof_join: nearest-earlier by key;
+    range_join: broadcast banding).
+
+    Plan shape: an EQUI-join on ``keys`` (sort-merge or broadcast —
+    Catalyst's choice) with the interval predicate as a post-join
+    filter; the SCD2 invariant (non-overlapping versions per key)
+    makes each fact match at most one version, so output size is
+    bounded by |facts|. At 100 TB: shuffles on the key only; versions
+    per key are bounded by change frequency, never by corpus size."""
+    from functools import reduce
+
+    interval = (F.col(valid_from) <= F.col(fact_ts)) & (
+        F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
+    )
+    if how == "inner":
+        return facts.join(dim, keys, "inner").filter(interval)
+    # outer flavors must keep unmatched facts: the interval predicate
+    # folds INTO the join condition (a post-filter would drop the
+    # null-extended rows a left join exists to keep)
+    eq = reduce(lambda a, b: a & b, [facts[k] == dim[k] for k in keys])
+    iv = (dim[valid_from] <= facts[fact_ts]) & (
+        dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to])
+    )
+    joined = facts.join(dim, eq & iv, how)
+    # dedupe the key columns (both sides carry them after a cond-join)
+    return joined.drop(*[dim[k] for k in keys])

@@ -152,6 +152,11 @@ FOLDED: dict[str, str] = {
     "tumbling_window": "windowed_topn (embeds the same tumbling count)",
     "gather": "set_ops (same union-family machinery, r3-attested)",
     "pivot_apply": "multipass (the PIVOT row's other representative)",
+    # r7 third pass (hold 120 after adding temporal_join/time_travel)
+    "containment_pairs": "ngram_jaccard (same shingle inverted-index "
+                         "join; the containment variant stays pytest)",
+    "asof_join": "temporal_join + range_join (the as-of family's "
+                 "other representatives)",
 }
 
 

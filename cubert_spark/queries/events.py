@@ -1210,6 +1210,62 @@ SELECT 'unique', 'event_id',
 """
 
 
+
+
+def q_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (temporal) enrichment via operators.asof.
+    temporal_join: purchases join the SCD2 signup-version table at
+    THEIR event time — each purchase picks up the signup version
+    valid when it happened (Kimball SCD2 lookup / Flink temporal
+    join). Versions built with the q_scd2_build window (exact bigint
+    micros); equi-join on user_id with the interval as a post-join
+    filter; at most one version matches per fact by the SCD2
+    invariant."""
+    from cubert_spark.operators.asof import temporal_join
+
+    e = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("vf_us", "version_id")
+    versions = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.expr("cast(value * 1000 as bigint)").alias("value_m"),
+            us.alias("vf_us"),
+        )
+        .withColumn("vt_us", F.lead("vf_us").over(w))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), us.alias("p_us")
+    )
+    return temporal_join(
+        purchases, versions, ["user_id"], "p_us", "vf_us", "vt_us"
+    ).select("user_id", "purchase_id", "version_id", "value_m")
+
+
+SQL_TEMPORAL_JOIN = """
+WITH versions AS (
+  SELECT user_id, event_id AS version_id,
+         CAST(trunc(value * 1000) AS BIGINT) AS value_m,
+         epoch_us(ts) AS vf_us,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS vt_us
+  FROM events WHERE event_type = 'signup'
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, v.version_id, v.value_m
+FROM purchases p JOIN versions v
+  ON p.user_id = v.user_id
+ AND v.vf_us <= p.p_us
+ AND (v.vt_us IS NULL OR p.p_us < v.vt_us)
+"""
+
+
 QUERIES = {
     "tumbling_window": q_tumbling_window,
     "quantile_histogram": q_quantile_histogram,
@@ -1237,6 +1293,7 @@ QUERIES = {
     "anomaly_days": q_anomaly_days,
     "windowed_topn": q_windowed_topn,
     "events_expectations": q_events_expectations,
+    "temporal_join": q_temporal_join,
 }
 
 ORACLES = {
@@ -1266,4 +1323,5 @@ ORACLES = {
     "anomaly_days": SQL_ANOMALY_DAYS,
     "windowed_topn": SQL_WINDOWED_TOPN,
     "events_expectations": SQL_EVENTS_EXPECTATIONS,
+    "temporal_join": SQL_TEMPORAL_JOIN,
 }

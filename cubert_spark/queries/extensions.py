@@ -1524,6 +1524,55 @@ GROUP BY o_orderpriority
 """
 
 
+
+
+def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Versioned-table time travel (catalog.tx_commit / tx_read — the
+    minimal parquet-native snapshot log): commit v1 = orders keys
+    ===0 (mod 3), commit v2 = append keys ===1 (mod 3); read BOTH
+    versions and aggregate each — v1 must still see only its own
+    snapshot after v2 lands (immutable data files + manifest file
+    lists ARE the isolation). Construction WRITES (once per
+    session/sf — ``_materialize_once``). The oracle replays the two
+    snapshots relationally."""
+    from cubert_spark.catalog import tx_commit, tx_read
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1)
+
+    def _write(p):
+        tx_commit(v1, p, mode="append")
+        tx_commit(v2, p, mode="append")
+
+    path = _materialize_once(spark, sf, "txlog", _write)
+    out = []
+    for ver in (1, 2):
+        out.append(
+            tx_read(spark, path, version=ver)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+                dsum("o_totalprice").alias("price_sum"),
+            )
+            .select(F.lit(ver).alias("version"), "n", "key_sum", "price_sum")
+        )
+    return out[0].unionByName(out[1])
+
+
+SQL_TIME_TRAVEL = f"""
+SELECT 1 AS version, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {dsum_sql('o_totalprice')} AS price_sum
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 2, COUNT(*),
+       CAST(SUM(o_orderkey) AS BIGINT),
+       {dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
 QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
@@ -1538,6 +1587,7 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "dq_expectations": q_dq_expectations,
+    "time_travel": q_time_travel,
     "schema_evolution": q_schema_evolution,
     "golden_record": q_golden_record,
     "join_ivm": q_join_ivm,
@@ -1579,6 +1629,7 @@ ORACLES = {
     "skew_profile": SQL_SKEW_PROFILE,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "dq_expectations": SQL_DQ_EXPECTATIONS,
+    "time_travel": SQL_TIME_TRAVEL,
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "golden_record": SQL_GOLDEN_RECORD,
     "join_ivm": SQL_JOIN_IVM,

@@ -227,3 +227,54 @@ def test_vacuum_versions_retention(spark, tmp_path):
     assert vacuum_versions(pat, keep_last=5)[1] == []
     with pytest.raises(ValueError):
         vacuum_versions(pat, keep_last=0)
+
+
+def test_tx_log_time_travel_and_overwrite(spark, tmp_path):
+    """tx_commit/tx_read: append accumulates, overwrite replaces,
+    every prior version stays readable unchanged (immutable data
+    files), and unknown versions raise."""
+    import pytest
+
+    from cubert_spark.catalog import tx_commit, tx_read, tx_versions
+
+    p = str(tmp_path / "tx")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    df3 = spark.range(100, 103).withColumnRenamed("id", "k")
+    assert tx_commit(df1, p, "append") == 1
+    assert tx_commit(df2, p, "append") == 2
+    assert tx_commit(df3, p, "overwrite") == 3
+    assert tx_versions(p) == [1, 2, 3]
+    assert tx_read(spark, p, 1).count() == 10
+    assert tx_read(spark, p, 2).count() == 15
+    assert tx_read(spark, p).count() == 3          # latest = overwrite
+    assert sorted(r["k"] for r in tx_read(spark, p, 3).collect()) == [100, 101, 102]
+    # v1 unchanged after later commits (snapshot isolation)
+    assert sorted(r["k"] for r in tx_read(spark, p, 1).collect()) == list(range(10))
+    with pytest.raises(ValueError):
+        tx_read(spark, p, 99)
+    with pytest.raises(FileNotFoundError):
+        tx_read(spark, str(tmp_path / "nope"))
+
+
+def test_temporal_join_left_keeps_unmatched_facts(spark):
+    """temporal_join how='left': facts before any version null-extend
+    instead of dropping; inner drops them; each fact matches at most
+    one version."""
+    from pyspark.sql import functions as F
+
+    from cubert_spark.operators.asof import temporal_join
+
+    dim = spark.createDataFrame(
+        [(1, 100, 200, "v1"), (1, 200, None, "v2"), (2, 50, None, "w1")],
+        "k long, vf long, vt long, tag string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 150), (1, 250), (1, 10), (2, 60)], "k long, ts long"
+    )
+    inner = temporal_join(facts, dim, ["k"], "ts", "vf", "vt").collect()
+    got = {(r["k"], r["ts"]): r["tag"] for r in inner}
+    assert got == {(1, 150): "v1", (1, 250): "v2", (2, 60): "w1"}
+    left = temporal_join(facts, dim, ["k"], "ts", "vf", "vt", how="left")
+    lgot = {(r["k"], r["ts"]): r["tag"] for r in left.collect()}
+    assert lgot[(1, 10)] is None and len(lgot) == 4

@@ -608,6 +608,7 @@ _SHUFFLE_CEILINGS = {
     # r7 operators: streaming twins + LLM-pipeline additions
     "windowed_topn": 2, "events_expectations": 1,
     "lm_perplexity": 7, "hard_negatives": 1, "neardup_ingest": 7,
+    "temporal_join": 1, "time_travel": 0,
 }
 
 
