@@ -422,7 +422,12 @@ def tx_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def tx_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+def tx_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    meta: dict | None = None,
+) -> int:
     """Commit ``df`` to a versioned table (the public Delta-lake /
     Iceberg snapshot idea in its minimal parquet-native form — no
     reference analog; the reference's nearest concept is dated
@@ -448,13 +453,21 @@ def tx_commit(df: DataFrame, path: str, mode: str = "append") -> int:
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"tx_commit: unknown mode {mode!r}")
+    import uuid
+
     versions = tx_versions(path)
     parent = versions[-1] if versions else 0
     n = parent + 1
-    data_dir = os.path.join(path, "data", f"c{n}")
+    # attempt-unique data dir: a commit that died after writing data
+    # but before the manifest rename leaves only an orphan directory
+    # no manifest references — the retry writes fresh files instead
+    # of colliding with the orphan (immutability makes orphans inert;
+    # they are reclaimable by any manifest-aware vacuum)
+    attempt = f"c{n}-{uuid.uuid4().hex[:8]}"
+    data_dir = os.path.join(path, "data", attempt)
     df.write.mode("error").parquet(data_dir)
     new_files = [
-        os.path.join("data", f"c{n}", f)
+        os.path.join("data", attempt, f)
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
@@ -463,9 +476,12 @@ def tx_commit(df: DataFrame, path: str, mode: str = "append") -> int:
         with open(os.path.join(_txlog_dir(path), f"v{parent}.json")) as fh:
             files = json.load(fh)["files"] + files
     os.makedirs(_txlog_dir(path), exist_ok=True)
-    tmp = os.path.join(_txlog_dir(path), f".v{n}.json.tmp")
+    manifest = {"version": n, "mode": mode, "files": files}
+    if meta:
+        manifest["meta"] = meta
+    tmp = os.path.join(_txlog_dir(path), f".v{n}.json.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": n, "mode": mode, "files": files}, fh)
+        json.dump(manifest, fh)
     os.rename(tmp, os.path.join(_txlog_dir(path), f"v{n}.json"))
     return n
 
@@ -486,3 +502,44 @@ def tx_read(spark: SparkSession, path: str, version: int | None = None) -> DataF
     with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
         files = json.load(fh)["files"]
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def tx_committed_batches(path: str) -> set:
+    """batch ids recorded by ``tx_sink`` commits (for exactly-once
+    retry skipping)."""
+    import json
+    import os
+
+    out = set()
+    for v in tx_versions(path):
+        with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
+            m = json.load(fh).get("meta", {})
+        if "batch_id" in m:
+            out.add(m["batch_id"])
+    return out
+
+
+def tx_sink(stream_df: DataFrame, path: str, checkpoint_dir: str):
+    """Stream into a versioned tx table with EXACTLY-ONCE commits:
+    each micro-batch becomes one atomic append commit whose manifest
+    records the batch id — a retried batch whose commit already
+    landed is skipped, so failures between the data write and
+    Spark's own checkpoint can never double-append (the idempotent-
+    sink contract foreachBatch requires, here provided by the commit
+    log itself instead of partition overwrites). Readers always see
+    a manifest-consistent snapshot: a batch is either fully visible
+    or not yet visible, never half.
+
+    Returns the started query handle (availableNow trigger)."""
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in tx_committed_batches(path):
+            return  # retry of an already-committed batch
+        tx_commit(batch_df, path, mode="append", meta={"batch_id": int(batch_id)})
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

