@@ -220,10 +220,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+    from cubert_spark.queries.extensions import reset_materialized
+
     for name in BENCH_QUERIES:
         fn = queries.get(name) or _extra[name]
         runs = []
         for _ in range(n_runs):
+            # roundtrip queries memoize their STORE step per session
+            # (_materialize_once); reset so EVERY timed run pays the
+            # full store->load path — otherwise runs 2..n time only
+            # the read side and the min stops measuring the writer
+            reset_materialized()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))

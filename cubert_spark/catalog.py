@@ -543,3 +543,56 @@ def tx_sink(stream_df: DataFrame, path: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def tx_vacuum(path: str, keep_last: int = 1) -> dict:
+    """Reclaim tx-table storage: retain the newest ``keep_last``
+    manifests, delete older manifests, then delete every data file
+    (and empty commit dir) no RETAINED manifest references — this is
+    also what collects the inert orphan dirs a crashed commit leaves
+    (attempt-unique names, see tx_commit). Time travel remains exact
+    for every retained version; older versions become unreadable by
+    construction, never partially readable (their manifests go first).
+
+    Returns {"kept_versions", "deleted_manifests", "deleted_files"}.
+    Single-writer assumption as tx_commit; do not vacuum concurrently
+    with a commit."""
+    import json
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("tx_vacuum: keep_last must be >= 1")
+    versions = tx_versions(path)
+    if not versions:
+        return {"kept_versions": [], "deleted_manifests": 0, "deleted_files": 0}
+    kept = versions[-keep_last:]
+    dropped = [v for v in versions if v not in kept]
+    # manifests first: a reader can no longer open a version whose
+    # files are about to disappear
+    for v in dropped:
+        os.remove(os.path.join(_txlog_dir(path), f"v{v}.json"))
+    referenced = set()
+    for v in kept:
+        with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
+            referenced.update(json.load(fh)["files"])
+    deleted = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for cdir in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, cdir)
+            keep_any = False
+            for f in os.listdir(full):
+                rel = os.path.join("data", cdir, f)
+                if rel in referenced:
+                    keep_any = True
+                elif f.endswith(".parquet"):
+                    os.remove(os.path.join(full, f))
+                    deleted += 1
+            if not keep_any:
+                shutil.rmtree(full)
+    return {
+        "kept_versions": kept,
+        "deleted_manifests": len(dropped),
+        "deleted_files": deleted,
+    }

@@ -554,3 +554,37 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "sz_a", "sz_b", "inter", "cont_ab", "cont_ba")
     )
+
+
+def reject_by_bands(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    ledger: DataFrame | None = None,
+) -> DataFrame:
+    """The near-dup ingest ADMISSION RULE, shared by the streaming
+    sink (streaming.ingest.ingest_neardup) and its driver-attested
+    batch twin (queries.datapipe.q_neardup_ingest) — one
+    implementation so a rule change cannot silently diverge the twin
+    from the stream (the rank_windows sharing pattern). Returns the
+    distinct ids REJECTED from ``bands``: any band key (1) present in
+    ``ledger`` (band_idx, band_key rows of previously admitted docs),
+    or (2) shared by a smaller-id doc in the same ``bands`` set.
+    Rule (2) is conservative-greedy (documented at both call sites).
+    The independent replay in tests/test_streaming.py deliberately
+    does NOT use this helper — it is the rule's oracle."""
+    smaller = bands.select(
+        "band_idx", "band_key", F.col(id_col).alias("__other")
+    )
+    rejected = (
+        bands.join(smaller, ["band_idx", "band_key"])
+        .filter(F.col("__other") < F.col(id_col))
+        .select(id_col)
+    )
+    if ledger is not None:
+        rejected = rejected.union(
+            bands.join(
+                ledger.select("band_idx", "band_key"),
+                ["band_idx", "band_key"],
+            ).select(id_col)
+        )
+    return rejected.distinct()

@@ -44,11 +44,16 @@ def lm_perplexity(
     base = _spread(df, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     )
+    # uni feeds TWO consumers (the |V| aggregate and the per-bigram
+    # join) — checkpoint the vocabulary-sized aggregate once so the
+    # full-corpus token explode is not re-executed per consumer (the
+    # components.py multi-consumer lineage rule)
     uni = (
         base.select(F.explode_outer("__w").alias("x"))
         .filter(F.col("x").isNotNull())
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("c_x"))
+        .localCheckpoint(eager=True)
     )
     # |vocab| as a 1-row broadcast stat join (documented lint class)
     vocab = F.broadcast(uni.agg(F.count(F.lit(1)).alias("V")))

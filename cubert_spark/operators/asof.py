@@ -134,5 +134,12 @@ def temporal_join(
         dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to])
     )
     joined = facts.join(dim, eq & iv, how)
-    # dedupe the key columns (both sides carry them after a cond-join)
-    return joined.drop(*[dim[k] for k in keys])
+    # both sides carry the key columns after a condition-join; COALESCE
+    # them (not drop) so full/right-outer unmatched DIM rows keep their
+    # key instead of null-ing it out (the fact side is null there) —
+    # project explicitly from the parent frames to avoid ambiguity
+    return joined.select(
+        *[F.coalesce(facts[k], dim[k]).alias(k) for k in keys],
+        *[facts[c] for c in facts.columns if c not in keys],
+        *[dim[c] for c in dim.columns if c not in keys],
+    )

@@ -2169,6 +2169,7 @@ def q_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from cubert_spark.datapipe.dedup import (
         lsh_bands,
         minhash_signature,
+        reject_by_bands,
         shingle_table,
     )
 
@@ -2184,21 +2185,9 @@ def q_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ledger = bands.filter(F.col("source") != "src19").select(
         "band_idx", "band_key"
     )
-    hit_ledger = (
-        batch.join(ledger, ["band_idx", "band_key"])
-        .select("doc_id")
-        .distinct()
-    )
-    smaller = batch.select(
-        "band_idx", "band_key", F.col("doc_id").alias("__other")
-    )
-    hit_batch = (
-        batch.join(smaller, ["band_idx", "band_key"])
-        .filter(F.col("__other") < F.col("doc_id"))
-        .select("doc_id")
-        .distinct()
-    )
-    rejected = hit_ledger.union(hit_batch).distinct().withColumn(
+    # SAME rule implementation as the streaming sink (reject_by_bands
+    # — that sharing IS the twin's attestation value)
+    rejected = reject_by_bands(batch, "doc_id", ledger).withColumn(
         "__rej", F.lit(True)
     )
     return (

@@ -1370,13 +1370,24 @@ def _materialize_once(spark: SparkSession, sf: str, tag: str, write) -> str:
     most once."""
     import tempfile
 
-    key = (id(spark), sf.rstrip("/"), tag)
+    # keyed by the session's applicationId, not id(spark): a stopped
+    # session's recycled object address must never alias a live one
+    key = (spark.sparkContext.applicationId, sf.rstrip("/"), tag)
     path = _MATERIALIZED.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix=f"cubert_spark_{tag}_")
         write(path)
         _MATERIALIZED[key] = path
     return path
+
+
+def reset_materialized() -> None:
+    """Forget memoized roundtrip materializations so the NEXT
+    construction re-executes its write. bench.py calls this before
+    every timed run — without it, runs 2..n of the roundtrip queries
+    would time read+agg only and their min would no longer measure
+    the store path (cross-round comparability would silently break)."""
+    _MATERIALIZED.clear()
 
 
 _MATERIALIZED: dict[tuple, str] = {}

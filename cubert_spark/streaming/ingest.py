@@ -48,8 +48,11 @@ def ingest_dedup(
         # write would anti-join against the just-updated ledger and
         # silently drop this batch's survivors from the corpus.
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.select(F.col("__h").alias("h")).write.mode("append").parquet(ledger_dir)
+        # corpus BEFORE ledger (same rationale as ingest_neardup): a
+        # crash between the writes must fail toward recoverable
+        # duplicates, not silent loss
         fresh.drop("__h").write.mode("append").parquet(out_dir)
+        fresh.select(F.col("__h").alias("h")).write.mode("append").parquet(ledger_dir)
 
     return (
         stream_df.writeStream.foreachBatch(update)
@@ -400,6 +403,10 @@ def ingest_neardup(
         shingle_table,
     )
 
+    import os
+
+    from cubert_spark.datapipe.dedup import reject_by_bands
+
     def update(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         sh = shingle_table(batch_df, text_col, id_col, k)
@@ -407,39 +414,32 @@ def ingest_neardup(
             minhash_signature(sh, id_col, num_hashes), id_col,
             num_hashes, band_size,
         )
-        # rule (2): any band shared with a smaller id in this batch
-        smaller = bands.select(
-            "band_idx", "band_key", F.col(id_col).alias("__other")
+        # the missing-ledger case is an explicit isdir probe, NOT a
+        # bare except around the read: a real read failure (corrupt
+        # append, stray file) must ABORT the batch — swallowing it
+        # would silently disable rule (1) and admit near-dups of
+        # already-admitted docs
+        ledger = (
+            spark.read.parquet(ledger_dir)
+            if os.path.isdir(ledger_dir)
+            else None
         )
-        hit_in_batch = (
-            bands.join(smaller, ["band_idx", "band_key"])
-            .filter(F.col("__other") < F.col(id_col))
-            .select(id_col)
-            .distinct()
-        )
-        # rule (1): any band present in the ledger
-        try:
-            seen = spark.read.parquet(ledger_dir).select(
-                "band_idx", "band_key"
-            )
-            hit_ledger = (
-                bands.join(seen, ["band_idx", "band_key"])
-                .select(id_col)
-                .distinct()
-            )
-            rejected = hit_in_batch.union(hit_ledger).distinct()
-        except Exception:  # first batch: no ledger yet
-            rejected = hit_in_batch
+        rejected = reject_by_bands(bands, id_col, ledger)
         admitted = batch_df.join(rejected, id_col, "left_anti")
         adm_bands = bands.join(rejected, id_col, "left_anti")
         # MUST cut lineage before writing: the ledger append below is
         # read BY the bands plan — same trap as ingest_dedup
         admitted = admitted.localCheckpoint(eager=True)
         adm_bands = adm_bands.localCheckpoint(eager=True)
+        # corpus BEFORE ledger: a crash between the writes then leaves
+        # the docs admitted-but-unledgered — the retry re-admits and
+        # re-appends them (duplicates, recoverable by exact dedup)
+        # instead of the reverse order's silent PERMANENT LOSS (bands
+        # in the ledger reject the docs from ever landing in out_dir)
+        admitted.write.mode("append").parquet(out_dir)
         adm_bands.select("band_idx", "band_key", F.col(id_col)).write.mode(
             "append"
         ).parquet(ledger_dir)
-        admitted.write.mode("append").parquet(out_dir)
 
     return (
         stream_df.writeStream.foreachBatch(update)

@@ -278,3 +278,42 @@ def test_temporal_join_left_keeps_unmatched_facts(spark):
     left = temporal_join(facts, dim, ["k"], "ts", "vf", "vt", how="left")
     lgot = {(r["k"], r["ts"]): r["tag"] for r in left.collect()}
     assert lgot[(1, 10)] is None and len(lgot) == 4
+
+
+def test_tx_vacuum_retains_and_reclaims(spark, tmp_path):
+    """tx_vacuum: retained versions stay bit-identical readable;
+    dropped versions' manifests go first (never partially readable);
+    data files referenced by NO retained manifest — including a
+    planted crashed-commit orphan dir — are deleted."""
+    import os
+
+    import pytest
+
+    from cubert_spark.catalog import (
+        tx_commit,
+        tx_read,
+        tx_vacuum,
+        tx_versions,
+    )
+
+    p = str(tmp_path / "tx")
+    tx_commit(spark.range(0, 10).withColumnRenamed("id", "k"), p)
+    tx_commit(spark.range(10, 15).withColumnRenamed("id", "k"), p)
+    tx_commit(spark.range(100, 103).withColumnRenamed("id", "k"), p, "overwrite")
+    # planted orphan: data written, manifest never landed
+    orphan = os.path.join(p, "data", "c9-deadbeef")
+    spark.range(5).write.parquet(orphan)
+    assert os.path.isdir(orphan)
+
+    res = tx_vacuum(p, keep_last=1)
+    assert res["kept_versions"] == [3]
+    assert res["deleted_manifests"] == 2
+    assert res["deleted_files"] > 0
+    assert tx_versions(p) == [3]
+    assert sorted(r["k"] for r in tx_read(spark, p).collect()) == [100, 101, 102]
+    assert not os.path.isdir(orphan)  # orphan collected
+    with pytest.raises(ValueError):
+        tx_read(spark, p, 1)
+    # keeping every version is a no-file-op
+    res2 = tx_vacuum(p, keep_last=5)
+    assert res2["deleted_files"] == 0 and tx_versions(p) == [3]
