@@ -486,10 +486,19 @@ def tx_commit(
     return n
 
 
-def tx_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def tx_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read a tx table at ``version`` (default: latest). The manifest's
     file list IS the snapshot — no directory listing races, and a
-    concurrent commit cannot change what this reader sees."""
+    concurrent commit cannot change what this reader sees.
+    ``merge_schema=True`` null-pads across commits whose schemas
+    evolved (a later append added a column — the mergeSchema path the
+    schema_evolution row proves for plain directories, here scoped to
+    exactly the snapshot's files)."""
     import json
     import os
 
@@ -501,7 +510,10 @@ def tx_read(spark: SparkSession, path: str, version: int | None = None) -> DataF
         raise ValueError(f"version {v} not in {versions}")
     with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
         files = json.load(fh)["files"]
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, f) for f in files])
 
 
 def tx_committed_batches(path: str) -> set:

@@ -317,3 +317,19 @@ def test_tx_vacuum_retains_and_reclaims(spark, tmp_path):
     # keeping every version is a no-file-op
     res2 = tx_vacuum(p, keep_last=5)
     assert res2["deleted_files"] == 0 and tx_versions(p) == [3]
+
+
+def test_tx_read_merge_schema_across_commits(spark, tmp_path):
+    """tx_read(merge_schema=True): a later append whose schema added a
+    column reads as one null-padded relation; earlier versions read
+    with their own (narrower) schema."""
+    from cubert_spark.catalog import tx_commit, tx_read
+
+    p = str(tmp_path / "tx")
+    tx_commit(spark.sql("SELECT 1 AS k"), p)
+    tx_commit(spark.sql("SELECT 2 AS k, 'x' AS extra"), p)
+    latest = tx_read(spark, p, merge_schema=True)
+    assert set(latest.columns) == {"k", "extra"}
+    rows = {r["k"]: r["extra"] for r in latest.collect()}
+    assert rows == {1: None, 2: "x"}
+    assert tx_read(spark, p, 1).columns == ["k"]

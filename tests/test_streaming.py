@@ -649,3 +649,73 @@ def test_tx_sink_exactly_once_commits(spark, tmp_path):
     if 0 not in tx_committed_batches(out):
         tx_commit(spark.range(10), out, meta={"batch_id": 0})
     assert tx_versions(out) == before
+
+
+def test_stream_static_temporal_enrichment(spark, tmp_path):
+    """temporal_join works as a stream-static join: a streaming fact
+    source enriched against the SCD2 dim picks the version valid at
+    each fact's time — and because the static side is re-planned per
+    micro-batch, a dim update between batches is visible to later
+    batches (the Flink temporal-join behavior for slowly-changing
+    lookup tables)."""
+    from cubert_spark.operators.asof import temporal_join
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 0, 100, "old"), (1, 100, None, "new")],
+        "k long, vf long, vt long, tag string",
+    ).write.parquet(dim_path)
+
+    src = str(tmp_path / "facts")
+    spark.createDataFrame([(1, 50), (1, 150)], "k long, ts long").coalesce(
+        1
+    ).write.parquet(src + "/f1")
+    stream = (
+        spark.readStream.schema("k long, ts long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    dim = spark.read.parquet(dim_path)
+    out = str(tmp_path / "out")
+    (
+        temporal_join(stream, dim, ["k"], "ts", "vf", "vt")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r["k"], r["ts"]): r["tag"] for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 50): "old", (1, 150): "new"}
+
+
+def test_reject_by_bands_rule_properties(spark):
+    """reject_by_bands invariants on a synthetic band table: (a) no
+    two ADMITTED docs share a band (the whole point); (b) the minimum
+    id of every band-collision component is admitted when no ledger
+    hits it; (c) a ledger hit rejects regardless of id order."""
+    from cubert_spark.datapipe.dedup import reject_by_bands
+
+    bands = spark.createDataFrame(
+        [
+            (1, 0, "A"), (2, 0, "A"),          # 1-2 collide; 1 wins
+            (2, 1, "B"), (3, 1, "B"),          # 2 also collides w/ 3
+            (4, 0, "C"),                        # loner
+            (5, 2, "L"),                        # hit only via ledger
+        ],
+        "doc_id long, band_idx int, band_key string",
+    )
+    ledger = spark.createDataFrame([(2, "L")], "band_idx int, band_key string")
+    rejected = {r["doc_id"] for r in reject_by_bands(bands, "doc_id", ledger).collect()}
+    admitted = {1, 2, 3, 4, 5} - rejected
+    assert admitted == {1, 4}
+    # (a): admitted docs share no band
+    rows = [(r["doc_id"], r["band_idx"], r["band_key"]) for r in bands.collect()]
+    keys = {}
+    for d, bi, bk in rows:
+        if d in admitted:
+            assert (bi, bk) not in keys, (d, keys[(bi, bk)])
+            keys[(bi, bk)] = d
+    # (b): min of the 1-2-3 component admitted; (c): 5 rejected by ledger
+    assert 1 in admitted and 5 in rejected
