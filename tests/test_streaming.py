@@ -654,39 +654,58 @@ def test_tx_sink_exactly_once_commits(spark, tmp_path):
 def test_stream_static_temporal_enrichment(spark, tmp_path):
     """temporal_join works as a stream-static join: a streaming fact
     source enriched against the SCD2 dim picks the version valid at
-    each fact's time — and because the static side is re-planned per
-    micro-batch, a dim update between batches is visible to later
-    batches (the Flink temporal-join behavior for slowly-changing
-    lookup tables)."""
+    each fact's time. The dim-update-visibility property is exercised
+    for real: run 1 drains the first fact file against dim v1, the
+    dim gains a NEW version row before run 2 (same checkpoint), and
+    run 2's facts resolve against the UPDATED dim — the static side
+    is re-read per run/plan, never frozen into the checkpoint (the
+    slowly-changing-lookup behavior of Flink's temporal join)."""
     from cubert_spark.operators.asof import temporal_join
 
     dim_path = str(tmp_path / "dim")
+    src = str(tmp_path / "facts")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long, ts long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        dim = spark.read.parquet(dim_path)
+        (
+            temporal_join(stream, dim, ["k"], "ts", "vf", "vt")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # dim v1: one open version from t=0
+    spark.createDataFrame(
+        [(1, 0, None, "old")], "k long, vf long, vt long, tag string"
+    ).write.parquet(dim_path)
+    spark.createDataFrame([(1, 50)], "k long, ts long").coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    run_once()
+
+    # dim update: close "old" at t=100, open "new" — then new facts
     spark.createDataFrame(
         [(1, 0, 100, "old"), (1, 100, None, "new")],
         "k long, vf long, vt long, tag string",
-    ).write.parquet(dim_path)
+    ).write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame([(1, 150)], "k long, ts long").coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    run_once()
 
-    src = str(tmp_path / "facts")
-    spark.createDataFrame([(1, 50), (1, 150)], "k long, ts long").coalesce(
-        1
-    ).write.parquet(src + "/f1")
-    stream = (
-        spark.readStream.schema("k long, ts long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src + "/*")
-    )
-    dim = spark.read.parquet(dim_path)
-    out = str(tmp_path / "out")
-    (
-        temporal_join(stream, dim, ["k"], "ts", "vf", "vt")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
     got = {(r["k"], r["ts"]): r["tag"] for r in spark.read.parquet(out).collect()}
+    # fact@50 was enriched by dim v1 in run 1; fact@150 sees the
+    # updated dim's "new" version in run 2
     assert got == {(1, 50): "old", (1, 150): "new"}
 
 
