@@ -608,3 +608,29 @@ def tx_vacuum(path: str, keep_last: int = 1) -> dict:
         "deleted_manifests": len(dropped),
         "deleted_files": deleted,
     }
+
+
+def tx_history(spark: SparkSession, path: str) -> DataFrame:
+    """The commit history as a DataFrame: (version, mode, n_files,
+    batch_id) per retained manifest — the DESCRIBE HISTORY analog for
+    the tx table (audit surface for tx_sink exactly-once claims and
+    vacuum decisions). Driver-side manifest reads: manifests are
+    O(versions) tiny JSON files, never data-scaled."""
+    import json
+    import os
+
+    rows = []
+    for v in tx_versions(path):
+        with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
+            m = json.load(fh)
+        rows.append(
+            (
+                m["version"],
+                m["mode"],
+                len(m["files"]),
+                m.get("meta", {}).get("batch_id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, mode string, n_files int, batch_id long"
+    )

@@ -333,3 +333,13 @@ def test_tx_read_merge_schema_across_commits(spark, tmp_path):
     rows = {r["k"]: r["extra"] for r in latest.collect()}
     assert rows == {1: None, 2: "x"}
     assert tx_read(spark, p, 1).columns == ["k"]
+
+
+def test_tx_history_reports_commits(spark, tmp_path):
+    from cubert_spark.catalog import tx_commit, tx_history
+
+    p = str(tmp_path / "tx")
+    tx_commit(spark.range(3), p)
+    tx_commit(spark.range(2), p, meta={"batch_id": 7})
+    h = {r["version"]: (r["mode"], r["batch_id"]) for r in tx_history(spark, p).collect()}
+    assert h == {1: ("append", None), 2: ("append", 7)}
