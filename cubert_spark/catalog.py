@@ -400,6 +400,12 @@ def vacuum_versions(
 
 # --- versioned commit log (time travel) -------------------------------------
 
+class TxConflictError(RuntimeError):
+    """Two writers committed the same tx version: exactly one manifest
+    link wins; the loser gets this error (its data dir is an inert,
+    vacuumable orphan). Retry by re-reading the log head."""
+
+
 def _txlog_dir(path: str) -> str:
     import os
 
@@ -438,10 +444,15 @@ def tx_commit(
       ones;
     - a manifest ``_txlog/v{N}.json`` lists the file set of version N
       (append = parent's files + new; overwrite = new only);
-    - the manifest is written to a temp name and ``os.rename``d —
-      atomic on POSIX, so readers see either version N-1 or N, never
-      a partial file list (snapshot isolation for single-writer use;
-      multi-writer coordination needs a real lakehouse format).
+    - the manifest is PUBLISHED with ``os.link`` (create-exclusive:
+      fails EEXIST if ``v{N}.json`` already exists) — atomic on
+      POSIX, so readers see either version N-1 or N, never a partial
+      file list, AND two writers racing to the same version number
+      get one winner and one ``TxConflictError`` instead of a silent
+      clobber. The loser's data directory becomes an unreferenced
+      orphan (inert; reclaimable by ``tx_vacuum``); the caller may
+      retry, which re-reads the log and targets N+1 (optimistic
+      concurrency — the manifest link IS the compare-and-swap).
 
     Returns the committed version number (1-based).
     ``tx_read(spark, path, version=K)`` time-travels to any retained
@@ -482,7 +493,20 @@ def tx_commit(
     tmp = os.path.join(_txlog_dir(path), f".v{n}.json.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_txlog_dir(path), f"v{n}.json"))
+    target = os.path.join(_txlog_dir(path), f"v{n}.json")
+    try:
+        # create-exclusive publish: os.link fails EEXIST instead of
+        # replacing, so a concurrent commit of the same version is a
+        # DETECTED conflict, not a silent clobber of the winner
+        os.link(tmp, target)
+    except FileExistsError:
+        raise TxConflictError(
+            f"tx_commit conflict: version {n} of {path} was committed "
+            f"concurrently; this commit's data ({attempt}) is an orphan "
+            "(vacuumable). Re-read the log and retry against the new head."
+        ) from None
+    finally:
+        os.unlink(tmp)
     return n
 
 

@@ -121,6 +121,14 @@ def temporal_join(
     per key are bounded by change frequency, never by corpus size."""
     from functools import reduce
 
+    # shared NON-key names would yield duplicate output columns (and
+    # ambiguous references downstream) on every path — reject up front
+    shared = (set(facts.columns) & set(dim.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            f"temporal_join: non-key columns {sorted(shared)} exist on "
+            "both sides; rename one side first"
+        )
     interval = (F.col(valid_from) <= F.col(fact_ts)) & (
         F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
     )
@@ -128,18 +136,25 @@ def temporal_join(
         return facts.join(dim, keys, "inner").filter(interval)
     # outer flavors must keep unmatched facts: the interval predicate
     # folds INTO the join condition (a post-filter would drop the
-    # null-extended rows a left join exists to keep)
-    eq = reduce(lambda a, b: a & b, [facts[k] == dim[k] for k in keys])
-    iv = (dim[valid_from] <= facts[fact_ts]) & (
-        dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to])
+    # null-extended rows a left join exists to keep). Alias both
+    # frames internally — parent-frame column refs (facts[k]==dim[k])
+    # throw an ambiguous-self-join AnalysisException whenever facts
+    # and dim derive from the same DataFrame (the standard SCD2 shape:
+    # both built from one events table — r7 ADVICE)
+    f, d = facts.alias("__tj_f"), dim.alias("__tj_d")
+    fc = lambda c: F.col(f"__tj_f.{c}")  # noqa: E731
+    dc = lambda c: F.col(f"__tj_d.{c}")  # noqa: E731
+    eq = reduce(lambda a, b: a & b, [fc(k) == dc(k) for k in keys])
+    iv = (dc(valid_from) <= fc(fact_ts)) & (
+        dc(valid_to).isNull() | (fc(fact_ts) < dc(valid_to))
     )
-    joined = facts.join(dim, eq & iv, how)
+    joined = f.join(d, eq & iv, how)
     # both sides carry the key columns after a condition-join; COALESCE
     # them (not drop) so full/right-outer unmatched DIM rows keep their
     # key instead of null-ing it out (the fact side is null there) —
-    # project explicitly from the parent frames to avoid ambiguity
+    # project explicitly from the aliases to avoid ambiguity
     return joined.select(
-        *[F.coalesce(facts[k], dim[k]).alias(k) for k in keys],
-        *[facts[c] for c in facts.columns if c not in keys],
-        *[dim[c] for c in dim.columns if c not in keys],
+        *[F.coalesce(fc(k), dc(k)).alias(k) for k in keys],
+        *[fc(c).alias(c) for c in facts.columns if c not in keys],
+        *[dc(c).alias(c) for c in dim.columns if c not in keys],
     )

@@ -53,10 +53,11 @@ def _last_green_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, rec in records.items():
-            green = rec.get("hash_match") is True or (
-                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            )
-            if green:
+            # hash_match only: a rows-only "no_oracle" record is NOT
+            # an attestation (the class it served is gone since r6,
+            # and counting it let a never-verified query rank as
+            # fresh — r7 VERDICT #3)
+            if rec.get("hash_match") is True:
                 last[name] = max(last.get(name, 0), rnd)
     return last
 

@@ -1386,11 +1386,29 @@ def reset_materialized() -> None:
     construction re-executes its write. bench.py calls this before
     every timed run — without it, runs 2..n of the roundtrip queries
     would time read+agg only and their min would no longer measure
-    the store path (cross-round comparability would silently break)."""
+    the store path (cross-round comparability would silently break).
+
+    Also RECLAIMS the forgotten dirs (r7 ADVICE): ~8 materializing
+    queries x 3 timed runs otherwise leak dozens of full table copies
+    into /tmp per bench invocation — multi-GB at sf1, disk exhaustion
+    across rounds. Deletion is safe by construction: every forgotten
+    path was created by _materialize_once via mkdtemp (ours alone),
+    and any live DataFrame still lazily reading one belongs to a
+    construction the caller has, by calling reset, declared stale."""
+    import shutil
+
+    for path in _MATERIALIZED.values():
+        shutil.rmtree(path, ignore_errors=True)
     _MATERIALIZED.clear()
 
 
 _MATERIALIZED: dict[tuple, str] = {}
+
+# end-of-process reclaim for whatever the last constructions left
+# memoized (bounded: one dir per (app, sf, tag), but sf1-sized)
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(reset_materialized)
 
 
 def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:

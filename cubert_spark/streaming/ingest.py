@@ -33,15 +33,22 @@ def ingest_dedup(
     (availableNow trigger — call ``awaitTermination()``).
     """
 
+    import os
+
     def update(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         hashed = batch_df.withColumn("__h", F.md5(F.col(text_col)))
         winners = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
         b = hashed.join(winners, ["__h", id_col])
-        try:
+        # the missing-ledger case is an explicit isdir probe, NOT a
+        # bare except around the read: a transient read failure
+        # (corrupt append, permissions) must ABORT the batch —
+        # swallowing it would admit the whole batch as "never seen"
+        # and permanently pollute the deduped corpus
+        if os.path.isdir(ledger_dir):
             seen = spark.read.parquet(ledger_dir).select(F.col("h").alias("__h"))
             fresh = b.join(seen, "__h", "left_anti")
-        except Exception:  # first batch: no ledger yet
+        else:  # first batch: no ledger yet
             fresh = b
         # MUST cut lineage before writing: the ledger append below is
         # read BY fresh's own plan, so a lazy recompute on the second
@@ -89,6 +96,8 @@ def stream_upsert(
     Returns the started query handle (availableNow trigger).
     """
 
+    import os
+
     def update(batch_df: DataFrame, _batch_id: int) -> None:
         from cubert_spark.operators.cdc import apply_changelog
 
@@ -97,10 +106,16 @@ def stream_upsert(
         b = apply_changelog(
             batch_df, key_cols, seq_cols, op_col, (), payload_cols
         )
-        try:
-            s = spark.read.parquet(snapshot_dir)
-        except Exception:  # first batch: no state yet
-            s = None
+        # missing-snapshot = explicit isdir probe, NOT a bare except:
+        # a transient snapshot-read failure here would set s=None and
+        # the overwrite below would then replace the ENTIRE accumulated
+        # CDC state with just this batch — silent total state loss.
+        # Real read failures must abort the batch so the stream retries.
+        s = (
+            spark.read.parquet(snapshot_dir)
+            if os.path.isdir(snapshot_dir)
+            else None
+        )
         if s is not None:
             bb = b.select(
                 *key_cols,

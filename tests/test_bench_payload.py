@@ -1,0 +1,57 @@
+"""The bench stdout line IS the driver's official per-round record —
+the driver keeps the last ~2000 chars of output, so a line longer
+than the window is truncated from the FRONT and the record goes
+unparseable (it did in r5 and r6). These tests pin the envelope so
+adding benched queries can never silently re-break it."""
+
+from __future__ import annotations
+
+import json
+
+
+def _bench():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("bench")
+
+
+def test_payload_fits_capture_window_at_worst_case_widths():
+    """Every benched query at a 4-char value (99.9 — no sf0.1 query
+    is within 10x of that) must fit the budget, with headroom for
+    several more rows."""
+    bench = _bench()
+    worst = {n: 99.9 for n in bench.BENCH_QUERIES}
+    p = bench._stdout_payload(worst, 9999.999, 0.1)
+    assert len(p) <= bench._STDOUT_BUDGET
+    # headroom probe: +5 future queries still fit (possibly via the
+    # integer-degrade rung, which is exactly what it exists for)
+    bigger = dict(worst, **{f"future_query_{i}": 99.9 for i in range(5)})
+    p2 = bench._stdout_payload(bigger, 9999.999, 0.1)
+    assert len(p2) <= bench._STDOUT_BUDGET
+
+
+def test_payload_is_parseable_json_with_contract_keys():
+    bench = _bench()
+    t = {n: 1.234 for n in bench.BENCH_QUERIES}
+    d = json.loads(bench._stdout_payload(t, 107.358, 0.1))
+    assert d["metric"] == "bench_total_wall_sec"
+    assert d["unit"] == "sec"
+    assert d["sf"] == 0.1
+    assert d["value"] == 107.358
+    assert set(d["queries"]) == set(bench.BENCH_QUERIES)
+    assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+
+
+def test_degrade_rung_kicks_in_rather_than_overflow():
+    """Just past the budget at 1 decimal (realistic name widths), the
+    integer rung engages and the line fits + parses."""
+    bench = _bench()
+    # 90 entries x 13-char names at 5-char values: ~2,070 bytes at
+    # 1 decimal (overflow), ~1,890 as integers (fits)
+    huge = {f"query_name_{i:02d}": 123.456 for i in range(90)}
+    p = bench._stdout_payload(huge, 9999.9, 0.1)
+    assert len(p) <= bench._STDOUT_BUDGET
+    d = json.loads(p)
+    assert d["queries"]["query_name_00"] == 123  # integer rung used

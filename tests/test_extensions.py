@@ -280,6 +280,40 @@ def test_temporal_join_left_keeps_unmatched_facts(spark):
     assert lgot[(1, 10)] is None and len(lgot) == 4
 
 
+def test_temporal_join_outer_from_common_lineage(spark):
+    """The outer path must work when facts and dim both derive from
+    the SAME DataFrame (the standard SCD2 shape — r7 ADVICE: the old
+    parent-frame condition threw an ambiguous-self-join
+    AnalysisException there), and shared non-key column names are
+    rejected up front instead of yielding duplicate output columns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cubert_spark.operators.asof import temporal_join
+
+    base = spark.createDataFrame(
+        [(1, 100, 200, "v1"), (1, 200, None, "v2"), (1, 150, None, "f")],
+        "k long, a long, b long, s string",
+    )
+    dim = base.filter(F.col("s") != "f").select(
+        "k", F.col("a").alias("vf"), F.col("b").alias("vt"),
+        F.col("s").alias("tag"),
+    )
+    facts = base.filter(F.col("s") == "f").select(
+        "k", F.col("a").alias("ts")
+    )
+    left = temporal_join(facts, dim, ["k"], "ts", "vf", "vt", how="left")
+    rows = left.collect()
+    assert len(rows) == 1 and rows[0]["tag"] == "v1"
+    assert left.columns == ["k", "ts", "vf", "vt", "tag"]
+
+    with pytest.raises(ValueError, match="non-key columns"):
+        temporal_join(
+            facts.withColumn("tag", F.lit("x")), dim,
+            ["k"], "ts", "vf", "vt",
+        )
+
+
 def test_tx_vacuum_retains_and_reclaims(spark, tmp_path):
     """tx_vacuum: retained versions stay bit-identical readable;
     dropped versions' manifests go first (never partially readable);
@@ -343,3 +377,51 @@ def test_tx_history_reports_commits(spark, tmp_path):
     tx_commit(spark.range(2), p, meta={"batch_id": 7})
     h = {r["version"]: (r["mode"], r["batch_id"]) for r in tx_history(spark, p).collect()}
     assert h == {1: ("append", None), 2: ("append", 7)}
+
+
+def test_tx_commit_writer_conflict_detected(spark, tmp_path, monkeypatch):
+    """Two writers racing to the same version number get ONE winner
+    and one TxConflictError — never two silent 'successes' (the old
+    os.rename publish replaced the winner's manifest, orphaning its
+    data with no error). The loser's data dir is an inert orphan that
+    tx_vacuum reclaims; a plain retry lands on the next version."""
+    import os
+
+    import pytest
+
+    from cubert_spark import catalog
+    from cubert_spark.catalog import (
+        TxConflictError,
+        tx_commit,
+        tx_read,
+        tx_vacuum,
+        tx_versions,
+    )
+
+    p = str(tmp_path / "tx")
+    tx_commit(spark.range(0, 10).withColumnRenamed("id", "k"), p)
+    # writer A wins version 2
+    tx_commit(spark.range(10, 15).withColumnRenamed("id", "k"), p)
+    # writer B read the log BEFORE A's commit landed (parent=1), so it
+    # also targets version 2 — replay that stale view
+    monkeypatch.setattr(catalog, "tx_versions", lambda _: [1])
+    with pytest.raises(TxConflictError):
+        tx_commit(spark.range(100, 105).withColumnRenamed("id", "k"), p)
+    monkeypatch.undo()
+
+    # the winner's v2 snapshot is untouched by the losing attempt
+    assert tx_versions(p) == [1, 2]
+    assert sorted(r["k"] for r in tx_read(spark, p, 2).collect()) == list(range(15))
+    # the loser left exactly one orphan data dir; vacuum reclaims it
+    data_dirs = os.listdir(os.path.join(p, "data"))
+    assert len(data_dirs) == 3  # c1-*, c2-* (winner), c2-* (orphan)
+    tx_vacuum(p, keep_last=2)
+    assert len(os.listdir(os.path.join(p, "data"))) == 2
+    assert sorted(r["k"] for r in tx_read(spark, p, 2).collect()) == list(range(15))
+    # retry after re-reading the log: lands as version 3, chain linear
+    assert tx_commit(spark.range(100, 105).withColumnRenamed("id", "k"), p) == 3
+    assert tx_versions(p) == [1, 2, 3]
+    # no leftover manifest temp files from the conflict path
+    assert not [
+        f for f in os.listdir(os.path.join(p, "_txlog")) if f.endswith(".tmp")
+    ]

@@ -1,0 +1,233 @@
+"""Fault-injection tests for the state-reading streaming sinks.
+
+Two failure classes, each with a documented required direction:
+
+1. **State-READ failure** (corrupt ledger/snapshot): the batch must
+   ABORT (stream fails, retryable) — never fall back to "no state",
+   which would admit duplicates (ingest_dedup / ingest_neardup) or
+   overwrite the accumulated CDC state with one batch (stream_upsert).
+2. **Crash BETWEEN the corpus and ledger writes**: the documented
+   write order (corpus before ledger) must fail toward a recoverable
+   duplicate on retry — never silent permanent loss (the reverse
+   order's failure mode: ledgered-but-never-landed docs are rejected
+   forever).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corrupt_parquet_dir(d: str) -> None:
+    """Replace every data file in a parquet dir with garbage bytes so
+    any read of the directory raises, while the dir itself still
+    exists (so the isdir probe takes the read path)."""
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        if os.path.isfile(p) and not name.startswith((".", "_")):
+            os.remove(p)
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+
+def _docs_stream(spark, src: str, schema: str = "doc_id long, text string"):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+
+
+def test_ingest_dedup_corrupt_ledger_aborts(spark, tmp_path):
+    """A ledger-read failure must fail the batch, NOT admit the whole
+    batch as never-seen (which would permanently pollute the corpus
+    with duplicates)."""
+    from cubert_spark.streaming import ingest_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    ingest_dedup(_docs_stream(spark, src), out, ledger).awaitTermination()
+    n_before = spark.read.parquet(out).count()
+    assert n_before == 2
+
+    _corrupt_parquet_dir(ledger)
+    # duplicate content arrives; with a healthy ledger it would be
+    # rejected — with a broken one the only safe outcome is ABORT
+    spark.createDataFrame(
+        [(10, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f2")
+    q = ingest_dedup(_docs_stream(spark, src), out, ledger)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert spark.read.parquet(out).count() == n_before  # nothing admitted
+
+
+def test_stream_upsert_corrupt_snapshot_aborts_no_state_loss(spark, tmp_path):
+    """A snapshot-read failure must fail the batch, NOT treat it as
+    first-batch and overwrite the accumulated CDC state with just the
+    current batch (silent total state loss)."""
+    from cubert_spark.streaming.ingest import stream_upsert
+
+    schema = "k long, ts long, op string, v double"
+    src = str(tmp_path / "cdc_src")
+    snap = str(tmp_path / "cdc_snap")
+    spark.createDataFrame(
+        [(1, 10, "upsert", 1.0), (2, 11, "upsert", 2.0)], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+
+    def run():
+        return stream_upsert(
+            _docs_stream(spark, src, schema), snap,
+            key_cols=["k"], seq_cols=["ts"], op_col="op",
+            delete_ops=["delete"], payload_cols=["v"],
+        )
+
+    run().awaitTermination()
+    assert spark.read.parquet(snap).count() == 2
+
+    _corrupt_parquet_dir(snap)
+    sentinel = os.path.join(snap, "part-corrupt.parquet")
+    spark.createDataFrame([(3, 12, "upsert", 3.0)], schema).coalesce(
+        1
+    ).write.parquet(src + "/b2")
+    q = run()
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # the overwrite never ran: the (corrupt) state dir was not
+    # replaced by a batch-only snapshot
+    assert os.path.exists(sentinel)
+
+
+def test_ingest_neardup_corrupt_ledger_aborts(spark, tmp_path):
+    """Same contract for the near-dup band ledger: read failure means
+    abort, not rule-(1)-silently-disabled."""
+    from cubert_spark.streaming.ingest import ingest_neardup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    ingest_neardup(
+        _docs_stream(spark, src), out, ledger, num_hashes=8, band_size=2
+    ).awaitTermination()
+    n_before = spark.read.parquet(out).count()
+    assert n_before == 1
+
+    _corrupt_parquet_dir(ledger)
+    spark.createDataFrame(
+        [(2, text + "extra")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f2")
+    q = ingest_neardup(
+        _docs_stream(spark, src), out, ledger, num_hashes=8, band_size=2
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert spark.read.parquet(out).count() == n_before
+
+
+def _arm_ledger_crash(monkeypatch, ledger_dir: str) -> dict:
+    """Monkeypatch DataFrameWriter.parquet to raise on the FIRST write
+    targeting ``ledger_dir`` — simulating a crash after the corpus
+    append but before the ledger append (foreachBatch callbacks run
+    driver-side in this Python process, so the patch is in scope)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+    state = {"armed": True}
+
+    def patched(self, path, *a, **kw):
+        if state["armed"] and os.path.abspath(path) == os.path.abspath(ledger_dir):
+            state["armed"] = False
+            raise RuntimeError("injected crash before ledger write")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", patched)
+    return state
+
+
+def test_ingest_dedup_crash_before_ledger_recovers_as_duplicate(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between corpus append and ledger append, then restart:
+    the retried batch re-admits its docs (duplicate rows in the
+    corpus — recoverable by exact dedup) and NEVER loses a doc. The
+    reverse write order would fail the other way: ledgered docs that
+    never landed are rejected forever."""
+    from cubert_spark.streaming import ingest_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    state = _arm_ledger_crash(monkeypatch, ledger)
+    q = ingest_dedup(_docs_stream(spark, src), out, ledger)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert not state["armed"]  # the injected crash actually fired
+    # crash state: corpus written, ledger missing
+    assert spark.read.parquet(out).count() == 2
+    assert not os.path.isdir(ledger)
+
+    # restart (checkpoint-less run re-reads the file): duplicates are
+    # admitted — the recoverable direction — and nothing is lost
+    ingest_dedup(_docs_stream(spark, src), out, ledger).awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # each doc twice: duplicate, not loss
+    assert set(r.text for r in got.collect()) == {"alpha", "beta"}
+    # exact dedup recovers the clean corpus
+    assert got.dropDuplicates(["text"]).count() == 2
+    # and the ledger is now consistent: a further novel+dup batch
+    # admits only the novel doc
+    spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f2")
+    ingest_dedup(_docs_stream(spark, src), out, ledger).awaitTermination()
+    texts = sorted(r.text for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha", "alpha", "beta", "beta", "gamma"]
+
+
+def test_ingest_neardup_crash_before_ledger_recovers_as_duplicate(
+    spark, tmp_path, monkeypatch
+):
+    """Same crash point for the near-dup sink: retry re-admits
+    (duplicate, recoverable), never permanently rejects an unlanded
+    doc."""
+    from cubert_spark.streaming.ingest import ingest_neardup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    text = "pack my box with five dozen liquor jugs " * 3
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    state = _arm_ledger_crash(monkeypatch, ledger)
+    q = ingest_neardup(
+        _docs_stream(spark, src), out, ledger, num_hashes=8, band_size=2
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert not state["armed"]
+    assert spark.read.parquet(out).count() == 1
+    assert not os.path.isdir(ledger)
+
+    ingest_neardup(
+        _docs_stream(spark, src), out, ledger, num_hashes=8, band_size=2
+    ).awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # duplicate, not loss
+    assert got.dropDuplicates(["text"]).count() == 1

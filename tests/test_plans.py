@@ -640,6 +640,22 @@ def test_every_query_documented_in_coverage():
     assert missing == [], missing
 
 
+def test_count_consistency_with_folded_registry():
+    """The COVERAGE.md consolidation paragraph quotes the folded-row
+    count; derive it from the FOLDED registry so the doc can't drift
+    again (r7 ADVICE: doc said 50 while the registry had 55)."""
+    import os
+    import re
+
+    from cubert_spark.queries import FOLDED
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "COVERAGE.md")).read()
+    m = re.search(r"(\d+) rows total — count derived from the FOLDED", text)
+    assert m, "COVERAGE.md consolidation paragraph missing its count"
+    assert int(m.group(1)) == len(FOLDED)
+
+
 def test_scale_advisor_projects_shuffles_and_broadcast_flips(spark):
     """plans.advisor: a scan->agg plan reports one scan-derived
     Aggregate boundary whose projection scales linearly; a star join
