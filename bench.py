@@ -167,6 +167,13 @@ BENCH_QUERIES = [
     # point-in-time SCD2 enrichment + versioned-snapshot reads
     "temporal_join",
     "time_travel",
+    # r08 additions: the blocked fuzzy-ER mitigation (the 100 TB
+    # answer to fuzzy_pairs2's output growth — exponent in SCALE.md),
+    # the 64-bit hash-sketch near-dup screen, and corpus-lifetime
+    # exact dedup (the md5 keyed-agg stage every ingest composes)
+    "fuzzy_pairs_blocked",
+    "simhash",
+    "dedup_exact",
 ]
 
 

@@ -117,6 +117,9 @@ FOLDED: dict[str, str] = {
     "simhash": "minhash_lsh (hash-sketch dedup family)",
     "dedup_clusters": "golden_record (runs the same CC machinery)",
     "fuzzy_pairs2": "fuzzy_pairs (d=2 variant of the same SymSpell join)",
+    "fuzzy_pairs_blocked": "fuzzy_pairs (same join, + blocking key — "
+                           "the 100 TB mitigation; benched + exponent "
+                           "in SCALE.md)",
     # histogram/percentile family: equidepth + approx_quantile stay
     "value_histogram": "equidepth_histogram",
     "quantile_histogram": "equidepth_histogram",

@@ -1691,6 +1691,31 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
 
+def q_fuzzy_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution at edit distance <= 2 WITH a blocking key
+    (c_nationkey): the documented 100 TB mitigation for the pair
+    explosion — cross-block candidates never form because the block
+    column is folded into the variant join key, so posting-list
+    volume (and output) divides by the block fan-out. This is the
+    variant whose gen0.1->gen1 scaling exponent SCALE.md records next
+    to the unblocked fuzzy_pairs2 row."""
+    c = load_table(spark, sf, "customer")
+    return dedup.fuzzy_pairs(
+        c.select("c_custkey", "c_name", "c_nationkey"),
+        max_dist=2,
+        block_cols=["c_nationkey"],
+    )
+
+
+SQL_FUZZY_PAIRS_BLOCKED = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language deterministic downsample (stratified rebalancing —
     e.g. cap the dominant language of a crawl): en keeps 25%, zh 50%,
@@ -2298,6 +2323,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "fuzzy_pairs": q_fuzzy_pairs,
     "fuzzy_pairs2": q_fuzzy_pairs2,
+    "fuzzy_pairs_blocked": q_fuzzy_pairs_blocked,
     "chunk_documents": q_chunk_documents,
     "hashed_embedding": q_hashed_embedding,
     "pq_encode": q_pq_encode,
@@ -2363,6 +2389,7 @@ ORACLES = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "fuzzy_pairs2": SQL_FUZZY_PAIRS2,
+    "fuzzy_pairs_blocked": SQL_FUZZY_PAIRS_BLOCKED,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hashed_embedding": SQL_HASHED_EMBEDDING,
     "pq_encode": SQL_PQ_ENCODE,

@@ -12,6 +12,16 @@ operator should land near 1.0 at 100% CPU utilization; exponents
 Same protocol as bench.py: fresh session, warmups, noop sink,
 min-of-n.
 
+Overhead correction (r7 ADVICE): both wall times include a fixed
+per-query constant (plan construction, analysis/optimization) that
+deflates the exponent when t_lo is sub-second. Each timing therefore
+subtracts a measured PLAN-ONLY baseline (build the DataFrame and
+force the physical plan, no execution) at its own SF, and any query
+whose corrected t_lo is still under ``--t-lo-floor`` seconds is
+marked ``"low_confidence": true`` — its exponent is
+constant-dominated and should be re-measured at a larger lo SF
+before being quoted.
+
 Usage:
   python tools/gen_testdata.py --sf 0.1 --out /tmp/gen_sf0.1
   python tools/gen_testdata.py --sf 1   --out /tmp/gen_sf1
@@ -55,6 +65,9 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of HEAVY")
+    ap.add_argument("--t-lo-floor", type=float, default=0.3,
+                    help="corrected t_lo below this marks the "
+                         "exponent low-confidence")
     args = ap.parse_args()
 
     from cubert_spark import get_session
@@ -68,6 +81,18 @@ def main() -> None:
     merged = {**all_queries(), **folded_queries()}
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    def plan_only(name: str, sf_dir: str) -> float:
+        """Fixed per-query constant: build the DataFrame and force
+        analysis + optimization + physical planning, execute nothing.
+        min-of-n like the wall timings (same noise model)."""
+        runs = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            df = merged[name](spark, sf_dir)
+            df._jdf.queryExecution().executedPlan()
+            runs.append(time.perf_counter() - t0)
+        return min(runs)
+
     def bench(sf_dir: str) -> dict[str, float]:
         out = {}
         for name in names:
@@ -78,7 +103,9 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 runs.append(time.perf_counter() - t0)
-            out[name] = round(min(runs), 3)
+            # subtract the measured plan-only constant so the exponent
+            # compares EXECUTION times, not execution + fixed overhead
+            out[name] = round(max(min(runs) - plan_only(name, sf_dir), 1e-3), 3)
         return out
 
     t_lo = bench(args.lo)
@@ -97,6 +124,9 @@ def main() -> None:
             "exponent": round(math.log(ratio) / math.log(growth), 2)
             if ratio > 0 and growth > 1
             else None,
+            # constant-dominated lo measurement: exponent unreliable,
+            # re-measure with a larger lo SF before quoting
+            "low_confidence": t_lo[name] < args.t_lo_floor,
         }
     print(json.dumps(result, indent=1))
     spark.stop()
