@@ -203,25 +203,43 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
     remain valid via BENCH_DETAIL."""
     import json
 
-    def render(decimals: int) -> str:
+    def render(decimals: int, rows: dict, dropped: int = 0) -> str:
         q = {
             n: (round(v, decimals) if decimals else int(round(v)))
-            for n, v in timings.items()
+            for n, v in rows.items()
         }
-        return json.dumps(
-            {
-                "metric": "bench_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": q,
-                "v": 5,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+        d = {
+            "metric": "bench_total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "v": 5,
+            "sf": sf,
+        }
+        if dropped:
+            d["dropped"] = dropped
+        return json.dumps(d, separators=(",", ":"))
 
-    p = render(1)
-    return p if len(p) <= _STDOUT_BUDGET else render(0)
+    p = render(1, timings)
+    if len(p) <= _STDOUT_BUDGET:
+        return p
+    p = render(0, timings)
+    if len(p) <= _STDOUT_BUDGET:
+        return p
+    # Final guard (r10): even the integer rung overflows — the query
+    # count outgrew the envelope. Keep the heaviest rows that fit
+    # (they are the ones worth eyeballing in the record; every row's
+    # full 3-decimal min already lands in BENCH_DETAIL.json) and
+    # count the rest in "dropped" so the stdout line stays parseable
+    # at ANY future query count instead of front-truncating the
+    # driver record as in r5/r6.
+    order = sorted(timings, key=lambda n: timings[n], reverse=True)
+    for keep in range(len(order), -1, -1):
+        kept = {n: timings[n] for n in order[:keep]}
+        p = render(0, kept, dropped=len(order) - keep)
+        if len(p) <= _STDOUT_BUDGET:
+            return p
+    return p  # unreachable: keep=0 renders a constant-size line
 
 
 def main() -> None:

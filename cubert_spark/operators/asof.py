@@ -142,8 +142,11 @@ def temporal_join(
     # and dim derive from the same DataFrame (the standard SCD2 shape:
     # both built from one events table — r7 ADVICE)
     f, d = facts.alias("__tj_f"), dim.alias("__tj_d")
-    fc = lambda c: F.col(f"__tj_f.{c}")  # noqa: E731
-    dc = lambda c: F.col(f"__tj_d.{c}")  # noqa: E731
+    # backtick-quote the column segment: a dotted column name (e.g.
+    # "price.usd") would otherwise parse as a nested-field reference
+    # under the alias and throw/miss (r9 ADVICE)
+    fc = lambda c: F.col(f"__tj_f.`{c}`")  # noqa: E731
+    dc = lambda c: F.col(f"__tj_d.`{c}`")  # noqa: E731
     eq = reduce(lambda a, b: a & b, [fc(k) == dc(k) for k in keys])
     iv = (dc(valid_from) <= fc(fact_ts)) & (
         dc(valid_to).isNull() | (fc(fact_ts) < dc(valid_to))

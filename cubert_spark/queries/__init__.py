@@ -33,8 +33,8 @@ _MODULES = (core, olap, events, datapipe, extensions, scriptq, physical)
 
 def _last_green_round() -> dict[str, int]:
     """name -> last round whose driver record attested the query green
-    (hash_match for oracled queries; presence of the declared rows-only
-    record for no-oracle ones). Unrecorded / never-green -> absent."""
+    (``hash_match: true`` ONLY — a rows-only record never counts as an
+    attestation). Unrecorded / never-green -> absent."""
     import glob
     import json
     import os

@@ -18,6 +18,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def state_exists(spark, path: str) -> bool:
+    """FS-agnostic "does cross-batch state exist with readable data"
+    probe for the ledgers/snapshots below.
+
+    ``os.path.isdir`` is ALWAYS False for ``hdfs://`` / ``s3a://`` /
+    any non-local scheme — probing with it would silently treat
+    accumulated state as absent on cluster storage: ``ingest_dedup``
+    and ``ingest_neardup`` would admit every duplicate, and
+    ``stream_upsert`` would clobber its whole CDC snapshot with the
+    current batch, every batch. So the probe goes through the Hadoop
+    FileSystem API, which resolves the path's own scheme (file://,
+    hdfs://, s3a://, ...) against the session's Hadoop conf — the
+    same resolution ``spark.read.parquet`` will use one line later.
+
+    Semantics: a missing path is no-state; an existing directory with
+    no data files (only ``_SUCCESS`` / ``.crc`` droppings from a
+    failed or empty first write) is ALSO no-state — reading it would
+    throw "unable to infer schema", wedging the stream permanently on
+    a harmless empty dir. Any real listing/IO failure (permissions,
+    transient FS error) RAISES so the batch aborts and the stream
+    retries — defaulting to "no state" on error is exactly the silent
+    duplicate-admission / state-clobber failure this function exists
+    to prevent. (Reference analog: Cubert treats a missing cached
+    file as a hard error — src/main/java/com/linkedin/cubert/utils/
+    FileCache.java cache-miss path.)
+    """
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    if not fs.getFileStatus(p).isDirectory():
+        return True  # a plain file: state exists, reader validates it
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        # any non-hidden entry (a data file, or a partition dir like
+        # win_start=...) counts as data; _SUCCESS/_temporary/.crc
+        # droppings do not
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def ingest_dedup(
     stream_df: DataFrame,
     out_dir: str,
@@ -33,19 +77,18 @@ def ingest_dedup(
     (availableNow trigger — call ``awaitTermination()``).
     """
 
-    import os
-
     def update(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         hashed = batch_df.withColumn("__h", F.md5(F.col(text_col)))
         winners = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
         b = hashed.join(winners, ["__h", id_col])
-        # the missing-ledger case is an explicit isdir probe, NOT a
-        # bare except around the read: a transient read failure
-        # (corrupt append, permissions) must ABORT the batch —
-        # swallowing it would admit the whole batch as "never seen"
-        # and permanently pollute the deduped corpus
-        if os.path.isdir(ledger_dir):
+        # the missing-ledger case is an explicit FS-agnostic probe
+        # (state_exists honors hdfs://s3a:// schemes), NOT a bare
+        # except around the read: a transient read failure (corrupt
+        # append, permissions) must ABORT the batch — swallowing it
+        # would admit the whole batch as "never seen" and permanently
+        # pollute the deduped corpus
+        if state_exists(spark, ledger_dir):
             seen = spark.read.parquet(ledger_dir).select(F.col("h").alias("__h"))
             fresh = b.join(seen, "__h", "left_anti")
         else:  # first batch: no ledger yet
@@ -96,8 +139,6 @@ def stream_upsert(
     Returns the started query handle (availableNow trigger).
     """
 
-    import os
-
     def update(batch_df: DataFrame, _batch_id: int) -> None:
         from cubert_spark.operators.cdc import apply_changelog
 
@@ -106,14 +147,15 @@ def stream_upsert(
         b = apply_changelog(
             batch_df, key_cols, seq_cols, op_col, (), payload_cols
         )
-        # missing-snapshot = explicit isdir probe, NOT a bare except:
-        # a transient snapshot-read failure here would set s=None and
+        # missing-snapshot = explicit FS-agnostic probe (state_exists
+        # honors hdfs://s3a:// schemes), NOT a bare except: a
+        # transient snapshot-read failure here would set s=None and
         # the overwrite below would then replace the ENTIRE accumulated
         # CDC state with just this batch — silent total state loss.
         # Real read failures must abort the batch so the stream retries.
         s = (
             spark.read.parquet(snapshot_dir)
-            if os.path.isdir(snapshot_dir)
+            if state_exists(spark, snapshot_dir)
             else None
         )
         if s is not None:
@@ -358,8 +400,6 @@ def flush_open_windows(
     Cost: one windowed count + rank over the source, pruned by the
     anti-join to open windows only (the broadcast side is the distinct
     persisted win_start list, tiny by construction)."""
-    import os
-
     spark = batch_df.sparkSession
     full = (
         batch_df.groupBy(
@@ -368,7 +408,7 @@ def flush_open_windows(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("win_start"), *key_cols, "n")
     )
-    if os.path.isdir(out_dir):
+    if state_exists(spark, out_dir):
         done = spark.read.parquet(out_dir).select("win_start").distinct()
         full = full.join(F.broadcast(done), "win_start", "left_anti")
     (
@@ -418,8 +458,6 @@ def ingest_neardup(
         shingle_table,
     )
 
-    import os
-
     from cubert_spark.datapipe.dedup import reject_by_bands
 
     def update(batch_df: DataFrame, _batch_id: int) -> None:
@@ -429,14 +467,15 @@ def ingest_neardup(
             minhash_signature(sh, id_col, num_hashes), id_col,
             num_hashes, band_size,
         )
-        # the missing-ledger case is an explicit isdir probe, NOT a
-        # bare except around the read: a real read failure (corrupt
+        # the missing-ledger case is an explicit FS-agnostic probe
+        # (state_exists honors hdfs://s3a:// schemes), NOT a bare
+        # except around the read: a real read failure (corrupt
         # append, stray file) must ABORT the batch — swallowing it
         # would silently disable rule (1) and admit near-dups of
         # already-admitted docs
         ledger = (
             spark.read.parquet(ledger_dir)
-            if os.path.isdir(ledger_dir)
+            if state_exists(spark, ledger_dir)
             else None
         )
         rejected = reject_by_bands(bands, id_col, ledger)

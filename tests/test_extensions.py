@@ -314,6 +314,29 @@ def test_temporal_join_outer_from_common_lineage(spark):
         )
 
 
+def test_temporal_join_outer_with_dotted_column_names(spark):
+    """Dotted column names (e.g. "price.usd") must survive the outer
+    path's internal aliasing — the alias refs are backtick-quoted so
+    the dot can't parse as a nested-field access (r9 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from cubert_spark.operators.asof import temporal_join
+
+    dim = spark.createDataFrame(
+        [(1, 100, 200, 1.5), (1, 200, None, 2.5)],
+        "k long, vf long, vt long, price double",
+    ).withColumnRenamed("price", "price.usd")
+    facts = spark.createDataFrame(
+        [(1, 150), (1, 10)], "k long, ts long"
+    ).withColumnRenamed("ts", "event.ts")
+    left = temporal_join(
+        facts, dim, ["k"], "event.ts", "vf", "vt", how="left"
+    )
+    got = {r["event.ts"]: r["price.usd"] for r in left.collect()}
+    assert got == {150: 1.5, 10: None}
+    assert left.columns == ["k", "event.ts", "vf", "vt", "price.usd"]
+
+
 def test_tx_vacuum_retains_and_reclaims(spark, tmp_path):
     """tx_vacuum: retained versions stay bit-identical readable;
     dropped versions' manifests go first (never partially readable);

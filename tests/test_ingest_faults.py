@@ -231,3 +231,65 @@ def test_ingest_neardup_crash_before_ledger_recovers_as_duplicate(
     got = spark.read.parquet(out)
     assert got.count() == 2  # duplicate, not loss
     assert got.dropDuplicates(["text"]).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# state_exists: the FS-agnostic probe all four state-reading sinks use
+# (r9 VERDICT #2: os.path.isdir is always False on hdfs://s3a:// — it
+# would silently admit every duplicate / clobber CDC state at scale)
+# ---------------------------------------------------------------------------
+
+
+def test_state_exists_local_semantics(spark, tmp_path):
+    """Missing path = no state; dir with only _SUCCESS/.crc droppings
+    (failed or empty first write) = no state; dir with a data file or
+    a partition subdir = state; explicit file:// scheme resolves."""
+    from cubert_spark.streaming.ingest import state_exists
+
+    d = tmp_path / "state"
+    assert state_exists(spark, str(d)) is False
+
+    d.mkdir()
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".part-0.crc").write_bytes(b"x")
+    assert state_exists(spark, str(d)) is False  # schemaless first-append
+
+    (d / "part-00000.parquet").write_bytes(b"x")
+    assert state_exists(spark, str(d)) is True
+    assert state_exists(spark, "file://" + str(d)) is True
+
+    part = tmp_path / "partitioned"
+    part.mkdir()
+    (part / "win_start=2024-01-01").mkdir()
+    assert state_exists(spark, str(part)) is True
+
+
+def test_state_exists_nonlocal_scheme_raises_not_false(spark):
+    """An unreachable hdfs:// URI must raise LOUDLY (batch aborts,
+    stream retries) — returning False here is exactly the silent
+    duplicate-admission / state-clobber bug the probe exists to
+    prevent."""
+    from cubert_spark.streaming.ingest import state_exists
+
+    with pytest.raises(Exception):
+        state_exists(spark, "hdfs://no-such-namenode:8020/ledger")
+
+
+def test_ingest_dedup_schemaless_state_dir_treated_as_empty(spark, tmp_path):
+    """A bare state dir left by a failed first write must behave as
+    first-batch (admit everything), not wedge the stream on parquet
+    schema inference."""
+    from cubert_spark.streaming import ingest_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    (ledger / "_SUCCESS").write_bytes(b"")
+
+    spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    ingest_dedup(_docs_stream(spark, src), out, str(ledger)).awaitTermination()
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(str(ledger)).count() == 2

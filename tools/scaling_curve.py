@@ -38,6 +38,7 @@ import time
 #: query -> dominant input table (for the growth denominator)
 HEAVY = {
     "fuzzy_pairs2": "customer",
+    "fuzzy_pairs_blocked": "customer",
     "semantic_dedup": "embeddings",
     "bloom_prune": "lineitem",
     "minhash_lsh": "documents",
