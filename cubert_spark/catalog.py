@@ -408,7 +408,22 @@ class TxConflictError(RuntimeError):
 
 def _txlog_dir(path: str) -> str:
     import os
+    import re
 
+    # the tx log's compare-and-swap is os.link create-exclusive —
+    # POSIX-local by construction. A URI-schemed path (hdfs://,
+    # s3a://) would NOT error here: os.makedirs would silently create
+    # a literal local directory named "hdfs:/..." while Spark wrote
+    # the data to the real remote FS — a split-brain table. Same
+    # failure class as the streaming state probes (r9 VERDICT #2),
+    # so the same contract: raise loudly instead of misbehaving.
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        raise ValueError(
+            f"tx tables require a plain local filesystem path (got "
+            f"{path!r}): the commit log's atomic publish is os.link "
+            "create-exclusive. On cluster storage use a lakehouse "
+            "table format's commit protocol instead."
+        )
     return os.path.join(path, "_txlog")
 
 
@@ -433,6 +448,7 @@ def tx_commit(
     path: str,
     mode: str = "append",
     meta: dict | None = None,
+    retries: int = 0,
 ) -> int:
     """Commit ``df`` to a versioned table (the public Delta-lake /
     Iceberg snapshot idea in its minimal parquet-native form — no
@@ -440,7 +456,7 @@ def tx_commit(
     #LATEST layouts, which ``vacuum_versions`` manages):
 
     - data files are IMMUTABLE: each commit writes new parquet files
-      into a unique ``data/c{N}/`` directory and never touches old
+      into a unique ``data/c-{uuid}/`` directory and never touches old
       ones;
     - a manifest ``_txlog/v{N}.json`` lists the file set of version N
       (append = parent's files + new; overwrite = new only);
@@ -453,6 +469,16 @@ def tx_commit(
       orphan (inert; reclaimable by ``tx_vacuum``); the caller may
       retry, which re-reads the log and targets N+1 (optimistic
       concurrency — the manifest link IS the compare-and-swap).
+    - ``retries > 0`` turns conflict DETECTION into RESOLUTION for
+      **append** commits: the data files are already written and
+      immutable, so a lost race rebases at manifest level only —
+      re-read the new head, recompute the file list as head's files
+      plus ours, and re-attempt the link at the next version. No
+      parquet is rewritten and both writers' rows land in a linear
+      version chain. **Overwrite** conflicts always surface to the
+      caller even with retries: "replace the table" racing "replace
+      the table" is a semantic conflict (one writer's intent would be
+      silently discarded), not an ordering problem.
 
     Returns the committed version number (1-based).
     ``tx_read(spark, path, version=K)`` time-travels to any retained
@@ -464,17 +490,15 @@ def tx_commit(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"tx_commit: unknown mode {mode!r}")
+    _txlog_dir(path)  # validate the local-path contract BEFORE writing data
     import uuid
 
-    versions = tx_versions(path)
-    parent = versions[-1] if versions else 0
-    n = parent + 1
     # attempt-unique data dir: a commit that died after writing data
     # but before the manifest rename leaves only an orphan directory
     # no manifest references — the retry writes fresh files instead
     # of colliding with the orphan (immutability makes orphans inert;
     # they are reclaimable by any manifest-aware vacuum)
-    attempt = f"c{n}-{uuid.uuid4().hex[:8]}"
+    attempt = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(path, "data", attempt)
     df.write.mode("error").parquet(data_dir)
     new_files = [
@@ -482,32 +506,50 @@ def tx_commit(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    files = list(new_files)
-    if mode == "append" and parent:
-        with open(os.path.join(_txlog_dir(path), f"v{parent}.json")) as fh:
-            files = json.load(fh)["files"] + files
-    os.makedirs(_txlog_dir(path), exist_ok=True)
-    manifest = {"version": n, "mode": mode, "files": files}
-    if meta:
-        manifest["meta"] = meta
-    tmp = os.path.join(_txlog_dir(path), f".v{n}.json.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    target = os.path.join(_txlog_dir(path), f"v{n}.json")
-    try:
-        # create-exclusive publish: os.link fails EEXIST instead of
-        # replacing, so a concurrent commit of the same version is a
-        # DETECTED conflict, not a silent clobber of the winner
-        os.link(tmp, target)
-    except FileExistsError:
-        raise TxConflictError(
-            f"tx_commit conflict: version {n} of {path} was committed "
-            f"concurrently; this commit's data ({attempt}) is an orphan "
-            "(vacuumable). Re-read the log and retry against the new head."
-        ) from None
-    finally:
-        os.unlink(tmp)
-    return n
+    attempts_left = max(0, int(retries))
+    while True:
+        versions = tx_versions(path)
+        parent = versions[-1] if versions else 0
+        n = parent + 1
+        files = list(new_files)
+        if mode == "append" and parent:
+            with open(os.path.join(_txlog_dir(path), f"v{parent}.json")) as fh:
+                files = json.load(fh)["files"] + files
+        os.makedirs(_txlog_dir(path), exist_ok=True)
+        manifest = {"version": n, "mode": mode, "files": files}
+        if meta:
+            manifest["meta"] = meta
+        tmp = os.path.join(
+            _txlog_dir(path), f".v{n}.json.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        target = os.path.join(_txlog_dir(path), f"v{n}.json")
+        try:
+            # create-exclusive publish: os.link fails EEXIST instead of
+            # replacing, so a concurrent commit of the same version is a
+            # DETECTED conflict, not a silent clobber of the winner
+            os.link(tmp, target)
+        except FileExistsError:
+            # rebase-and-retry is sound ONLY for appends: the data
+            # files are immutable and attempt-unique, so losing the
+            # race just means the file list is recomputed on top of
+            # the new head and the link re-attempted at n+1 — both
+            # writers' rows end up in one linear chain. An overwrite
+            # conflict is semantic (two "replace the table" intents)
+            # and always surfaces.
+            if mode == "append" and attempts_left > 0:
+                attempts_left -= 1
+                continue
+            raise TxConflictError(
+                f"tx_commit conflict: version {n} of {path} was committed "
+                f"concurrently; this commit's data ({attempt}) is an orphan "
+                "(vacuumable). Re-read the log and retry against the new "
+                "head (append commits may pass retries= to auto-rebase)."
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return n
 
 
 def tx_read(
@@ -555,7 +597,9 @@ def tx_committed_batches(path: str) -> set:
     return out
 
 
-def tx_sink(stream_df: DataFrame, path: str, checkpoint_dir: str):
+def tx_sink(
+    stream_df: DataFrame, path: str, checkpoint_dir: str, retries: int = 3
+):
     """Stream into a versioned tx table with EXACTLY-ONCE commits:
     each micro-batch becomes one atomic append commit whose manifest
     records the batch id — a retried batch whose commit already
@@ -566,12 +610,21 @@ def tx_sink(stream_df: DataFrame, path: str, checkpoint_dir: str):
     a manifest-consistent snapshot: a batch is either fully visible
     or not yet visible, never half.
 
+    ``retries`` (append rebase attempts per batch, see tx_commit)
+    makes the stream resilient to a CONCURRENT batch writer appending
+    to the same table: a lost version race rebases at manifest level
+    instead of failing the stream; the batch-id meta still dedupes
+    this stream's own retried batches wherever the rebase lands them.
+
     Returns the started query handle (availableNow trigger)."""
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in tx_committed_batches(path):
             return  # retry of an already-committed batch
-        tx_commit(batch_df, path, mode="append", meta={"batch_id": int(batch_id)})
+        tx_commit(
+            batch_df, path, mode="append",
+            meta={"batch_id": int(batch_id)}, retries=retries,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(update)

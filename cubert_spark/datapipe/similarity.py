@@ -45,18 +45,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _guard_small_query_side(df: DataFrame, max_queries, who: str) -> None:
+    """Enforce the broadcast-side contract that used to be
+    docstring-only (r8 VERDICT task 8): the exact |Q| x |C| scorers
+    are only sane when Q is small enough to broadcast. A bounded
+    probe (limit(max+1).count() — never a full scan of a huge query
+    side) fails FAST with the scale alternatives named, instead of
+    letting a million-row query side melt down as a billion-pair
+    cross join. ``max_queries=None`` skips the probe (caller takes
+    responsibility — e.g. a query side already known-bounded)."""
+    if max_queries is None:
+        return
+    n = df.limit(int(max_queries) + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{who}: query side exceeds max_queries={max_queries} "
+            f"(>= {n} rows). The exact scorer broadcasts Q and forms "
+            "|Q| x |C| pairs — at this size use ivf_topk (bucketed "
+            "probe join), cosine_topk_fast (GEMM over Arrow batches), "
+            "or embedding_neardup (LSH-bucketed self-join); or pass a "
+            "larger max_queries / max_queries=None to override."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (excluding self).
 
-    queries is expected small -> broadcast; the corpus is scanned once
-    with no shuffle until the final per-query top-k (WindowGroupLimit
-    pushes the k-cut map-side)."""
+    queries is expected small -> broadcast (ENFORCED by the
+    ``max_queries`` fail-fast probe — see _guard_small_query_side);
+    the corpus is scanned once with no shuffle until the final
+    per-query top-k (WindowGroupLimit pushes the k-cut map-side)."""
+    _guard_small_query_side(queries, max_queries, "cosine_topk")
     # Norms are per-vector, so compute them once per side BEFORE the
     # pair cross-join — at |Q| x |C| pairs, recomputing norms per pair
     # triples the work.
@@ -937,6 +963,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for retrieval/contrastive training
     (public recipe: DPR, Karpukhin et al. 2020 — for each anchor, the
@@ -947,9 +974,12 @@ def hard_negatives(
     scanned once, WindowGroupLimit cuts k map-side) with one extra
     codegen predicate (label inequality) before scoring — the
     label filter PRUNES pairs, it never adds a join. DECIMAL-exact
-    dot products, so the DuckDB oracle reproduces every score."""
+    dot products, so the DuckDB oracle reproduces every score. The
+    anchors-broadcast contract is enforced by the ``max_queries``
+    fail-fast probe (see _guard_small_query_side)."""
     from pyspark.sql import Window
 
+    _guard_small_query_side(queries, max_queries, "hard_negatives")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("anchor_id"),

@@ -63,6 +63,26 @@ def test_similarity_paths_agree(spark):
     assert got == got_fast  # float64 GEMM agrees with decimal-exact path on ranks
 
 
+def test_exact_scorers_fail_fast_on_oversized_query_side(spark):
+    """The anchors/queries-broadcast contract is enforced, not just
+    documented (r8 VERDICT task 8): an oversized query side raises
+    BEFORE any |Q| x |C| pair forms, naming the scale alternatives;
+    max_queries=None is the explicit override."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.cosine_topk(df, df, k=2, max_queries=10)
+    with pytest.raises(ValueError, match="max_queries=10"):
+        similarity.hard_negatives(df, df, k=2, max_queries=10)
+    # at/under the cap and with the explicit override: plans build+run
+    assert similarity.cosine_topk(df, df.limit(3), k=2, max_queries=3).count() == 6
+    assert similarity.cosine_topk(df, df.limit(3), k=2, max_queries=None).count() == 6
+
+
 def test_lsh_bucketed_recall(spark):
     import numpy as np
 
@@ -1810,6 +1830,40 @@ def test_mp3_frame_parser_and_meta(spark):
     got = {r.id: r for r in mp3_meta(df).collect()}
     assert got[1].n_frames == 100 and got[2].n_channels == 1
     assert got[1].is_vbr is False
+
+
+_REAL_MP3 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+)
+
+
+def test_mp3_frame_parser_on_real_world_file():
+    """Independent validation against a file this repo did NOT
+    synthesize (a third-party tool's test asset, present in this
+    environment): an MPEG-2 Layer-III 22.05 kHz mono 64 kbps stream
+    with a 32-byte ID3v2 tag. Pins the r10 encoder-probe decision
+    (SCALE.md): no encoder exists in the sandbox to build a
+    known-PCM fixture, so sample DECODE stays NotImplementedError —
+    but the frame-walk metadata is checked against real bytes, not
+    just our own builder's output. Frame arithmetic cross-check:
+    45 frames x ceil-ish 208/209-byte frames ~= the 9404 audio bytes
+    after the tag."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isfile(_REAL_MP3):
+        _pytest.skip("third-party mp3 asset not present")
+    from cubert_spark.datapipe.mp3 import parse_mp3
+
+    raw = open(_REAL_MP3, "rb").read()
+    m = parse_mp3(raw)
+    assert (m["version"], m["layer"]) == ("2", 3)
+    assert m["sample_rate"] == 22050 and m["n_channels"] == 1
+    assert m["bitrate_kbps"] == 64.0 and m["is_vbr"] is False
+    assert m["id3v2_bytes"] == 32
+    assert m["n_frames"] == 45 and m["n_samples"] == 45 * 576
+    assert abs(m["duration_sec"] - 45 * 576 / 22050) < 1e-12
 
 
 def test_kmv_exact_when_k_covers_and_estimates(spark):

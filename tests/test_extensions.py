@@ -448,3 +448,87 @@ def test_tx_commit_writer_conflict_detected(spark, tmp_path, monkeypatch):
     assert not [
         f for f in os.listdir(os.path.join(p, "_txlog")) if f.endswith(".tmp")
     ]
+
+
+def test_tx_commit_append_retry_rebases_both_writers_land(
+    spark, tmp_path, monkeypatch
+):
+    """Two-writer append interleave with retries=1: the loser rebases
+    at manifest level (no parquet rewrite) and lands at the next
+    version — a linear chain carrying BOTH payloads. Overwrite
+    conflicts surface even with retries (semantic conflict, not an
+    ordering problem)."""
+    import os
+
+    import pytest
+
+    from cubert_spark import catalog
+    from cubert_spark.catalog import (
+        TxConflictError,
+        tx_commit,
+        tx_read,
+        tx_versions,
+    )
+
+    p = str(tmp_path / "tx")
+    tx_commit(spark.range(0, 10).withColumnRenamed("id", "k"), p)
+    # writer A lands version 2
+    tx_commit(spark.range(10, 15).withColumnRenamed("id", "k"), p)
+    # writer B read the log BEFORE A's commit (parent=1, targets 2);
+    # the stale view holds for B's FIRST publish attempt only — the
+    # retry re-reads the real log (the rebase under test)
+    real = catalog.tx_versions
+    calls = {"n": 0}
+
+    def stale_once(path):
+        calls["n"] += 1
+        return [1] if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(catalog, "tx_versions", stale_once)
+    v = tx_commit(
+        spark.range(100, 105).withColumnRenamed("id", "k"), p, retries=1
+    )
+    monkeypatch.undo()
+    assert v == 3
+    assert tx_versions(p) == [1, 2, 3]
+    # v3 = head(v2) files + B's files: both writers' rows, no loss
+    assert sorted(r["k"] for r in tx_read(spark, p, 3).collect()) == (
+        list(range(15)) + list(range(100, 105))
+    )
+    # v2 (A's snapshot) untouched by the rebase
+    assert sorted(r["k"] for r in tx_read(spark, p, 2).collect()) == list(range(15))
+    # rebase reuses the already-written data dir: exactly 3 (no orphan)
+    assert len(os.listdir(os.path.join(p, "data"))) == 3
+    assert not [
+        f for f in os.listdir(os.path.join(p, "_txlog")) if f.endswith(".tmp")
+    ]
+
+    # overwrite racing overwrite: retries must NOT auto-resolve
+    calls["n"] = 0
+    monkeypatch.setattr(catalog, "tx_versions", stale_once)
+    with pytest.raises(TxConflictError):
+        tx_commit(
+            spark.range(7).withColumnRenamed("id", "k"), p,
+            mode="overwrite", retries=5,
+        )
+    monkeypatch.undo()
+    assert tx_versions(p) == [1, 2, 3]
+
+
+def test_tx_table_rejects_uri_schemed_paths(spark, tmp_path):
+    """The tx log's CAS is os.link — POSIX-local by construction. A
+    URI-schemed path must raise up front: os.makedirs on
+    'hdfs://...' would otherwise silently create a LOCAL dir named
+    'hdfs:/...' while Spark wrote data to the remote FS (split-brain
+    table, the same failure class as the streaming isdir probes)."""
+    import pytest
+
+    from cubert_spark.catalog import tx_commit, tx_versions
+
+    for bad in ("hdfs://nn:8020/t", "s3a://bucket/t", "file:///tmp/t"):
+        with pytest.raises(ValueError, match="local filesystem path"):
+            tx_versions(bad)
+        with pytest.raises(ValueError, match="local filesystem path"):
+            tx_commit(spark.range(1), bad)
+    # windows-style drive letters are not schemes; plain paths work
+    assert tx_versions(str(tmp_path / "t")) == []

@@ -48,6 +48,18 @@ HEAVY = {
     "embedding_neardup": "embeddings",
     "bm25_search": "documents",
     "ivf_topk": "embeddings",
+    # second tier (r7 table, re-measured r10 with the corrected
+    # plan-only baseline subtraction + --t-lo-floor protocol)
+    "dedup_clusters": "documents",
+    "ngram_jaccard": "documents",
+    "hard_negatives": "embeddings",
+    "contamination": "documents",
+    "golden_record": "customer",
+    "neardup_ingest": "documents",
+    "tfidf_top_terms": "documents",
+    "sequence_pack": "documents",
+    "lm_perplexity": "documents",
+    "paragraph_dedup": "documents",
 }
 
 
