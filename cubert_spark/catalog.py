@@ -93,7 +93,19 @@ def _latest_candidates(path_pattern: str) -> list[str]:
     last). resolve_latest and vacuum_versions both resolve through
     here so they can never disagree about what the newest version is."""
     import glob as _glob
+    import re
 
+    # glob.glob on a URI-schemed path always returns [] — on
+    # hdfs://s3a:// that silently turns resolve_latest into
+    # "not found" and (worse) vacuum_versions into a NO-OP that never
+    # applies retention. Same loud-contract rule as the streaming
+    # state probes and the tx log: raise instead of misbehaving.
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path_pattern):
+        raise ValueError(
+            f"#LATEST/vacuum resolution is local-filesystem glob (got "
+            f"{path_pattern!r}); on cluster storage resolve versions "
+            "with Hadoop fs.globStatus and pass the resolved path."
+        )
     return sorted(_glob.glob(path_pattern.replace("#LATEST", "*")))
 
 

@@ -100,15 +100,39 @@ def shingle_table(
     id_col: str = "doc_id",
     k: int = 3,
     max_doc_freq: int | None = None,
+    max_doc_freq_frac: float | None = None,
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs; optional stopword-shingle cut at
-    ``max_doc_freq`` to bound posting-list skew."""
+    """Distinct (id, shingle) pairs; optional stopword-shingle cut to
+    bound posting-list skew, in two spellings:
+
+    - ``max_doc_freq``: absolute document-frequency ceiling — right
+      when the operator knows its corpus size;
+    - ``max_doc_freq_frac``: ceiling as a FRACTION of the corpus
+      (df <= frac * n_docs) — the corpus-size-independent spelling a
+      growing pipeline should use. A constant cut silently stops
+      thinning anything once posting lists outgrow it (measured in
+      the r10 ngram_jaccard scaling post-mortem, SCALE.md: candidate
+      pairs grow ~N^2/|shingles| under a bounded vocabulary); a
+      relative cut keeps removing the same stopword-shingle TAIL at
+      every scale. n_docs is a 1-row broadcast stat, not a shuffle.
+    """
+    if max_doc_freq is not None and max_doc_freq_frac is not None:
+        raise ValueError(
+            "shingle_table: pass max_doc_freq OR max_doc_freq_frac, not both"
+        )
     sh = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
-    if max_doc_freq is not None:
+    if max_doc_freq is not None or max_doc_freq_frac is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+        if max_doc_freq is not None:
+            keep = freq.filter(F.col("df") <= max_doc_freq)
+        else:
+            total = df.select(F.count(F.lit(1)).alias("__n"))
+            keep = freq.crossJoin(F.broadcast(total)).filter(
+                F.col("df") <= F.col("__n") * F.lit(float(max_doc_freq_frac))
+            )
+        sh = sh.join(keep.select("shingle"), "shingle")
     return sh
 
 
@@ -119,16 +143,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     max_doc_freq: int | None = None,
+    max_doc_freq_frac: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index self-join.
 
     Output: (id_a, id_b, jac) with id_a < id_b, jac >= threshold.
     Intersection counted by the shingle join; union from per-doc
     shingle counts (|A|+|B|-inter). The join shuffles on the shingle —
-    never an all-pairs product.
+    never an all-pairs product. The optional stopword-shingle cut
+    (absolute ``max_doc_freq`` or corpus-relative
+    ``max_doc_freq_frac`` — see shingle_table) bounds posting-list
+    growth; Jaccard is then computed over the post-cut shingle space
+    (sizes count surviving shingles, so the semantics stay
+    self-consistent).
     """
-    if max_doc_freq is not None:
-        sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
+    if max_doc_freq is not None or max_doc_freq_frac is not None:
+        sh = shingle_table(
+            df, text_col, id_col, k, max_doc_freq, max_doc_freq_frac
+        )
         sized = sh.join(
             sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")), id_col
         )

@@ -54,9 +54,13 @@ def state_exists(spark, path: str) -> bool:
         return True  # a plain file: state exists, reader validates it
     for st in fs.listStatus(p):
         name = st.getPath().getName()
-        # any non-hidden entry (a data file, or a partition dir like
-        # win_start=...) counts as data; _SUCCESS/_temporary/.crc
-        # droppings do not
+        # a partition directory (col=value) is data even when the
+        # partition column is an internal _-prefixed name like
+        # __bucket=3 (stream_upsert's bucketed state); otherwise any
+        # non-hidden entry counts as data and _SUCCESS/_temporary/
+        # .crc droppings do not
+        if st.isDirectory() and "=" in name:
+            return True
         if not name.startswith(("_", ".")):
             return True
     return False
@@ -119,6 +123,7 @@ def stream_upsert(
     op_col: str,
     delete_ops: list[str],
     payload_cols: list[str],
+    n_buckets: int | None = None,
 ):
     """Streaming CDC apply: maintain a latest-wins state table from a
     changelog stream — the streaming form of
@@ -136,8 +141,27 @@ def stream_upsert(
     spelling; a lakehouse format turns it into a MERGE commit with the
     same steps 1-2.
 
+    ``n_buckets`` is the 100 TB spelling: state partitioned by
+    ``__bucket = pmod(xxhash64(keys), n_buckets)`` (key-deterministic,
+    so a key lives in one bucket forever). Each batch then (1) reads
+    ONLY the buckets its keys touch (partition pruning on the state
+    scan), (2) merges, (3) dynamic-overwrites ONLY those buckets —
+    per-batch IO is proportional to touched buckets, not total
+    accumulated state, which is what makes a long-lived 100 TB CDC
+    snapshot maintainable by a stream at all. The touched-bucket list
+    is one bounded collect (<= n_buckets ints). Untouched buckets are
+    never rewritten (pinned by test). Retry semantics match the
+    unbucketed path: a replayed batch re-merges latest-wins
+    idempotently except n_changes, which double-counts the replayed
+    batch (same caveat either way; a tx-log sink fixes it).
+
     Returns the started query handle (availableNow trigger).
     """
+
+    def bucket_of():
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+        ).cast("int")
 
     def update(batch_df: DataFrame, _batch_id: int) -> None:
         from cubert_spark.operators.cdc import apply_changelog
@@ -158,6 +182,17 @@ def stream_upsert(
             if state_exists(spark, snapshot_dir)
             else None
         )
+        if n_buckets is not None and s is not None:
+            # bounded collect: distinct buckets of this batch's keys
+            touched = [
+                r[0]
+                for r in b.select(bucket_of().alias("__bucket"))
+                .distinct()
+                .collect()
+            ]
+            # partition pruning: the state scan reads only touched
+            # buckets; untouched buckets are neither read nor written
+            s = s.filter(F.col("__bucket").isin(touched)).drop("__bucket")
         if s is not None:
             bb = b.select(
                 *key_cols,
@@ -190,8 +225,18 @@ def stream_upsert(
         else:
             out = b
         # MUST cut lineage before overwriting the directory the plan reads
-        out = out.localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(snapshot_dir)
+        if n_buckets is not None:
+            out = out.withColumn("__bucket", bucket_of())
+            out = out.localCheckpoint(eager=True)
+            (
+                out.write.partitionBy("__bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(snapshot_dir)
+            )
+        else:
+            out = out.localCheckpoint(eager=True)
+            out.write.mode("overwrite").parquet(snapshot_dir)
 
     return (
         stream_df.writeStream.foreachBatch(update)

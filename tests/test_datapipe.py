@@ -33,6 +33,38 @@ def test_ngram_jaccard(docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_shingle_cut_relative_matches_absolute(docs, spark):
+    """max_doc_freq_frac is the corpus-size-independent spelling of
+    the stopword-shingle cut (r10 SCALE.md ngram_jaccard post-mortem):
+    at a known corpus size the two must keep the identical shingle
+    set, the relative cut must actually drop the high-df tail, and
+    mixing the two spellings raises."""
+    import pytest
+
+    n_docs = docs.count()
+    absolute = dedup.shingle_table(docs, max_doc_freq=2)
+    relative = dedup.shingle_table(docs, max_doc_freq_frac=2.0 / n_docs)
+    key = lambda df: {(r["doc_id"], r["shingle"]) for r in df.collect()}  # noqa: E731
+    assert key(absolute) == key(relative)
+    uncut = key(dedup.shingle_table(docs))
+    assert key(relative) < uncut  # df=3 shingles (docs 1,2,4 overlap) dropped
+
+    # the cut flows through ngram_jaccard_pairs with self-consistent
+    # semantics: the df=3 shingles (shared by docs 1,2,4) are gone,
+    # so (1,2) no longer intersects, while the exact dup (1,4) still
+    # scores 1.0 on its surviving df=2 shingle
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, 0.5, max_doc_freq_frac=2.0 / n_docs
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 1.0  # identical post-cut shingle sets
+
+    with pytest.raises(ValueError, match="not both"):
+        dedup.shingle_table(docs, max_doc_freq=2, max_doc_freq_frac=0.5)
+
+
 def test_minhash_lsh(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
     assert (1, 4) in pairs  # exact dup always collides in every band

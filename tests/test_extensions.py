@@ -228,6 +228,16 @@ def test_vacuum_versions_retention(spark, tmp_path):
     with pytest.raises(ValueError):
         vacuum_versions(pat, keep_last=0)
 
+    # URI-schemed patterns must raise, not silently no-op: glob on
+    # hdfs:// always matches nothing, which would make vacuum skip
+    # retention forever and resolve_latest report "not found"
+    for fn in (
+        lambda: vacuum_versions("hdfs://nn:8020/daily/#LATEST"),
+        lambda: resolve_latest("s3a://bucket/daily/#LATEST"),
+    ):
+        with pytest.raises(ValueError, match="local-filesystem glob"):
+            fn()
+
 
 def test_tx_log_time_travel_and_overwrite(spark, tmp_path):
     """tx_commit/tx_read: append accumulates, overwrite replaces,

@@ -263,6 +263,13 @@ def test_state_exists_local_semantics(spark, tmp_path):
     (part / "win_start=2024-01-01").mkdir()
     assert state_exists(spark, str(part)) is True
 
+    # an internal _-prefixed PARTITION dir is data, not a dropping
+    # (stream_upsert's bucketed state lives under __bucket=N)
+    bpart = tmp_path / "bucketed"
+    bpart.mkdir()
+    (bpart / "__bucket=3").mkdir()
+    assert state_exists(spark, str(bpart)) is True
+
 
 def test_state_exists_nonlocal_scheme_raises_not_false(spark):
     """An unreachable hdfs:// URI must raise LOUDLY (batch aborts,

@@ -317,6 +317,96 @@ def test_stream_upsert_cdc(spark, tmp_path):
     assert [r.k for r in live.collect()] == [1]
 
 
+def test_stream_upsert_bucketed_state_touches_only_batch_buckets(
+    spark, tmp_path
+):
+    """n_buckets: the bucketed spelling produces the SAME final state
+    as the unbucketed path, and a batch rewrites ONLY the bucket
+    partitions its keys hash into — untouched buckets' data files are
+    bit-identical on disk afterwards (the property that makes a
+    100 TB snapshot maintainable per-batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cubert_spark.streaming.ingest import stream_upsert
+
+    schema = "k long, ts long, uid long, op string, v double"
+    rows_b1 = [(k, 10, 100 + k, "upsert", float(k)) for k in range(8)]
+    rows_b2 = [(0, 20, 200, "upsert", 99.0)]  # touches key 0 only
+
+    def run(snap: str, src: str, n_buckets=None):
+        # each run reads ONE batch dir — separate dirs per run so the
+        # second run cannot replay the first batch (no checkpoint here)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        stream_upsert(
+            stream, snap, key_cols=["k"], seq_cols=["ts", "uid"],
+            op_col="op", delete_ops=["delete"], payload_cols=["v"],
+            n_buckets=n_buckets,
+        ).awaitTermination()
+
+    # unbucketed reference: both batches through one stream
+    src_a = str(tmp_path / "src_a")
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(src_a + "/b1")
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.parquet(src_a + "/b2")
+    snap_a = str(tmp_path / "snap_a")
+    run(snap_a, src_a)
+
+    # bucketed: batch 1, snapshot the per-bucket file listing, batch 2
+    src_b1 = str(tmp_path / "src_b1")
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(src_b1 + "/b1")
+    snap_b = str(tmp_path / "snap_b")
+    run(snap_b, src_b1, n_buckets=4)
+
+    def bucket_files(d: str) -> dict[str, set[tuple[str, float]]]:
+        out = {}
+        for name in os.listdir(d):
+            if name.startswith("__bucket="):
+                full = os.path.join(d, name)
+                out[name] = {
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if not f.startswith((".", "_"))
+                }
+        return out
+
+    before = bucket_files(snap_b)
+    assert len(before) >= 2  # 8 keys over 4 buckets: several non-empty
+
+    touched_bucket = "__bucket=%d" % (
+        spark.createDataFrame([(0,)], "k long")
+        .select(F.pmod(F.xxhash64("k"), F.lit(4)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+    src_b2 = str(tmp_path / "src_b2")
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.parquet(src_b2 + "/b2")
+    run(snap_b, src_b2, n_buckets=4)
+    after = bucket_files(snap_b)
+
+    # only key 0's bucket was rewritten; every other bucket's files
+    # (names AND mtimes) are untouched
+    for bname, files in before.items():
+        if bname == touched_bucket:
+            assert after[bname] != files
+        else:
+            assert after[bname] == files, bname
+
+    # and the final state matches the unbucketed reference exactly
+    ref = {
+        (r.k, r.last_ts, r.last_uid, r.last_op, r.last_v, r.n_changes)
+        for r in spark.read.parquet(snap_a).collect()
+    }
+    got = {
+        (r.k, r.last_ts, r.last_uid, r.last_op, r.last_v, r.n_changes)
+        for r in spark.read.parquet(snap_b).drop("__bucket").collect()
+    }
+    assert got == ref
+
+
 def test_ingest_embeddings_matches_batch_index(spark, tmp_path):
     """Streamed IVF ingestion == batch index build: list assignments
     of vectors ingested across two micro-batches match
