@@ -592,6 +592,7 @@ def reject_by_bands(
     bands: DataFrame,
     id_col: str = "doc_id",
     ledger: DataFrame | None = None,
+    broadcast_bands: bool = False,
 ) -> DataFrame:
     """The near-dup ingest ADMISSION RULE, shared by the streaming
     sink (streaming.ingest.ingest_neardup) and its driver-attested
@@ -603,7 +604,16 @@ def reject_by_bands(
     or (2) shared by a smaller-id doc in the same ``bands`` set.
     Rule (2) is conservative-greedy (documented at both call sites).
     The independent replay in tests/test_streaming.py deliberately
-    does NOT use this helper — it is the rule's oracle."""
+    does NOT use this helper — it is the rule's oracle.
+
+    ``broadcast_bands=True`` pins the rule-(1) ledger probe to a
+    broadcast hash join with the BANDS side as build (the streaming
+    sink sets it: a micro-batch's bands are small, the accumulated
+    ledger is not — without the hint, unknown streaming-side stats
+    can leave Spark sort-merging, i.e. SHUFFLING THE WHOLE LEDGER
+    per batch). The batch twin keeps the default: its "ledger" is a
+    derived corpus-sized side where Spark's own stats should choose.
+    Semantics are identical either way."""
     smaller = bands.select(
         "band_idx", "band_key", F.col(id_col).alias("__other")
     )
@@ -613,8 +623,9 @@ def reject_by_bands(
         .select(id_col)
     )
     if ledger is not None:
+        probe = F.broadcast(bands) if broadcast_bands else bands
         rejected = rejected.union(
-            bands.join(
+            probe.join(
                 ledger.select("band_idx", "band_key"),
                 ["band_idx", "band_key"],
             ).select(id_col)

@@ -66,6 +66,22 @@ def state_exists(spark, path: str) -> bool:
     return False
 
 
+def ledger_antijoin(b: DataFrame, seen: DataFrame, key: str = "__h") -> DataFrame:
+    """Batch-minus-ledger without ever shuffling the ledger.
+
+    A plain ``b.join(seen, key, "left_anti")`` can only broadcast the
+    RIGHT side, and the ledger is the unbounded one — Spark would
+    sort-merge and SHUFFLE THE WHOLE LEDGER every micro-batch.
+    Instead: probe ledger-side with the batch's key set broadcast
+    (inner BHJ, build = batch keys — the ledger is scanned once,
+    never shuffled), then anti-join the batch against the hit set
+    (bounded by the batch, broadcast again). Plan-shape pinned by
+    tests/test_ingest_faults.py."""
+    bh = b.select(key).distinct()
+    hits = seen.join(F.broadcast(bh), key).select(key).distinct()
+    return b.join(F.broadcast(hits), key, "left_anti")
+
+
 def ingest_dedup(
     stream_df: DataFrame,
     out_dir: str,
@@ -94,7 +110,8 @@ def ingest_dedup(
         # pollute the deduped corpus
         if state_exists(spark, ledger_dir):
             seen = spark.read.parquet(ledger_dir).select(F.col("h").alias("__h"))
-            fresh = b.join(seen, "__h", "left_anti")
+            # ledger-shuffle-free: see ledger_antijoin (r10)
+            fresh = ledger_antijoin(b, seen)
         else:  # first batch: no ledger yet
             fresh = b
         # MUST cut lineage before writing: the ledger append below is
@@ -523,7 +540,7 @@ def ingest_neardup(
             if state_exists(spark, ledger_dir)
             else None
         )
-        rejected = reject_by_bands(bands, id_col, ledger)
+        rejected = reject_by_bands(bands, id_col, ledger, broadcast_bands=True)
         admitted = batch_df.join(rejected, id_col, "left_anti")
         adm_bands = bands.join(rejected, id_col, "left_anti")
         # MUST cut lineage before writing: the ledger append below is

@@ -300,3 +300,65 @@ def test_ingest_dedup_schemaless_state_dir_treated_as_empty(spark, tmp_path):
     ingest_dedup(_docs_stream(spark, src), out, str(ledger)).awaitTermination()
     assert spark.read.parquet(out).count() == 2
     assert spark.read.parquet(str(ledger)).count() == 2
+
+
+def test_ledger_antijoin_never_shuffles_the_ledger(spark, tmp_path):
+    """The per-batch "minus already-seen" step must broadcast the
+    BATCH's key set and stream the ledger (BHJ both stages) — a plain
+    left_anti would sort-merge and shuffle the unbounded ledger every
+    batch. Pinned on the physical plan: broadcast joins only, zero
+    exchanges on the ledger scan subtree, and the row semantics match
+    the naive anti-join."""
+    from pyspark.sql import functions as F
+
+    from cubert_spark.plans.assertions import explain_str
+    from cubert_spark.streaming.ingest import ledger_antijoin
+
+    ld = str(tmp_path / "ledger")
+    spark.range(0, 1000).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    ).write.parquet(ld)
+    seen = spark.read.parquet(ld).select(F.col("h").alias("__h"))
+    b = spark.range(990, 1010).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("__h"),
+    )
+    fresh = ledger_antijoin(b, seen)
+    plan = explain_str(fresh, "simple")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    got = sorted(r.doc_id for r in fresh.collect())
+    assert got == list(range(1000, 1010))  # ids 990..999 are ledgered
+
+
+def test_reject_by_bands_broadcast_probe_plan(spark, tmp_path):
+    """With broadcast_bands=True (the streaming sink's setting) the
+    rule-(1) ledger probe is a broadcast hash join building on the
+    batch's bands — the accumulated band ledger is scanned, not
+    sort-merge shuffled, every batch. Semantics unchanged vs the
+    default."""
+    from pyspark.sql import functions as F
+
+    from cubert_spark.datapipe.dedup import reject_by_bands
+    from cubert_spark.plans.assertions import explain_str
+
+    ld = str(tmp_path / "band_ledger")
+    spark.range(0, 500).select(
+        (F.col("id") % 4).alias("band_idx"),
+        F.md5(F.col("id").cast("string")).alias("band_key"),
+        F.col("id").alias("doc_id"),
+    ).write.parquet(ld)
+    ledger = spark.read.parquet(ld)
+    bands = spark.range(498, 503).select(
+        (F.col("id") % 4).alias("band_idx"),
+        F.md5(F.col("id").cast("string")).alias("band_key"),
+        (F.col("id") + 1000).alias("doc_id"),
+    )
+    hinted = reject_by_bands(bands, "doc_id", ledger, broadcast_bands=True)
+    plan = explain_str(hinted, "simple")
+    assert "BroadcastHashJoin" in plan
+    # identical rejected set either way
+    plain = reject_by_bands(bands, "doc_id", ledger)
+    assert sorted(r.doc_id for r in hinted.collect()) == sorted(
+        r.doc_id for r in plain.collect()
+    )
