@@ -87,20 +87,28 @@ class Catalog:
             self.table(n).createOrReplaceTempView(n)
 
 
+def _is_uri_schemed(path: str) -> bool:
+    """True for scheme://-prefixed paths (hdfs://, s3a://, file://).
+    The single detection rule shared by every local-FS-contract guard
+    in this module, so the guards cannot drift apart."""
+    import re
+
+    return bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path))
+
+
 def _latest_candidates(path_pattern: str) -> list[str]:
     """The shared #LATEST candidate set: every filesystem match of the
     pattern with #LATEST as a glob star, sorted ascending (newest
     last). resolve_latest and vacuum_versions both resolve through
     here so they can never disagree about what the newest version is."""
     import glob as _glob
-    import re
 
     # glob.glob on a URI-schemed path always returns [] — on
     # hdfs://s3a:// that silently turns resolve_latest into
     # "not found" and (worse) vacuum_versions into a NO-OP that never
     # applies retention. Same loud-contract rule as the streaming
     # state probes and the tx log: raise instead of misbehaving.
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path_pattern):
+    if _is_uri_schemed(path_pattern):
         raise ValueError(
             f"#LATEST/vacuum resolution is local-filesystem glob (got "
             f"{path_pattern!r}); on cluster storage resolve versions "
@@ -420,7 +428,6 @@ class TxConflictError(RuntimeError):
 
 def _txlog_dir(path: str) -> str:
     import os
-    import re
 
     # the tx log's compare-and-swap is os.link create-exclusive —
     # POSIX-local by construction. A URI-schemed path (hdfs://,
@@ -429,7 +436,7 @@ def _txlog_dir(path: str) -> str:
     # the data to the real remote FS — a split-brain table. Same
     # failure class as the streaming state probes (r9 VERDICT #2),
     # so the same contract: raise loudly instead of misbehaving.
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+    if _is_uri_schemed(path):
         raise ValueError(
             f"tx tables require a plain local filesystem path (got "
             f"{path!r}): the commit log's atomic publish is os.link "
@@ -461,6 +468,7 @@ def tx_commit(
     mode: str = "append",
     meta: dict | None = None,
     retries: int = 0,
+    abort_if=None,
 ) -> int:
     """Commit ``df`` to a versioned table (the public Delta-lake /
     Iceberg snapshot idea in its minimal parquet-native form — no
@@ -491,8 +499,18 @@ def tx_commit(
       caller even with retries: "replace the table" racing "replace
       the table" is a semantic conflict (one writer's intent would be
       silently discarded), not an ordering problem.
+    - ``abort_if`` (zero-arg callable) is re-evaluated at the top of
+      EVERY publish attempt, after the head re-read would happen:
+      returning True abandons the commit and tx_commit returns 0 (the
+      written data dir is an inert, vacuumable orphan). This is how
+      idempotent callers keep exactly-once under rebase — tx_sink
+      passes "was my batch_id already committed?", so a zombie
+      attempt that loses the race to its own replay re-checks and
+      aborts instead of rebasing a duplicate in (a plain retries
+      loop would happily commit the same batch twice).
 
-    Returns the committed version number (1-based).
+    Returns the committed version number (1-based), or 0 if
+    ``abort_if`` abandoned the commit.
     ``tx_read(spark, path, version=K)`` time-travels to any retained
     version; storage is reclaimed only by dropping whole versions
     (files referenced by any retained manifest are never rewritten).
@@ -521,6 +539,15 @@ def tx_commit(
     attempts_left = max(0, int(retries))
     while True:
         versions = tx_versions(path)
+        # ORDER MATTERS: abort_if reads the log AFTER the head read
+        # that picks this attempt's version target. Any commit
+        # abort_if misses therefore landed after the head read and
+        # collides with our os.link (EEXIST) — the next iteration
+        # re-checks and aborts. Checking before the head read leaves
+        # a window where a commit lands between check and read and we
+        # link cleanly on top of it — a double commit.
+        if abort_if is not None and abort_if():
+            return 0  # superseded (e.g. replayed batch already landed)
         parent = versions[-1] if versions else 0
         n = parent + 1
         files = list(new_files)
@@ -625,17 +652,23 @@ def tx_sink(
     ``retries`` (append rebase attempts per batch, see tx_commit)
     makes the stream resilient to a CONCURRENT batch writer appending
     to the same table: a lost version race rebases at manifest level
-    instead of failing the stream; the batch-id meta still dedupes
-    this stream's own retried batches wherever the rebase lands them.
+    instead of failing the stream. Exactly-once survives the rebase
+    because every publish attempt re-checks "did my batch_id already
+    land?" via tx_commit's ``abort_if`` — a zombie attempt racing its
+    own replayed batch loses the link race, re-checks, and aborts
+    instead of rebasing the same rows in twice (the pre-check alone
+    cannot see a commit that lands between check and link).
 
     Returns the started query handle (availableNow trigger)."""
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in tx_committed_batches(path):
+        bid = int(batch_id)
+        if bid in tx_committed_batches(path):
             return  # retry of an already-committed batch
         tx_commit(
             batch_df, path, mode="append",
-            meta={"batch_id": int(batch_id)}, retries=retries,
+            meta={"batch_id": bid}, retries=retries,
+            abort_if=lambda: bid in tx_committed_batches(path),
         )
 
     return (

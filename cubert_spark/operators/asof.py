@@ -129,8 +129,12 @@ def temporal_join(
             f"temporal_join: non-key columns {sorted(shared)} exist on "
             "both sides; rename one side first"
         )
-    interval = (F.col(valid_from) <= F.col(fact_ts)) & (
-        F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
+    # backtick-quote every plain column ref so dotted names (e.g.
+    # "event.ts") resolve as columns, not struct fields — the inner
+    # path needs this exactly like the aliased outer path below
+    qc = lambda c: F.col(f"`{c}`")  # noqa: E731
+    interval = (qc(valid_from) <= qc(fact_ts)) & (
+        qc(valid_to).isNull() | (qc(fact_ts) < qc(valid_to))
     )
     if how == "inner":
         return facts.join(dim, keys, "inner").filter(interval)

@@ -52,17 +52,25 @@ def state_exists(spark, path: str) -> bool:
         return False
     if not fs.getFileStatus(p).isDirectory():
         return True  # a plain file: state exists, reader validates it
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        # a partition directory (col=value) is data even when the
-        # partition column is an internal _-prefixed name like
-        # __bucket=3 (stream_upsert's bucketed state); otherwise any
-        # non-hidden entry counts as data and _SUCCESS/_temporary/
-        # .crc droppings do not
-        if st.isDirectory() and "=" in name:
-            return True
-        if not name.startswith(("_", ".")):
-            return True
+    # DFS for one actual data FILE. A directory alone — even a
+    # partition dir like __bucket=3/ or win_start=.../ — is not
+    # enough: an empty partition dir (crashed write, manual cleanup)
+    # would still make spark.read throw "unable to infer schema" and
+    # wedge the stream, the exact failure this probe exists to
+    # prevent. Partition dirs (col=value) are descended even when
+    # _-prefixed (internal partition columns); other hidden entries
+    # (_SUCCESS/_temporary/.crc) are droppings, not data. Early
+    # return on the first file keeps the common case to one or two
+    # listings.
+    stack = [p]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if "=" in name or not name.startswith(("_", ".")):
+                    stack.append(st.getPath())
+            elif not name.startswith(("_", ".")):
+                return True
     return False
 
 
@@ -76,7 +84,15 @@ def ledger_antijoin(b: DataFrame, seen: DataFrame, key: str = "__h") -> DataFram
     (inner BHJ, build = batch keys — the ledger is scanned once,
     never shuffled), then anti-join the batch against the hit set
     (bounded by the batch, broadcast again). Plan-shape pinned by
-    tests/test_ingest_faults.py."""
+    tests/test_ingest_faults.py.
+
+    Contract: the broadcast sides are BATCH-sized, so the stream must
+    bound its triggers (maxFilesPerTrigger / maxBytesPerTrigger) —
+    an unbounded availableNow first run over a whole backlog is one
+    giant batch, and a corpus-scale broadcast dies on Spark's
+    broadcast limit (loud, but bound the trigger instead). The same
+    contract covers reject_by_bands(broadcast_bands=True) and the
+    F.broadcast(rejected) anti-joins in ingest_neardup."""
     bh = b.select(key).distinct()
     hits = seen.join(F.broadcast(bh), key).select(key).distinct()
     return b.join(F.broadcast(hits), key, "left_anti")
@@ -130,6 +146,59 @@ def ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _bucket_marker(spark, snapshot_dir: str, n_buckets):
+    """Enforce a stable bucket count for stream_upsert's bucketed
+    state. The count is persisted as an empty hidden marker file
+    ``_n_buckets=N`` (name IS the value — no content read needed;
+    leading underscore hides it from Spark readers and from
+    state_exists). Restarting with a different n_buckets would be
+    SILENT corruption otherwise: a key's bucket moves, the prune
+    filter skips its old bucket, and stale rows survive forever —
+    so any mismatch (including bucketed-state-without-n_buckets and
+    the reverse) raises before the batch touches anything."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    d = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+    fs = d.getFileSystem(conf)
+    found = None
+    # read the marker whenever the DIR exists, not only when data
+    # does: a run that crashed after the marker write but before any
+    # data write must still pin later runs to the recorded count
+    # (otherwise a reconfigured retry would plant a second marker)
+    if fs.exists(d):
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith("_n_buckets="):
+                found = int(name.split("=", 1)[1])
+    if n_buckets is None:
+        if found is not None:
+            raise ValueError(
+                f"stream_upsert: state at {snapshot_dir} is bucketed "
+                f"(_n_buckets={found}); pass n_buckets={found} — running "
+                "unbucketed against it would merge __bucket as a payload "
+                "column and rewrite the whole layout."
+            )
+        return
+    if found is not None and found != int(n_buckets):
+        raise ValueError(
+            f"stream_upsert: n_buckets={n_buckets} does not match the "
+            f"state's recorded _n_buckets={found} at {snapshot_dir}. "
+            "Changing the bucket count moves keys between buckets and "
+            "silently strands their old rows; rebuild the state (read "
+            "all, rewrite with the new count) instead."
+        )
+    if found is None:
+        # first write (or marker lost): record the count. The dir may
+        # not exist yet (first batch) — an empty dir + hidden marker
+        # still reads as no-state in state_exists. createNewFile is
+        # create-exclusive — a concurrent writer's marker wins and
+        # the mismatch check above catches any divergence next batch.
+        fs.mkdirs(d)
+        fs.createNewFile(
+            jvm.org.apache.hadoop.fs.Path(d, f"_n_buckets={int(n_buckets)}")
+        )
 
 
 def stream_upsert(
@@ -194,12 +263,17 @@ def stream_upsert(
         # the overwrite below would then replace the ENTIRE accumulated
         # CDC state with just this batch — silent total state loss.
         # Real read failures must abort the batch so the stream retries.
-        s = (
-            spark.read.parquet(snapshot_dir)
-            if state_exists(spark, snapshot_dir)
-            else None
-        )
+        present = state_exists(spark, snapshot_dir)
+        # bucket-count contract BEFORE touching anything: a changed
+        # n_buckets (or bucketed/unbucketed mismatch) must raise, not
+        # silently strand rows in stale buckets
+        _bucket_marker(spark, snapshot_dir, n_buckets)
+        s = spark.read.parquet(snapshot_dir) if present else None
         if n_buckets is not None and s is not None:
+            # b branches twice below (touched-bucket collect AND the
+            # merge) — checkpoint once or Spark re-runs the changelog
+            # compaction per branch (round-workflow rule)
+            b = b.localCheckpoint(eager=True)
             # bounded collect: distinct buckets of this batch's keys
             touched = [
                 r[0]
@@ -541,8 +615,10 @@ def ingest_neardup(
             else None
         )
         rejected = reject_by_bands(bands, id_col, ledger, broadcast_bands=True)
-        admitted = batch_df.join(rejected, id_col, "left_anti")
-        adm_bands = bands.join(rejected, id_col, "left_anti")
+        # rejected is batch-bounded (ids from this batch only) —
+        # broadcast so neither anti-join shuffles
+        admitted = batch_df.join(F.broadcast(rejected), id_col, "left_anti")
+        adm_bands = bands.join(F.broadcast(rejected), id_col, "left_anti")
         # MUST cut lineage before writing: the ledger append below is
         # read BY the bands plan — same trap as ingest_dedup
         admitted = admitted.localCheckpoint(eager=True)

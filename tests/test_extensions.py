@@ -346,6 +346,12 @@ def test_temporal_join_outer_with_dotted_column_names(spark):
     assert got == {150: 1.5, 10: None}
     assert left.columns == ["k", "event.ts", "vf", "vt", "price.usd"]
 
+    # the inner path quotes its interval predicate too (review r10:
+    # the first fix covered only the outer path)
+    inner = temporal_join(facts, dim, ["k"], "event.ts", "vf", "vt")
+    igot = {r["event.ts"]: r["price.usd"] for r in inner.collect()}
+    assert igot == {150: 1.5}
+
 
 def test_tx_vacuum_retains_and_reclaims(spark, tmp_path):
     """tx_vacuum: retained versions stay bit-identical readable;
@@ -523,6 +529,56 @@ def test_tx_commit_append_retry_rebases_both_writers_land(
         )
     monkeypatch.undo()
     assert tx_versions(p) == [1, 2, 3]
+
+
+def test_tx_commit_abort_if_keeps_exactly_once_under_rebase(
+    spark, tmp_path, monkeypatch
+):
+    """The zombie-vs-replay race: two attempts of the SAME batch both
+    pass the tx_committed_batches pre-check; the replay lands first.
+    With plain retries the zombie would rebase and append the batch a
+    second time; abort_if (re-checked after every head read) makes it
+    abandon with return 0 and no new version — exactly-once holds."""
+    from cubert_spark import catalog
+    from cubert_spark.catalog import tx_commit, tx_committed_batches, tx_versions
+
+    p = str(tmp_path / "tx")
+    tx_commit(spark.range(0, 5).withColumnRenamed("id", "k"), p)
+    # the REPLAY's commit of batch 7 lands as v2
+    tx_commit(
+        spark.range(5, 9).withColumnRenamed("id", "k"), p,
+        meta={"batch_id": 7},
+    )
+
+    # the ZOMBIE read the log before v2 landed (stale head for its
+    # first attempt) and its first abort check also predates v2
+    real = catalog.tx_versions
+    vcalls = {"n": 0}
+
+    def stale_once(path):
+        vcalls["n"] += 1
+        return [1] if vcalls["n"] == 1 else real(path)
+
+    checks = []
+
+    def abort_if():
+        # first check simulates "not committed yet at check time";
+        # later checks consult the real log
+        if not checks:
+            checks.append("stale")
+            return False
+        checks.append("real")
+        return 7 in tx_committed_batches(p)
+
+    monkeypatch.setattr(catalog, "tx_versions", stale_once)
+    v = tx_commit(
+        spark.range(5, 9).withColumnRenamed("id", "k"), p,
+        meta={"batch_id": 7}, retries=3, abort_if=abort_if,
+    )
+    monkeypatch.undo()
+    assert v == 0  # abandoned, not rebased in as a duplicate
+    assert tx_versions(p) == [1, 2]  # no third version
+    assert checks == ["stale", "real"]  # conflicted once, then aborted
 
 
 def test_tx_table_rejects_uri_schemed_paths(spark, tmp_path):

@@ -261,13 +261,20 @@ def test_state_exists_local_semantics(spark, tmp_path):
     part = tmp_path / "partitioned"
     part.mkdir()
     (part / "win_start=2024-01-01").mkdir()
+    # an EMPTY partition dir is still no-state (reading it would
+    # throw schema inference and wedge the stream); a data file one
+    # level down flips it
+    assert state_exists(spark, str(part)) is False
+    (part / "win_start=2024-01-01" / "part-0.parquet").write_bytes(b"x")
     assert state_exists(spark, str(part)) is True
 
-    # an internal _-prefixed PARTITION dir is data, not a dropping
-    # (stream_upsert's bucketed state lives under __bucket=N)
+    # an internal _-prefixed PARTITION dir is descended, not treated
+    # as a dropping (stream_upsert's bucketed state under __bucket=N)
     bpart = tmp_path / "bucketed"
     bpart.mkdir()
     (bpart / "__bucket=3").mkdir()
+    assert state_exists(spark, str(bpart)) is False
+    (bpart / "__bucket=3" / "part-0.parquet").write_bytes(b"x")
     assert state_exists(spark, str(bpart)) is True
 
 
@@ -362,3 +369,45 @@ def test_reject_by_bands_broadcast_probe_plan(spark, tmp_path):
     assert sorted(r.doc_id for r in hinted.collect()) == sorted(
         r.doc_id for r in plain.collect()
     )
+
+
+def test_stream_upsert_bucket_count_change_raises(spark, tmp_path):
+    """Restarting a bucketed CDC stream with a different n_buckets
+    (or dropping/adding bucketing) must raise up front: a key's
+    bucket moves under the new count, the prune filter would skip its
+    old bucket, and stale rows would survive forever — silently."""
+    from cubert_spark.streaming.ingest import stream_upsert
+
+    schema = "k long, ts long, op string, v double"
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, 10, "upsert", 1.0), (2, 11, "upsert", 2.0)], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+
+    def run(n_buckets):
+        return stream_upsert(
+            _docs_stream(spark, src, schema), snap,
+            key_cols=["k"], seq_cols=["ts"], op_col="op",
+            delete_ops=["delete"], payload_cols=["v"],
+            n_buckets=n_buckets,
+        )
+
+    run(4).awaitTermination()
+    assert os.path.isfile(os.path.join(snap, "_n_buckets=4"))
+
+    spark.createDataFrame([(3, 12, "upsert", 3.0)], schema).coalesce(
+        1
+    ).write.parquet(src + "/b2")
+    # changed count: abort before touching state
+    q = run(8)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # bucketed state without n_buckets: also abort
+    q = run(None)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # matching count proceeds (replays b1+b2 — checkpoint-less rerun)
+    run(4).awaitTermination()
+    ks = sorted(r.k for r in spark.read.parquet(snap).collect())
+    assert ks == [1, 2, 3]
