@@ -54,11 +54,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # --- SimHash ----------------------------------------------------------------
 
-def _hex_nibble(h: Column, idx: int) -> Column:
-    """Integer value of hex digit idx (0-based) of an md5 string."""
-    return F.conv(F.substring(h, idx + 1, 1), 16, 10).cast("int")
-
-
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over distinct word tokens.
 
@@ -67,18 +62,44 @@ def simhash32(text: Column) -> Column:
     (aggregate over the token array) — no UDF, and reproducible in SQL.
     """
     toks = F.array_distinct(F.split(text, " "))
-    hashes = F.transform(toks, lambda t: F.md5(t))
-    out = F.lit(0).cast("bigint")
-    for j in range(32):
-        nib, bit = divmod(j, 4)
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(_hex_nibble(h, nib), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        out = out + F.when(votes > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return out
+    # Hash each token ONCE: pack the first 8 hex nibbles of md5 into a
+    # bigint (nibble 0 most significant). The previous spelling ran 32
+    # independent folds that each re-inlined the md5 transform, so every
+    # token was hashed 32 times; this one fold with an array accumulator
+    # hashes it once (measured 2x+ on the sf0.1 bench).
+    vals = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    # bit j of the fingerprint reads bit (j % 4) of nibble (j // 4),
+    # which sits at position 4*(7 - j//4) + (j % 4) of the packed value
+    shifts = [4 * (7 - j // 4) + (j % 4) for j in range(32)]
+    zero = F.array(*[F.lit(0).cast("bigint") for _ in range(32)])
+    votes = F.aggregate(
+        vals,
+        zero,
+        lambda acc, v: F.zip_with(
+            acc,
+            F.array(*[
+                (F.shiftright(v, s).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+                for s in shifts
+            ]),
+            lambda a, b: a + b,
+        ),
+    )
+    weights = F.array(*[F.lit(2 ** j).cast("bigint") for j in range(32)])
+    out = F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda vt, w: F.when(vt > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # null text: the old per-bit spelling decayed to 0 (WHEN null ->
+    # ELSE 0 summed); the fold propagates null, so pin the same value
+    return F.coalesce(out, F.lit(0).cast("bigint"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
