@@ -434,48 +434,51 @@ def fuzzy_pairs(
                 F.array().cast("array<string>")
             ),
         )
-    # join key = xxhash64 of the variant, not the variant string: the
-    # shuffle carries 8-byte keys, and a hash collision merely ADDS a
-    # candidate pair that the exact levenshtein filter then rejects —
-    # results identical by construction
+    # join key = xxhash64 of the variant (with the block cols folded
+    # in), not the variant string: the shuffle carries 8-byte keys, and
+    # a hash collision merely ADDS a candidate pair that the exact
+    # levenshtein + block-equality filter then rejects — results
+    # identical by construction
     bcols = list(block_cols or [])
     side = (
         _spread(df, id_col)
-        .select(
-            F.col(id_col).alias("__id"), c.alias("__v"), *bcols,
-            F.explode(variants).alias("__var"),
-        )
-        .select(
-            "__id", "__v", *bcols,
-            F.xxhash64("__var", *bcols).alias("__vk"),
-        )
+        .select(F.col(id_col).alias("__id"), F.explode(variants).alias("__var"),
+                *bcols)
+        .select("__id", F.xxhash64("__var", *bcols).alias("__vk"))
     )
-    a = side.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__vk",
-        *[F.col(bc).alias(f"__ba_{bc}") for bc in bcols],
-    )
-    b = side.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__vk",
-        *[F.col(bc).alias(f"__bb_{bc}") for bc in bcols],
-    )
+    # the variant join carries ONLY (8-byte id, 8-byte key) per posting
+    # — the value strings and block cols are re-fetched by id AFTER the
+    # candidate set is distinct'd, so the two big shuffles (posting
+    # join + distinct) move 16-byte rows instead of rows dragging two
+    # full strings (measured 1.5x on the d=2 sf0.1 bench; requires
+    # id_col to be unique per entity, which ER blocking assumes anyway)
+    a = side.select(F.col("__id").alias("id_a"), "__vk")
+    b = side.select(F.col("__id").alias("id_b"), "__vk")
     # distinct BEFORE the levenshtein: a true pair shares MANY variants
     # (up to ~len^2/2 at depth 2), so verifying per join row would run
     # the edit distance once per shared variant instead of once per
     # candidate pair (measured 3x at depth 2, sf0.1)
-    eq_blocks = [
-        F.col(f"__ba_{bc}").eqNullSafe(F.col(f"__bb_{bc}")) for bc in bcols
-    ]
-    joined = a.join(b, "__vk")
-    for cond in eq_blocks:
+    cand = (
+        a.join(b, "__vk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    na = df.select(
+        F.col(id_col).alias("id_a"), c.alias("__va"),
+        *[F.col(bc).alias(f"__ba_{bc}") for bc in bcols],
+    )
+    nb = df.select(
+        F.col(id_col).alias("id_b"), c.alias("__vb"),
+        *[F.col(bc).alias(f"__bb_{bc}") for bc in bcols],
+    )
+    out = cand.join(na, "id_a").join(nb, "id_b")
+    for bc in bcols:
         # hashing the block into __vk already co-locates; the explicit
         # equality rejects hash collisions across blocks
-        joined = joined.filter(cond)
+        out = out.filter(F.col(f"__ba_{bc}").eqNullSafe(F.col(f"__bb_{bc}")))
     return (
-        joined
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
-        .distinct()
-        .select("id_a", "id_b", F.levenshtein("__va", "__vb").alias("dist"))
+        out.select("id_a", "id_b", F.levenshtein("__va", "__vb").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
 
