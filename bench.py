@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "fuzzy_pairs_blocked",
     "simhash",
     "dedup_exact",
+    # r10 addition: the iterative operator (3 Lloyd rounds, each a
+    # full corpus scan + k x dim partial-sum shuffle + bounded collect)
+    "kmeans_lloyd",
 ]
 
 

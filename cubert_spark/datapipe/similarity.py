@@ -1015,3 +1015,103 @@ def hard_negatives(
         .filter(F.col("rnk") <= k)
         .select("anchor_id", "anchor_label", "negative_id", "cos", "rnk")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, computed in
+    EXACT integer space so every step — assignment, tie-break,
+    centroid update — replays bit-identically in any engine (the
+    DuckDB oracle unrolls the same iterations in plain SQL; most
+    k-means implementations can't be oracled at all because float
+    means drift cross-engine).
+
+    Fixed-point discipline: vectors quantize ONCE as
+    floor(double(x) * scale) — float->double widening is exact, and
+    IEEE-754 multiply + floor round identically everywhere — then
+    distances are bigint sums of squared differences and the centroid
+    update is the exact floor division floor(sum / n), so centroids
+    stay bigint vectors forever. Argmin ties go to the smallest
+    cluster id; a cluster that loses all members keeps its previous
+    centroid (reported with n_vecs = 0). Init is deterministic Forgy:
+    the k smallest ids (requires ``id_col`` unique, as elsewhere in
+    this module).
+
+    Scale shape (100 TB): per iteration the corpus is scanned once and
+    never moves whole — ONE shuffle of (cluster, pos) partial sums
+    (k x dim rows after map-side combine) plus a k x dim bounded
+    driver collect for the next round's broadcast literals (the
+    ivf_build contract; Spark MLlib's KMeans drives Lloyd the same
+    way). Init reads k rows via TakeOrdered, no global sort.
+
+    The reference has no iterative operator family; this extends its
+    centroid/COLLATE surface (label_centroids) with the corpus
+    clustering step a curation pipeline runs before mixture sampling.
+
+    Output: (cluster_id, n_vecs, pos, centroid_q) — k x dim rows,
+    centroid_q at ``scale`` fixed-point.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("bigint"),
+    )
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), q.alias("__q")
+    )
+    seed = base.orderBy("__id").limit(k).collect()
+    cents: list[list[int]] = [list(r["__q"]) for r in seed]
+    kk = len(cents)  # fewer rows than k: degrade to kk clusters
+    sizes: list[int] = [0] * kk
+    for _ in range(iters):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.array(*[F.lit(c).cast("bigint") for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for cent in cents
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.named_struct(F.lit("d"), d, F.lit("j"), F.lit(j))
+                    for j, d in enumerate(dists)
+                ]
+            )
+        )["j"]
+        stats = (
+            base.select(best.alias("__cl"), F.posexplode("__q").alias("pos", "v"))
+            .groupBy("__cl", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cl: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cl.setdefault(r["__cl"], {})[r["pos"]] = (r["s"], r["n"])
+        sizes = [0] * kk
+        for j in range(kk):
+            got = by_cl.get(j)
+            if not got:
+                continue  # empty cluster: previous centroid, n_vecs 0
+            # Python // floors like the oracle's pmod spelling, and the
+            # arithmetic is arbitrary-precision — no overflow to audit
+            cents[j] = [got[p][0] // got[p][1] for p in range(len(cents[j]))]
+            sizes[j] = got[0][1]
+    rows = [
+        (j, sizes[j], p, cents[j][p])
+        for j in range(kk)
+        for p in range(len(cents[j]))
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "cluster_id int, n_vecs bigint, pos int, centroid_q bigint"
+    )

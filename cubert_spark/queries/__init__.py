@@ -120,6 +120,10 @@ FOLDED: dict[str, str] = {
     "fuzzy_pairs_blocked": "fuzzy_pairs (same join, + blocking key — "
                            "the 100 TB mitigation; benched + exponent "
                            "in SCALE.md)",
+    # centroid family: kmeans_lloyd (iterative, exact-integer) stays —
+    # it runs the same per-position sum/count centroid algebra k-way
+    # per iteration, so one driver-attested row covers the family
+    "label_centroids": "kmeans_lloyd (same centroid algebra, iterated)",
     # histogram/percentile family: equidepth + approx_quantile stay
     "value_histogram": "equidepth_histogram",
     "quantile_histogram": "equidepth_histogram",

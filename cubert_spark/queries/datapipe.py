@@ -115,6 +115,78 @@ FROM per_pos
 """
 
 
+def q_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means (similarity.kmeans_lloyd): 3
+    iterations, k=8, Forgy init on the 8 smallest vec_ids — computed
+    entirely in floor-quantized bigint space, so assignments,
+    tie-breaks, and the floor-division centroid update replay
+    bit-identically in the unrolled-SQL DuckDB oracle. The one
+    genuinely ITERATIVE operator in the inventory with a full-strength
+    value-hash oracle (not a rows-only check)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_lloyd(e, k=8, iters=3)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, scale: int = 1_000_000) -> str:
+    """Unroll `iters` Lloyd iterations as chained CTEs. Matches
+    kmeans_lloyd exactly: same quantization, same argmin tie-break
+    (ORDER BY dist, cl == Spark's struct array_min), same floor
+    division (pmod spelling — DuckDB % keeps the dividend sign like
+    Python's int arithmetic floors), same empty-cluster carry."""
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(FLOOR(CAST(v[i] AS DOUBLE) * {scale}.0) AS BIGINT) AS qv
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+       LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+), seed AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+        ORDER BY vec_id LIMIT {k})
+), c0 AS (
+  SELECT cl, pos, qv AS c, CAST(0 AS BIGINT) AS n
+  FROM q JOIN seed USING (vec_id)
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", a{t} AS (
+  SELECT vec_id, cl FROM (
+    SELECT q.vec_id, p.cl,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY SUM((q.qv - p.c) * (q.qv - p.c)), p.cl
+           ) AS rn
+    FROM q JOIN {prev} p ON q.pos = p.pos
+    GROUP BY q.vec_id, p.cl
+  ) WHERE rn = 1
+), s{t} AS (
+  SELECT cl, pos, SUM(qv) AS s, COUNT(*) AS n
+  FROM q JOIN a{t} USING (vec_id)
+  GROUP BY cl, pos
+), c{t} AS (
+  SELECT p.cl, p.pos,
+         CASE WHEN s.n IS NULL THEN p.c
+              ELSE (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n END AS c,
+         COALESCE(s.n, 0) AS n
+  FROM {prev} p LEFT JOIN s{t} s ON p.cl = s.cl AND p.pos = s.pos
+)"""
+        )
+        prev = f"c{t}"
+    parts.append(
+        f"""
+SELECT CAST(cl AS INT) AS cluster_id, CAST(n AS BIGINT) AS n_vecs,
+       CAST(pos AS INT) AS pos, CAST(c AS BIGINT) AS centroid_q
+FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+SQL_KMEANS_LLOYD = _kmeans_oracle()
+
+
 def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction (textstats.pii_redact): email/phone/IPv4
     lookalikes masked with typed placeholders, count on the original
@@ -2307,6 +2379,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
     "label_centroids": q_label_centroids,
+    "kmeans_lloyd": q_kmeans_lloyd,
     "phrase_search": q_phrase_search,
     "pii_redact": q_pii_redact,
     "filtered_ann": q_filtered_ann,
@@ -2372,6 +2445,7 @@ ORACLES = {
     "jaccard_prefix": SQL_JACCARD_PREFIX,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "kmeans_lloyd": SQL_KMEANS_LLOYD,
     "phrase_search": SQL_PHRASE_SEARCH,
     "pii_redact": SQL_PII_REDACT,
     "filtered_ann": SQL_FILTERED_ANN,

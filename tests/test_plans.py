@@ -746,6 +746,15 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "golden_record": "survivor-elect side grows with entity count; "
                      "AQE flips to shuffle join, and the blocked-ER "
                      "design keeps both sides bucketed on block key",
+    # the r10 narrow-shuffle rewrite re-fetches values by id AFTER the
+    # candidate distinct; the candidate side is broadcast-small at test
+    # SF but scales with the corpus — both re-fetch joins are keyed
+    # equi-joins, so AQE flips them to shuffle joins at true sizes
+    # (the point of the rewrite: those joins now move 16-byte rows)
+    "fuzzy_pairs": "candidate-pair re-fetch join grows with matches; "
+                   "keyed equi-join, AQE re-plans at runtime",
+    "fuzzy_pairs2": "same re-fetch join as fuzzy_pairs at depth 2",
+    "fuzzy_pairs_blocked": "same re-fetch join, blocked variant",
     "jaccard_prefix": "prefix-posting sides grow with the corpus; the "
                       "operator is an inverted-index equi-join (never "
                       "all-pairs) and AQE re-plans the join strategy",
