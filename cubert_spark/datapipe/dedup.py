@@ -458,8 +458,16 @@ def fuzzy_pairs(
     # (up to ~len^2/2 at depth 2), so verifying per join row would run
     # the edit distance once per shared variant instead of once per
     # candidate pair (measured 3x at depth 2, sf0.1)
+    #
+    # merge hint: NEVER let the planner broadcast a posting side. The
+    # 16-byte projection makes Catalyst's size estimate tiny, but the
+    # estimator does not model Generate's fan-out (~len^2/2 variants
+    # per row at d=2) — at gen1 the "small" side is 28M posting rows
+    # and the broadcast hash relation OOMs the executor heap (measured:
+    # 3/3 OOMs at local[32] before the hint). Sort-merge costs one
+    # spillable shuffle+sort per side — the minhash_lsh lesson.
     cand = (
-        a.join(b, "__vk")
+        a.join(b.hint("merge"), "__vk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

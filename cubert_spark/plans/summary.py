@@ -91,6 +91,20 @@ class SummaryStore:
         spec: SummarySpec | None = None,
         coalesce_files: int | None = 8,
     ):
+        from cubert_spark.catalog import _is_uri_schemed
+
+        # meta.json and the existence probes below use local-FS
+        # semantics (open/os.path.exists); on hdfs://s3a:// those
+        # silently report "no summary" and os.makedirs would create a
+        # literal local "hdfs:" directory — the same wrong-results
+        # class the streaming state probes guard against. Refuse
+        # loudly instead of corrupting.
+        if _is_uri_schemed(path):
+            raise ValueError(
+                f"SummaryStore path {path!r} is URI-schemed; the store's "
+                "metadata/existence probes are local-FS-only. Point it at "
+                "a local (or locally mounted) directory."
+            )
         self.path = path
         meta = os.path.join(path, "meta.json")
         if spec is None:

@@ -46,6 +46,21 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def _assert_local(path: str, who: str) -> None:
+    """The pure-Python codecs here read/write with open()/glob —
+    local-FS semantics. On hdfs://s3a:// a glob silently matches
+    nothing and os.makedirs creates a literal local "hdfs:" dir, so a
+    URI-schemed path must fail loudly (same contract as the streaming
+    state probes and the tx log)."""
+    from cubert_spark.catalog import _is_uri_schemed
+
+    if _is_uri_schemed(path):
+        raise ValueError(
+            f"{who} path {path!r} is URI-schemed; this Python DataSource "
+            "is local-FS-only. Use a local (or locally mounted) path."
+        )
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
@@ -142,6 +157,7 @@ class AvroDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("cubert_avro requires a path")
+        _assert_local(path, "cubert_avro")
         if os.path.isdir(path):
             return sorted(glob.glob(os.path.join(path, "*.avro")))
         return sorted(glob.glob(path)) or [path]
@@ -174,6 +190,7 @@ class AvroDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("cubert_avro requires a path")
+        _assert_local(path, "cubert_avro")
         if overwrite and os.path.isdir(path):
             for old in glob.glob(os.path.join(path, "*.avro")):
                 os.remove(old)

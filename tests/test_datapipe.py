@@ -1583,6 +1583,32 @@ def test_fuzzy_pairs_symspell(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_pairs_posting_join_never_broadcast(spark):
+    """The variant (posting) self-join must stay sort-merge: the
+    16-byte posting projection makes Catalyst's size estimate tiny,
+    but the estimator does not model Generate's ~len^2/2 fan-out — a
+    broadcast of the exploded posting table is a multi-GB hash
+    relation at gen1 scale (measured: 3/3 executor-heap OOMs at
+    local[32] before the merge hint pinned this)."""
+    import pyspark.sql.functions as F
+
+    from cubert_spark.datapipe import dedup
+
+    df = spark.range(200).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("name"), F.col("id").cast("string")).alias("c_name"),
+    )
+    for kwargs in ({}, {"max_dist": 2}):
+        plan = dedup.fuzzy_pairs(df, **kwargs)._jdf.queryExecution(
+        ).executedPlan().treeString()
+        posting = [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "__vk" in ln
+        ]
+        assert posting, plan
+        assert all("SortMergeJoin" in ln for ln in posting), posting
+
+
 def test_chunk_documents(spark):
     import pytest as _pytest
 

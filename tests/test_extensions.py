@@ -598,3 +598,25 @@ def test_tx_table_rejects_uri_schemed_paths(spark, tmp_path):
             tx_commit(spark.range(1), bad)
     # windows-style drive letters are not schemes; plain paths work
     assert tx_versions(str(tmp_path / "t")) == []
+
+
+def test_summary_store_and_avro_source_reject_uri_paths(spark):
+    """Same local-FS contract as the tx log, one layer out: the
+    SummaryStore's meta.json/existence probes and the pure-Python avro
+    DataSource's glob/open/os.makedirs are local-only — a URI-schemed
+    path must raise up front instead of silently reporting
+    'no summary' / creating a literal local 'hdfs:' directory."""
+    import pytest
+
+    from cubert_spark.plans.summary import SummarySpec, SummaryStore
+    from cubert_spark.sources import register_sources
+
+    register_sources(spark)
+    spec = SummarySpec("ts", ("d",), (("SUM", "m"),))
+    for bad in ("hdfs://nn:8020/s", "s3a://bucket/s"):
+        with pytest.raises(ValueError, match="URI-schemed"):
+            SummaryStore(bad, spec)
+        with pytest.raises(Exception, match="URI-schemed|Failed to create"):
+            spark.range(3).selectExpr("id AS a").write.format(
+                "cubert_avro"
+            ).option("path", bad).mode("overwrite").save()
