@@ -472,9 +472,29 @@ def fuzzy_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    na = df.select(
-        F.col(id_col).alias("id_a"), c.alias("__va"),
-        *[F.col(bc).alias(f"__ba_{bc}") for bc in bcols],
+    # the re-fetch-by-id design REQUIRES one row per id (a duplicate id
+    # would cross-product its values onto every candidate pair) — the
+    # contract is enforced with the rs_join distributed-assertion
+    # idiom: one window count, raise_error at runtime, no driver count
+    from pyspark.sql import Window
+
+    ng = F.when(
+        F.count(F.lit(1)).over(Window.partitionBy(F.col(id_col))) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(f"fuzzy_pairs: duplicate {id_col} "),
+                F.col(id_col).cast("string"),
+                F.lit(" — re-fetch by id needs one row per entity"),
+            )
+        ),
+    ).otherwise(F.lit(True))
+    na = (
+        df.withColumn("__fp_guard", ng)
+        .filter("__fp_guard")
+        .select(
+            F.col(id_col).alias("id_a"), c.alias("__va"),
+            *[F.col(bc).alias(f"__ba_{bc}") for bc in bcols],
+        )
     )
     nb = df.select(
         F.col(id_col).alias("id_b"), c.alias("__vb"),

@@ -1064,9 +1064,32 @@ def kmeans_lloyd(
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"), q.alias("__q")
     )
+    out_schema = "cluster_id int, n_vecs bigint, pos int, centroid_q bigint"
     seed = base.orderBy("__id").limit(k).collect()
     cents: list[list[int]] = [list(r["__q"]) for r in seed]
     kk = len(cents)  # fewer rows than k: degrade to kk clusters
+    if kk == 0:  # no non-null vectors: zero clusters, not a crash
+        return df.sparkSession.createDataFrame([], out_schema)
+    dim = len(cents[0])
+    # ragged or null-holed vectors would silently skew the math (a
+    # short vector zip_with-pads distances with nulls and posexplode
+    # emits no row for its missing positions, so n_vecs and per-pos
+    # counts drift apart) — enforce the uniform-dense contract with a
+    # distributed raise_error, no driver count
+    guard = F.when(
+        (F.size("__q") != F.lit(dim))
+        | F.exists("__q", lambda x: x.isNull()),
+        F.raise_error(
+            F.concat(
+                F.lit(f"kmeans_lloyd: ragged or null-holed {vec_col} at "),
+                F.col("__id").cast("string"),
+                F.lit(f" (expect dense dim={dim})"),
+            )
+        ),
+    ).otherwise(F.lit(True))
+    base = base.withColumn("__km_guard", guard).filter("__km_guard").drop(
+        "__km_guard"
+    )
     sizes: list[int] = [0] * kk
     for _ in range(iters):
         dists = [
@@ -1112,6 +1135,4 @@ def kmeans_lloyd(
         for j in range(kk)
         for p in range(len(cents[j]))
     ]
-    return df.sparkSession.createDataFrame(
-        rows, "cluster_id int, n_vecs bigint, pos int, centroid_q bigint"
-    )
+    return df.sparkSession.createDataFrame(rows, out_schema)

@@ -2903,3 +2903,47 @@ def test_lm_perplexity_orders_fluency(spark):
 
     for r in got.values():
         assert abs(r["ppl"] - round(math.exp(r["avg_nll"]), 6)) < 1e-5
+
+
+def test_fuzzy_pairs_duplicate_ids_raise(spark):
+    """The narrow-shuffle re-fetch requires one row per id; a
+    duplicate id must raise the distributed assertion (rs_join idiom),
+    never silently cross-product its values onto candidate pairs."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, "smith"), (1, "smyth"), (2, "smith")],
+        "c_custkey long, c_name string",
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate c_custkey"):
+        dedup.fuzzy_pairs(df).collect()
+
+
+def test_kmeans_lloyd_contract_edges(spark):
+    """Empty input -> zero clusters with the output schema (no
+    array_min-over-empty crash); ragged or null-holed vectors raise
+    the distributed assertion instead of silently skewing n_vecs vs
+    per-position counts."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cubert_spark.datapipe.similarity import kmeans_lloyd
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(empty, k=4, iters=2)
+    assert out.count() == 0
+    assert out.columns == ["cluster_id", "n_vecs", "pos", "centroid_q"]
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(SparkRuntimeException, match="ragged or null-holed"):
+        kmeans_lloyd(ragged, k=2, iters=1)
+    holed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, None])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(SparkRuntimeException, match="ragged or null-holed"):
+        kmeans_lloyd(holed, k=2, iters=1)
