@@ -60,6 +60,8 @@ HEAVY = {
     "sequence_pack": "documents",
     "lm_perplexity": "documents",
     "paragraph_dedup": "documents",
+    # r10: the iterative operator (3 Lloyd rounds over embeddings)
+    "kmeans_lloyd": "embeddings",
 }
 
 
@@ -94,10 +96,19 @@ def main() -> None:
     merged = {**all_queries(), **folded_queries()}
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    #: queries whose jobs run EAGERLY while the DataFrame is built
+    #: (iterative driver loops: the returned DF is a small local
+    #: result). For these "plan-only" would execute the whole query,
+    #: so the baseline subtraction must be skipped — their wall time
+    #: IS the execution time.
+    EAGER = {"kmeans_lloyd"}
+
     def plan_only(name: str, sf_dir: str) -> float:
         """Fixed per-query constant: build the DataFrame and force
         analysis + optimization + physical planning, execute nothing.
         min-of-n like the wall timings (same noise model)."""
+        if name in EAGER:
+            return 0.0
         runs = []
         for _ in range(args.runs):
             t0 = time.perf_counter()
