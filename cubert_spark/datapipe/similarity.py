@@ -1092,11 +1092,14 @@ def kmeans_lloyd(
     )
     sizes: list[int] = [0] * kk
     for _ in range(iters):
-        # the whole centroid matrix ships as ONE nested-array literal
-        # (a per-element F.lit build is k x dim py4j round trips —
-        # measured ~1.1s of pure driver time per iteration at k=8,
-        # dim=64); argmin = lexicographic array_min over (dist, j)
-        # structs, ties to the smallest j
+        # ONE lambda-based distance/argmin expression tree over the
+        # centroid matrix instead of k separate aggregate/zip_with
+        # trees with per-element literal arrays (the old build spent
+        # ~1.1s of pure driver time per iteration at k=8, dim=64 —
+        # py4j lit() is still per-element under the hood, so the win
+        # is the single small tree, not literal shipping); argmin =
+        # lexicographic array_min over (dist, j) structs, ties to the
+        # smallest j
         cmat = F.lit(cents).cast("array<array<bigint>>")
         idx = F.sequence(F.lit(0), F.lit(kk - 1))
         best = F.array_min(

@@ -152,6 +152,12 @@ def main() -> None:
             # re-measure with a larger lo SF before quoting
             "low_confidence": t_lo[name] < args.t_lo_floor,
         }
+        if name in EAGER:
+            # the overhead correction was SKIPPED (plan-only would run
+            # the whole query): fixed per-iteration driver costs stay
+            # inside both timings and deflate the exponent — flag it
+            # so the number is never quoted as a corrected figure
+            result[name]["eager_uncorrected"] = True
     print(json.dumps(result, indent=1))
     spark.stop()
 
