@@ -450,8 +450,10 @@ def fuzzy_pairs(
     # — the value strings and block cols are re-fetched by id AFTER the
     # candidate set is distinct'd, so the two big shuffles (posting
     # join + distinct) move 16-byte rows instead of rows dragging two
-    # full strings (measured 1.5x on the d=2 sf0.1 bench; requires
-    # id_col to be unique per entity, which ER blocking assumes anyway)
+    # full strings (measured 1.4x at d=2 sf0.1 against the old
+    # value-carrying join under the same merge-hinted safe plan, and
+    # 2x on the blocked gen1 curve; requires id_col unique per entity
+    # — enforced by the raise_error guard on the re-fetch below)
     a = side.select(F.col("__id").alias("id_a"), "__vk")
     b = side.select(F.col("__id").alias("id_b"), "__vk")
     # distinct BEFORE the levenshtein: a true pair shares MANY variants
