@@ -1057,6 +1057,60 @@ def kmeans_lloyd(
     Output: (cluster_id, n_vecs, pos, centroid_q) — k x dim rows,
     centroid_q at ``scale`` fixed-point.
     """
+    base, cents, sizes, kk = _lloyd(df, k, iters, vec_col, id_col, scale)
+    out_schema = "cluster_id int, n_vecs bigint, pos int, centroid_q bigint"
+    if kk == 0:  # no non-null vectors: zero clusters, not a crash
+        return df.sparkSession.createDataFrame([], out_schema)
+    rows = [
+        (j, sizes[j], p, cents[j][p])
+        for j in range(kk)
+        for p in range(len(cents[j]))
+    ]
+    return df.sparkSession.createDataFrame(rows, out_schema)
+
+
+def _lloyd_argmin(cents: list[list[int]], kk: int):
+    """(best_struct) column over ``__q``: lexicographic array_min of
+    (dist, j) structs — min squared distance, ties to the smallest j.
+    ONE lambda-based expression tree over the centroid matrix instead
+    of k separate aggregate/zip_with trees with per-element literal
+    arrays (the old build spent ~1.1s of pure driver time per
+    iteration at k=8, dim=64 — py4j lit() is still per-element under
+    the hood, so the win is the single small tree, not literal
+    shipping)."""
+    cmat = F.lit(cents).cast("array<array<bigint>>")
+    idx = F.sequence(F.lit(0), F.lit(kk - 1))
+    return F.array_min(
+        F.zip_with(
+            cmat,
+            idx,
+            lambda cent, j: F.named_struct(
+                F.lit("d"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__q"), cent, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit("j"),
+                j,
+            ),
+        )
+    )
+
+
+def _lloyd(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+):
+    """Shared Lloyd driver: returns (guarded quantized base DF, final
+    centroid matrix, final cluster sizes, kk). See kmeans_lloyd for
+    the exact-integer discipline and the scale-shape contract."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("bigint"),
@@ -1064,12 +1118,11 @@ def kmeans_lloyd(
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"), q.alias("__q")
     )
-    out_schema = "cluster_id int, n_vecs bigint, pos int, centroid_q bigint"
     seed = base.orderBy("__id").limit(k).collect()
     cents: list[list[int]] = [list(r["__q"]) for r in seed]
     kk = len(cents)  # fewer rows than k: degrade to kk clusters
-    if kk == 0:  # no non-null vectors: zero clusters, not a crash
-        return df.sparkSession.createDataFrame([], out_schema)
+    if kk == 0:
+        return base, cents, [], 0
     dim = len(cents[0])
     # ragged or null-holed vectors would silently skew the math (a
     # short vector zip_with-pads distances with nulls and posexplode
@@ -1092,34 +1145,7 @@ def kmeans_lloyd(
     )
     sizes: list[int] = [0] * kk
     for _ in range(iters):
-        # ONE lambda-based distance/argmin expression tree over the
-        # centroid matrix instead of k separate aggregate/zip_with
-        # trees with per-element literal arrays (the old build spent
-        # ~1.1s of pure driver time per iteration at k=8, dim=64 —
-        # py4j lit() is still per-element under the hood, so the win
-        # is the single small tree, not literal shipping); argmin =
-        # lexicographic array_min over (dist, j) structs, ties to the
-        # smallest j
-        cmat = F.lit(cents).cast("array<array<bigint>>")
-        idx = F.sequence(F.lit(0), F.lit(kk - 1))
-        best = F.array_min(
-            F.zip_with(
-                cmat,
-                idx,
-                lambda cent, j: F.named_struct(
-                    F.lit("d"),
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__q"), cent, lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, x: acc + x,
-                    ),
-                    F.lit("j"),
-                    j,
-                ),
-            )
-        )["j"]
+        best = _lloyd_argmin(cents, kk)["j"]
         # BOTH catalogued Generate traps apply here: the argmin is
         # aliased in its own projection (inlining it into the Generate
         # evaluates all k distance folds once per exploded POSITION,
@@ -1147,9 +1173,42 @@ def kmeans_lloyd(
             # arithmetic is arbitrary-precision — no overflow to audit
             cents[j] = [got[p][0] // got[p][1] for p in range(len(cents[j]))]
             sizes[j] = got[0][1]
-    rows = [
-        (j, sizes[j], p, cents[j][p])
-        for j in range(kk)
-        for p in range(len(cents[j]))
-    ]
-    return df.sparkSession.createDataFrame(rows, out_schema)
+    return base, cents, sizes, kk
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-vector cluster labels under the FINAL kmeans_lloyd
+    centroids — the surface a curation pipeline actually consumes
+    (route to per-cluster mixture weights, shard by topic, drop junk
+    clusters). Same exact-integer discipline as kmeans_lloyd, so the
+    labels AND squared distances are bit-replayable in the unrolled
+    DuckDB oracle.
+
+    Scale shape (100 TB): after the iters bounded Lloyd rounds, the
+    labeling itself is ONE corpus scan with a broadcast-literal
+    centroid matrix — zero shuffles, fully codegen'd, lazily
+    composable with downstream operators.
+
+    Output: (id_col, cluster_id, dist) — dist is the exact bigint
+    squared distance at ``scale`` fixed-point.
+    """
+    base, cents, _sizes, kk = _lloyd(df, k, iters, vec_col, id_col, scale)
+    if kk == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).alias("cluster_id"),
+            F.lit(0).cast("bigint").alias("dist"),
+        ).limit(0)
+    m = _lloyd_argmin(cents, kk)
+    return base.select(
+        F.col("__id").alias(id_col),
+        m["j"].alias("cluster_id"),
+        m["d"].alias("dist"),
+    )

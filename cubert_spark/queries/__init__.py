@@ -124,6 +124,8 @@ FOLDED: dict[str, str] = {
     # it runs the same per-position sum/count centroid algebra k-way
     # per iteration, so one driver-attested row covers the family
     "label_centroids": "kmeans_lloyd (same centroid algebra, iterated)",
+    "kmeans_assign": "kmeans_lloyd (same Lloyd machinery; assign is "
+                     "its final-centroid labeling pass)",
     # histogram/percentile family: equidepth + approx_quantile stay
     "value_histogram": "equidepth_histogram",
     "quantile_histogram": "equidepth_histogram",

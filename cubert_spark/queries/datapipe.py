@@ -127,7 +127,9 @@ def q_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_lloyd(e, k=8, iters=3)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, scale: int = 1_000_000) -> str:
+def _kmeans_oracle(
+    k: int = 8, iters: int = 3, scale: int = 1_000_000, assign: bool = False
+) -> str:
     """Unroll `iters` Lloyd iterations as chained CTEs. Matches
     kmeans_lloyd exactly: same quantization, same argmin tie-break
     (ORDER BY dist, cl == Spark's struct array_min), same floor
@@ -175,16 +177,43 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, scale: int = 1_000_000) -> str:
 )"""
         )
         prev = f"c{t}"
-    parts.append(
-        f"""
+    if assign:
+        # one more argmin pass under the FINAL centroids — the
+        # per-vector labeling kmeans_assign exposes
+        parts.append(
+            f"""
+SELECT vec_id, CAST(cl AS INT) AS cluster_id, CAST(d AS BIGINT) AS dist
+FROM (
+  SELECT q.vec_id, p.cl, SUM((q.qv - p.c) * (q.qv - p.c)) AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY SUM((q.qv - p.c) * (q.qv - p.c)), p.cl
+         ) AS rn
+  FROM q JOIN {prev} p ON q.pos = p.pos
+  GROUP BY q.vec_id, p.cl
+) WHERE rn = 1"""
+        )
+    else:
+        parts.append(
+            f"""
 SELECT CAST(cl AS INT) AS cluster_id, CAST(n AS BIGINT) AS n_vecs,
        CAST(pos AS INT) AS pos, CAST(c AS BIGINT) AS centroid_q
 FROM {prev}"""
-    )
+        )
     return "".join(parts)
 
 
 SQL_KMEANS_LLOYD = _kmeans_oracle()
+SQL_KMEANS_ASSIGN = _kmeans_oracle(assign=True)
+
+
+def q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector cluster labels + exact squared distances under the
+    final kmeans_lloyd centroids (similarity.kmeans_assign) — the
+    consumable clustering surface; the labeling pass itself is one
+    zero-shuffle corpus scan against broadcast centroid literals."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_assign(e, k=8, iters=3)
 
 
 def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
@@ -2380,6 +2409,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "label_centroids": q_label_centroids,
     "kmeans_lloyd": q_kmeans_lloyd,
+    "kmeans_assign": q_kmeans_assign,
     "phrase_search": q_phrase_search,
     "pii_redact": q_pii_redact,
     "filtered_ann": q_filtered_ann,
@@ -2446,6 +2476,7 @@ ORACLES = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_lloyd": SQL_KMEANS_LLOYD,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
     "phrase_search": SQL_PHRASE_SEARCH,
     "pii_redact": SQL_PII_REDACT,
     "filtered_ann": SQL_FILTERED_ANN,
