@@ -129,7 +129,14 @@ FOLDED: dict[str, str] = {
     # histogram/percentile family: equidepth + approx_quantile stay
     "value_histogram": "equidepth_histogram",
     "quantile_histogram": "equidepth_histogram",
-    "latency_percentiles": "median_percentile (same exact-percentile op)",
+    "latency_percentiles": "cube_median (same exact-percentile op)",
+    # r11: cube_median (percentile measures per cuboid — the
+    # reference's flagship ExtractMedian capability) subsumes the
+    # flat-group spelling (one grouping set of the same machinery)
+    "median_percentile": "cube_median (flat-group special case of the "
+                         "same exact-percentile aggregate)",
+    "grouping_sets_median": "cube_median (same Expand + non-additive "
+                            "percentile machinery, explicit set list)",
     # storage roundtrips: parquet/avro/jsonl/clustered/zorder stay
     "orc_roundtrip": "jsonl_roundtrip (same STORE->LOAD agg shape)",
     # TPC-H depth variants: q1/shipping/returned/nation/promo stay
@@ -143,7 +150,7 @@ FOLDED: dict[str, str] = {
     "basket_pairs": "pmi_pairs (same pair-generation join)",
     "heavy_hitters": "cms_topk (exact twin of the sketch top-k)",
     "anomaly_days": "mad_outliers (same median/MAD robust math)",
-    "mode_by_group": "median_percentile (same per-group argmax shape)",
+    "mode_by_group": "cube_median (same per-group order-statistic shape)",
     "json_props": "scalar_functions (same expression-only shape)",
     "corpus_report": "profile_table (same fused profiling scan)",
     "blocklist_filter": "contamination (same blocklist DFA pass)",

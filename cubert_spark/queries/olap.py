@@ -186,6 +186,70 @@ GROUP BY l_returnflag
 """
 
 
+def q_cube_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median (and p75) per CUBOID — the reference's flagship
+    claim: exact percentile measures computed for every ancestor of a
+    CUBE in one job (README.md:16, ExtractMedianOperator.java:35 +
+    MedianFlattenOperator.java:31, the partitioned-additive machinery
+    of CubeOperator.java:223-292).
+
+    Spark spelling: ``cube(dims).agg(percentile(...))`` — Catalyst's
+    Expand enumerates the 2^n cuboids (same ancestor set as
+    CubeDimensions.ancestors()) and the non-additive percentile runs
+    once per (cuboid, group) after a single shuffle of the expanded
+    rows. At 100 TB the Expand multiplies scan output by 2^n — with
+    n=2 dims that is a 4x shuffle, the same blow-up the reference
+    pays via its OLAP_CUBE count rewriting; for high-arity cubes use
+    ``grouping_combos(max_arity)`` to cap the cuboid set.
+
+    l_quantity is integral-valued, so midpoint interpolation at the
+    0.5/0.75 rank fractions is exact in binary on both engines (same
+    argument as ``median_percentile``, the flat-group twin this row
+    subsumes)."""
+    li = load_table(spark, sf, "lineitem")
+    return cube(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_CUBE_MEDIAN = """
+SELECT l_returnflag, l_linestatus,
+       QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+       QUANTILE_CONT(l_quantity, 0.75) AS p75_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentile over explicit GROUPING SETS (the reference's
+    grammar also admits median measures under GROUPING SETS /
+    ROLLUPS — CubertPhysical.g4:114). Folded twin of ``cube_median``:
+    same Expand + non-additive percentile machinery, explicit set
+    list instead of the full 2^n."""
+    li = load_table(spark, sf, "lineitem")
+    return grouping_sets(
+        li,
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_GROUPING_SETS_MEDIAN = """
+SELECT l_returnflag, l_linestatus,
+       QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 QUERIES = {
     "cube_additive": q_cube_additive,
     "cube_count_distinct": q_cube_count_distinct,
@@ -194,6 +258,8 @@ QUERIES = {
     "grouping_combos": q_grouping_combos,
     "grouping_id": q_grouping_id,
     "median_percentile": q_median,
+    "cube_median": q_cube_median,
+    "grouping_sets_median": q_grouping_sets_median,
 }
 
 ORACLES = {
@@ -204,4 +270,6 @@ ORACLES = {
     "grouping_combos": SQL_GROUPING_COMBOS,
     "grouping_id": SQL_GROUPING_ID,
     "median_percentile": SQL_MEDIAN,
+    "cube_median": SQL_CUBE_MEDIAN,
+    "grouping_sets_median": SQL_GROUPING_SETS_MEDIAN,
 }

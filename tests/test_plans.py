@@ -609,6 +609,8 @@ _SHUFFLE_CEILINGS = {
     "windowed_topn": 2, "events_expectations": 1,
     "lm_perplexity": 7, "hard_negatives": 1, "neardup_ingest": 7,
     "temporal_join": 1, "time_travel": 0,
+    # r11: exact percentile per cuboid — one Expand, one Exchange
+    "cube_median": 1, "grouping_sets_median": 1,
 }
 
 
