@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     # ngram_jaccard; the prefix-filter pruning win is pytest-pinned
     # instead (test_jaccard_prefix_indexes_fewer_postings).
     "bloom_prune",
+    # production-hash twin (xxhash64 positions, bench-only via _EXTRA
+    # like minhash_lsh_fast): the md5 row above stays the oracle path
+    "bloom_prune_fast",
     # grouped 2-D skyline (window sweep) + the entity-resolution
     # end-cap (SymSpell-blocked fuzzy edges -> CC -> survivorship)
     "pareto_frontier",
@@ -256,7 +259,12 @@ def main() -> None:
 
     # bench-only rows: implemented + pytest-pinned operators that have
     # no possible oracle and therefore live outside queries()
-    _extra = {"minhash_lsh_fast": _dp.q_minhash_lsh_fast}
+    from cubert_spark.queries import extensions as _ext
+
+    _extra = {
+        "minhash_lsh_fast": _dp.q_minhash_lsh_fast,
+        "bloom_prune_fast": _ext.q_bloom_prune_fast,
+    }
     # folded contract-twins (driver inventory consolidation, r7) stay
     # benched — perf coverage is independent of attestation rotation
     _extra.update(folded_queries())

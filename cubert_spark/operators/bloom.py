@@ -12,6 +12,14 @@ cubert/operator/MeshJoinOperator.java) made explicit, deterministic,
 and oracle-replayable: positions are md5-derived, the bitmap is a
 bit_or aggregate, so DuckDB reproduces every bit.
 
+Hash choice mirrors the minhash family (dedup.minhash_signature):
+``hash_fn="md5"`` (default) is the engine-portable oracle path —
+every bit position replays in DuckDB; ``hash_fn="xxhash64"`` is the
+production path — one JVM-native 64-bit hash per position, no crypto
+digest or hex decode on the hot path (the fact-side probe runs
+num_hashes hashes per row over the whole 100 TB scan, so digest cost
+IS the operator's cost). Build and probe must use the same hash_fn.
+
 Sizing: num_bits=65536 / num_hashes=3 gives ~1.3 KB/1k keys; the
 false-positive rate is (1 - e^(-kn/m))^k — for n=2k keys, m=64k bits,
 k=3 that's ~0.6%. Scale num_bits with the key count; the bitmap stays
@@ -50,22 +58,38 @@ def _chunk_positions(num_bits: int, num_hashes: int) -> list[Column]:
     ]
 
 
+def _xx_positions(key: Column, num_bits: int, num_hashes: int, salt: str) -> list[Column]:
+    """Production positions: pmod(xxhash64(salt, i, key), num_bits) —
+    xxhash64 is signed, so pmod (not %) keeps positions in [0, m)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(salt), F.lit(i), key), F.lit(num_bits)).cast("bigint")
+        for i in range(num_hashes)
+    ]
+
+
 def bloom_build(
     keys: DataFrame,
     key_col: str,
     num_bits: int = 65536,
     num_hashes: int = 3,
     salt: str = "bloom",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Build the bitmap: (word bigint, bits bigint) with word =
     pos >> 5 and bit pos&31 OR-ed in (32 bits per word: bit 63 would
     overflow engines that CHECK bigint shifts, e.g. DuckDB) — at most
     num_bits/32 rows
-    regardless of key count, sum... bit_or-mergeable across partial
+    regardless of key count, bit_or-mergeable across partial
     builds (the agg IS the merge)."""
-    hs = _digest_cols(F.col(key_col), num_hashes, salt)
-    with_h = keys.select(*[h.alias(f"__h{g}") for g, h in enumerate(hs)])
-    pos_structs = F.array(*_chunk_positions(num_bits, num_hashes))
+    if hash_fn == "xxhash64":
+        pos_structs = F.array(
+            *_xx_positions(F.col(key_col), num_bits, num_hashes, salt)
+        )
+        with_h = keys
+    else:
+        hs = _digest_cols(F.col(key_col), num_hashes, salt)
+        with_h = keys.select(*[h.alias(f"__h{g}") for g, h in enumerate(hs)])
+        pos_structs = F.array(*_chunk_positions(num_bits, num_hashes))
     return (
         with_h.select(F.explode(pos_structs).alias("pos"))
         .select(
@@ -84,16 +108,24 @@ def bloom_prune(
     num_bits: int = 65536,
     num_hashes: int = 3,
     salt: str = "bloom",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Keep only rows whose key MAY be in the bloom set: for each of
     the num_hashes positions, the bitmap word must exist and have the
     bit set. num_hashes broadcast hash joins — the big side never
     shuffles, which is the operator's entire reason to exist."""
-    hs = _digest_cols(F.col(key_col), num_hashes, salt)
-    out = df.select(
-        "*", *[h.alias(f"__h{g}") for g, h in enumerate(hs)]
-    )
-    for i, p in enumerate(_chunk_positions(num_bits, num_hashes)):
+    if hash_fn == "xxhash64":
+        positions = _xx_positions(F.col(key_col), num_bits, num_hashes, salt)
+        out = df
+        digest_drops: list[str] = []
+    else:
+        hs = _digest_cols(F.col(key_col), num_hashes, salt)
+        out = df.select(
+            "*", *[h.alias(f"__h{g}") for g, h in enumerate(hs)]
+        )
+        positions = _chunk_positions(num_bits, num_hashes)
+        digest_drops = [f"__h{g}" for g in range((num_hashes + 3) // 4)]
+    for i, p in enumerate(positions):
         out = out.withColumn(f"__w{i}", F.shiftright(p, 5)).withColumn(
             f"__b{i}", (p % 32).cast("int")
         )
@@ -105,6 +137,6 @@ def bloom_prune(
         out = out.join(bm, f"__w{i}").filter(
             F.expr(f"(shiftright(__bits{i}, __b{i}) & 1) = 1")
         )
-    drops = [f"__h{g}" for g in range((num_hashes + 3) // 4)]
+    drops = digest_drops
     drops += [c for i in range(num_hashes) for c in (f"__w{i}", f"__b{i}", f"__bits{i}")]
     return out.drop(*drops)

@@ -1067,6 +1067,40 @@ def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-hash (xxhash64) twin of ``bloom_prune`` — rows-only
+    check (bit positions are JVM-specific; the md5 variant above is
+    the oracle path, exactly the minhash_lsh/minhash_lsh_fast split).
+    Same broadcast-bitmap plan; the per-row probe cost drops from 1
+    md5 digest + 3 hex decodes to 3 native xxhash64 calls. Output
+    contract is identical (pruned ⊇ exact; fp bounded) and pytest-
+    pinned in test_datapipe.test_bloom_prune_fast_superset."""
+    from cubert_spark.datapipe.dedup import _spread
+    from cubert_spark.operators.bloom import bloom_build, bloom_prune
+
+    keys = load_table(spark, sf, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey"
+    )
+    li = _spread(
+        load_table(spark, sf, "lineitem").select(
+            "l_partkey", "l_orderkey", "l_linenumber"
+        ),
+        "l_partkey",
+    )
+    bm = bloom_build(keys, "p_partkey", hash_fn="xxhash64")
+    pruned = bloom_prune(li, "l_partkey", bm, hash_fn="xxhash64")
+    kl = keys.withColumnRenamed("p_partkey", "l_partkey")
+    n_pruned = pruned.agg(F.count(F.lit(1)).alias("pruned_rows"))
+    n_exact = li.join(F.broadcast(kl), "l_partkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact_rows")
+    )
+    return n_pruned.crossJoin(n_exact).select(
+        "pruned_rows",
+        "exact_rows",
+        (F.col("pruned_rows") - F.col("exact_rows")).alias("fp_rows"),
+    )
+
+
 def _bloom_pos_sql(i: int, key: str, num_bits: int = 65536) -> str:
     # chunk i of ONE digest (mirrors operators.bloom._positions)
     return (

@@ -2083,6 +2083,24 @@ def test_bloom_prune_superset_and_bounded_fp(spark):
     assert fp <= 40000 * 1.1e-3, fp
 
 
+def test_bloom_prune_fast_superset(spark):
+    """xxhash64 production path: same no-false-negative guarantee and
+    bounded fp as the md5 oracle path, no crypto digest on the probe
+    (the benched bloom_prune_fast row's contract)."""
+    from cubert_spark.operators.bloom import bloom_build, bloom_prune
+
+    keys = spark.range(0, 500).selectExpr("id * 7 AS k")
+    big = spark.range(0, 40000).selectExpr("id AS k", "id AS payload")
+    bm = bloom_build(keys, "k", num_bits=65536, num_hashes=3, hash_fn="xxhash64")
+    pruned = bloom_prune(big, "k", bm, hash_fn="xxhash64")
+    truth = big.join(keys.hint("broadcast"), "k", "left_semi")
+    assert truth.exceptAll(pruned.select("k", "payload")).count() == 0
+    fp = pruned.join(keys, "k", "left_anti").count()
+    assert fp <= 40000 * 1.1e-3, fp
+    # the probe plan must not contain an md5 call (the point of the twin)
+    assert "md5" not in pruned._jdf.queryExecution().executedPlan().toString().lower()
+
+
 def test_bloom_build_mergeable(spark):
     """bit_or of two partial bitmaps == the bitmap of the union."""
     from cubert_spark.operators.bloom import bloom_build
