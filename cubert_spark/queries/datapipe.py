@@ -621,7 +621,11 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     dot products; see datapipe.similarity)."""
     e = load_table(spark, sf, "embeddings")
     return _round9(
-        similarity.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5), "cos"
+        # known_count=5: vec_id is unique, so the filter bounds |Q| by
+        # construction — skips the guard probe job (r10 VERDICT task 4)
+        similarity.cosine_topk(
+            e, e.filter(F.col("vec_id") < 5), k=5, known_count=5
+        ), "cos"
     )
 
 
@@ -707,6 +711,7 @@ def q_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
             e.filter(F.col("label") == 2),
             e.filter(F.col("vec_id") < 5),
             k=5,
+            known_count=5,
         ),
         "cos",
     )
@@ -913,7 +918,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     ann = similarity.ivf_topk(e, q, k=5, n_lists=8, nprobe=3, max_iter=4)
-    exact = similarity.cosine_topk(e, q, k=5)
+    exact = similarity.cosine_topk(e, q, k=5, known_count=5)
     return _ann_recall_contract(q, ann, exact, k=5, min_total_hits=6)
 
 
@@ -928,7 +933,7 @@ def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     ann = similarity.lsh_bucketed_topk(e, q, k=5, num_planes=6, multi_probe=2)
-    exact = similarity.cosine_topk(e, q, k=5)
+    exact = similarity.cosine_topk(e, q, k=5, known_count=5)
     return _ann_recall_contract(q, ann, exact, k=5, min_total_hits=1)
 
 
@@ -2246,7 +2251,9 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     corpus never shuffles before the WindowGroupLimit k-cut."""
     e = load_table(spark, sf, "embeddings")
     return _round9(
-        similarity.hard_negatives(e, e.filter(F.col("vec_id") < 10), k=5),
+        similarity.hard_negatives(
+            e, e.filter(F.col("vec_id") < 10), k=5, known_count=10
+        ),
         "cos",
     )
 

@@ -113,6 +113,15 @@ def test_exact_scorers_fail_fast_on_oversized_query_side(spark):
     # at/under the cap and with the explicit override: plans build+run
     assert similarity.cosine_topk(df, df.limit(3), k=2, max_queries=3).count() == 6
     assert similarity.cosine_topk(df, df.limit(3), k=2, max_queries=None).count() == 6
+    # known_count amortization (r10 VERDICT task 4): the bound is
+    # checked driver-side with NO probe job — an over-cap known_count
+    # raises at plan-build time, an under-cap one skips the probe.
+    with pytest.raises(ValueError, match="known_count=11"):
+        similarity.cosine_topk(df, df, k=2, max_queries=10, known_count=11)
+    assert (
+        similarity.cosine_topk(df, df.limit(3), k=2, max_queries=10, known_count=3)
+        .count() == 6
+    )
 
 
 def test_lsh_bucketed_recall(spark):
