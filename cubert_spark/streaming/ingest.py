@@ -148,7 +148,7 @@ def ingest_dedup(
     )
 
 
-def _bucket_marker(spark, snapshot_dir: str, n_buckets):
+def _bucket_marker(spark, snapshot_dir: str, n_buckets, has_state: bool = False):
     """Enforce a stable bucket count for stream_upsert's bucketed
     state. The count is persisted as an empty hidden marker file
     ``_n_buckets=N`` (name IS the value — no content read needed;
@@ -157,21 +157,65 @@ def _bucket_marker(spark, snapshot_dir: str, n_buckets):
     SILENT corruption otherwise: a key's bucket moves, the prune
     filter skips its old bucket, and stale rows survive forever —
     so any mismatch (including bucketed-state-without-n_buckets and
-    the reverse) raises before the batch touches anything."""
+    the reverse) raises before the batch touches anything.
+
+    ``has_state``: caller's state_exists probe result — a marker is
+    only planted into a dir with NO existing data. Three failure
+    modes beyond the basic mismatch (r10 ADVICE), all raise:
+
+    - marker LOST over bucketed state (``__bucket=`` partition dirs
+      but no ``_n_buckets=``): re-planting the caller's count would
+      re-introduce the silent-stranding corruption the marker exists
+      to prevent — the operator must restore ``_n_buckets=<original>``
+      (the dir names reveal bucketedness but not the original count).
+    - more than one ``_n_buckets=`` marker (two writers raced with
+      DIFFERENT counts — create-exclusive only collides on the same
+      filename): ambiguous layout, refuse rather than pick one. The
+      planting path re-lists after createNewFile, so at least one of
+      the racing writers fails its own batch too.
+    - pre-existing UNBUCKETED data + ``n_buckets``: raise here, up
+      front, with the rebuild recipe — not a confusing unresolved-
+      ``__bucket`` AnalysisException halfway through the merge.
+    """
     jvm = spark._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     d = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
     fs = d.getFileSystem(conf)
-    found = None
-    # read the marker whenever the DIR exists, not only when data
-    # does: a run that crashed after the marker write but before any
-    # data write must still pin later runs to the recorded count
-    # (otherwise a reconfigured retry would plant a second marker)
-    if fs.exists(d):
-        for st in fs.listStatus(d):
-            name = st.getPath().getName()
-            if name.startswith("_n_buckets="):
-                found = int(name.split("=", 1)[1])
+
+    def _scan():
+        """(sorted marker values, saw __bucket= partition dir). Reads
+        markers whenever the DIR exists, not only when data does: a
+        run that crashed after the marker write but before any data
+        write must still pin later runs to the recorded count."""
+        markers, bucket_dirs = [], False
+        if fs.exists(d):
+            for st in fs.listStatus(d):
+                name = st.getPath().getName()
+                if name.startswith("_n_buckets="):
+                    markers.append(int(name.split("=", 1)[1]))
+                elif st.isDirectory() and name.startswith("__bucket="):
+                    bucket_dirs = True
+        return sorted(set(markers)), bucket_dirs
+
+    markers, bucket_dirs = _scan()
+    if len(markers) > 1:
+        raise ValueError(
+            f"stream_upsert: conflicting bucket-count markers "
+            f"{['_n_buckets=%d' % m for m in markers]} at {snapshot_dir} "
+            "(two writers raced with different counts). The layout is "
+            "ambiguous — inspect the __bucket= dirs, keep the marker "
+            "matching the real layout, delete the other, and rerun."
+        )
+    found = markers[0] if markers else None
+    if found is None and bucket_dirs:
+        raise ValueError(
+            f"stream_upsert: state at {snapshot_dir} has __bucket= "
+            "partition dirs but its _n_buckets= marker is missing "
+            "(lost marker). Re-planting a count here could silently "
+            "strand rows if it differs from the original — restore "
+            "the original marker file (_n_buckets=<original count>) "
+            "and rerun."
+        )
     if n_buckets is None:
         if found is not None:
             raise ValueError(
@@ -190,15 +234,33 @@ def _bucket_marker(spark, snapshot_dir: str, n_buckets):
             "all, rewrite with the new count) instead."
         )
     if found is None:
-        # first write (or marker lost): record the count. The dir may
-        # not exist yet (first batch) — an empty dir + hidden marker
-        # still reads as no-state in state_exists. createNewFile is
-        # create-exclusive — a concurrent writer's marker wins and
-        # the mismatch check above catches any divergence next batch.
+        if has_state:
+            raise ValueError(
+                f"stream_upsert: n_buckets={n_buckets} requested but the "
+                f"state at {snapshot_dir} already holds UNBUCKETED data "
+                "(no _n_buckets marker, no __bucket= dirs). Rebuild the "
+                "state under the new layout first: read it all, write "
+                "with __bucket = pmod(xxhash64(keys), n_buckets) "
+                "partitioning plus the marker, then resume the stream."
+            )
+        # first write: record the count. The dir may not exist yet
+        # (first batch) — an empty dir + hidden marker still reads as
+        # no-state in state_exists. createNewFile is create-exclusive,
+        # but only against the SAME filename — re-list afterwards so a
+        # racing writer with a DIFFERENT count is caught NOW (both
+        # racers see both markers and at least one aborts its batch),
+        # not picked arbitrarily by a later reader.
         fs.mkdirs(d)
         fs.createNewFile(
             jvm.org.apache.hadoop.fs.Path(d, f"_n_buckets={int(n_buckets)}")
         )
+        markers, _ = _scan()
+        if markers != [int(n_buckets)]:
+            raise ValueError(
+                f"stream_upsert: concurrent writers planted conflicting "
+                f"bucket-count markers {markers} at {snapshot_dir}; "
+                "resolve to one marker before resuming."
+            )
 
 
 def stream_upsert(
@@ -267,7 +329,7 @@ def stream_upsert(
         # bucket-count contract BEFORE touching anything: a changed
         # n_buckets (or bucketed/unbucketed mismatch) must raise, not
         # silently strand rows in stale buckets
-        _bucket_marker(spark, snapshot_dir, n_buckets)
+        _bucket_marker(spark, snapshot_dir, n_buckets, has_state=present)
         s = spark.read.parquet(snapshot_dir) if present else None
         if n_buckets is not None and s is not None:
             # b branches twice below (touched-bucket collect AND the

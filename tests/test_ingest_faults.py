@@ -411,3 +411,46 @@ def test_stream_upsert_bucket_count_change_raises(spark, tmp_path):
     run(4).awaitTermination()
     ks = sorted(r.k for r in spark.read.parquet(snap).collect())
     assert ks == [1, 2, 3]
+
+
+def test_bucket_marker_loss_and_conflicts_raise(spark, tmp_path):
+    """The three r10-ADVICE marker gaps, closed: (1) a lost marker
+    over bucketed state must NOT be silently re-planted with whatever
+    count the caller passed; (2) two different-count markers (racing
+    writers — create-exclusive only collides on the same filename)
+    are ambiguous and refuse; (3) n_buckets over pre-existing
+    UNBUCKETED data raises up front with the rebuild recipe, before
+    planting anything."""
+    from cubert_spark.streaming.ingest import _bucket_marker
+
+    # (1) lost marker: __bucket= dirs present, no _n_buckets= file
+    lost = tmp_path / "lost"
+    (lost / "__bucket=0").mkdir(parents=True)
+    with pytest.raises(ValueError, match="marker is missing"):
+        _bucket_marker(spark, str(lost), 4)
+    # and nothing was planted by the failed call
+    assert not list(lost.glob("_n_buckets=*"))
+
+    # (2) two conflicting markers: refuse for ANY n_buckets argument
+    dup = tmp_path / "dup"
+    dup.mkdir()
+    (dup / "_n_buckets=4").touch()
+    (dup / "_n_buckets=8").touch()
+    for nb in (4, 8, None):
+        with pytest.raises(ValueError, match="conflicting bucket-count"):
+            _bucket_marker(spark, str(dup), nb)
+
+    # (3) unbucketed data + n_buckets: raise BEFORE planting a marker
+    unb = tmp_path / "unb"
+    spark.createDataFrame([(1, 1.0)], "k long, v double").coalesce(
+        1
+    ).write.parquet(str(unb))
+    with pytest.raises(ValueError, match="UNBUCKETED data"):
+        _bucket_marker(spark, str(unb), 4, has_state=True)
+    assert not list(unb.glob("_n_buckets=*"))
+
+    # clean first write still plants exactly one marker and proceeds
+    fresh = tmp_path / "fresh"
+    _bucket_marker(spark, str(fresh), 4, has_state=False)
+    assert [p.name for p in fresh.glob("_n_buckets=*")] == ["_n_buckets=4"]
+    _bucket_marker(spark, str(fresh), 4, has_state=True)  # idempotent
