@@ -1174,17 +1174,30 @@ def _lloyd(
         # output (inner posexplode infers a size()>0 filter that
         # re-inlines the producing expressions). Measured 7.3s -> 0.8s
         # per iteration at sf0.1.
+        # decimal(38,0) partial sums (r10 ADVICE): F.sum over bigint
+        # wraps silently past 2^63 with ANSI off — at the advertised
+        # corpus scale ~1e12 vectors x scale=1e6 x |x|~1 exceeds it.
+        # 38-digit decimal gives ~1e38 headroom (1e12 rows x 1e6 scale
+        # x |x| up to 1e20 before it saturates — and decimal overflow
+        # NULLs rather than wraps, which the int() below would raise
+        # on, never silently corrupt).
         stats = (
             base.select(best.alias("__cl"), "__q")
             .select("__cl", F.posexplode_outer("__q").alias("pos", "v"))
             .filter(F.col("v").isNotNull())
             .groupBy("__cl", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         by_cl: dict[int, dict[int, tuple[int, int]]] = {}
         for r in stats:
-            by_cl.setdefault(r["__cl"], {})[r["pos"]] = (r["s"], r["n"])
+            # int() BEFORE the floor division below: Decimal // int
+            # truncates toward zero, int // int floors — they differ
+            # on negative sums, and floor is the oracle's spelling
+            by_cl.setdefault(r["__cl"], {})[r["pos"]] = (int(r["s"]), r["n"])
         sizes = [0] * kk
         for j in range(kk):
             got = by_cl.get(j)

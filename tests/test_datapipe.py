@@ -2974,3 +2974,51 @@ def test_kmeans_lloyd_contract_edges(spark):
     )
     with pytest.raises(SparkRuntimeException, match="ragged or null-holed"):
         kmeans_lloyd(holed, k=2, iters=1)
+
+
+def test_kmeans_assign_executed_and_empty_schema(spark):
+    """Direct executed coverage for kmeans_assign (r10 ADVICE: the
+    assign-specific select and the kk==0 limit(0) path had never run
+    outside the parity parametrization): labels partition the input,
+    dist is the exact bigint squared distance to the OWN cluster's
+    centroid (cross-checked per-row in Python at the same fixed
+    point), and empty input returns the declared 3-column schema."""
+    from cubert_spark.datapipe.similarity import kmeans_assign, kmeans_lloyd
+
+    # two well-separated blobs -> k=2 must split them cleanly
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + [
+        (10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=2, iters=3).collect()
+    assert len(out) == 10 and {r.cluster_id for r in out} == {0, 1}
+    by_blob = {r.vec_id: r.cluster_id for r in out}
+    assert len({by_blob[i] for i in range(5)}) == 1
+    assert len({by_blob[10 + i] for i in range(5)}) == 1
+    assert by_blob[0] != by_blob[10]
+
+    # dist replays exactly: quantize input like _lloyd (the column is
+    # array<float>, so values round through float32 first), square
+    # against the final centroids from kmeans_lloyd (same params)
+    import math
+
+    import numpy as np
+
+    cents = {}
+    for r in kmeans_lloyd(df, k=2, iters=3).collect():
+        cents.setdefault(r.cluster_id, {})[r.pos] = r.centroid_q
+    scale = 1_000_000
+    vec = {vid: emb for vid, emb in rows}
+    for r in out:
+        c = cents[r.cluster_id]
+        expect = sum(
+            (math.floor(float(np.float32(x)) * scale) - c[p]) ** 2
+            for p, x in enumerate(vec[r.vec_id])
+        )
+        assert r.dist == expect, (r.vec_id, r.dist, expect)
+
+    # kk==0 (empty input): schema-stable empty frame, no crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    eout = kmeans_assign(empty, k=4, iters=2)
+    assert eout.columns == ["vec_id", "cluster_id", "dist"]
+    assert eout.count() == 0
