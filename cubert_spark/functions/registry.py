@@ -66,7 +66,19 @@ BUILTINS: dict[str, Callable[..., Column]] = {
     "LENGTH": F.length,
     "TOBYTEARRAY": lambda a: F.encode(a.cast("string"), "UTF-8"),  # ToByteArray.java:32
     "UNIQUEID": lambda: F.monotonically_increasing_id(),  # UniqueId.java:32
-    "SEQNO": lambda: F.monotonically_increasing_id(),  # SeqNo.java:34 (task-local seq)
+    # SEQNO (SeqNo.java:34-43): a DENSE 1-based per-JVM counter
+    # (static `seqno = 1`, incremented per eval; separate map tasks
+    # each restart at 1, so values repeat ACROSS tasks — only within
+    # one JVM are they non-overlapping). Spark spelling with the same
+    # semantics and zero shuffle: monotonically_increasing_id() is
+    # (partition_id << 33) | row_in_partition, so its low 33 bits are
+    # exactly the dense 0-based row counter of the task — mask + 1
+    # reproduces the dense 1-based per-task sequence (pytest-pinned in
+    # test_functions.test_seqno_dense_per_task). For a globally UNIQUE
+    # (non-dense) id use UNIQUEID.
+    "SEQNO": lambda: F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    ) + F.lit(1),
 }
 
 

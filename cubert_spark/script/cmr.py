@@ -58,7 +58,8 @@ _FN_MAP = {
     "SIZEOF": "size",
     "TOBYTEARRAY": "to_binary",
     "UNIQUEID": "monotonically_increasing_id",
-    "SEQNO": "monotonically_increasing_id",
+    # SEQNO is handled as a special case in expr parsing (dense
+    # per-task counter — it rewrites to an expression, not a name)
 }
 
 
@@ -366,6 +367,19 @@ class _Parser:
                 parts.append(_sql_str(t))
             elif up == "CASE" and self.peek() == "(":
                 parts.append(self._case_expr())
+            elif up == "SEQNO" and self.peek() == "(":
+                # dense 1-based per-task counter (SeqNo.java:34-43;
+                # see functions.registry SEQNO) — the low 33 bits of
+                # monotonically_increasing_id() are the task-local
+                # dense row counter, so SEQNO() rewrites to a full
+                # expression, not a bare function name
+                if self.toks[self.i + 1 : self.i + 2] != [")"]:
+                    raise ScriptError("SEQNO takes no arguments")
+                self.next()  # (
+                self.next()  # )
+                parts.append(
+                    f"((monotonically_increasing_id() & {(1 << 33) - 1}) + 1)"
+                )
             elif up in _FN_MAP and self.peek() == "(":
                 parts.append(_FN_MAP[up])
             elif t == "$":

@@ -52,7 +52,8 @@ def test_expression_language(spark):
               v IN (1, 2) AS iv,
               name IS NOT NULL AS nn,
               CASTTODOUBLE(v) AS vd,
-              NVL(name, "missing") AS nm;
+              NVL(name, "missing") AS nm,
+              SEQNO() AS sq;
         f = FILTER out BY name == "alpha" OR name IS NULL;
       }
     END
@@ -68,6 +69,13 @@ def test_expression_language(spark):
     assert rows[7]["nn"] is False
     assert rows[3]["vd"] == 1.0
     assert rows[7]["nm"] == "missing"
+    # SEQNO(): dense 1-based per task (SeqNo.java) — every value is a
+    # small dense counter (1..rows-in-its-task), never a sparse
+    # monotonically_increasing_id value (which exceeds 2^33 from
+    # partition 1 on). Full per-task density is pinned in
+    # test_schema_functions.test_seqno_dense_per_task.
+    sq = [r["sq"] for r in env["out"].collect()]
+    assert all(1 <= s <= 3 for s in sq), sq
     assert {r["v2"] for r in env["f"].collect()} == {3, 7}
 
 

@@ -55,6 +55,30 @@ def test_scalar_builtins(spark):
     assert r1["c"] == "big" and r1["cs"] == "7" and r0["sz"] == 2
 
 
+def test_seqno_dense_per_task(spark):
+    """SEQNO reproduces SeqNo.java's dense 1-based per-JVM counter:
+    within every task (spark_partition_id) the values are exactly
+    1..n_rows — dense, no gaps — and restart at 1 in the next task
+    (the reference's static counter does the same across map JVMs).
+    UNIQUEID stays the non-dense globally-unique id."""
+    df = spark.range(0, 1000, 1, 8).select(
+        F.spark_partition_id().alias("pid"),
+        call("SEQNO").alias("seq"),
+        call("UNIQUEID").alias("uid"),
+    )
+    rows = df.collect()
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["seq"])
+    assert len(by_pid) == 8
+    for pid, seqs in by_pid.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1)), pid  # dense
+    # UNIQUEID: globally unique (the divergent twin), not dense
+    assert len({r["uid"] for r in rows}) == len(rows)
+    # zero shuffle: the dense counter is pure column arithmetic
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_unknown_function():
     with pytest.raises(KeyError):
         call("NOPE")
