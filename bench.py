@@ -49,7 +49,11 @@ BENCH_QUERIES = [
     "ivf_topk",
     # r02 additions: heaviest previously-unbenched operators, so
     # regressions in them show up in round-over-round deltas
-    "ngram_jaccard",
+    # r11: the benched row is the scale-safe corpus-relative-cut
+    # spelling (the one SCALE.md recommends at 100 TB — the uncut
+    # twin's candidate growth is measured super-linear, exp 1.27);
+    # uncut ngram_jaccard history lives in BENCH_r01..r10
+    "ngram_jaccard_cut",
     "dedup_clusters",
     "rank",
     # r05 additions: the new curation operators (two-sided shingle

@@ -135,7 +135,11 @@ def shingle_table(
       the r10 ngram_jaccard scaling post-mortem, SCALE.md: candidate
       pairs grow ~N^2/|shingles| under a bounded vocabulary); a
       relative cut keeps removing the same stopword-shingle TAIL at
-      every scale. n_docs is a 1-row broadcast stat, not a shuffle.
+      every scale. n_docs is a 1-row broadcast stat, not a shuffle,
+      counted over the SHINGLED corpus (distinct ids that produced at
+      least one k-shingle) — counting all input rows would inflate
+      the denominator with null/too-short docs and thin less than
+      "fraction of the corpus" promises on dirty data (r10 ADVICE).
     """
     if max_doc_freq is not None and max_doc_freq_frac is not None:
         raise ValueError(
@@ -149,7 +153,7 @@ def shingle_table(
         if max_doc_freq is not None:
             keep = freq.filter(F.col("df") <= max_doc_freq)
         else:
-            total = df.select(F.count(F.lit(1)).alias("__n"))
+            total = sh.select(F.countDistinct(id_col).alias("__n"))
             keep = freq.crossJoin(F.broadcast(total)).filter(
                 F.col("df") <= F.col("__n") * F.lit(float(max_doc_freq_frac))
             )

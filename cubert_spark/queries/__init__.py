@@ -113,6 +113,9 @@ FOLDED: dict[str, str] = {
     "sliding_window": "tumbling_window (same window() machinery)",
     # dedup family: minhash_lsh/ngram_jaccard/containment_pairs stay
     "jaccard_prefix": "ngram_jaccard (prefix filter is its pruning)",
+    "ngram_jaccard_cut": "ngram_jaccard (same join + the corpus-"
+                         "relative stopword cut — the 100 TB "
+                         "spelling; benched in its place, r11)",
     "neardup_dedup": "minhash_lsh + dedup winner-elect in paragraph_dedup",
     "simhash": "minhash_lsh (hash-sketch dedup family)",
     "dedup_clusters": "golden_record (runs the same CC machinery)",

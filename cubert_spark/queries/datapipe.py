@@ -68,6 +68,48 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
 """
 
 
+def q_ngram_jaccard_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale-safe ngram_jaccard spelling (r10 VERDICT task 5):
+    corpus-relative stopword-shingle cut (df <= 4% of the shingled
+    corpus) before the inverted-index self-join. The uncut spelling's
+    candidate growth is measured super-linear under a bounded
+    vocabulary (exp 1.27, SCALE.md r10); the relative cut keeps
+    removing the same high-df TAIL at every scale, which is what you
+    ship at 100 TB when exact Jaccard (not minhash) is required.
+    Jaccard is computed over the post-cut shingle space (sizes count
+    surviving shingles) — semantics self-consistent, oracle-exact."""
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2, max_doc_freq_frac=0.04)
+
+
+SQL_NGRAM_JACCARD_CUT = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i+2), ' ') AS shingle
+  FROM w, LATERAL UNNEST(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
+kept AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= (SELECT n_docs * 0.04 FROM nd)
+),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric near-dup detection (dedup.containment_pairs):
     shingle-set containment in either direction >= 0.9 — catches
@@ -2376,6 +2418,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bm25_search": q_bm25_search,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_cut": q_ngram_jaccard_cut,
     "minhash_lsh": q_minhash_lsh,
     # minhash_lsh_fast: JVM-hash twin of minhash_lsh — API + pytest
     # agreement-test surface only (a rows-only driver row would be a
@@ -2450,6 +2493,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "bm25_search": SQL_BM25_SEARCH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ngram_jaccard_cut": SQL_NGRAM_JACCARD_CUT,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash": SQL_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,

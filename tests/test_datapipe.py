@@ -64,6 +64,19 @@ def test_shingle_cut_relative_matches_absolute(docs, spark):
     with pytest.raises(ValueError, match="not both"):
         dedup.shingle_table(docs, max_doc_freq=2, max_doc_freq_frac=0.5)
 
+    # dirty-data denominator (r10 ADVICE): null / too-short rows must
+    # NOT inflate n_docs — the fraction is of the SHINGLED corpus, so
+    # padding the input with unshingleable rows leaves the cut (and
+    # the kept shingle set) unchanged
+    dirty = docs.unionAll(
+        spark.createDataFrame(
+            [(90, None), (91, ""), (92, "ab")], "doc_id long, text string"
+        )
+    )
+    assert key(dedup.shingle_table(dirty, max_doc_freq_frac=2.0 / n_docs)) == key(
+        relative
+    )
+
 
 def test_minhash_lsh(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}

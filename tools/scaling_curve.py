@@ -62,6 +62,10 @@ HEAVY = {
     "paragraph_dedup": "documents",
     # r10: the iterative operator (3 Lloyd rounds over embeddings)
     "kmeans_lloyd": "embeddings",
+    # r11: the scale-safe (corpus-relative stopword cut) spelling —
+    # the benched row since r11; uncut ngram_jaccard stays above for
+    # cross-round comparability
+    "ngram_jaccard_cut": "documents",
 }
 
 
