@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "mesh_join",
     "cube_count_distinct",
     "grouping_combos",
+    # r11: exact percentile per cuboid — the reference's flagship
+    # one-job cube-median capability, benched since it landed
+    "cube_median",
     "topn",
     "distinct",
     "sort_limit",

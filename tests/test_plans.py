@@ -400,6 +400,9 @@ _LINT_ALLOWED = {
     "dq_expectations": ("pairs",),
     # 1-row |vocab| crossJoin(broadcast)
     "lm_perplexity": ("pairs",),
+    # 1-row shingled-corpus-count crossJoin(broadcast) feeding the
+    # relative stopword cut (df <= frac * n_docs)
+    "ngram_jaccard_cut": ("pairs",),
     # documented broadcast-anchor brute-force scorer (embedding_topk's
     # shape with a label-inequality prune)
     "hard_negatives": ("pairs",),
@@ -723,6 +726,13 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     # correctness change
     "minhash_lsh": "broadcast side = per-band doc-freq cut stats "
                    "(distinct-band aggregate; AQE re-plans if it grows)",
+    "ngram_jaccard_cut": "broadcast sides = 1-row shingled-corpus "
+                         "count + the surviving-shingle keep set (a "
+                         "df-cut DISTINCT-shingle aggregate, orders "
+                         "below the posting table; AQE flips the keep "
+                         "join to shuffle if the vocab outgrows it — "
+                         "the posting self-join itself stays "
+                         "merge-pinned like ngram_jaccard)",
     "embedding_neardup": "broadcast side = bucket-size stats aggregate",
     "paragraph_dedup": "broadcast side = line-frequency stats aggregate",
     "pmi_pairs": "broadcast sides = unigram totals (1-row + per-term "

@@ -66,6 +66,9 @@ HEAVY = {
     # the benched row since r11; uncut ngram_jaccard stays above for
     # cross-round comparability
     "ngram_jaccard_cut": "documents",
+    # r11: exact percentile per cuboid (Expand + partial percentile
+    # buffers) — expect ~linear (one shuffle, 4x Expand fan-out)
+    "cube_median": "lineitem",
 }
 
 
