@@ -74,7 +74,7 @@ BUILTINS: dict[str, Callable[..., Column]] = {
     # (partition_id << 33) | row_in_partition, so its low 33 bits are
     # exactly the dense 0-based row counter of the task — mask + 1
     # reproduces the dense 1-based per-task sequence (pytest-pinned in
-    # test_functions.test_seqno_dense_per_task). For a globally UNIQUE
+    # test_schema_functions.test_seqno_dense_per_task). For a globally UNIQUE
     # (non-dense) id use UNIQUEID.
     "SEQNO": lambda: F.monotonically_increasing_id().bitwiseAND(
         F.lit((1 << 33) - 1)

@@ -58,11 +58,31 @@ def _chunk_positions(num_bits: int, num_hashes: int) -> list[Column]:
     ]
 
 
+def _check_hash_fn(hash_fn: str) -> None:
+    """Unknown hash_fn must raise, never fall back: a build/probe
+    mismatch ('xxHash64' on one side) would silently compute md5
+    positions against an xxhash64 bitmap — nearly every true match
+    fails the bit test, i.e. silent false NEGATIVES, the one failure
+    the operator promises never to produce."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"bloom: unknown hash_fn {hash_fn!r} (use 'md5' or 'xxhash64'; "
+            "build and probe must pass the SAME value)"
+        )
+
+
 def _xx_positions(key: Column, num_bits: int, num_hashes: int, salt: str) -> list[Column]:
     """Production positions: pmod(xxhash64(salt, i, key), num_bits) —
-    xxhash64 is signed, so pmod (not %) keeps positions in [0, m)."""
+    xxhash64 is signed, so pmod (not %) keeps positions in [0, m).
+    NULL keys get NULL positions (xxhash64 SKIPS null arguments, so a
+    bare call would hash the salt alone and give every NULL key a real
+    bit — build would pollute the bitmap and probe would PASS null-key
+    rows, diverging from the md5 twin, whose null digest drops them)."""
     return [
-        F.pmod(F.xxhash64(F.lit(salt), F.lit(i), key), F.lit(num_bits)).cast("bigint")
+        F.when(
+            key.isNotNull(),
+            F.pmod(F.xxhash64(F.lit(salt), F.lit(i), key), F.lit(num_bits)),
+        ).cast("bigint")
         for i in range(num_hashes)
     ]
 
@@ -81,6 +101,7 @@ def bloom_build(
     num_bits/32 rows
     regardless of key count, bit_or-mergeable across partial
     builds (the agg IS the merge)."""
+    _check_hash_fn(hash_fn)
     if hash_fn == "xxhash64":
         pos_structs = F.array(
             *_xx_positions(F.col(key_col), num_bits, num_hashes, salt)
@@ -114,6 +135,7 @@ def bloom_prune(
     the num_hashes positions, the bitmap word must exist and have the
     bit set. num_hashes broadcast hash joins — the big side never
     shuffles, which is the operator's entire reason to exist."""
+    _check_hash_fn(hash_fn)
     if hash_fn == "xxhash64":
         positions = _xx_positions(F.col(key_col), num_bits, num_hashes, salt)
         out = df

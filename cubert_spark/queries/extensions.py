@@ -1028,22 +1028,17 @@ FROM ranked WHERE rn = 1
 """
 
 
-def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
-    """Bloom-filter semi-join pruning (operators.bloom): the dim key
-    set (part with p_size<10, ~18% of parts) reduces to a broadcast
-    bitmap; lineitem is pruned by pure column arithmetic + broadcast
-    joins — the fact side never shuffles. Output: one row with the
-    pruned row count, the exact semi-join count, and the
-    false-positive overshoot (pruned ⊇ exact always; fp bounded by
-    the (1-e^(-kn/m))^k rate). Every md5 bit position and bitmap word
-    replays in the oracle."""
+def _bloom_prune_counts(spark: SparkSession, sf: str, hash_fn: str) -> DataFrame:
+    """Shared body of the bloom_prune twins — the hash_fn is the ONLY
+    difference between the oracle row and the production row, so both
+    call here (a drifting copy would silently desynchronize them)."""
     from cubert_spark.datapipe.dedup import _spread
     from cubert_spark.operators.bloom import bloom_build, bloom_prune
 
     keys = load_table(spark, sf, "part").filter(F.col("p_size") < 10).select(
         "p_partkey"
     )
-    # _spread: the 3x-md5-per-row probe work lands on every core even
+    # _spread: the 3-hash-per-row probe work lands on every core even
     # when the scan has few splits (a no-op at real scale)
     li = _spread(
         load_table(spark, sf, "lineitem").select(
@@ -1051,8 +1046,8 @@ def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "l_partkey",
     )
-    bm = bloom_build(keys, "p_partkey")
-    pruned = bloom_prune(li, "l_partkey", bm)
+    bm = bloom_build(keys, "p_partkey", hash_fn=hash_fn)
+    pruned = bloom_prune(li, "l_partkey", bm, hash_fn=hash_fn)
     kl = keys.withColumnRenamed("p_partkey", "l_partkey")
     n_pruned = pruned.agg(F.count(F.lit(1)).alias("pruned_rows"))
     n_exact = li.join(F.broadcast(kl), "l_partkey", "left_semi").agg(
@@ -1067,6 +1062,18 @@ def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators.bloom): the dim key
+    set (part with p_size<10, ~18% of parts) reduces to a broadcast
+    bitmap; lineitem is pruned by pure column arithmetic + broadcast
+    joins — the fact side never shuffles. Output: one row with the
+    pruned row count, the exact semi-join count, and the
+    false-positive overshoot (pruned ⊇ exact always; fp bounded by
+    the (1-e^(-kn/m))^k rate). Every md5 bit position and bitmap word
+    replays in the oracle."""
+    return _bloom_prune_counts(spark, sf, hash_fn="md5")
+
+
 def q_bloom_prune_fast(spark: SparkSession, sf: str) -> DataFrame:
     """Production-hash (xxhash64) twin of ``bloom_prune`` — rows-only
     check (bit positions are JVM-specific; the md5 variant above is
@@ -1075,30 +1082,7 @@ def q_bloom_prune_fast(spark: SparkSession, sf: str) -> DataFrame:
     md5 digest + 3 hex decodes to 3 native xxhash64 calls. Output
     contract is identical (pruned ⊇ exact; fp bounded) and pytest-
     pinned in test_datapipe.test_bloom_prune_fast_superset."""
-    from cubert_spark.datapipe.dedup import _spread
-    from cubert_spark.operators.bloom import bloom_build, bloom_prune
-
-    keys = load_table(spark, sf, "part").filter(F.col("p_size") < 10).select(
-        "p_partkey"
-    )
-    li = _spread(
-        load_table(spark, sf, "lineitem").select(
-            "l_partkey", "l_orderkey", "l_linenumber"
-        ),
-        "l_partkey",
-    )
-    bm = bloom_build(keys, "p_partkey", hash_fn="xxhash64")
-    pruned = bloom_prune(li, "l_partkey", bm, hash_fn="xxhash64")
-    kl = keys.withColumnRenamed("p_partkey", "l_partkey")
-    n_pruned = pruned.agg(F.count(F.lit(1)).alias("pruned_rows"))
-    n_exact = li.join(F.broadcast(kl), "l_partkey", "left_semi").agg(
-        F.count(F.lit(1)).alias("exact_rows")
-    )
-    return n_pruned.crossJoin(n_exact).select(
-        "pruned_rows",
-        "exact_rows",
-        (F.col("pruned_rows") - F.col("exact_rows")).alias("fp_rows"),
-    )
+    return _bloom_prune_counts(spark, sf, hash_fn="xxhash64")
 
 
 def _bloom_pos_sql(i: int, key: str, num_bits: int = 65536) -> str:

@@ -400,6 +400,18 @@ class _Parser:
                         name = self.toks[j]
                         self.i = j + 1
                         parts.pop()  # drop package head; keep class name
+                        if name.upper() == "SEQNO":
+                            # FQCN spelling (…builtin.SeqNo()) gets the
+                            # same dense-counter rewrite as bare SEQNO()
+                            if self.peek(1) != ")":
+                                raise ScriptError("SEQNO takes no arguments")
+                            self.next()  # (
+                            self.next()  # )
+                            parts.append(
+                                "((monotonically_increasing_id() & "
+                                f"{(1 << 33) - 1}) + 1)"
+                            )
+                            continue
                         parts.append(_FN_MAP.get(name.upper(), name))
                         continue
                 parts.append(".")

@@ -79,6 +79,24 @@ def test_expression_language(spark):
     assert {r["v2"] for r in env["f"].collect()} == {3, 7}
 
 
+def test_fqcn_seqno_gets_dense_rewrite(spark):
+    """The package-qualified spelling (…builtin.SeqNo()) takes the
+    dotted-path branch of the parser — it must get the SAME dense
+    per-task rewrite as bare SEQNO(), not a literal unresolved
+    SeqNo() emitted into Spark SQL (r11 review finding)."""
+    d = spark.createDataFrame([("a",), ("b",)], "name string").coalesce(1)
+    script = """
+    JOB "fqcn"
+      REDUCE {
+        out = FROM d GENERATE name,
+              com.linkedin.cubert.functions.builtin.SeqNo() AS sq;
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    assert sorted(r["sq"] for r in env["out"].collect()) == [1, 2]
+
+
 def test_join_topn_rank_distinct(spark):
     a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, name string")
     b = spark.createDataFrame(

@@ -2122,6 +2122,21 @@ def test_bloom_prune_fast_superset(spark):
     # the probe plan must not contain an md5 call (the point of the twin)
     assert "md5" not in pruned._jdf.queryExecution().executedPlan().toString().lower()
 
+    # hash_fn is validated, never silently defaulted: a build/probe
+    # typo mismatch would be silent FALSE NEGATIVES otherwise
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        bloom_build(keys, "k", hash_fn="xxHash64")
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        bloom_prune(big, "k", bm, hash_fn="xx64")
+
+    # NULL keys drop on BOTH paths (xxhash64 skips null args — without
+    # the null guard every null-key row would pass the xx probe)
+    nulls = spark.createDataFrame([(None, 1), (7, 2)], "k long, payload long")
+    for fn in ("md5", "xxhash64"):
+        bmn = bloom_build(keys, "k", hash_fn=fn)
+        got = bloom_prune(nulls, "k", bmn, hash_fn=fn).collect()
+        assert [r.k for r in got] == [7], fn
+
 
 def test_bloom_build_mergeable(spark):
     """bit_or of two partial bitmaps == the bitmap of the union."""
