@@ -360,12 +360,19 @@ def main() -> None:
         "bench_schema_version": 4,
         "sf": sf,
     }
+    # Only the recorded sf0.1 protocol overwrites the committed
+    # BENCH_DETAIL.json — a quick smoke at another SF used to clobber
+    # the round's official medians/spreads (bit us in r11); off-SF
+    # runs land in a suffixed file instead.
+    detail_name = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
     try:
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
+        with open(os.path.join(os.path.dirname(__file__), detail_name), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as e:
-        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+        print(f"# {detail_name} write failed: {e}", file=sys.stderr)
     print(payload, flush=True)
     spark.stop()
 
