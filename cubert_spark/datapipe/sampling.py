@@ -205,3 +205,53 @@ def rendezvous_shard(
     ]
     shard = F.array_max(F.array(*entries))["s"].alias("shard")
     return df.select("*", shard)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + balanced shard export:
+    every row gets a (shard, epoch_pos) address under a seeded md5
+    permutation — the standard shape for writing an epoch of training
+    data as n_shards files each readable in a reproducible
+    pseudorandom order (change ``seed`` per epoch for a fresh
+    permutation; same seed always replays the same order, which is
+    what makes a 100 TB training run resumable and debuggable).
+
+    Mechanics: h = md5(seed || ':' || id); shard = first 32 hash bits
+    mod n_shards (uniform, so shard sizes concentrate at N/n_shards);
+    epoch_pos = dense 1-based rank of h within the shard (ties broken
+    by id for full determinism on the 2^-128 collision).
+
+    Scale shape: one codegen projection + ONE shuffle on shard + an
+    in-partition sort — exactly the cost of physically writing the
+    shards (`.repartition(shard).sortWithinPartitions(h)`), which a
+    caller exporting files gets for free by writing this frame
+    partitioned on ``shard``. No global total order is materialized:
+    a cross-shard ORDER BY would range-partition the whole corpus for
+    an ordering property no shard reader ever observes. Pick
+    n_shards >= cluster parallelism at scale so the sort stage uses
+    every core.
+
+    Output: (id_col, shard int, epoch_pos bigint); engine-portable
+    (the oracle replays hash, shard, and rank bit-for-bit)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col), h.alias("__h"))
+    shard = (
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        base.select(F.col(id_col), "__h", shard.alias("shard"))
+        .select(
+            F.col(id_col),
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("epoch_pos"),
+        )
+    )

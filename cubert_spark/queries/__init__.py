@@ -157,6 +157,10 @@ FOLDED: dict[str, str] = {
     "json_props": "scalar_functions (same expression-only shape)",
     "corpus_report": "profile_table (same fused profiling scan)",
     "blocklist_filter": "contamination (same blocklist DFA pass)",
+    # shard-routing family: rendezvous_shard stays declared
+    "epoch_shuffle": "rendezvous_shard (same deterministic md5 "
+                     "routing family; adds the seeded within-shard "
+                     "order a training-epoch export needs)",
     # CDC family: cdc_upsert + scd2_build stay declared
     "join_ivm": "cdc_upsert (same delta-merge algebra)",
     "snapshot_diff": "scd2_build (same keyed-diff machinery)",

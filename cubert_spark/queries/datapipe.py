@@ -2215,6 +2215,34 @@ SELECT doc_id, CAST(j AS INT) AS shard FROM (
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (sampling.epoch_shuffle):
+    seeded md5 permutation + balanced 8-way shard addresses — the
+    shape a 100 TB training-data export writes (one file per shard,
+    rows in epoch_pos order; same seed replays the same epoch). One
+    shuffle on shard + in-partition sort; no global ORDER BY."""
+    d = load_table(spark, sf, "documents")
+    return sampling.epoch_shuffle(d.select("doc_id"), "doc_id", 8, seed="epoch0")
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS INT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+         AS epoch_pos
+FROM s
+"""
+
+
 def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicated 8-token spans per document (curation.duplicate_spans)
     — the n-gram-hash spelling of exact-substring dedup; high dup_frac
@@ -2483,6 +2511,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
     "rendezvous_shard": q_rendezvous_shard,
+    "epoch_shuffle": q_epoch_shuffle,
     "duplicate_spans": q_duplicate_spans,
 }
 
@@ -2552,5 +2581,6 @@ ORACLES = {
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "rendezvous_shard": SQL_RENDEZVOUS_SHARD,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
 }

@@ -614,6 +614,8 @@ _SHUFFLE_CEILINGS = {
     "temporal_join": 1, "time_travel": 0,
     # r11: exact percentile per cuboid — one Expand, one Exchange
     "cube_median": 1, "grouping_sets_median": 1,
+    # r11: epoch export — one shard shuffle, no global sort
+    "epoch_shuffle": 1,
 }
 
 

@@ -136,6 +136,43 @@ def test_rendezvous_shard_stability(spark):
     assert max(counts.values()) < 2.5 * 2000 / 8
 
 
+def test_epoch_shuffle_permutation_properties(spark):
+    """epoch_shuffle is a deterministic permutation export: (1) same
+    seed replays identically; (2) different seeds give a different
+    order; (3) epoch_pos is DENSE 1..|shard| within every shard (a
+    reader can stream positions with no gaps); (4) shards are
+    balanced (md5 uniformity); (5) the plan pays exactly ONE Exchange
+    (the shard shuffle — no global sort)."""
+    from collections import Counter
+
+    from cubert_spark.datapipe.sampling import epoch_shuffle
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id", 8, seed="e1")
+    rows = out.collect()
+    assert len(rows) == 4000
+    again = {(r.doc_id): (r.shard, r.epoch_pos) for r in out.collect()}
+    assert all(again[r.doc_id] == (r.shard, r.epoch_pos) for r in rows)
+    other = {
+        r.doc_id: (r.shard, r.epoch_pos)
+        for r in epoch_shuffle(df, "doc_id", 8, seed="e2").collect()
+    }
+    assert any(other[r.doc_id] != (r.shard, r.epoch_pos) for r in rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.epoch_pos)
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    counts = Counter(r.shard for r in rows)
+    assert max(counts.values()) < 1.5 * 4000 / 8
+    from cubert_spark.plans.assertions import shuffle_count
+
+    # fresh frame: an executed AQE plan prints final+initial sections
+    # and double-counts its one Exchange
+    assert shuffle_count(epoch_shuffle(df, "doc_id", 8, seed="e1")) == 1
+
+
 def test_triangle_count_random_graphs_vs_bruteforce(spark):
     """Seeded Erdos-Renyi graphs: the oriented-wedge count equals the
     O(n^3) Python brute force — cross-validates the orientation logic
