@@ -205,7 +205,15 @@ def q_cube_median(spark: SparkSession, sf: str) -> DataFrame:
     l_quantity is integral-valued, so midpoint interpolation at the
     0.5/0.75 rank fractions is exact in binary on both engines (same
     argument as ``median_percentile``, the flat-group twin this row
-    subsumes)."""
+    subsumes).
+
+    Parity note: the reference operator extracts the row AT a
+    caller-computed rank position per ancestor (its scripts pick the
+    position, typically count/2 — an ELEMENT median), so the
+    continuous (interpolated) spelling here is one convention of the
+    same capability; the element convention is ``percentile_disc``
+    (exercised by the ``latency_percentiles`` row) and drops in
+    unchanged."""
     li = load_table(spark, sf, "lineitem")
     return cube(
         li,
