@@ -82,7 +82,13 @@ def q_ngram_jaccard_cut(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.2, max_doc_freq_frac=0.04)
 
 
-SQL_NGRAM_JACCARD_CUT = """
+#: CTE chain of the CUT shingle space (df <= 4% of the shingled
+#: corpus): w -> sh -> nd/kept -> shc, with sizes/inter computed over
+#: the surviving shingles. Shared by ngram_jaccard_cut and every
+#: composite consumer of its pair graph (dedup_clusters,
+#: neardup_dedup, triangle_count) so the Spark calls and oracles
+#: cannot drift apart.
+_SH_CUT_CTE = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i+2), ' ') AS shingle
@@ -101,6 +107,9 @@ inter AS (
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+SQL_NGRAM_JACCARD_CUT = _SH_CUT_CTE + """
 SELECT id_a, id_b,
        CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
 FROM inter
@@ -788,16 +797,21 @@ SELECT query_id, neighbor_id, ROUND(cos, 9) AS cos, CAST(rnk AS INT) AS rnk FROM
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs (n-gram Jaccard >= 0.2) → duplicate clusters via
-    distributed connected components (min-label propagation)."""
+    """Near-dup pairs (n-gram Jaccard >= 0.2, corpus-relative
+    stopword cut — the scale-safe pair source since r11) → duplicate
+    clusters via distributed connected components (min-label
+    propagation). The pair graph is a parameter of the CC machinery;
+    at 100 TB feed it minhash_lsh or ngram_jaccard_cut pairs."""
     d = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.2, max_doc_freq_frac=0.04
+    ).select("id_a", "id_b")
     return components.dedup_clusters(pairs)
 
 
 # Oracle: transitive closure by recursive label propagation — every
 # vertex collects all reachable labels; MIN = the component representative.
-SQL_DEDUP_CLUSTERS = _SH_CTE.replace("WITH w", "WITH RECURSIVE w", 1) + """,
+SQL_DEDUP_CLUSTERS = _SH_CUT_CTE.replace("WITH w", "WITH RECURSIVE w", 1) + """,
 pairs AS (
   SELECT id_a, id_b
   FROM inter
@@ -1583,7 +1597,9 @@ def q_neardup_dedup(spark: SparkSession, sf: str) -> DataFrame:
     cluster members — a broadcast-able small side by construction:
     |near-dup victims| << |corpus|)."""
     d = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.2, max_doc_freq_frac=0.04
+    ).select("id_a", "id_b")
     clusters = components.dedup_clusters(pairs)
     victims = clusters.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
     return d.join(victims, "doc_id", "left_anti").select("doc_id", "lang")
@@ -2172,11 +2188,13 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     orientation keeps the wedge join O(|E|^1.5)-bounded; the oracle
     is the textbook a<b<c triple self-join."""
     d = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.2, max_doc_freq_frac=0.04
+    ).select("id_a", "id_b")
     return components.triangle_count(pairs)
 
 
-SQL_TRIANGLE_COUNT = _SH_CTE + """,
+SQL_TRIANGLE_COUNT = _SH_CUT_CTE + """,
 pairs AS (
   SELECT id_a AS a, id_b AS b
   FROM inter

@@ -394,7 +394,8 @@ _LINT_ALLOWED = {
     # per-column 1-row stats crossJoin(broadcast) + <=10-row
     # post-limit rank
     "skew_profile": ("pairs", "unpartitioned window"),
-    # two 1-row count summaries crossJoin(broadcast)
+    # two 1-row count summaries crossJoin(broadcast) + (r11) the cut
+    # pair source's 1-row shingled-corpus-count crossJoin
     "triangle_count": ("pairs",),
     # per-FK-rule 1-row n_checked crossJoin(broadcast)
     "dq_expectations": ("pairs",),
