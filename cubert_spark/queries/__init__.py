@@ -140,6 +140,10 @@ FOLDED: dict[str, str] = {
                          "same exact-percentile aggregate)",
     "grouping_sets_median": "cube_median (same Expand + non-additive "
                             "percentile machinery, explicit set list)",
+    "cube_median_approx": "cube_median (the bounded-memory sketch "
+                          "fallback for high-cardinality groups; "
+                          "sketch pinned to the exact p45..p55 band "
+                          "in-query)",
     # storage roundtrips: parquet/avro/jsonl/clustered/zorder stay
     "orc_roundtrip": "jsonl_roundtrip (same STORE->LOAD agg shape)",
     # TPC-H depth variants: q1/shipping/returned/nation/promo stay

@@ -258,6 +258,49 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 """
 
 
+def q_cube_median_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB fallback for percentile measures over CUBE: exact
+    percentile buffers hold each (cuboid, group)'s values, which is
+    fine at TPC-H group cardinalities but not for a high-cardinality
+    dimension — there the bounded-memory sketch
+    (``approx_percentile``, Greenwald-Khanna summaries: size grows
+    with accuracy, NOT with group size) replaces the exact buffer.
+
+    Contract columns instead of engine-specific sketch output (the
+    sketch's value is not oracle-replayable): the exact median and
+    count attest the cuboid math, and ``approx_ok`` pins the sketch
+    to the exact p45..p55 band — at accuracy=10000 the rank error is
+    1e-4, orders inside that band, so the oracle emits TRUE."""
+    li = load_table(spark, sf, "lineitem")
+    out = cube(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.45)).alias("__p45"),
+        F.percentile("l_quantity", F.lit(0.55)).alias("__p55"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("__apx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "median_qty",
+        "n",
+        ((F.col("__apx") >= F.col("__p45")) & (F.col("__apx") <= F.col("__p55")))
+        .alias("approx_ok"),
+    )
+
+
+SQL_CUBE_MEDIAN_APPROX = """
+SELECT l_returnflag, l_linestatus,
+       QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+       COUNT(*) AS n,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "cube_additive": q_cube_additive,
     "cube_count_distinct": q_cube_count_distinct,
@@ -268,6 +311,7 @@ QUERIES = {
     "median_percentile": q_median,
     "cube_median": q_cube_median,
     "grouping_sets_median": q_grouping_sets_median,
+    "cube_median_approx": q_cube_median_approx,
 }
 
 ORACLES = {
@@ -280,4 +324,5 @@ ORACLES = {
     "median_percentile": SQL_MEDIAN,
     "cube_median": SQL_CUBE_MEDIAN,
     "grouping_sets_median": SQL_GROUPING_SETS_MEDIAN,
+    "cube_median_approx": SQL_CUBE_MEDIAN_APPROX,
 }

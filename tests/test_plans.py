@@ -614,7 +614,7 @@ _SHUFFLE_CEILINGS = {
     "lm_perplexity": 7, "hard_negatives": 1, "neardup_ingest": 7,
     "temporal_join": 1, "time_travel": 0,
     # r11: exact percentile per cuboid — one Expand, one Exchange
-    "cube_median": 1, "grouping_sets_median": 1,
+    "cube_median": 1, "grouping_sets_median": 1, "cube_median_approx": 1,
     # r11: epoch export — one shard shuffle, no global sort
     "epoch_shuffle": 1,
 }
