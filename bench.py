@@ -211,9 +211,12 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
     bench-protocol version: 1 = single-shot (r01-r03), 2 = min-of-n
     repeats (r04), 3 = + medians, no module-global caches, default
     n=3 (r05+), 4 = compact stdout, 2-decimal mins (r07), 5 =
-    1-decimal mins + integer-degrade armor (r08+). Mins are computed
-    identically across v3/v4/v5, so cross-round min comparisons
-    remain valid via BENCH_DETAIL."""
+    1-decimal mins + integer-degrade armor (r08+), 6 = stdout map
+    carries DECLARED rows only (r12 — the r11 line degraded to
+    integer seconds at 93 rows; the _EXTRA/folded twins' mins live in
+    BENCH_DETAIL.json, which the total still includes). Mins are
+    computed identically across versions, so cross-round min
+    comparisons remain valid via BENCH_DETAIL."""
     import json
 
     def render(decimals: int, rows: dict, dropped: int = 0) -> str:
@@ -226,7 +229,7 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
             "value": total,
             "unit": "sec",
             "queries": q,
-            "v": 5,
+            "v": 6,
             "sf": sf,
         }
         if dropped:
@@ -255,10 +258,33 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
     return p  # unreachable: keep=0 renders a constant-size line
 
 
+def _regressed_rows(
+    timings: dict, prev_queries: dict, prev_runs: dict, names: list
+) -> list:
+    """Rows whose fresh min exceeds the previous committed min by more
+    than that row's previously observed spread — the same rule
+    SCALE.md's round-over-round triage uses. Tolerance floors: 15% of
+    the old min (whole-suite cross-round variance is real even on a
+    clean machine — r10 saw a diffuse +6% on untouched code) and an
+    absolute 50 ms so sub-0.3s rows don't flap on timer noise."""
+    out = []
+    for n in names:
+        old = prev_queries[n]
+        spread = (max(prev_runs[n]) - old) if n in prev_runs else 0.0
+        if timings[n] > old + max(spread, 0.15 * old, 0.05):
+            out.append(n)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    # keep the CAPTURED STRING too: the official-protocol check below
+    # compares it (not the parsed float) so regex drift (a trailing
+    # '.', a no-match -1.0) can't silently route the official run to
+    # a suffixed detail file
+    sf_str = m.group(1) if m else ""
+    sf = float(sf_str) if sf_str else -1.0
 
     from cubert_spark import get_session
     from cubert_spark.queries import all_queries, folded_queries
@@ -312,18 +338,17 @@ def main() -> None:
     raw_runs: dict[str, list[float]] = {}
     from cubert_spark.queries.extensions import reset_materialized
 
-    for name in BENCH_QUERIES:
-        fn = queries.get(name) or _extra[name]
-        runs = []
-        for _ in range(n_runs):
-            # roundtrip queries memoize their STORE step per session
-            # (_materialize_once); reset so EVERY timed run pays the
-            # full store->load path — otherwise runs 2..n time only
-            # the read side and the min stops measuring the writer
-            reset_materialized()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
+    def _timed_run(fn) -> float:
+        # roundtrip queries memoize their STORE step per session
+        # (_materialize_once); reset so EVERY timed run pays the
+        # full store->load path — otherwise runs 2..n time only
+        # the read side and the min stops measuring the writer
+        reset_materialized()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    def _set_row(name: str, runs: list[float]) -> None:
         raw_runs[name] = runs
         timings[name] = min(runs)
         srt = sorted(runs)
@@ -331,7 +356,62 @@ def main() -> None:
         medians[name] = round(
             srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2, 3
         )
-        print(f"# {name}: min={timings[name]:.3f}s runs={runs}", file=sys.stderr)
+
+    for name in BENCH_QUERIES:
+        fn = queries.get(name) or _extra[name]
+        _set_row(name, [_timed_run(fn) for _ in range(n_runs)])
+        print(
+            f"# {name}: min={timings[name]:.3f}s runs={raw_runs[name]}",
+            file=sys.stderr,
+        )
+
+    # --- quietness gate (r11 VERDICT task 3) -------------------------
+    # The r11 official medians were committed from a loaded pass
+    # (every heavy row's run[0] was the max) and poisoned the next
+    # round's regression baseline. run[0]-high alone is NOT a load
+    # signal — per-query codegen warmup makes run[0] the max on ~90%
+    # of rows in every committed round — so the gate compares each
+    # row's fresh min against the PREVIOUS committed min + spread and
+    # re-measures the regressed rows at the END of the suite (warmest
+    # JVM, transient load most likely passed). Rows still regressed
+    # after the requeue are recorded; a pass with more than
+    # max(4, 15% of shared rows) of them is stamped quiet_pass=false
+    # so nobody treats its medians as the official baseline.
+    requeued: list[str] = []
+    still_regressed: list[str] = []
+    quiet_pass = True
+    prev_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+    prev = None
+    if sf_str == "0.1" and os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = None
+    if prev and isinstance(prev.get("queries"), dict):
+        pq, pr = prev["queries"], prev.get("runs", {})
+        shared = [n for n in BENCH_QUERIES if n in pq]
+        requeued = _regressed_rows(timings, pq, pr, shared)
+        for name in requeued:
+            fn = queries.get(name) or _extra[name]
+            extra_runs = [_timed_run(fn) for _ in range(2)]
+            _set_row(name, raw_runs[name] + extra_runs)
+            print(
+                f"# requeue {name}: min={timings[name]:.3f}s "
+                f"extra_runs={extra_runs}",
+                file=sys.stderr,
+            )
+        still_regressed = _regressed_rows(timings, pq, pr, requeued)
+        quiet_pass = len(still_regressed) <= max(4, round(0.15 * len(shared)))
+        if not quiet_pass:
+            print(
+                f"# LOADED PASS: {len(still_regressed)}/{len(shared)} rows "
+                f"regressed beyond prior spread after requeue "
+                f"({still_regressed}) — do NOT commit this "
+                "BENCH_DETAIL.json as the official medians; re-run on "
+                "a quiet machine.",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     # Per-query relative spread (max-min)/min from the raw runs: the
@@ -345,9 +425,15 @@ def main() -> None:
     # stdout carries ONE compact line with per-query mins only: the
     # driver's capture budget is ~2 KB and the full medians+runs
     # payload (~6.4 KB at 80 queries) truncated the official record in
-    # r5 AND r6 ("parsed": null). Everything else goes to
+    # r5 AND r6 ("parsed": null). v6 (r12): the stdout map carries the
+    # DECLARED rows only — at 93 rows the r11 line degraded to
+    # integer seconds, useless for per-query deltas; dropping the
+    # _EXTRA/folded twins (whose mins live in BENCH_DETAIL.json, and
+    # whose time still counts in "value") buys the 1-decimal rung
+    # back with ~400 bytes of margin. Everything else goes to
     # BENCH_DETAIL.json next to this script (committed per-round).
-    payload = _stdout_payload(timings, total, sf)
+    stdout_rows = {n: v for n, v in timings.items() if n in queries}
+    payload = _stdout_payload(stdout_rows, total, sf)
     detail = {
         "metric": "bench_total_wall_sec",
         "value": total,
@@ -357,15 +443,19 @@ def main() -> None:
         "runs": raw_runs,
         "spreads": spreads,
         "n_runs_per_query": n_runs,
-        "bench_schema_version": 4,
+        "requeued": requeued,
+        "still_regressed": still_regressed,
+        "quiet_pass": quiet_pass,
+        "bench_schema_version": 6,
         "sf": sf,
     }
     # Only the recorded sf0.1 protocol overwrites the committed
     # BENCH_DETAIL.json — a quick smoke at another SF used to clobber
     # the round's official medians/spreads (bit us in r11); off-SF
-    # runs land in a suffixed file instead.
+    # runs land in a suffixed file instead. String compare (not the
+    # parsed float) so regex drift can't misroute the official run.
     detail_name = (
-        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+        "BENCH_DETAIL.json" if sf_str == "0.1" else f"BENCH_DETAIL_sf{sf}.json"
     )
     try:
         with open(os.path.join(os.path.dirname(__file__), detail_name), "w") as f:

@@ -64,7 +64,12 @@ def _guard_small_query_side(
     by construction, e.g. ``filter(id < 10)`` over unique ids) passes
     it and the guard checks the bound without a job. The count is the
     caller's assertion; a wrong one forfeits the fail-fast, never
-    correctness (the scorers themselves are exact either way)."""
+    correctness (the scorers themselves are exact either way). A
+    STALE assertion (a filter edited from ``id < 5`` to ``id < 500``
+    without touching known_count) is the residual risk — set
+    ``SPARK_GRAFT_VERIFY_KNOWN_COUNT=1`` (CI / debug runs) to re-arm
+    the probe against the asserted bound; the probe job is bounded by
+    known_count+1 rows, not max_queries, so it stays cheap."""
     if max_queries is None:
         return
     if known_count is not None:
@@ -74,6 +79,17 @@ def _guard_small_query_side(
                 f"max_queries={max_queries} — use ivf_topk, "
                 "cosine_topk_fast, or embedding_neardup at this size."
             )
+        import os
+
+        if os.environ.get("SPARK_GRAFT_VERIFY_KNOWN_COUNT") == "1":
+            n = df.limit(int(known_count) + 1).count()
+            if n > known_count:
+                raise ValueError(
+                    f"{who}: known_count={known_count} is STALE — the "
+                    f"query side has > {known_count} rows. Fix the "
+                    "caller's assertion (it silently disables the "
+                    "oversized-query-side fail-fast)."
+                )
         return
     n = df.limit(int(max_queries) + 1).count()
     if n > max_queries:

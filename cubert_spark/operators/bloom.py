@@ -18,7 +18,17 @@ every bit position replays in DuckDB; ``hash_fn="xxhash64"`` is the
 production path — one JVM-native 64-bit hash per position, no crypto
 digest or hex decode on the hot path (the fact-side probe runs
 num_hashes hashes per row over the whole 100 TB scan, so digest cost
-IS the operator's cost). Build and probe must use the same hash_fn.
+IS the operator's cost). **Non-oracle callers should pass
+``hash_fn="xxhash64"`` on BOTH build and probe** — measured 4.3x
+faster end-to-end at sf0.1 (0.78 s vs 3.35 s, r11 A/B); the md5
+default exists so bit-for-bit DuckDB replay is the out-of-the-box
+behavior, not because it is the recommended production spelling::
+
+    bloom = bloom_build(dim_keys, "custkey", hash_fn="xxhash64")
+    pruned = bloom_prune(fact, "custkey", bloom, hash_fn="xxhash64")
+
+Build and probe must use the same hash_fn (enforced: an unknown
+value raises, and mismatched sides fail loudly in tests).
 
 Sizing: num_bits=65536 / num_hashes=3 gives ~1.3 KB/1k keys; the
 false-positive rate is (1 - e^(-kn/m))^k — for n=2k keys, m=64k bits,
@@ -137,9 +147,15 @@ def bloom_prune(
     shuffles, which is the operator's entire reason to exist."""
     _check_hash_fn(hash_fn)
     if hash_fn == "xxhash64":
-        positions = _xx_positions(F.col(key_col), num_bits, num_hashes, salt)
-        out = df
-        digest_drops: list[str] = []
+        # project each xxhash64 position ONCE as an aliased __p{i}
+        # and derive __w{i}/__b{i} from the alias — inlining the
+        # position into both withColumns evaluates the hash twice per
+        # row unless codegen CSE happens to catch it (the catalogued
+        # md5 lesson; probe cost IS this operator's cost)
+        xs = _xx_positions(F.col(key_col), num_bits, num_hashes, salt)
+        out = df.select("*", *[p.alias(f"__p{i}") for i, p in enumerate(xs)])
+        positions = [F.col(f"__p{i}") for i in range(num_hashes)]
+        digest_drops = [f"__p{i}" for i in range(num_hashes)]
     else:
         hs = _digest_cols(F.col(key_col), num_hashes, salt)
         out = df.select(

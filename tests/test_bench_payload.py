@@ -32,6 +32,38 @@ def test_payload_fits_capture_window_at_worst_case_widths():
     assert len(p2) <= bench._STDOUT_BUDGET
 
 
+def test_declared_rows_render_at_one_decimal():
+    """v6 contract (r11 VERDICT task 4): the stdout map carries only
+    the DECLARED queries() rows, and at that count the 1-decimal rung
+    must fit — the per-query values in BENCH_r{N}.json are only
+    useful for cross-round deltas with >= 1 decimal of resolution."""
+    bench = _bench()
+    from cubert_spark.queries import all_queries
+
+    declared = set(all_queries())
+    rows = {n: 99.9 for n in bench.BENCH_QUERIES if n in declared}
+    assert rows, "bench set shares no rows with queries()?"
+    p = bench._stdout_payload(rows, 9999.999, 0.1)
+    assert len(p) <= bench._STDOUT_BUDGET
+    d = json.loads(p)
+    assert d["queries"][next(iter(rows))] == 99.9  # 1-decimal rung
+
+
+def test_regression_rule_uses_prior_spread_with_floors():
+    """_regressed_rows implements SCALE.md's triage rule: flag only a
+    min beyond old_min + max(old_spread, 15% rel, 50 ms abs)."""
+    bench = _bench()
+    prev_q = {"a": 2.0, "b": 2.0, "c": 0.1, "d": 1.0}
+    prev_r = {"a": [2.0, 3.0], "b": [2.0, 2.05], "c": [0.1, 0.11]}
+    now = {
+        "a": 4.9,  # beyond 2.0 + spread 1.0 -> flagged
+        "b": 2.25,  # spread 0.05 < 15% floor 0.3; 2.25 < 2.3 -> ok
+        "c": 0.14,  # within the 50 ms absolute floor -> ok
+        "d": 1.10,  # no runs recorded; within 15% floor -> ok
+    }
+    assert bench._regressed_rows(now, prev_q, prev_r, list(now)) == ["a"]
+
+
 def test_payload_is_parseable_json_with_contract_keys():
     bench = _bench()
     t = {n: 1.234 for n in bench.BENCH_QUERIES}

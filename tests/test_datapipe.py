@@ -135,6 +135,23 @@ def test_exact_scorers_fail_fast_on_oversized_query_side(spark):
         similarity.cosine_topk(df, df.limit(3), k=2, max_queries=10, known_count=3)
         .count() == 6
     )
+    # SPARK_GRAFT_VERIFY_KNOWN_COUNT=1 (r11 ADVICE): re-arms the probe
+    # against the asserted bound so a STALE known_count raises instead
+    # of silently disabling the fail-fast.
+    import os
+
+    os.environ["SPARK_GRAFT_VERIFY_KNOWN_COUNT"] = "1"
+    try:
+        with pytest.raises(ValueError, match="STALE"):
+            similarity.cosine_topk(df, df, k=2, max_queries=100, known_count=3)
+        # a truthful known_count still passes under verification
+        assert (
+            similarity.cosine_topk(
+                df, df.limit(3), k=2, max_queries=10, known_count=3
+            ).count() == 6
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_VERIFY_KNOWN_COUNT"]
 
 
 def test_lsh_bucketed_recall(spark):
