@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     # r10 addition: the iterative operator (3 Lloyd rounds, each a
     # full corpus scan + k x dim partial-sum shuffle + bounded collect)
     "kmeans_lloyd",
+    # r12 addition: DSIR importance scoring (hashed unigram+bigram
+    # features, exact integer log-ratio fold, one map stage +
+    # TakeOrdered)
+    "dsir_weights",
 ]
 
 

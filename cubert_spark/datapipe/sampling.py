@@ -255,3 +255,117 @@ def epoch_shuffle(
             F.row_number().over(w).cast("bigint").alias("epoch_pos"),
         )
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    log_ratio_millinats: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling — Xie et al. 2023, arXiv:2302.03169, public): score
+    every document by how target-like it looks under two hashed
+    n-gram multinomials, log w(x) = sum over the doc's features of
+    log p_target[bucket] - log p_raw[bucket]. Features are lowercase
+    word unigrams AND bigrams (the paper's featurizer), hashed into
+    ``B = len(log_ratio_millinats)`` buckets via md5 (engine-portable,
+    the hashed_bow_embedding spelling).
+
+    The two multinomials are trained OFFLINE in DSIR (a tiny target
+    sample vs a raw-corpus sample); this operator takes their
+    per-bucket log-ratios as caller literals in MILLI-NATS (ints), so
+    the per-doc weight is an exact bigint fold — bit-replayable in
+    any engine, no libm log in the pipeline. At 100 TB this is the
+    whole point: scoring is ONE codegen map stage (md5 per feature +
+    a literal-array lookup), zero shuffles, and the model parameters
+    ride along as a broadcast literal instead of a join.
+
+    Output: (id, n_feats, logw_millinats bigint). Docs with no terms
+    score 0 on 0 features (kept — the resampler decides their fate).
+    """
+    # null text scores like empty text (0 features, weight 0) — a
+    # bare regexp over NULL would propagate NULL through the fold
+    terms = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z0-9]+"),
+        F.lit(0),
+    )
+    from cubert_spark.datapipe.dedup import _spread
+
+    # terms aliased in their own projection: every downstream feature
+    # expression references the array many times (the catalogued
+    # CollapseProject md5 trap)
+    base = _spread(df, id_col).select(F.col(id_col), terms.alias("__t"))
+    # bigrams only when >= 2 terms: sequence(1, n-1) DESCENDS when
+    # n-1 < 1 (sequence(1, 0) = [1, 0]) and would fabricate features
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat(
+                F.element_at("__t", i), F.lit("_"), F.element_at("__t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(F.col("__t"), bigrams)
+    b = len(log_ratio_millinats)
+    lr = F.array(*[F.lit(int(v)).cast("bigint") for v in log_ratio_millinats])
+    bucket1 = lambda t: (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 4), 16, 10)
+        .cast("int") % b
+    )
+    with_f = base.select(F.col(id_col), feats.alias("__f"))
+    logw = F.aggregate(
+        F.transform(F.col("__f"), bucket1),
+        F.lit(0).cast("bigint"),
+        lambda acc, bk: acc + F.element_at(lr, bk + 1),
+    )
+    return with_f.select(
+        F.col(id_col),
+        F.size("__f").cast("bigint").alias("n_feats"),
+        logw.alias("logw_millinats"),
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    log_ratio_millinats: list[int],
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    seed: str = "g0",
+) -> DataFrame:
+    """DSIR's selection step: sample ``k`` documents WITHOUT
+    replacement with probability proportional to their importance
+    weight, via the Gumbel-top-k trick the paper uses — priority =
+    log w(x) + Gumbel(0,1), take the k largest. Gumbel noise is
+    derived deterministically from the row's content hash
+    (u = (hash16 + 0.5) / 2^16, g = -ln(-ln(u))), so the sample is
+    reproducible across runs, engines, retries, and repartitions —
+    the same property every other sampler in this module guarantees.
+
+    Scale shape: one map stage for scoring + ONE global top-k
+    (TakeOrderedAndProject — per-partition heaps of size k, never a
+    full sort). Output: (id, logw_millinats, priority double), the k
+    selected rows.
+
+    Note on oracles: priority involves ln (libm) — fine for SELECTION
+    (priorities of distinct docs differ by >> 1 ulp except engineered
+    ties, broken by id), but the declared driver row attests the
+    exact-integer weight ranking instead (dsir_weights); this
+    resampler is pytest-pinned (determinism across repartitions +
+    proportionality on a planted corpus)."""
+    w = dsir_log_weights(df, log_ratio_millinats, text_col, id_col, salt)
+    u = (hash16(F.col(id_col), seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_SPACE)
+    )
+    g = -F.log(-F.log(u))
+    pri = (F.col("logw_millinats").cast("double") / F.lit(1000.0)) + g
+    return (
+        w.select(F.col(id_col), "logw_millinats", pri.alias("priority"))
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )

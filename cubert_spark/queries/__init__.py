@@ -161,6 +161,14 @@ FOLDED: dict[str, str] = {
     "json_props": "scalar_functions (same expression-only shape)",
     "corpus_report": "profile_table (same fused profiling scan)",
     "blocklist_filter": "contamination (same blocklist DFA pass)",
+    # r12: dsir_weights (hashed unigram+bigram importance scoring —
+    # the DSIR selection operator) subsumes the plain hashed-BOW
+    # featurizer row: same md5 feature-hashing trick, plus bigrams and
+    # the literal log-ratio fold; hashed_bow_embedding itself still
+    # feeds the ANN rows and the local parity gate
+    "hashed_embedding": "dsir_weights (same md5 hashed-ngram "
+                        "featurizer; the BOW row stays benched and "
+                        "parity-gated)",
     # shard-routing family: rendezvous_shard stays declared
     "epoch_shuffle": "rendezvous_shard (same deterministic md5 "
                      "routing family; adds the seeded within-shard "

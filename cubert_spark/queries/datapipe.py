@@ -1973,6 +1973,83 @@ WHERE CAST({_hash16_sql('d.doc_id', 'mix')} AS DOUBLE) < frac.f * 65536.0
 """
 
 
+# DSIR log-ratio parameters: 64 hashed-feature buckets with a fixed
+# deterministic milli-nat log(p_target/p_raw) per bucket (Knuth
+# multiplicative scatter into [-1000, 1000]). In real use these come
+# from the offline multinomial fit over a target sample; a literal
+# vector exercises the identical scoring plan and replays exactly.
+_DSIR_B = 64
+_DSIR_LR = [((b * 2654435761) % 2001) - 1000 for b in range(_DSIR_B)]
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): exact-integer hashed
+    unigram+bigram importance weights over the corpus, top 50 docs by
+    weight. The declared row attests the exact scoring fold; the
+    Gumbel-top-k resampler (sampling.dsir_resample) is pytest-pinned
+    (its ln-based priorities are selection-only, not oracle columns).
+    Rank AFTER the top-k cut (TakeOrdered + tiny window — never a
+    global single-partition window over the corpus)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    w = sampling.dsir_log_weights(d, _DSIR_LR)
+    top = w.orderBy(F.desc("logw_millinats"), F.col("doc_id")).limit(50)
+    win = Window.orderBy(F.desc("logw_millinats"), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_feats",
+        "logw_millinats",
+        F.row_number().over(win).cast("int").alias("rnk"),
+    )
+
+
+def _dsir_bucket_sql(feat: str) -> str:
+    """First 16 bits of md5('dsir' || feat) mod B — the hash16 nibble
+    spelling applied to a feature expression (md5 re-evaluates per
+    nibble; fine at oracle SF)."""
+    h = f"md5('dsir' || {feat})"
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+    return (
+        f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+        f" % {_DSIR_B})"
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH lr(v) AS (VALUES (ARRAY[{", ".join(str(v) for v in _DSIR_LR)}])),
+t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS tt
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         list_concat(
+           tt,
+           list_transform(range(1, len(tt)),
+                          i -> tt[i] || '_' || tt[i + 1])
+         ) AS ff
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         CAST(len(ff) AS BIGINT) AS n_feats,
+         CAST(COALESCE(
+           list_sum(list_transform(ff, x -> lr.v[{_dsir_bucket_sql('x')} + 1])),
+           0) AS BIGINT) AS logw_millinats
+  FROM f, lr
+)
+SELECT doc_id, n_feats, logw_millinats, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY logw_millinats DESC, doc_id) AS rnk
+  FROM w
+) WHERE rnk <= 50
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of the embeddings table — codes and
     scales bit-replayable (floor(x+0.5) rounding, fixed IEEE ops). The
@@ -2514,6 +2591,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
+    "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
     "neardup_dedup": q_neardup_dedup,
     "normalize_text": q_normalize_text,
@@ -2583,6 +2661,7 @@ ORACLES = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "bpe_apply_exact": SQL_BPE_APPLY_EXACT,
     "neardup_dedup": SQL_NEARDUP_DEDUP,

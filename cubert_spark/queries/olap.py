@@ -260,11 +260,18 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 
 def q_cube_median_approx(spark: SparkSession, sf: str) -> DataFrame:
     """The 100 TB fallback for percentile measures over CUBE: exact
-    percentile buffers hold each (cuboid, group)'s values, which is
-    fine at TPC-H group cardinalities but not for a high-cardinality
-    dimension — there the bounded-memory sketch
+    percentile buffers hold each (cuboid, group)'s DISTINCT measure
+    values as a (value -> count) map — bounded and fast for
+    integral/categorical measures (the exact row beat GK 2.9x on
+    l_quantity's ~50 distinct values), unboundable for continuous
+    measures (the grand-total cuboid's buffer holds every distinct
+    value of the table in one task: GK measured 6.8x faster at a 6M-
+    distinct measure, and the exact buffer is the OOM point on a
+    production-sized executor). The bounded-memory sketch
     (``approx_percentile``, Greenwald-Khanna summaries: size grows
     with accuracy, NOT with group size) replaces the exact buffer.
+    Measured decision rule: SCALE.md "r12 cube_median exact-buffer
+    regimes" (<= ~1e5 distinct measure values -> exact; else GK).
 
     Contract columns instead of engine-specific sketch output (the
     sketch's value is not oracle-replayable): the exact median and

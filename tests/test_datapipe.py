@@ -3067,3 +3067,76 @@ def test_kmeans_assign_executed_and_empty_schema(spark):
     eout = kmeans_assign(empty, k=4, iters=2)
     assert eout.columns == ["vec_id", "cluster_id", "dist"]
     assert eout.count() == 0
+
+
+def test_dsir_log_weights_exact_fold(spark):
+    """DSIR scoring (sampling.dsir_log_weights): features are word
+    unigrams + bigrams; the weight is an exact bigint fold of literal
+    milli-nat log-ratios — replayed here feature-by-feature in
+    Python."""
+    import hashlib
+
+    from cubert_spark.datapipe import sampling
+
+    lr = [((b * 7) % 21) - 10 for b in range(16)]
+    docs = [
+        (1, "alpha beta alpha"),
+        (2, "Gamma—delta! gamma"),
+        (3, ""),            # no terms: 0 features, weight 0
+        (4, "solo"),        # 1 term: no bigrams
+        (5, None),          # null text behaves like empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw_millinats"])
+        for r in sampling.dsir_log_weights(df, lr).collect()
+    }
+
+    def bucket(f):
+        h = hashlib.md5(("dsir" + f).encode()).hexdigest()
+        return int(h[:4], 16) % 16
+
+    import re
+
+    for doc_id, text in docs:
+        terms = re.findall(r"[a-z0-9]+", (text or "").lower())
+        feats = terms + [
+            f"{a}_{b}" for a, b in zip(terms, terms[1:])
+        ]
+        want = (len(feats), sum(lr[bucket(f)] for f in feats))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_dsir_resample_deterministic_and_weight_biased(spark):
+    """dsir_resample: Gumbel-top-k selection is reproducible across
+    repartitionings (hash-derived noise, no RNG state), and heavily
+    up-weighted docs displace down-weighted ones."""
+    from cubert_spark.datapipe import sampling
+
+    # bucket everything through one term per doc so each doc's weight
+    # is exactly its term's bucket log-ratio
+    rows = [(i, f"tok{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lr_flat = [0] * 16
+    a = sampling.dsir_resample(df, lr_flat, k=10)
+    b = sampling.dsir_resample(df.repartition(7, "doc_id"), lr_flat, k=10)
+    sel_a = sorted(r["doc_id"] for r in a.collect())
+    sel_b = sorted(r["doc_id"] for r in b.collect())
+    assert sel_a == sel_b  # partition-independent
+    # +8 nats on every feature bucket vs -8: the boosted corpus side
+    # should dominate the selection (Gumbel noise spans ~ +-2 nats)
+    import hashlib
+
+    def bucket(f):
+        h = hashlib.md5(("dsir" + f).encode()).hexdigest()
+        return int(h[:4], 16) % 16
+
+    lr_split = [0] * 16
+    for i in range(40):
+        lr_split[bucket(f"tok{i}")] = 8000 if i < 20 else -8000
+    sel = sorted(
+        r["doc_id"]
+        for r in sampling.dsir_resample(df, lr_split, k=10).collect()
+    )
+    boosted = [d for d in sel if d < 20]
+    assert len(boosted) >= 9, sel  # bucket collisions can leak ~1 row

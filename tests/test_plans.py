@@ -380,6 +380,7 @@ _LINT_ALLOWED = {
     "range_join": ("pairs",),      # non-equi by definition
     "sequence_pack": ("unpartitioned window",),  # |docs|/shard_size shard totals
     "heavy_hitters": ("unpartitioned window", "pairs"),  # 20-row post-limit rank + 1-row total crossJoin
+    "dsir_weights": ("unpartitioned window",),  # 50-row post-limit rank
     "top_paths": ("unpartitioned window",),  # 20-row post-limit rank
     "basket_pairs": ("unpartitioned window",),  # 20-row post-limit rank
     "bm25_search": ("pairs",),  # 1-row corpus-stats crossJoin(broadcast)
@@ -617,6 +618,9 @@ _SHUFFLE_CEILINGS = {
     "cube_median": 1, "grouping_sets_median": 1, "cube_median_approx": 1,
     # r11: epoch export — one shard shuffle, no global sort
     "epoch_shuffle": 1,
+    # r12: DSIR scoring is ONE codegen map stage + TakeOrdered; the
+    # only exchange is the post-limit 50-row rank window's
+    "dsir_weights": 1,
 }
 
 

@@ -69,6 +69,11 @@ HEAVY = {
     # r11: exact percentile per cuboid (Expand + partial percentile
     # buffers) — expect ~linear (one shuffle, 4x Expand fan-out)
     "cube_median": "lineitem",
+    # r12: the dedup end-cap composite (cut pairs -> CC -> anti-join)
+    # — its exponent was previously implied by dedup_clusters' under
+    # the UNCUT pair source; measured directly since the r11 source
+    # switch (69775ce)
+    "neardup_dedup": "documents",
 }
 
 
@@ -104,11 +109,22 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
 
     #: queries whose jobs run EAGERLY while the DataFrame is built
-    #: (iterative driver loops: the returned DF is a small local
-    #: result). For these "plan-only" would execute the whole query,
-    #: so the baseline subtraction must be skipped — their wall time
-    #: IS the execution time.
-    EAGER = {"kmeans_lloyd"}
+    #: (iterative driver loops / eager localCheckpoints: the expensive
+    #: work runs before the noop sink). For these "plan-only" would
+    #: execute the whole query, so the baseline subtraction must be
+    #: skipped — their wall time IS the execution time. The
+    #: CC/graph composites checkpoint their pair graph and every
+    #: iteration eagerly (components.py), which made their r12
+    #: first-pass "corrected" times nonsense (t at the 1e-3 clamp).
+    EAGER = {
+        "kmeans_lloyd",
+        "dedup_clusters",
+        "neardup_dedup",
+        "triangle_count",
+        "pagerank",
+        "golden_record",
+        "bfs_hops",
+    }
 
     def plan_only(name: str, sf_dir: str) -> float:
         """Fixed per-query constant: build the DataFrame and force
