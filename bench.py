@@ -187,10 +187,12 @@ BENCH_QUERIES = [
     # r10 addition: the iterative operator (3 Lloyd rounds, each a
     # full corpus scan + k x dim partial-sum shuffle + bounded collect)
     "kmeans_lloyd",
-    # r12 addition: DSIR importance scoring (hashed unigram+bigram
+    # r12 additions: DSIR importance scoring (hashed unigram+bigram
     # features, exact integer log-ratio fold, one map stage +
-    # TakeOrdered)
+    # TakeOrdered) and MOSS winnowing pairs (window-min fingerprints,
+    # bounded posting-set pair expansion, no self-join)
     "dsir_weights",
+    "winnow_pairs",
 ]
 
 

@@ -689,3 +689,135 @@ def reject_by_bands(
             ).select(id_col)
         )
     return rejected.distinct()
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS winnowing (Schleimer, Wilkerson, Aiken 2003, SIGMOD —
+    public): position-robust substring fingerprints with a GUARANTEE —
+    any two documents sharing a run of >= w + k - 1 consecutive tokens
+    share at least one fingerprint, while only ~2/(w+1) of the k-gram
+    hashes are kept. The bounded-size exact-substring-match detector
+    (plagiarism / license-text / template detection) that the single
+    min-hash fingerprint (textstats.fingerprint) and shingle-set
+    Jaccard can't provide: Jaccard scores global overlap, winnowing
+    certifies LOCAL runs.
+
+    Mechanics: lowercase ``[a-z0-9]+`` tokens -> ordered word k-gram
+    hashes (first 8 md5 hex chars — fixed-width lowercase hex, so
+    lexicographic string order IS numeric hash order in every engine,
+    no integer decode needed) -> minimum per sliding window of ``w``
+    -> distinct. Documents with fewer than k tokens yield no rows;
+    with fewer than w windows, the single global min (the guarantee
+    degenerates gracefully to whole-short-doc matching).
+
+    Scale shape: one codegen map stage (array expressions only) + the
+    explode; ~2N/(w+1) fingerprint rows per N-token corpus. Pair
+    generation downstream is the standard posting-list join — cut
+    high-df fingerprints first (boilerplate guard), exactly like the
+    ngram_jaccard df cut.
+
+    Output: (id_col, fp string) distinct rows.
+    """
+    return _winnow_fp_stream(df, k, w, text_col, id_col).distinct()
+
+
+def _winnow_fp_stream(
+    df: DataFrame, k: int, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Non-distinct (id, fp) stream — one codegen map stage + the
+    explode. winnow_fingerprints distincts it; winnow_pairs dedups
+    inside its posting aggregation instead (collect_set), saving a
+    whole shuffle."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z0-9]+"),
+        F.lit(0),
+    )
+    base = _spread(df, id_col).select(F.col(id_col), toks.alias("__t"))
+    # ordered k-gram hash sequence, aliased in its own projection
+    # (every window expression references it w times — the catalogued
+    # CollapseProject md5 trap)
+    hashes = F.when(
+        F.size("__t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice("__t", i, k))), 1, 8
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hb = base.select(F.col(id_col), hashes.alias("__h"))
+    m = F.size("__h")
+    wins = (
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice("__h", i, w)),
+            ),
+        )
+        .when(m > 0, F.array(F.array_min("__h")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return (
+        hb.select(F.col(id_col), F.explode_outer(wins).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate substring-overlap pairs from winnowed fingerprints:
+    docs sharing >= ``min_shared`` (post-cut) fingerprints, with the
+    shared count.
+
+    Scale shape — TWO shuffles, no self-join: the fingerprint stream
+    aggregates into per-fp posting SETS (one keyed agg with map-side
+    combine), lists longer than ``max_doc_freq`` are dropped whole
+    (corpus-wide boilerplate would otherwise blow up one posting
+    bucket quadratically — the ngram_jaccard df-cut discipline), and
+    pairs expand IN-ARRAY from the bounded surviving lists (<=
+    C(max_doc_freq, 2) pairs per fingerprint by construction) before
+    the final (id_a, id_b) count agg. The usual exploded SELF-JOIN
+    spelling measured 9 exchanges on the same plan; this one is the
+    bounded-posting-list shape a 100 TB dedup actually runs."""
+    fps = _winnow_fp_stream(df, k, w, text_col, id_col)
+    posts = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") <= max_doc_freq)
+    )
+    n = F.size("__ids")
+    combos = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        posts.select(combos.alias("__c"))
+        .select(F.explode_outer("__c").alias("p"))
+        .filter(F.col("p").isNotNull())
+    )
+    return (
+        pairs.select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

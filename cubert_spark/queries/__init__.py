@@ -161,6 +161,11 @@ FOLDED: dict[str, str] = {
     "json_props": "scalar_functions (same expression-only shape)",
     "corpus_report": "profile_table (same fused profiling scan)",
     "blocklist_filter": "contamination (same blocklist DFA pass)",
+    # r12: winnow_pairs (MOSS window-min fingerprints) subsumes the
+    # token-span spelling of the same exact-substring-dup capability;
+    # duplicate_spans stays benched + parity-gated
+    "duplicate_spans": "winnow_pairs (same exact-substring dedup "
+                       "family; the span spelling stays benched)",
     # r12: dsir_weights (hashed unigram+bigram importance scoring —
     # the DSIR selection operator) subsumes the plain hashed-BOW
     # featurizer row: same md5 feature-hashing trick, plus bigrams and

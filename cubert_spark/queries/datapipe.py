@@ -2050,6 +2050,50 @@ SELECT doc_id, n_feats, logw_millinats, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS winnowing substring-overlap candidates (Schleimer et al.
+    2003): window-min fingerprints over word 4-gram hashes (w=4),
+    high-df fingerprints cut, pairs sharing >= 2 fingerprints with the
+    shared count — the local-run exact-substring complement to the
+    Jaccard/minhash global-overlap family."""
+    d = load_table(spark, sf, "documents")
+    return dedup.winnow_pairs(d, k=4, w=4, min_shared=2, max_doc_freq=20)
+
+
+SQL_WINNOW_PAIRS = """
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(t) - 2),
+           i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           || ' ' || t[i+3]), 1, 8)
+         ) AS hs
+  FROM tok WHERE len(t) >= 4
+),
+wd AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_transform(range(1, len(hs) - 2),
+                                  i -> list_min(hs[i:i+3]))
+              ELSE [list_min(hs)] END AS fps
+  FROM h WHERE len(hs) > 0
+),
+f AS (SELECT DISTINCT doc_id, fp FROM wd, UNNEST(wd.fps) AS u(fp)),
+cut AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 20),
+fc AS (SELECT f.doc_id, f.fp FROM f JOIN cut USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of the embeddings table — codes and
     scales bit-replayable (floor(x+0.5) rounding, fixed IEEE ops). The
@@ -2592,6 +2636,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_sample": q_mixture_sample,
     "dsir_weights": q_dsir_weights,
+    "winnow_pairs": q_winnow_pairs,
     "quality_classifier": q_quality_classifier,
     "neardup_dedup": q_neardup_dedup,
     "normalize_text": q_normalize_text,
@@ -2662,6 +2707,7 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "winnow_pairs": SQL_WINNOW_PAIRS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "bpe_apply_exact": SQL_BPE_APPLY_EXACT,
     "neardup_dedup": SQL_NEARDUP_DEDUP,

@@ -3140,3 +3140,39 @@ def test_dsir_resample_deterministic_and_weight_biased(spark):
     )
     boosted = [d for d in sel if d < 20]
     assert len(boosted) >= 9, sel  # bucket collisions can leak ~1 row
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """MOSS winnowing (dedup.winnow_fingerprints): any shared token
+    run of length >= w + k - 1 guarantees a shared fingerprint; docs
+    under k tokens yield nothing; under w windows the single global
+    min survives (degenerate guarantee)."""
+    from cubert_spark.datapipe import dedup
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 = w + k - 1
+    docs = [
+        (1, f"one two three {run} four five"),
+        (2, f"{run} six seven eight nine ten eleven"),
+        (3, "tiny doc"),                   # < k tokens: no fingerprints
+        (4, "exactly four tokens here"),   # k tokens, 1 hash: global min
+        (5, "completely different words about nothing shared at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=4, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    # the guarantee: docs 1 and 2 share the 7-token run
+    assert by_doc[1] & by_doc[2]
+    # density: ~2/(w+1) of hashes kept, never more than n_windows
+    assert 0 < len(by_doc[1]) < 12  # doc 1 has 12 k-grams
+    # pair surface: (1,2) survives with the shared count; doc 5 pairs
+    # with nobody
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in dedup.winnow_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(5 in p for p in pairs)

@@ -621,6 +621,9 @@ _SHUFFLE_CEILINGS = {
     # r12: DSIR scoring is ONE codegen map stage + TakeOrdered; the
     # only exchange is the post-limit 50-row rank window's
     "dsir_weights": 1,
+    # r12: winnowing pairs — input spread + posting agg + pair agg;
+    # NO self-join (bounded in-array pair expansion)
+    "winnow_pairs": 3,
 }
 
 
