@@ -264,6 +264,36 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
     return p  # unreachable: keep=0 renders a constant-size line
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """The protocol's uncounted warmups, shared with
+    tools/triage_bench.py so triage numbers are measured under the
+    SAME protocol as the official record (a drifted copy-paste would
+    invalidate regression attributions): JVM/codegen/parquet-reader
+    warmup on a trivial action, then a Python-worker + Arrow batch."""
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    double_it = pandas_udf(lambda s: pd.Series(s * 2), "long")
+    spark.range(100).select(double_it(col("id"))).collect()
+
+
+def timed_run(spark, fn, sf_dir: str) -> float:
+    """One timed end-to-end execution under the protocol (noop sink =
+    full computation, no driver collect). Shared with triage_bench.
+    Roundtrip queries memoize their STORE step per session
+    (_materialize_once); reset so EVERY timed run pays the full
+    store->load path — otherwise runs 2..n time only the read side
+    and the min stops measuring the writer."""
+    from cubert_spark.queries.extensions import reset_materialized
+
+    reset_materialized()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _regressed_rows(
     timings: dict, prev_queries: dict, prev_runs: dict, names: list
 ) -> list:
@@ -288,9 +318,14 @@ def main() -> None:
     # keep the CAPTURED STRING too: the official-protocol check below
     # compares it (not the parsed float) so regex drift (a trailing
     # '.', a no-match -1.0) can't silently route the official run to
-    # a suffixed detail file
+    # a suffixed detail file — and the parse itself is defensive, or
+    # the same trailing-dot capture ('sf0.1.bak' -> '0.1.') would
+    # crash at startup before the routing guard ever ran
     sf_str = m.group(1) if m else ""
-    sf = float(sf_str) if sf_str else -1.0
+    try:
+        sf = float(sf_str) if sf_str else -1.0
+    except ValueError:
+        sf = -1.0
 
     from cubert_spark import get_session
     from cubert_spark.queries import all_queries, folded_queries
@@ -317,19 +352,7 @@ def main() -> None:
         "cubert-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     queries = all_queries()
-
-    # JVM/codegen/parquet-reader warmup on a trivial action (not
-    # counted): touch the smallest table so the first timed query pays
-    # for its plan, not for one-time class loading
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    # Python-worker + Arrow warmup (ivf assignment / GEMM topk paths
-    # run pandas UDFs): one tiny batch, not counted
-    import pandas as pd
-    from pyspark.sql.functions import col, pandas_udf
-
-    double_it = pandas_udf(lambda s: pd.Series(s * 2), "long")
-    spark.range(100).select(double_it(col("id"))).collect()
+    warmup(spark, sf_dir)
 
     # n>=2 timed repeats per query; report the per-query MIN (the
     # reproducible capability of the code on this box) and keep the
@@ -342,17 +365,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
-    from cubert_spark.queries.extensions import reset_materialized
 
     def _timed_run(fn) -> float:
-        # roundtrip queries memoize their STORE step per session
-        # (_materialize_once); reset so EVERY timed run pays the
-        # full store->load path — otherwise runs 2..n time only
-        # the read side and the min stops measuring the writer
-        reset_materialized()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        return timed_run(spark, fn, sf_dir)
 
     def _set_row(name: str, runs: list[float]) -> None:
         raw_runs[name] = runs
@@ -385,7 +400,10 @@ def main() -> None:
     # so nobody treats its medians as the official baseline.
     requeued: list[str] = []
     still_regressed: list[str] = []
-    quiet_pass = True
+    # None = the gate never ran (off-SF run, or no readable committed
+    # baseline) — recording true there would make an UNVERIFIED pass
+    # indistinguishable from a gate-verified quiet one
+    quiet_pass: bool | None = None
     prev_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     prev = None
     if sf_str == "0.1" and os.path.exists(prev_path):
@@ -455,14 +473,22 @@ def main() -> None:
         "bench_schema_version": 6,
         "sf": sf,
     }
-    # Only the recorded sf0.1 protocol overwrites the committed
-    # BENCH_DETAIL.json — a quick smoke at another SF used to clobber
-    # the round's official medians/spreads (bit us in r11); off-SF
-    # runs land in a suffixed file instead. String compare (not the
-    # parsed float) so regex drift can't misroute the official run.
-    detail_name = (
-        "BENCH_DETAIL.json" if sf_str == "0.1" else f"BENCH_DETAIL_sf{sf}.json"
-    )
+    # Only the recorded sf0.1 protocol — AND only a pass the quietness
+    # gate did not stamp loaded — overwrites the committed
+    # BENCH_DETAIL.json: a quick smoke at another SF used to clobber
+    # the round's official medians/spreads (bit us in r11), and a
+    # loaded pass overwriting the baseline would poison the very
+    # record the gate compares against (then a follow-up re-run would
+    # trivially pass against the inflated mins). Off-SF runs land in a
+    # suffixed file; loaded passes in BENCH_DETAIL_LOADED.json. String
+    # compare (not the parsed float) so regex drift can't misroute
+    # the official run.
+    if sf_str != "0.1":
+        detail_name = f"BENCH_DETAIL_sf{sf}.json"
+    elif quiet_pass is False:
+        detail_name = "BENCH_DETAIL_LOADED.json"
+    else:
+        detail_name = "BENCH_DETAIL.json"
     try:
         with open(os.path.join(os.path.dirname(__file__), detail_name), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

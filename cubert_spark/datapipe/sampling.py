@@ -342,10 +342,14 @@ def dsir_resample(
     replacement with probability proportional to their importance
     weight, via the Gumbel-top-k trick the paper uses — priority =
     log w(x) + Gumbel(0,1), take the k largest. Gumbel noise is
-    derived deterministically from the row's content hash
-    (u = (hash16 + 0.5) / 2^16, g = -ln(-ln(u))), so the sample is
-    reproducible across runs, engines, retries, and repartitions —
-    the same property every other sampler in this module guarantees.
+    derived deterministically from the row's ID hash
+    (u = (hash16(id, seed) + 0.5) / 2^16, g = -ln(-ln(u))), so the
+    sample is reproducible across runs, engines, retries, and
+    repartitions — the same property every other sampler in this
+    module guarantees. (ID-keyed, not content-keyed: re-keying the
+    corpus changes the draw; duplicate-content rows draw
+    independently. Pass a content hash as id_col for content-keyed
+    noise.)
 
     Scale shape: one map stage for scoring + ONE global top-k
     (TakeOrderedAndProject — per-partition heaps of size k, never a

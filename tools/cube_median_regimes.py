@@ -53,9 +53,16 @@ def _spill(spark) -> tuple[int, int]:
 
 
 def main() -> None:
+    # the engine session default is spark.ui.enabled=false (headless
+    # discipline) — the spill probe needs the UI REST API, so this
+    # measurement tool re-enables it explicitly; with it disabled the
+    # probe's sentinel used to difference out as a fake "0 spill"
     spark = get_session(
         "cube-median-regimes",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "true",
+        },
     )
     li = spark.read.parquet("/tmp/gen_sf1/lineitem.parquet")
     # regime-B dims: ~600k distinct synthetic groups x 4 cuboids
@@ -71,15 +78,20 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     for rname, (dims, measure) in regimes.items():
         for vname, agg in (("exact", exact), ("approx", approx)):
+            # spill window spans ALL runs of the variant (a delta per
+            # run discarded all but the last — a cold-buffer run-1
+            # spill would have been silently dropped); a failed REST
+            # probe (-1 sentinel) reports null, never fake bytes
+            s0 = _spill(spark)
             runs = []
             for _ in range(2):
-                s0 = _spill(spark)
                 t0 = time.perf_counter()
                 cube(li, dims, agg(measure), F.count(F.lit(1)).alias("n")).write.format(
                     "noop"
                 ).mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 2))
-                s1 = _spill(spark)
+            s1 = _spill(spark)
+            probe_ok = s0[0] >= 0 and s1[0] >= 0
             print(
                 json.dumps(
                     {
@@ -87,8 +99,8 @@ def main() -> None:
                         "variant": vname,
                         "min_sec": min(runs),
                         "runs": runs,
-                        "mem_spill_delta": s1[0] - s0[0],
-                        "disk_spill_delta": s1[1] - s0[1],
+                        "mem_spill_delta": s1[0] - s0[0] if probe_ok else None,
+                        "disk_spill_delta": s1[1] - s0[1] if probe_ok else None,
                     }
                 ),
                 flush=True,

@@ -3,18 +3,18 @@
 
 Usage: PYTHONPATH=/root/repo python tools/triage_bench.py q1 q2 ...
 
-Mirrors bench.py exactly (fresh session, JVM + Python-worker warmup,
-noop sink, min-of-N with SPARK_GRAFT_BENCH_RUNS) but runs only the
-named queries and NEVER writes BENCH_DETAIL.json — it exists so
-regression triage can quote numbers measured under the same protocol
-as the official record without touching it.
+IMPORTS bench.py's own warmup + timed-run helpers (fresh session,
+JVM/Arrow warmups, noop sink, min-of-N with SPARK_GRAFT_BENCH_RUNS)
+so the protocol cannot drift from the official record's — a stale
+copy-paste here would invalidate the regression attributions built
+on these numbers (SCALE.md r12 triage). Runs only the named queries
+and NEVER writes BENCH_DETAIL.json.
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
-import time
 
 
 def main() -> None:
@@ -23,11 +23,12 @@ def main() -> None:
         sys.exit("usage: triage_bench.py QUERY [QUERY ...]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
     from cubert_spark import get_session
     from cubert_spark.queries import all_queries, folded_queries
     from cubert_spark.queries import datapipe as _dp
     from cubert_spark.queries import extensions as _ext
-    from cubert_spark.queries.extensions import reset_materialized
 
     queries = all_queries()
     _extra = {
@@ -39,24 +40,13 @@ def main() -> None:
     spark = get_session(
         "cubert-triage", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    import pandas as pd
-    from pyspark.sql.functions import col, pandas_udf
-
-    double_it = pandas_udf(lambda s: pd.Series(s * 2), "long")
-    spark.range(100).select(double_it(col("id"))).collect()
+    bench.warmup(spark, sf_dir)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     out = {}
     for name in names:
         fn = queries.get(name) or _extra[name]
-        runs = []
-        for _ in range(n_runs):
-            reset_materialized()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
+        runs = [bench.timed_run(spark, fn, sf_dir) for _ in range(n_runs)]
         out[name] = {"min": min(runs), "runs": runs}
         print(f"# {name}: min={min(runs):.3f}s runs={runs}", file=sys.stderr)
     print(json.dumps(out))
