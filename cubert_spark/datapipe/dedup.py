@@ -776,7 +776,8 @@ def winnow_pairs(
     k: int = 4,
     w: int = 4,
     min_shared: int = 2,
-    max_doc_freq: int = 20,
+    max_doc_freq: int | None = 20,
+    max_doc_freq_frac: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -786,20 +787,39 @@ def winnow_pairs(
 
     Scale shape — TWO shuffles, no self-join: the fingerprint stream
     aggregates into per-fp posting SETS (one keyed agg with map-side
-    combine), lists longer than ``max_doc_freq`` are dropped whole
-    (corpus-wide boilerplate would otherwise blow up one posting
-    bucket quadratically — the ngram_jaccard df-cut discipline), and
-    pairs expand IN-ARRAY from the bounded surviving lists (<=
-    C(max_doc_freq, 2) pairs per fingerprint by construction) before
-    the final (id_a, id_b) count agg. The usual exploded SELF-JOIN
-    spelling measured 9 exchanges on the same plan; this one is the
-    bounded-posting-list shape a 100 TB dedup actually runs."""
+    combine), over-long lists are dropped whole (corpus-wide
+    boilerplate would otherwise blow up one posting bucket
+    quadratically — the ngram_jaccard df-cut discipline), and pairs
+    expand IN-ARRAY from the bounded surviving lists (<= C(cut, 2)
+    pairs per fingerprint by construction) before the final
+    (id_a, id_b) count agg. The usual exploded SELF-JOIN spelling
+    measured 9 exchanges on the same plan; this one is the
+    bounded-posting-list shape a 100 TB dedup actually runs.
+
+    The cut has the shingle_table dual spelling: absolute
+    ``max_doc_freq`` when the corpus size is known, or
+    ``max_doc_freq_frac`` (drop fps shared by more than frac *
+    fingerprinted-docs) — the corpus-size-independent choice for a
+    growing pipeline; an absolute constant silently stops thinning
+    once posting lists outgrow it (the catalogued r10 ngram_jaccard
+    post-mortem). n_docs is a 1-row broadcast stat over docs that
+    produced >= 1 fingerprint."""
+    if (max_doc_freq is not None) == (max_doc_freq_frac is not None):
+        raise ValueError(
+            "winnow_pairs: pass max_doc_freq OR max_doc_freq_frac"
+        )
     fps = _winnow_fp_stream(df, k, w, text_col, id_col)
-    posts = (
-        fps.groupBy("fp")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
-        .filter(F.size("__ids") <= max_doc_freq)
+    posts = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set(id_col)).alias("__ids")
     )
+    if max_doc_freq is not None:
+        posts = posts.filter(F.size("__ids") <= max_doc_freq)
+    else:
+        total = fps.select(F.countDistinct(id_col).alias("__n"))
+        posts = posts.crossJoin(F.broadcast(total)).filter(
+            F.size("__ids")
+            <= F.col("__n") * F.lit(float(max_doc_freq_frac))
+        )
     n = F.size("__ids")
     combos = F.flatten(
         F.transform(

@@ -3176,3 +3176,25 @@ def test_winnow_guarantee_and_edges(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert not any(5 in p for p in pairs)
+
+
+def test_winnow_pairs_relative_cut_spelling(spark):
+    """The corpus-relative df-cut spelling: same pairs as an absolute
+    cut at the equivalent ceiling, mutually exclusive params."""
+    import pytest
+
+    from cubert_spark.datapipe import dedup
+
+    run = "alpha beta gamma delta epsilon zeta eta"
+    docs = [(i, f"prefix {i} {run} suffix {i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    absolute = dedup.winnow_pairs(df, min_shared=1, max_doc_freq=6)
+    relative = dedup.winnow_pairs(
+        df, min_shared=1, max_doc_freq=None, max_doc_freq_frac=1.0
+    )
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["shared_fps"]) for r in rows)
+    assert key(absolute.collect()) == key(relative.collect())
+    with pytest.raises(ValueError, match="max_doc_freq OR"):
+        dedup.winnow_pairs(df, max_doc_freq=5, max_doc_freq_frac=0.5)
+    with pytest.raises(ValueError, match="max_doc_freq OR"):
+        dedup.winnow_pairs(df, max_doc_freq=None, max_doc_freq_frac=None)

@@ -74,6 +74,11 @@ HEAVY = {
     # the UNCUT pair source; measured directly since the r11 source
     # switch (69775ce)
     "neardup_dedup": "documents",
+    # r12 new operators: DSIR scoring (one map stage + TakeOrdered —
+    # expect ~linear) and winnowing pairs (posting-set aggs with the
+    # df cut bounding pair expansion)
+    "dsir_weights": "documents",
+    "winnow_pairs": "documents",
 }
 
 
