@@ -193,6 +193,11 @@ BENCH_QUERIES = [
     # bounded posting-set pair expansion, no self-join)
     "dsir_weights",
     "winnow_pairs",
+    # production-arithmetic ADC twin (_EXTRA, like bloom_prune_fast):
+    # double dots/sums — the tier a real PQ fleet runs, and the
+    # light-codegen path (the exact row's DECIMAL folds are its
+    # JIT-heavy part)
+    "pq_adc_topk_fast",
 ]
 
 
@@ -338,6 +343,7 @@ def main() -> None:
     _extra = {
         "minhash_lsh_fast": _dp.q_minhash_lsh_fast,
         "bloom_prune_fast": _ext.q_bloom_prune_fast,
+        "pq_adc_topk_fast": _ext.q_pq_adc_topk_fast,
     }
     # folded contract-twins (driver inventory consolidation, r7) stay
     # benched — perf coverage is independent of attestation rotation

@@ -37,6 +37,18 @@ def _dot_decimal(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_double(a: Column, b: Column) -> Column:
+    """Production-speed dot: plain double fold (the exact twin is
+    :func:`_dot_decimal`). The sequential array fold is deterministic
+    WITHIN Spark (fixed element order), but float addition is not
+    associative, so results are not bit-replayable cross-engine —
+    bench/production path only, never an oracle column."""
+    prods = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Deterministic cosine similarity between two float vectors."""
     dot = _dot_decimal(a, b).cast("double")
@@ -393,9 +405,13 @@ def embedding_neardup_pairs(
     )
 
 
-def _argmax_centroid(vec: Column, centroids: list[list[float]]) -> tuple[Column, Column]:
+def _argmax_centroid(
+    vec: Column, centroids: list[list[float]], exact: bool = True
+) -> tuple[Column, Column]:
     """(best_j, best_dot) over fixed centroid literals — DECIMAL-exact
-    dot products, ties broken to the smallest index j.
+    dot products (``exact=False``: plain double dots, the production
+    tier — same argmax rule, not oracle-replayable), ties broken to
+    the smallest index j.
 
     Implemented as array_sort over (−dot, j) structs rather than a
     chained When-fold: the fold nests each comparison level inside the
@@ -404,10 +420,11 @@ def _argmax_centroid(vec: Column, centroids: list[list[float]]) -> tuple[Column,
     evaluates each dot exactly once, and struct ordering (−dot asc,
     j asc) IS the argmax-with-smallest-j rule."""
     vec_d = vec.cast("array<double>")
+    dot = _dot_decimal if exact else _dot_double
     entries = F.array(
         *[
             F.struct(
-                (-_dot_decimal(vec_d, F.array(*[F.lit(x) for x in c]))).alias("nd"),
+                (-dot(vec_d, F.array(*[F.lit(x) for x in c]))).alias("nd"),
                 F.lit(j).alias("j"),
             )
             for j, c in enumerate(centroids)
@@ -775,6 +792,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = True,
 ) -> DataFrame:
     """Product-quantization encoder: split each vector into
     ``len(codebooks)`` contiguous subvectors and assign each to its
@@ -798,6 +816,10 @@ def pq_encode(
     without decoding. One scan; _spread parallelizes the M*K DECIMAL
     folds per row when the scan has fewer splits than cores (8.1 s ->
     0.5 s at sf0.1 on a one-file input; no-op at real scale).
+
+    ``exact=False`` is the production tier: plain double dots (what a
+    real PQ fleet computes) — same argmax/tie rule, NOT oracle-
+    replayable; the bloom/minhash fast-twin discipline.
     """
     from cubert_spark.datapipe.dedup import _spread
 
@@ -809,7 +831,7 @@ def pq_encode(
     for m, cb in enumerate(codebooks):
         d_sub = len(cb[0])
         sub = F.slice(vec, off, d_sub)
-        best_j, best_dot = _argmax_centroid(sub, cb)
+        best_j, best_dot = _argmax_centroid(sub, cb, exact)
         codes.append(best_j)
         if m == 0:
             dot0 = best_dot.cast("double")
@@ -826,6 +848,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = True,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: the search side of PQ-ANN. Each
     query scores the COMPRESSED corpus — est_dot(q, x) = sum over
@@ -838,15 +861,21 @@ def pq_adc_topk(
     Exactness: LUT entries are DECIMAL dots against fixed codeword
     literals; the per-candidate estimate is a DECIMAL sum of M of
     them (order-independent), so scores and ranking replay
-    bit-for-bit. Output: (q_id, id, est, rnk) with rnk 1..k per
-    query, ties to the smallest id.
+    bit-for-bit. ``exact=False`` is the production tier (double dots
+    and a double estimate sum — what a real ADC fleet computes; the
+    DECIMAL codegen is also the JIT-heavy part of this plan):
+    identical structure, NOT oracle-replayable. Output: (q_id, id,
+    est, rnk) with rnk 1..k per query, ties to the smallest id.
     """
     from pyspark.sql import Window
 
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(id_col, "codes")
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, exact).select(
+        id_col, "codes"
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("__qv")
     )
+    dot = _dot_decimal if exact else _dot_double
     entries = []
     off = 1
     for m, cb in enumerate(codebooks):
@@ -857,7 +886,7 @@ def pq_adc_topk(
                 F.struct(
                     F.lit(m).alias("m"),
                     F.lit(j).alias("j"),
-                    _dot_decimal(sub, F.array(*[F.lit(x) for x in c])).alias("ld"),
+                    dot(sub, F.array(*[F.lit(x) for x in c])).alias("ld"),
                 )
             )
         off += d_sub

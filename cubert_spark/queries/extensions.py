@@ -1085,6 +1085,23 @@ def q_bloom_prune_fast(spark: SparkSession, sf: str) -> DataFrame:
     return _bloom_prune_counts(spark, sf, hash_fn="xxhash64")
 
 
+def q_pq_adc_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-arithmetic twin of ``pq_adc_topk`` — double dots and
+    a double estimate sum (what a real ADC fleet computes; also the
+    light-codegen path: the exact row's DECIMAL(38,18) folds are the
+    JIT-heavy part of its plan). Bench-only (float sums are not
+    oracle-replayable — the bloom_prune_fast/minhash_lsh_fast split);
+    rank agreement with the exact row is pytest-pinned on the bench
+    codebooks (test_pq_adc_fast_ranks_agree)."""
+    from cubert_spark.datapipe import similarity
+    from cubert_spark.queries.datapipe import _PQ_CODEBOOKS
+
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pq_adc_topk(
+        e, e.filter(F.col("vec_id") < 5), _PQ_CODEBOOKS, k=5, exact=False
+    ).select("q_id", "vec_id", "rnk")
+
+
 def _bloom_pos_sql(i: int, key: str, num_bits: int = 65536) -> str:
     # chunk i of ONE digest (mirrors operators.bloom._positions)
     return (

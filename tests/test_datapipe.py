@@ -3198,3 +3198,23 @@ def test_winnow_pairs_relative_cut_spelling(spark):
         dedup.winnow_pairs(df, max_doc_freq=5, max_doc_freq_frac=0.5)
     with pytest.raises(ValueError, match="max_doc_freq OR"):
         dedup.winnow_pairs(df, max_doc_freq=None, max_doc_freq_frac=None)
+
+
+def test_pq_adc_fast_ranks_agree(spark):
+    """The production-arithmetic ADC twin (double dots/sums) returns
+    the same per-query neighbor ranking as the DECIMAL-exact path on
+    the bench codebooks (scores are well-separated there; float
+    error ~1e-16 can't flip them)."""
+    from cubert_spark.datapipe import similarity
+    from cubert_spark.queries.datapipe import _PQ_CODEBOOKS
+
+    from cubert_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 3")
+    exact = similarity.pq_adc_topk(e, q, _PQ_CODEBOOKS, k=5)
+    fast = similarity.pq_adc_topk(e, q, _PQ_CODEBOOKS, k=5, exact=False)
+    key = lambda df: {
+        (r["q_id"], r["rnk"]): r["vec_id"] for r in df.collect()
+    }
+    assert key(exact) == key(fast)

@@ -34,6 +34,7 @@ def main() -> None:
     _extra = {
         "minhash_lsh_fast": _dp.q_minhash_lsh_fast,
         "bloom_prune_fast": _ext.q_bloom_prune_fast,
+        "pq_adc_topk_fast": _ext.q_pq_adc_topk_fast,
     }
     _extra.update(folded_queries())
 
