@@ -333,20 +333,16 @@ def main() -> None:
         sf = -1.0
 
     from cubert_spark import get_session
-    from cubert_spark.queries import all_queries, folded_queries
-    from cubert_spark.queries import datapipe as _dp
+    from cubert_spark.queries import (
+        all_queries,
+        extra_bench_queries,
+        folded_queries,
+    )
 
-    # bench-only rows: implemented + pytest-pinned operators that have
-    # no possible oracle and therefore live outside queries()
-    from cubert_spark.queries import extensions as _ext
-
-    _extra = {
-        "minhash_lsh_fast": _dp.q_minhash_lsh_fast,
-        "bloom_prune_fast": _ext.q_bloom_prune_fast,
-        "pq_adc_topk_fast": _ext.q_pq_adc_topk_fast,
-    }
-    # folded contract-twins (driver inventory consolidation, r7) stay
-    # benched — perf coverage is independent of attestation rotation
+    # bench-only rows (no possible oracle) come from the ONE shared
+    # registry; folded contract-twins (driver inventory consolidation,
+    # r7) stay benched — perf coverage is independent of rotation
+    _extra = extra_bench_queries()
     _extra.update(folded_queries())
 
     # Console progress bars are stderr \r-frame floods — at ~70

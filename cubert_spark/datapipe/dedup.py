@@ -141,10 +141,7 @@ def shingle_table(
       the denominator with null/too-short docs and thin less than
       "fraction of the corpus" promises on dirty data (r10 ADVICE).
     """
-    if max_doc_freq is not None and max_doc_freq_frac is not None:
-        raise ValueError(
-            "shingle_table: pass max_doc_freq OR max_doc_freq_frac, not both"
-        )
+    _check_df_cut_params("shingle_table", max_doc_freq, max_doc_freq_frac)
     sh = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
@@ -771,12 +768,25 @@ def _winnow_fp_stream(
     )
 
 
+def _check_df_cut_params(who: str, max_doc_freq, max_doc_freq_frac) -> None:
+    """The dual df-cut spelling's shared exclusion rule (shingle_table
+    and winnow_pairs must stay in lockstep — the denominator and
+    exclusion semantics were diverging hand-rolled copies before r12):
+    at most ONE of absolute / corpus-relative; both None = no cut
+    (caller takes the boilerplate-bucket risk, fine on bounded
+    corpora)."""
+    if max_doc_freq is not None and max_doc_freq_frac is not None:
+        raise ValueError(
+            f"{who}: pass max_doc_freq OR max_doc_freq_frac, not both"
+        )
+
+
 def winnow_pairs(
     df: DataFrame,
     k: int = 4,
     w: int = 4,
     min_shared: int = 2,
-    max_doc_freq: int | None = 20,
+    max_doc_freq: int | None = None,
     max_doc_freq_frac: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -785,37 +795,46 @@ def winnow_pairs(
     docs sharing >= ``min_shared`` (post-cut) fingerprints, with the
     shared count.
 
-    Scale shape — TWO shuffles, no self-join: the fingerprint stream
-    aggregates into per-fp posting SETS (one keyed agg with map-side
-    combine), over-long lists are dropped whole (corpus-wide
-    boilerplate would otherwise blow up one posting bucket
-    quadratically — the ngram_jaccard df-cut discipline), and pairs
-    expand IN-ARRAY from the bounded surviving lists (<= C(cut, 2)
-    pairs per fingerprint by construction) before the final
-    (id_a, id_b) count agg. The usual exploded SELF-JOIN spelling
-    measured 9 exchanges on the same plan; this one is the
+    Scale shape — TWO shuffles, no self-join (the frac spelling adds
+    one small agg over the already-aggregated postings, see below):
+    the fingerprint stream aggregates into per-fp posting SETS (one
+    keyed agg with map-side combine), over-long lists are dropped
+    whole (corpus-wide boilerplate would otherwise blow up one
+    posting bucket quadratically — the ngram_jaccard df-cut
+    discipline), and pairs expand IN-ARRAY from the bounded surviving
+    lists (<= C(cut, 2) pairs per fingerprint by construction) before
+    the final (id_a, id_b) count agg. The usual exploded SELF-JOIN
+    spelling measured 9 exchanges on the same plan; this one is the
     bounded-posting-list shape a 100 TB dedup actually runs.
 
     The cut has the shingle_table dual spelling: absolute
-    ``max_doc_freq`` when the corpus size is known, or
+    ``max_doc_freq`` (default 20) when the corpus size is known, or
     ``max_doc_freq_frac`` (drop fps shared by more than frac *
     fingerprinted-docs) — the corpus-size-independent choice for a
     growing pipeline; an absolute constant silently stops thinning
     once posting lists outgrow it (the catalogued r10 ngram_jaccard
-    post-mortem). n_docs is a 1-row broadcast stat over docs that
-    produced >= 1 fingerprint."""
-    if (max_doc_freq is not None) == (max_doc_freq_frac is not None):
-        raise ValueError(
-            "winnow_pairs: pass max_doc_freq OR max_doc_freq_frac"
-        )
+    post-mortem). Passing ``max_doc_freq_frac`` alone selects the
+    relative cut; passing neither applies the absolute default of 20
+    (an uncut run — unbounded bucket risk — is max_doc_freq=2**31).
+    The frac denominator counts docs appearing in >= 1 posting (the
+    r10 ADVICE rule), derived from the AGGREGATED postings frame —
+    never a second pass over the md5-heavy fingerprint stream (its
+    exchange is keyed on fp, so the posting agg computes once and
+    both consumers read it)."""
+    _check_df_cut_params("winnow_pairs", max_doc_freq, max_doc_freq_frac)
+    if max_doc_freq is None and max_doc_freq_frac is None:
+        max_doc_freq = 20  # the documented absolute default
     fps = _winnow_fp_stream(df, k, w, text_col, id_col)
     posts = fps.groupBy("fp").agg(
         F.array_sort(F.collect_set(id_col)).alias("__ids")
     )
     if max_doc_freq is not None:
         posts = posts.filter(F.size("__ids") <= max_doc_freq)
-    else:
-        total = fps.select(F.countDistinct(id_col).alias("__n"))
+    elif max_doc_freq_frac is not None:
+        total = (
+            posts.select(F.explode("__ids").alias("__id"))
+            .select(F.countDistinct("__id").alias("__n"))
+        )
         posts = posts.crossJoin(F.broadcast(total)).filter(
             F.size("__ids")
             <= F.col("__n") * F.lit(float(max_doc_freq_frac))

@@ -900,14 +900,51 @@ def pq_adc_topk(
     # posexplode_outer + post-filter: plain posexplode grows an
     # inferred size()>0 filter that inlines the 32-DECIMAL-dot codes
     # expression an extra time per row (the catalogued Generate trap)
-    ce = codes.select(
-        F.col(id_col), F.posexplode_outer("codes").alias("m", "j")
-    ).filter(F.col("j").isNotNull())
-    scored = (
-        ce.join(F.broadcast(lut), ["m", "j"])
-        .groupBy("q_id", id_col)
-        .agg(F.sum("ld").alias("__est"))
-    )
+    if exact:
+        # posexplode_outer + post-filter: plain posexplode grows an
+        # inferred size()>0 filter that inlines the 32-DECIMAL-dot
+        # codes expression once more per row (the Generate trap).
+        # DECIMAL F.sum is order-independent, so the shuffle agg is
+        # deterministic and oracle-replayable.
+        ce = codes.select(
+            F.col(id_col), F.posexplode_outer("codes").alias("m", "j")
+        ).filter(F.col("j").isNotNull())
+        scored = (
+            ce.join(F.broadcast(lut), ["m", "j"])
+            .groupBy("q_id", id_col)
+            .agg(F.sum("ld").alias("__est"))
+        )
+    else:
+        # double path: a bare F.sum over doubles after a shuffle has
+        # no defined summation order — est (and rnk on same-codes
+        # candidates) would be nondeterministic even within Spark; a
+        # sorted-fold agg loses the codegen partial sum (measured
+        # 2.3 -> 4.6 s); a per-subspace join chain was slower than
+        # the exact path outright. The fast shape: fold each query's
+        # whole LUT into ONE broadcast map keyed on m*K+j (map build
+        # is per-q over M x K rows — tiny; map_from_entries is
+        # order-insensitive), crossJoin(broadcast) the |Q| maps onto
+        # the codes, and add the M lookups in ONE fixed-order
+        # projection — deterministic, zero scoring shuffles, no agg.
+        ks = [len(cb) for cb in codebooks]
+        offs = [sum(ks[:m]) for m in range(len(ks))]
+        key = F.col("j") + F.element_at(
+            F.array(*[F.lit(o) for o in offs]), F.col("m") + 1
+        )
+        lutq = lut.groupBy("q_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(key.alias("key"), F.col("ld").alias("value"))
+                )
+            ).alias("__lut")
+        )
+        out = codes.crossJoin(F.broadcast(lutq))
+        est = F.element_at("__lut", F.element_at("codes", 1) + offs[0])
+        for m in range(1, len(codebooks)):
+            est = est + F.element_at(
+                "__lut", F.element_at("codes", m + 1) + offs[m]
+            )
+        scored = out.select("q_id", F.col(id_col), est.alias("__est"))
     w = Window.partitionBy("q_id").orderBy(F.desc("__est"), F.col(id_col))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))

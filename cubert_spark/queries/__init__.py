@@ -226,6 +226,22 @@ def all_oracles():
     return _ordered({n: s for n, s in out.items() if n not in FOLDED})
 
 
+def extra_bench_queries():
+    """Bench-only rows: implemented + pytest-pinned operators with no
+    possible oracle (JVM-hash positions, float sums), so they live
+    outside queries()/FOLDED entirely. ONE registry shared by
+    bench.py and tools/triage_bench.py — the two maps used to be
+    maintained by hand in both files and drifted on every addition."""
+    from cubert_spark.queries import datapipe as _dp
+    from cubert_spark.queries import extensions as _ext
+
+    return {
+        "minhash_lsh_fast": _dp.q_minhash_lsh_fast,
+        "bloom_prune_fast": _ext.q_bloom_prune_fast,
+        "pq_adc_topk_fast": _ext.q_pq_adc_topk_fast,
+    }
+
+
 def folded_queries():
     """The folded contract-twin rows — NOT driver-declared, but still
     verified by the local strict parity gate and (where listed) the

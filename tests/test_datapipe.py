@@ -3179,25 +3179,34 @@ def test_winnow_guarantee_and_edges(spark):
 
 
 def test_winnow_pairs_relative_cut_spelling(spark):
-    """The corpus-relative df-cut spelling: same pairs as an absolute
-    cut at the equivalent ceiling, mutually exclusive params."""
+    """The corpus-relative df-cut must actually CUT: a big shared run
+    (6-doc postings) dies under frac=0.35 of 8 fingerprinted docs
+    (ceiling 2.8) while a small shared run (2-doc postings) survives —
+    an inverted predicate, wrong denominator, or no-op cut all fail
+    this. frac alone selects the relative cut (no explicit
+    max_doc_freq=None needed); both-set raises."""
     import pytest
 
     from cubert_spark.datapipe import dedup
 
-    run = "alpha beta gamma delta epsilon zeta eta"
-    docs = [(i, f"prefix {i} {run} suffix {i}") for i in range(6)]
+    run_a = "alpha beta gamma delta epsilon zeta eta"
+    run_b = "one two three four five six seven"
+    docs = [(i, f"pref{i} filler{i} {run_a} tail{i}") for i in range(6)]
+    docs += [(i, f"pref{i} filler{i} {run_b} tail{i}") for i in (6, 7)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    absolute = dedup.winnow_pairs(df, min_shared=1, max_doc_freq=6)
-    relative = dedup.winnow_pairs(
-        df, min_shared=1, max_doc_freq=None, max_doc_freq_frac=1.0
-    )
-    key = lambda rows: sorted((r["id_a"], r["id_b"], r["shared_fps"]) for r in rows)
-    assert key(absolute.collect()) == key(relative.collect())
-    with pytest.raises(ValueError, match="max_doc_freq OR"):
+    # uncut (huge absolute ceiling): both groups pair up
+    uncut = dedup.winnow_pairs(df, min_shared=1, max_doc_freq=100)
+    key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)
+    got_uncut = key(uncut.collect())
+    assert (0, 1) in got_uncut and (6, 7) in got_uncut
+    # relative cut at 0.35 * 8 = 2.8: size-6 postings die, size-2 live
+    relative = dedup.winnow_pairs(df, min_shared=1, max_doc_freq_frac=0.35)
+    assert key(relative.collect()) == [(6, 7)]
+    # equivalent absolute ceiling gives the identical result
+    absolute = dedup.winnow_pairs(df, min_shared=1, max_doc_freq=2)
+    assert key(absolute.collect()) == [(6, 7)]
+    with pytest.raises(ValueError, match="not both"):
         dedup.winnow_pairs(df, max_doc_freq=5, max_doc_freq_frac=0.5)
-    with pytest.raises(ValueError, match="max_doc_freq OR"):
-        dedup.winnow_pairs(df, max_doc_freq=None, max_doc_freq_frac=None)
 
 
 def test_pq_adc_fast_ranks_agree(spark):

@@ -26,16 +26,14 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
     from cubert_spark import get_session
-    from cubert_spark.queries import all_queries, folded_queries
-    from cubert_spark.queries import datapipe as _dp
-    from cubert_spark.queries import extensions as _ext
+    from cubert_spark.queries import (
+        all_queries,
+        extra_bench_queries,
+        folded_queries,
+    )
 
     queries = all_queries()
-    _extra = {
-        "minhash_lsh_fast": _dp.q_minhash_lsh_fast,
-        "bloom_prune_fast": _ext.q_bloom_prune_fast,
-        "pq_adc_topk_fast": _ext.q_pq_adc_topk_fast,
-    }
+    _extra = extra_bench_queries()
     _extra.update(folded_queries())
 
     spark = get_session(
