@@ -412,7 +412,15 @@ def main() -> None:
         try:
             with open(prev_path) as f:
                 prev = json.load(f)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as e:
+            # a corrupt baseline silently disables the quietness gate
+            # (quiet_pass stays None) — make that visible in the log
+            print(
+                f"WARNING: committed baseline {prev_path} exists but "
+                f"could not be read ({e}); quietness gate DISABLED "
+                "for this run",
+                file=sys.stderr,
+            )
             prev = None
     if prev and isinstance(prev.get("queries"), dict):
         pq, pr = prev["queries"], prev.get("runs", {})

@@ -817,10 +817,13 @@ def winnow_pairs(
     relative cut; passing neither applies the absolute default of 20
     (an uncut run — unbounded bucket risk — is max_doc_freq=2**31).
     The frac denominator counts docs appearing in >= 1 posting (the
-    r10 ADVICE rule), derived from the AGGREGATED postings frame —
-    never a second pass over the md5-heavy fingerprint stream (its
-    exchange is keyed on fp, so the posting agg computes once and
-    both consumers read it)."""
+    r10 ADVICE rule), derived from the AGGREGATED postings frame, so
+    no SECOND AGGREGATION is declared over the md5-heavy fingerprint
+    stream. Spark does not guarantee the posting agg's exchange is
+    reused by the broadcast count subquery (ReusedExchange may not
+    fire, especially under AQE), so the fingerprint stream may still
+    be evaluated twice on the frac path; persist/checkpoint ``posts``
+    before the cut if single computation matters at your scale."""
     _check_df_cut_params("winnow_pairs", max_doc_freq, max_doc_freq_frac)
     if max_doc_freq is None and max_doc_freq_frac is None:
         max_doc_freq = 20  # the documented absolute default

@@ -285,6 +285,10 @@ def dsir_log_weights(
     Output: (id, n_feats, logw_millinats bigint). Docs with no terms
     score 0 on 0 features (kept — the resampler decides their fate).
     """
+    if not log_ratio_millinats:
+        # b = 0 would feed `% 0` into the bucket expression and
+        # surface as a confusing ANSI runtime error mid-job
+        raise ValueError("log_ratio_millinats must be non-empty")
     # null text scores like empty text (0 features, weight 0) — a
     # bare regexp over NULL would propagate NULL through the fold
     terms = F.regexp_extract_all(

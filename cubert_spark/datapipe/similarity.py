@@ -897,9 +897,6 @@ def pq_adc_topk(
         .select("q_id", F.explode("__lut").alias("e"))
         .select("q_id", "e.m", "e.j", "e.ld")
     )
-    # posexplode_outer + post-filter: plain posexplode grows an
-    # inferred size()>0 filter that inlines the 32-DECIMAL-dot codes
-    # expression an extra time per row (the catalogued Generate trap)
     if exact:
         # posexplode_outer + post-filter: plain posexplode grows an
         # inferred size()>0 filter that inlines the 32-DECIMAL-dot

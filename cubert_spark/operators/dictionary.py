@@ -25,16 +25,65 @@ DEFAULT_NULL_CODE = 0
 DEFAULT_UNKNOWN_CODE = -1
 
 
-def build_dictionary(df: DataFrame, column: str) -> DataFrame:
+def _dense_value_ranks(vals: DataFrame, num_shards: int | None = None) -> DataFrame:
+    """(value)-distinct frame -> (value, rn) with rn the 1-based dense
+    rank in value order, computed as a DISTRIBUTED two-level prefix
+    sum (the ``curation.sequence_pack`` idiom) instead of one
+    ``row_number`` over an unpartitioned window — a 10^7-value
+    dictionary build must not funnel through a single reducer.
+
+    Level 1: a range shuffle on ``value`` makes shard-id order agree
+    with value order, and the physical partitioning is PINNED with a
+    lazy ``localCheckpoint`` so both downstream consumers (the
+    per-shard counts and the final rank join) read the same
+    materialized partitions — ``spark_partition_id`` would otherwise
+    be unstable across the two subtrees if the range exchange were
+    recomputed with fresh boundary samples. Level 2: shard counts
+    (``num_shards`` rows — tiny) get running offsets in one small
+    window, broadcast back, and each value adds its within-shard
+    ``row_number`` (window partitioned BY SHARD — bounded state).
+
+    The final rank equals "number of distinct values < v" + 1
+    regardless of where the sampled range boundaries fell, so codes
+    stay deterministic across runs even though the shard assignment
+    itself is not.
+    """
+    spark = vals.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = vals.repartitionByRange(num_shards, F.col("value")).localCheckpoint(
+        eager=False
+    )
+    with_pid = parts.withColumn("__pid", F.spark_partition_id())
+    counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy("value")
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn("rn", F.col("__off") + F.row_number().over(w_in))
+        .select("value", "rn")
+    )
+
+
+def build_dictionary(
+    df: DataFrame, column: str, num_shards: int | None = None
+) -> DataFrame:
     """CREATE DICTIONARY job (GenerateDictionary.java:50): distinct
     non-null values -> dense 1-based codes. Output schema:
-    (value STRING, code INT)."""
-    w = Window.orderBy(F.col("value"))
-    return (
+    (value STRING, code INT). Code assignment is the distributed
+    two-level prefix sum (``_dense_value_ranks``) — no single
+    reducer ever sees the full value set."""
+    vals = (
         df.select(F.col(column).cast("string").alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
-        .withColumn("code", F.row_number().over(w).cast("int"))
+    )
+    return _dense_value_ranks(vals, num_shards).select(
+        "value", F.col("rn").cast("int").alias("code")
     )
 
 
@@ -97,10 +146,16 @@ def decode(
     return out
 
 
-def refresh_dictionary(dictionary: DataFrame, new_values: DataFrame, column: str) -> DataFrame:
+def refresh_dictionary(
+    dictionary: DataFrame,
+    new_values: DataFrame,
+    column: str,
+    num_shards: int | None = None,
+) -> DataFrame:
     """Dictionary refresh (DictionaryRefreshMapSideOperator.java:34):
     merge new values, keeping existing codes stable and appending new
-    ones after the current max."""
+    ones after the current max. Novel-value code assignment uses the
+    same distributed two-level prefix sum as ``build_dictionary``."""
     existing_max = dictionary.agg(F.max("code").alias("m"))
     novel = (
         new_values.select(F.col(column).cast("string").alias("value"))
@@ -108,10 +163,14 @@ def refresh_dictionary(dictionary: DataFrame, new_values: DataFrame, column: str
         .distinct()
         .join(dictionary.select("value"), on="value", how="left_anti")
     )
-    w = Window.orderBy(F.col("value"))
-    novel_coded = novel.withColumn("rn", F.row_number().over(w)).crossJoin(
-        F.broadcast(existing_max)
-    ).select(
-        "value", (F.col("rn") + F.coalesce(F.col("m"), F.lit(0))).cast("int").alias("code")
+    novel_coded = (
+        _dense_value_ranks(novel, num_shards)
+        .crossJoin(F.broadcast(existing_max))
+        .select(
+            "value",
+            (F.col("rn") + F.coalesce(F.col("m"), F.lit(0)))
+            .cast("int")
+            .alias("code"),
+        )
     )
     return dictionary.unionByName(novel_coded)

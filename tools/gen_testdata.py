@@ -57,7 +57,19 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
 
 
-def generate(sf: float, out_dir: str, seed: int = 42) -> None:
+def _zipf_keys(rng, n_keys: int, size: int, s: float) -> np.ndarray:
+    """Bounded Zipf(s) draw over [0, n_keys): rank r (1-based) gets
+    P ∝ 1/r^s, and key identity == rank-1, so key 0 is ALWAYS the
+    planted hot key (what the profile_skew pytest pin asserts). At
+    s=1.2 the hot key holds ~1/H_n(1.2) ≈ 20% of all rows — the
+    condition the skew toolkit (operators/skew.py) exists for and
+    which the uniform default testdata never produces (r12 VERDICT
+    task #3)."""
+    w = 1.0 / np.arange(1, n_keys + 1, dtype=np.float64) ** s
+    return rng.choice(n_keys, size=size, p=w / w.sum())
+
+
+def generate(sf: float, out_dir: str, seed: int = 42, zipf_s: float = 0.0) -> None:
     os.makedirs(out_dir, exist_ok=True)
     x = sf / 0.1
     n_cust = int(round(15000 * x))
@@ -119,7 +131,11 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     )
     _write(out_dir, "orders", pa.table({
         "o_orderkey": ok,
-        "o_custkey": rng.integers(0, n_cust, n_ord),
+        "o_custkey": (
+            _zipf_keys(rng, n_cust, n_ord, zipf_s)
+            if zipf_s > 0
+            else rng.integers(0, n_cust, n_ord)
+        ),
         "o_orderstatus": np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
         "o_orderdate": odate.astype("datetime64[us]"),
@@ -152,7 +168,11 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     _write(out_dir, "events", pa.table({
         "event_id": np.arange(n_ev, dtype=np.int64),
         "ts": np.sort(ts),
-        "user_id": rng.integers(0, n_users, n_ev),
+        "user_id": (
+            _zipf_keys(rng, n_users, n_ev, zipf_s)
+            if zipf_s > 0
+            else rng.integers(0, n_users, n_ev)
+        ),
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
         "value": np.round(rng.exponential(50.0, n_ev), 2),
         "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
@@ -235,10 +255,16 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--validate-against", default=None)
+    ap.add_argument(
+        "--zipf-s", type=float, default=0.0,
+        help="if >0, draw o_custkey and events.user_id Zipf(s) "
+             "(key 0 = hottest) instead of uniform — skew-toolkit "
+             "stress data",
+    )
     args = ap.parse_args()
     if os.path.realpath(args.out).startswith("/root/testdata"):
         raise SystemExit("refusing to write into /root/testdata")
-    generate(args.sf, args.out, args.seed)
+    generate(args.sf, args.out, args.seed, zipf_s=args.zipf_s)
     print(f"generated sf{args.sf} at {args.out}")
     if args.validate_against:
         res = validate(args.out, args.validate_against)
