@@ -42,3 +42,40 @@ def test_generator_deterministic_and_scaled(tmp_path):
         f"select sum(hash(t::VARCHAR)) from '{a}/lineitem.parquet' t"
     ).fetchone()
     assert hc != ha2
+
+
+def test_zipf_generator_plants_hot_key_and_profile_flags_it(tmp_path, spark):
+    """`--zipf-s` (r12 VERDICT task #3): key 0 must be the planted hot
+    key on the skewed columns, and `profile_skew` must flag it with a
+    skew_ratio orders above the uniform draw's (~2-3 at this SF) —
+    the diagnosis half of the skew toolkit, pinned on the data shape
+    it exists for."""
+    from gen_testdata import generate
+
+    from cubert_spark.operators.skew import profile_skew
+
+    z, u = str(tmp_path / "zipf"), str(tmp_path / "uni")
+    generate(0.01, z, seed=42, zipf_s=1.2)
+    generate(0.01, u, seed=42)
+    for tbl, col in (("orders", "o_custkey"), ("events", "user_id")):
+        zdf = spark.read.parquet(os.path.join(z, f"{tbl}.parquet"))
+        top = {
+            r.rnk: r
+            for r in profile_skew(zdf, [col], top_k=1).collect()
+        }
+        assert top[1].key_value == "0", (tbl, top)
+        udf_ = spark.read.parquet(os.path.join(u, f"{tbl}.parquet"))
+        utop = {
+            r.rnk: r
+            for r in profile_skew(udf_, [col], top_k=1).collect()
+        }
+        # Zipf(1.2) hot key holds ~20% of rows: the ratio scales with
+        # n_keys (thousands on orders at sf1, ~40 on events at this
+        # SF) but is always far above the uniform draw's ~1-3
+        assert top[1].skew_ratio > 20 * utop[1].skew_ratio, (
+            tbl,
+            top[1].skew_ratio,
+            utop[1].skew_ratio,
+        )
+        # the zipf option must not touch table sizes (same sf contract)
+        assert zdf.count() == udf_.count(), tbl
