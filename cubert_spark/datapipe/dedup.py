@@ -135,7 +135,16 @@ def shingle_table(
       the r10 ngram_jaccard scaling post-mortem, SCALE.md: candidate
       pairs grow ~N^2/|shingles| under a bounded vocabulary); a
       relative cut keeps removing the same stopword-shingle TAIL at
-      every scale. n_docs is a 1-row broadcast stat, not a shuffle,
+      every scale.
+
+    Pass BOTH for the 100 TB shape (min semantics, r13): the frac
+    rule alone lets a SURVIVING posting grow proportionally with the
+    corpus, and downstream pair generation is quadratic in posting
+    size — the r13 gen10 sweep measured frac-only postings of 20k
+    docs emitting ~2e8 join rows per shingle and exhausting the spill
+    disk (SCALE.md r13). The absolute ceiling is the pair-expansion
+    BUDGET: <= C(max_doc_freq, 2) candidates per shingle at any
+    corpus size. n_docs is a 1-row broadcast stat, not a shuffle,
       counted over the SHINGLED corpus (distinct ids that produced at
       least one k-shingle) — counting all input rows would inflate
       the denominator with null/too-short docs and thin less than
@@ -147,14 +156,17 @@ def shingle_table(
     )
     if max_doc_freq is not None or max_doc_freq_frac is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        if max_doc_freq is not None:
-            keep = freq.filter(F.col("df") <= max_doc_freq)
-        else:
+        cond = None
+        if max_doc_freq_frac is not None:
             total = sh.select(F.countDistinct(id_col).alias("__n"))
-            keep = freq.crossJoin(F.broadcast(total)).filter(
-                F.col("df") <= F.col("__n") * F.lit(float(max_doc_freq_frac))
-            )
-        sh = sh.join(keep.select("shingle"), "shingle")
+            freq = freq.crossJoin(F.broadcast(total))
+            cond = F.col("df") <= F.col("__n") * F.lit(float(max_doc_freq_frac))
+        if max_doc_freq is not None:
+            # combines with the frac cut (min semantics) — see
+            # _check_df_cut_params for why both is the 100 TB shape
+            abs_cond = F.col("df") <= max_doc_freq
+            cond = abs_cond if cond is None else (cond & abs_cond)
+        sh = sh.join(freq.filter(cond).select("shingle"), "shingle")
     return sh
 
 
@@ -769,16 +781,23 @@ def _winnow_fp_stream(
 
 
 def _check_df_cut_params(who: str, max_doc_freq, max_doc_freq_frac) -> None:
-    """The dual df-cut spelling's shared exclusion rule (shingle_table
-    and winnow_pairs must stay in lockstep — the denominator and
-    exclusion semantics were diverging hand-rolled copies before r12):
-    at most ONE of absolute / corpus-relative; both None = no cut
-    (caller takes the boilerplate-bucket risk, fine on bounded
-    corpora)."""
-    if max_doc_freq is not None and max_doc_freq_frac is not None:
-        raise ValueError(
-            f"{who}: pass max_doc_freq OR max_doc_freq_frac, not both"
-        )
+    """The dual df-cut spelling's shared validation (shingle_table and
+    winnow_pairs must stay in lockstep — the denominator and exclusion
+    semantics were diverging hand-rolled copies before r12). Since r13
+    the two spellings COMBINE (effective ceiling = min(absolute,
+    frac * corpus)): the relative cut keeps removing the stopword TAIL
+    at every scale, but it alone lets a surviving posting grow
+    proportionally with the corpus, and pair expansion is QUADRATIC in
+    posting size — the gen10 sweep measured frac-only postings of
+    20k docs producing ~2e8 candidate rows per shingle and exhausting
+    a 77 GB spill disk. The absolute cut is the pair-expansion budget
+    (<= C(max_doc_freq, 2) candidates per shingle at ANY corpus
+    size); pass both for the 100 TB shape. Both None = no cut (caller
+    takes the boilerplate-bucket risk, fine on bounded corpora)."""
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError(f"{who}: max_doc_freq must be >= 1")
+    if max_doc_freq_frac is not None and not (0.0 < max_doc_freq_frac):
+        raise ValueError(f"{who}: max_doc_freq_frac must be > 0")
 
 
 def winnow_pairs(
@@ -814,7 +833,10 @@ def winnow_pairs(
     growing pipeline; an absolute constant silently stops thinning
     once posting lists outgrow it (the catalogued r10 ngram_jaccard
     post-mortem). Passing ``max_doc_freq_frac`` alone selects the
-    relative cut; passing neither applies the absolute default of 20
+    relative cut; passing BOTH applies both (min semantics — the r13
+    100 TB shape: frac thins the stopword tail at every scale, the
+    absolute budget caps in-array pair expansion at C(cut, 2) per
+    fingerprint); passing neither applies the absolute default of 20
     (an uncut run — unbounded bucket risk — is max_doc_freq=2**31).
     The frac denominator counts docs appearing in >= 1 posting (the
     r10 ADVICE rule), derived from the AGGREGATED postings frame, so
@@ -831,9 +853,7 @@ def winnow_pairs(
     posts = fps.groupBy("fp").agg(
         F.array_sort(F.collect_set(id_col)).alias("__ids")
     )
-    if max_doc_freq is not None:
-        posts = posts.filter(F.size("__ids") <= max_doc_freq)
-    elif max_doc_freq_frac is not None:
+    if max_doc_freq_frac is not None:
         total = (
             posts.select(F.explode("__ids").alias("__id"))
             .select(F.countDistinct("__id").alias("__n"))
@@ -842,6 +862,12 @@ def winnow_pairs(
             F.size("__ids")
             <= F.col("__n") * F.lit(float(max_doc_freq_frac))
         )
+    if max_doc_freq is not None:
+        # combines with the frac cut (min semantics): the frac rule
+        # thins the stopword tail at every scale, the absolute rule
+        # caps the in-array expansion at C(max_doc_freq, 2) pairs per
+        # fingerprint regardless of corpus size
+        posts = posts.filter(F.size("__ids") <= max_doc_freq)
     n = F.size("__ids")
     combos = F.flatten(
         F.transform(

@@ -74,18 +74,27 @@ def q_ngram_jaccard_cut(spark: SparkSession, sf: str) -> DataFrame:
     corpus) before the inverted-index self-join. The uncut spelling's
     candidate growth is measured super-linear under a bounded
     vocabulary (exp 1.27, SCALE.md r10); the relative cut keeps
-    removing the same high-df TAIL at every scale, which is what you
-    ship at 100 TB when exact Jaccard (not minhash) is required.
-    Jaccard is computed over the post-cut shingle space (sizes count
-    surviving shingles) — semantics self-consistent, oracle-exact."""
+    removing the same high-df TAIL at every scale, and since r13 the
+    absolute budget (2000) rides along because the frac rule alone
+    lets surviving postings grow with the corpus — quadratic pair
+    expansion, measured as disk exhaustion at gen10 (SCALE.md r13).
+    The dual cut is what you ship at 100 TB when exact Jaccard (not
+    minhash) is required. Jaccard is computed over the post-cut
+    shingle space (sizes count surviving shingles) — semantics
+    self-consistent, oracle-exact."""
     d = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.2, max_doc_freq_frac=0.04)
+    return dedup.ngram_jaccard_pairs(
+        d, threshold=0.2, max_doc_freq_frac=0.04, max_doc_freq=2000
+    )
 
 
-#: CTE chain of the CUT shingle space (df <= 4% of the shingled
-#: corpus): w -> sh -> nd/kept -> shc, with sizes/inter computed over
-#: the surviving shingles. Shared by ngram_jaccard_cut and every
-#: composite consumer of its pair graph (dedup_clusters,
+#: CTE chain of the CUT shingle space (df <= min(4% of the shingled
+#: corpus, 2000 — the r13 absolute pair-expansion budget: the frac
+#: rule alone lets postings grow with the corpus and pair generation
+#: is quadratic in posting size, measured as disk exhaustion at
+#: gen10, SCALE.md r13): w -> sh -> nd/kept -> shc, with sizes/inter
+#: computed over the surviving shingles. Shared by ngram_jaccard_cut
+#: and every composite consumer of its pair graph (dedup_clusters,
 #: neardup_dedup, triangle_count) so the Spark calls and oracles
 #: cannot drift apart.
 _SH_CUT_CTE = """
@@ -98,7 +107,7 @@ sh AS (
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
 kept AS (
   SELECT shingle FROM sh GROUP BY shingle
-  HAVING COUNT(*) <= (SELECT n_docs * 0.04 FROM nd)
+  HAVING COUNT(*) <= (SELECT LEAST(n_docs * 0.04, 2000) FROM nd)
 ),
 shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
@@ -804,7 +813,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB feed it minhash_lsh or ngram_jaccard_cut pairs."""
     d = load_table(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        d, threshold=0.2, max_doc_freq_frac=0.04
+        d, threshold=0.2, max_doc_freq_frac=0.04, max_doc_freq=2000
     ).select("id_a", "id_b")
     return components.dedup_clusters(pairs)
 
@@ -1598,7 +1607,7 @@ def q_neardup_dedup(spark: SparkSession, sf: str) -> DataFrame:
     |near-dup victims| << |corpus|)."""
     d = load_table(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        d, threshold=0.2, max_doc_freq_frac=0.04
+        d, threshold=0.2, max_doc_freq_frac=0.04, max_doc_freq=2000
     ).select("id_a", "id_b")
     clusters = components.dedup_clusters(pairs)
     victims = clusters.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
@@ -2310,7 +2319,7 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     is the textbook a<b<c triple self-join."""
     d = load_table(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        d, threshold=0.2, max_doc_freq_frac=0.04
+        d, threshold=0.2, max_doc_freq_frac=0.04, max_doc_freq=2000
     ).select("id_a", "id_b")
     return components.triangle_count(pairs)
 

@@ -61,8 +61,15 @@ def test_shingle_cut_relative_matches_absolute(docs, spark):
     }
     assert pairs.get((1, 4)) == 1.0  # identical post-cut shingle sets
 
-    with pytest.raises(ValueError, match="not both"):
-        dedup.shingle_table(docs, max_doc_freq=2, max_doc_freq_frac=0.5)
+    # dual cut (r13): both spellings combine with MIN semantics — the
+    # absolute budget binds when it is tighter than frac * corpus
+    both = dedup.shingle_table(docs, max_doc_freq=2, max_doc_freq_frac=0.9)
+    only_abs = dedup.shingle_table(docs, max_doc_freq=2)
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, only_abs.collect())
+    )
+    with pytest.raises(ValueError, match="must be"):
+        dedup.shingle_table(docs, max_doc_freq=0)
 
     # dirty-data denominator (r10 ADVICE): null / too-short rows must
     # NOT inflate n_docs — the fraction is of the SHINGLED corpus, so
@@ -3205,8 +3212,15 @@ def test_winnow_pairs_relative_cut_spelling(spark):
     # equivalent absolute ceiling gives the identical result
     absolute = dedup.winnow_pairs(df, min_shared=1, max_doc_freq=2)
     assert key(absolute.collect()) == [(6, 7)]
-    with pytest.raises(ValueError, match="not both"):
-        dedup.winnow_pairs(df, max_doc_freq=5, max_doc_freq_frac=0.5)
+    # dual cut (r13, min semantics): a loose frac + tight absolute
+    # budget equals the absolute-only result — the 100 TB shape where
+    # frac thins the tail and the budget caps pair expansion
+    both = dedup.winnow_pairs(
+        df, min_shared=1, max_doc_freq=2, max_doc_freq_frac=0.9
+    )
+    assert key(both.collect()) == [(6, 7)]
+    with pytest.raises(ValueError, match="must be"):
+        dedup.winnow_pairs(df, max_doc_freq_frac=-0.1)
 
 
 def test_pq_adc_fast_ranks_agree(spark):
