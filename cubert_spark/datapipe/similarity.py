@@ -956,6 +956,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): cluster every embedding to its nearest
@@ -976,11 +977,24 @@ def semantic_dedup(
     knob bounding per-cluster pair volume, exactly how SemDeDup scales
     (the paper uses k-means on 100M+ embeddings). The final anti-join
     keys on id. Extension beyond the reference (no embedding ops in
-    /root/reference — Cubert is tuple/OLAP only)."""
+    /root/reference — Cubert is tuple/OLAP only).
+
+    ``exact=False`` is the production-arithmetic tier (plain double
+    dots for both the assignment argmax and the pair cosine — same
+    rules, not oracle-replayable). It exists because the r13 gen10
+    k-sweep measured the cost model t = a*N*k + p*N^2/k with the
+    DECIMAL assignment's per-dot constant ~20x the pair stage's:
+    raising k from 16 to 64 cut pair volume 34.2M -> 8.9M as designed
+    yet made the query SLOWER (94.9 -> 109.7 s) because assignment is
+    linear in k. Exact-tier SemDeDup is therefore Theta(N^1.5) at its
+    optimal k* = sqrt(p*N/a); the float tier shrinks `a` enough to
+    run the k the paper's recipe (bounded cluster size) calls for —
+    SCALE.md r13 records the measured numbers."""
     from cubert_spark.datapipe.dedup import _spread
 
-    best_j, _ = _argmax_centroid(F.col(vec_col), centroids)
-    norm = F.sqrt(_dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double"))
+    dot = _dot_decimal if exact else _dot_double
+    best_j, _ = _argmax_centroid(F.col(vec_col), centroids, exact=exact)
+    norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)).cast("double"))
     side = _spread(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
@@ -1000,7 +1014,7 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            _dot_decimal(F.col("__va"), F.col("__vb")).cast("double")
+            dot(F.col("__va"), F.col("__vb")).cast("double")
             / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cos") >= threshold)

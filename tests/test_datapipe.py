@@ -2031,6 +2031,14 @@ def test_semantic_dedup_keeps_lowest_id_per_neardup_group(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = {r.vec_id: r.list_id for r in semantic_dedup(df, centroids, 0.99).collect()}
     assert kept == {0: 0, 3: 1, 5: 0, 6: 1}
+    # production-arithmetic tier (r13): same rules in double math —
+    # identical kept-set and cluster ids wherever margins exceed
+    # float error (everywhere on real data; ~1e-16 vs margins ~1e-2)
+    fast = {
+        r.vec_id: r.list_id
+        for r in semantic_dedup(df, centroids, 0.99, exact=False).collect()
+    }
+    assert fast == kept
 
 
 def test_semantic_dedup_cluster_bound_blindness(spark):
