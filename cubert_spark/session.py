@@ -95,3 +95,31 @@ def ensure_active_session(spark) -> None:
         spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(jss)
     except Exception:  # noqa: BLE001 - best-effort, connect-mode safe
         pass
+
+
+def warm_codegen(spark, query_fns, tiny_sf_dir: str, repeats: int = 3) -> float:
+    """Pay each query's cold-JVM codegen/JIT tail up front on TINY data.
+
+    The DECIMAL-literal-heavy plans (PQ ADC, k-means, exact cube
+    percentile) generate very large Java methods whose C2 compilation
+    costs seconds PER JVM PER CODEGEN SHAPE and is independent of data
+    size — measured r13 (SCALE.md cold-start table): first-run 9.9 s
+    vs 3.1 s steady for pq_adc_topk at sf0.1, and the same first-run
+    tail appears when the identical plan runs over sf0.001. Running
+    each query a few times against a tiny slice therefore JIT-compiles
+    the same generated classes the production run will use, cutting
+    the first real run to steady state (9.9 -> 3.5 measured). On a
+    fleet, run this once per executor-JVM generation (e.g. from a
+    startup task); in local/driver-only mode just call it after
+    session creation.
+
+    ``query_fns``: callables (spark, sf_dir) -> DataFrame — the
+    ``queries()`` convention. Returns the wall seconds spent warming.
+    """
+    import time
+
+    t0 = time.perf_counter()
+    for fn in query_fns:
+        for _ in range(repeats):
+            fn(spark, tiny_sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0

@@ -79,3 +79,20 @@ def test_zipf_generator_plants_hot_key_and_profile_flags_it(tmp_path, spark):
         )
         # the zipf option must not touch table sizes (same sf contract)
         assert zdf.count() == udf_.count(), tbl
+
+
+def test_warm_codegen_runs_queries_and_returns_wall(spark):
+    """warm_codegen (r13 cold-JVM mitigation) drives each callable
+    against the tiny dir the given number of times and reports wall
+    seconds."""
+    from cubert_spark.session import warm_codegen
+
+    calls = []
+
+    def fake_query(s, d):
+        calls.append(d)
+        return s.range(5).selectExpr("id", "id * 2 AS twice")
+
+    wall = warm_codegen(spark, [fake_query], "/root/testdata/sf0.001", repeats=2)
+    assert calls == ["/root/testdata/sf0.001"] * 2
+    assert wall > 0
