@@ -434,6 +434,81 @@ def _argmax_centroid(
     return best["j"].cast("int"), -best["nd"]
 
 
+def _cents_lit(centroids: list[list[float]]) -> Column:
+    """array<array<double>> literal of the centroid matrix. Spelled as
+    nested CreateArray of literals, which ConstantFolding collapses to
+    ONE array literal — the generated code is a small runtime loop
+    over it, not k*d unrolled expressions (the unrolled spelling's
+    giant methods are what the r13 cold-start table attributes the
+    multi-second C2 JIT tail to)."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def _argmax_over(vec_d: Column, cents: Column, n: Column) -> Column:
+    """struct(d, nj) of the best (highest-dot, ties to the smallest
+    index) centroid in the runtime array ``cents``; index = -nj.
+    Plain double math (production tier — not oracle-replayable)."""
+    dots = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec_d, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        ),
+    )
+    return F.array_max(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(0), n - 1),
+            lambda d, j: F.struct(d.alias("d"), (-j).alias("nj")),
+        )
+    )
+
+
+def _argmax_centroid_loop(
+    vec: Column, centroids: list[list[float]]
+) -> tuple[Column, Column]:
+    """(best_j, best_dot) like :func:`_argmax_centroid` (float tier)
+    but evaluated as a LOOP over one folded array literal: O(k*d)
+    runtime per vector with constant-size generated code — no JIT
+    tail, no giant method. Same argmax + ties-to-smallest-j rule."""
+    vec_d = vec.cast("array<double>")
+    best = _argmax_over(vec_d, _cents_lit(centroids), F.lit(len(centroids)))
+    return (-best["nj"]).cast("int"), best["d"]
+
+
+def _argmax_centroid_hierarchical(
+    vec: Column, centroids: list[list[float]], group_size: int | None = None
+) -> tuple[Column, Column]:
+    """(best_j, best_dot) via coarse-then-fine routing: centroids are
+    split into contiguous groups of ~sqrt(k); the vector first picks
+    the group whose MEAN it dots highest, then argmaxes within that
+    group only — O(2*sqrt(k)*d) per vector instead of O(k*d), the IVF
+    idiom applied to the assignment itself. APPROXIMATE by design
+    (the winning group need not contain the global argmax; same trade
+    as IVF probing). Float tier only; ties to the smallest group then
+    the smallest j."""
+    k = len(centroids)
+    g = group_size or max(1, int(math.isqrt(k)))
+    groups = [centroids[i : i + g] for i in range(0, k, g)]
+    dim = len(centroids[0])
+    coarse = [
+        [sum(c[p] for c in grp) / len(grp) for p in range(dim)]
+        for grp in groups
+    ]
+    vec_d = vec.cast("array<double>")
+    cbest = _argmax_over(vec_d, _cents_lit(coarse), F.lit(len(groups)))
+    cg = -cbest["nj"]
+    # ragged nested literal: the last group may be short
+    groups_lit = F.array(*[_cents_lit(grp) for grp in groups])
+    members = F.element_at(groups_lit, cg + 1)
+    fbest = _argmax_over(vec_d, members, F.size(members))
+    fj = -fbest["nj"]
+    return (cg * g + fj).cast("int"), fbest["d"]
+
+
 def ivf_assign_exact(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -957,6 +1032,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = True,
+    assignment: str = "unrolled",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): cluster every embedding to its nearest
@@ -989,11 +1065,35 @@ def semantic_dedup(
     linear in k. Exact-tier SemDeDup is therefore Theta(N^1.5) at its
     optimal k* = sqrt(p*N/a); the float tier shrinks `a` enough to
     run the k the paper's recipe (bounded cluster size) calls for —
-    SCALE.md r13 records the measured numbers."""
+    SCALE.md r13 records the measured numbers.
+
+    ``assignment`` picks the argmax spelling (float tiers only —
+    ``exact=True`` requires the DECIMAL ``"unrolled"`` form):
+
+    - ``"unrolled"``: per-centroid literal expressions — exact-capable
+      but generates O(k*d) code (the measured multi-second JIT tail);
+    - ``"loop"``: one folded array literal + a runtime loop — same
+      result as unrolled-float with constant-size codegen;
+    - ``"hierarchical"``: coarse-then-fine routing over ~sqrt(k)
+      groups, O(sqrt(k)*d) per vector — APPROXIMATE (IVF trade), the
+      spelling that lets k grow with the corpus, which is what keeps
+      the pair stage linear."""
     from cubert_spark.datapipe.dedup import _spread
 
+    if assignment not in ("unrolled", "loop", "hierarchical"):
+        raise ValueError(f"unknown assignment {assignment!r}")
+    if exact and assignment != "unrolled":
+        raise ValueError(
+            "exact=True (DECIMAL, oracle-replayable) requires the "
+            "'unrolled' assignment; 'loop'/'hierarchical' are float tiers"
+        )
     dot = _dot_decimal if exact else _dot_double
-    best_j, _ = _argmax_centroid(F.col(vec_col), centroids, exact=exact)
+    if assignment == "loop":
+        best_j, _ = _argmax_centroid_loop(F.col(vec_col), centroids)
+    elif assignment == "hierarchical":
+        best_j, _ = _argmax_centroid_hierarchical(F.col(vec_col), centroids)
+    else:
+        best_j, _ = _argmax_centroid(F.col(vec_col), centroids, exact=exact)
     norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)).cast("double"))
     side = _spread(corpus, id_col).select(
         F.col(id_col),

@@ -3249,3 +3249,76 @@ def test_pq_adc_fast_ranks_agree(spark):
         (r["q_id"], r["rnk"]): r["vec_id"] for r in df.collect()
     }
     assert key(exact) == key(fast)
+
+
+def test_semantic_dedup_loop_assignment_matches_unrolled(spark):
+    """The loop-based argmax (folded array literal + runtime fold,
+    r13) is the SAME double math in the same fold order as the
+    unrolled float tier — kept-set and cluster ids bit-identical on a
+    seeded random corpus, not just on wide margins."""
+    import random
+
+    from cubert_spark.datapipe.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    dim, k = 8, 9
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = sorted(
+        (r.vec_id, r.list_id)
+        for r in semantic_dedup(
+            df, cents, 0.8, exact=False, assignment="unrolled"
+        ).collect()
+    )
+    loop = sorted(
+        (r.vec_id, r.list_id)
+        for r in semantic_dedup(
+            df, cents, 0.8, exact=False, assignment="loop"
+        ).collect()
+    )
+    assert loop == ref
+
+
+def test_semantic_dedup_hierarchical_on_separated_clusters(spark):
+    """Coarse-then-fine assignment routes correctly when groups are
+    separated (each group's members hug its mean): same kept-set as
+    the flat argmax. The guard rails: exact=True rejects non-unrolled
+    assignments, unknown names raise."""
+    import pytest as _pytest
+
+    from cubert_spark.datapipe.similarity import semantic_dedup
+
+    # 4 centroids in 2 contiguous groups of 2; groups live on opposite
+    # axes so the coarse mean routes unambiguously
+    cents = [
+        [1.0, 0.0, 0.1, 0.0], [1.0, 0.0, -0.1, 0.0],   # group 0: +x
+        [-1.0, 0.0, 0.1, 0.0], [-1.0, 0.0, -0.1, 0.0],  # group 1: -x
+    ]
+    rows = [
+        (0, [1.0, 0.0, 0.09, 0.0]),   # c0; near-dup group A
+        (1, [1.0, 0.0, 0.08, 0.0]),   # c0 -> dropped vs 0
+        (2, [1.0, 0.0, -0.09, 0.0]),  # c1 survives (different cluster)
+        (3, [-1.0, 0.0, 0.09, 0.0]),  # c2
+        (4, [-1.0, 0.0, 0.08, 0.0]),  # c2 -> dropped vs 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = sorted(
+        (r.vec_id, r.list_id)
+        for r in semantic_dedup(
+            df, cents, 0.999, exact=False, assignment="loop"
+        ).collect()
+    )
+    hier = sorted(
+        (r.vec_id, r.list_id)
+        for r in semantic_dedup(
+            df, cents, 0.999, exact=False, assignment="hierarchical"
+        ).collect()
+    )
+    assert hier == flat == [(0, 0), (2, 1), (3, 2)]
+    with _pytest.raises(ValueError, match="unrolled"):
+        semantic_dedup(df, cents, 0.9, exact=True, assignment="loop")
+    with _pytest.raises(ValueError, match="unknown assignment"):
+        semantic_dedup(df, cents, 0.9, exact=False, assignment="nope")
