@@ -32,29 +32,56 @@ def _dense_value_ranks(vals: DataFrame, num_shards: int | None = None) -> DataFr
     ``row_number`` over an unpartitioned window — a 10^7-value
     dictionary build must not funnel through a single reducer.
 
-    Level 1: a range shuffle on ``value`` makes shard-id order agree
-    with value order, and the physical partitioning is PINNED with a
-    lazy ``localCheckpoint`` so both downstream consumers (the
-    per-shard counts and the final rank join) read the same
-    materialized partitions — ``spark_partition_id`` would otherwise
-    be unstable across the two subtrees if the range exchange were
-    recomputed with fresh boundary samples. Level 2: shard counts
-    (``num_shards`` rows — tiny) get running offsets in one small
-    window, broadcast back, and each value adds its within-shard
-    ``row_number`` (window partitioned BY SHARD — bounded state).
+    Shard assignment is a DETERMINISTIC, order-preserving bucket
+    function: a hash-based sample (``xxhash64(value) % m == 0`` — a
+    pure function of the value, so retries resample identically)
+    collects a BOUNDED set of strings to the driver, whose sorted
+    every-k-th elements become the shard boundaries; each value's
+    shard is then "how many boundaries are <= me" (a runtime fold over
+    the boundary-array literal). Level 2: shard counts get running
+    offsets in one small window (num_shards rows), broadcast back,
+    and each value adds its within-shard ``row_number`` (window
+    partitioned BY SHARD — bounded state).
 
-    The final rank equals "number of distinct values < v" + 1
-    regardless of where the sampled range boundaries fell, so codes
-    stay deterministic across runs even though the shard assignment
-    itself is not.
+    Deterministic literals — not ``spark_partition_id`` over a range
+    exchange — are what make this fault tolerant: the first spelling
+    of this function pinned the physical partitioning with a lazy
+    ``localCheckpoint`` so two consumers would observe the same
+    partition ids, but checkpoints truncate lineage, so on a real
+    cluster losing an executor's checkpointed blocks mid-job aborts
+    the build (r13 review finding). With boundary literals every
+    subtree is recomputable from source, and the final rank equals
+    "number of distinct values < v" + 1 regardless of where the
+    sampled boundaries fell, so codes are identical across runs and
+    retries even though shard SIZES vary with the sketch.
     """
     spark = vals.sparkSession
     if num_shards is None:
         num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    parts = vals.repartitionByRange(num_shards, F.col("value")).localCheckpoint(
-        eager=False
+    # bounded driver collect: a ~(200 * num_shards)-string sample via a
+    # value-hash filter (string quantiles have no sketch aggregate);
+    # two cheap jobs (count + sample), never the full value set
+    per_shard = 200
+    n = vals.count()
+    m = max(1, n // (per_shard * num_shards))
+    sample = sorted(
+        r["value"]
+        for r in vals.filter(
+            F.pmod(F.xxhash64(F.col("value")), F.lit(m)) == 0
+        ).collect()
     )
-    with_pid = parts.withColumn("__pid", F.spark_partition_id())
+    step = max(1, len(sample) // num_shards)
+    bounds = sample[step::step][: num_shards - 1]
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        shard = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("value") >= b, 1).otherwise(0),
+        )
+    else:
+        shard = F.lit(0)
+    with_pid = vals.withColumn("__pid", shard)
     counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -23,16 +23,20 @@ def sparse_matmul(
 
     The accumulation runs in DECIMAL by default: exact, and therefore
     independent of partial-aggregation order (floating sums would vary
-    run to run at scale). Shuffles: one on the inner dimension (the
-    join), one on (i, j) for the final sum — broadcast the small side
-    to drop to one.
+    run to run at scale). The final decimal->double cast routes
+    through the decimal's string so the double is bit-identical across
+    engines at any magnitude (the r13 dsum rule, queries/_util.py).
+    Shuffles: one on the inner dimension (the join), one on (i, j)
+    for the final sum — broadcast the small side to drop to one.
     """
     al = a.select(F.col("i"), F.col("j").alias("k"), F.col("v").alias("va"))
     bl = b.select(F.col("i").alias("k"), F.col("j"), F.col("v").alias("vb"))
     prod = al.join(bl, "k").select(
         "i", "j", (F.col("va") * F.col("vb")).cast(acc_type).alias("p")
     )
-    return prod.groupBy("i", "j").agg(F.sum("p").cast("double").alias("v"))
+    return prod.groupBy("i", "j").agg(
+        F.sum("p").cast("string").cast("double").alias("v")
+    )
 
 
 def vector_block_multiply(
@@ -44,4 +48,6 @@ def vector_block_multiply(
     prod = matrix.join(vl, "j").select(
         "i", (F.col("v") * F.col("vx")).cast(acc_type).alias("p")
     )
-    return prod.groupBy("i").agg(F.sum("p").cast("double").alias("v"))
+    return prod.groupBy("i").agg(
+        F.sum("p").cast("string").cast("double").alias("v")
+    )

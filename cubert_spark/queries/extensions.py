@@ -91,7 +91,7 @@ def q_summary_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         out = store.rewrite(spark, o, "1996-01-01", "2000-12-31", ["o_orderpriority"])
         result = out.select(
             "o_orderpriority",
-            F.col("sum__price_dec").cast("double").alias("sum_price"),
+            F.col("sum__price_dec").cast("string").cast("double").alias("sum_price"),
             F.col("count__o_orderkey").alias("n_orders"),
             F.col("count_distinct__o_custkey").alias("uniq_customers"),
         )
@@ -108,7 +108,7 @@ def q_summary_rewrite(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_SUMMARY_REWRITE = """
 SELECT o_orderpriority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS uniq_customers
 FROM orders
@@ -127,24 +127,24 @@ def q_sparse_matmul(spark: SparkSession, sf: str) -> DataFrame:
     qdec = F.col("l_quantity").cast("decimal(18,2)")
     a = li.groupBy(
         (F.col("l_orderkey") % 100).alias("i"), (F.col("l_partkey") % 50).alias("j")
-    ).agg(F.sum(qdec).cast("double").alias("v"))
+    ).agg(F.sum(qdec).cast("string").cast("double").alias("v"))
     b = li.groupBy(
         (F.col("l_partkey") % 50).alias("i"), (F.col("l_suppkey") % 40).alias("j")
-    ).agg(F.sum(qdec).cast("double").alias("v"))
+    ).agg(F.sum(qdec).cast("string").cast("double").alias("v"))
     return sparse_matmul(a, b)
 
 
 SQL_SPARSE_MATMUL = """
 WITH a AS (
   SELECT l_orderkey % 100 AS i, l_partkey % 50 AS k,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
   FROM lineitem GROUP BY 1, 2
 ), b AS (
   SELECT l_partkey % 50 AS k, l_suppkey % 40 AS j,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
   FROM lineitem GROUP BY 1, 2
 )
-SELECT a.i, b.j, CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,6))) AS DOUBLE) AS v
+SELECT a.i, b.j, CAST(CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS v
 FROM a JOIN b ON a.k = b.k
 GROUP BY a.i, b.j
 """

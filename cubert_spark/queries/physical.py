@@ -138,6 +138,7 @@ def q_blockgen_join(spark: SparkSession, sf: str) -> DataFrame:
             # integer-valued and << 2^53, so the double is exact and both
             # engines' canonicalizers converge (raw DECIMAL objects don't)
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("string")
             .cast("double")
             .alias("qty"),
         )
@@ -146,7 +147,7 @@ def q_blockgen_join(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_BLOCKGEN_JOIN = """
 SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """

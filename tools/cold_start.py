@@ -88,7 +88,17 @@ def main() -> None:
                     "--sf-dir", args.sf_dir, "--tiny-dir", args.tiny_dir,
                     "--runs", str(args.runs),
                 ],
-                env={**os.environ, "PYTHONPATH": "/root/repo"},
+                env={
+                    **os.environ,
+                    "PYTHONPATH": os.pathsep.join(
+                        p
+                        for p in (
+                            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            os.environ.get("PYTHONPATH", ""),
+                        )
+                        if p
+                    ),
+                },
                 check=True,
             )
 

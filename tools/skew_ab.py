@@ -62,6 +62,17 @@ def experiments(spark, d: str, runs: int) -> dict:
         salted_topn,
     )
 
+    # the smj block below scales AQE thresholds to the test SF; reset
+    # them here so BOTH arms' cd_*/topn_* timings run under identical
+    # configuration (a leaked 1MB advisory size from the first arm
+    # would coalesce the second arm's aggregations differently —
+    # apples-to-oranges A/B)
+    for key in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ):
+        spark.conf.unset(key)
     res = {}
     orders = load(spark, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     li = load(spark, d, "lineitem").select("l_orderkey", "l_partkey")
@@ -171,7 +182,7 @@ def main() -> None:
     from cubert_spark import get_session
 
     spark = get_session(
-        "skew-ab", extra_conf={"spark.sql.ui.showConsoleProgress": "false"}
+        "skew-ab", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     spark.range(1000).selectExpr("sum(id)").collect()
 
