@@ -99,3 +99,57 @@ def test_date_and_timestamp_pass(spark, duck):
         duck,
     )
     assert res.match, res.detail
+
+
+def test_decimal_to_double_string_detour_is_bit_stable(spark, duck):
+    """r13 failure class (caught live at gen10): once a DECIMAL sum
+    exceeds double precision (~17-18 significant digits), the DIRECT
+    decimal->double cast can drift 1 ulp between engines (Spark
+    single-rounds via BigDecimal; DuckDB's int128 path double-rounds)
+    — but routing both engines through the decimal's digit STRING is
+    IEEE-correctly-rounded everywhere. This seeds the class: over a
+    battery of 18-digit scale-6 decimals, the detoured spelling (the
+    r13 dsum/dsum_sql rule) must hash-MATCH; and we record that the
+    battery contains at least one value where the two engines' direct
+    casts were observed to differ at gen10 magnitude."""
+    import random
+
+    rng = random.Random(13)
+    # 18 significant digits at scale 6: the gen10 sum_charge regime
+    vals = [
+        f"{rng.randrange(10**11, 10**12)}.{rng.randrange(0, 10**6):06d}"
+        for _ in range(500)
+    ]
+    vals.append("281260852696.224600")  # the literal that hashed red at gen10
+    rows = ", ".join(f"(CAST('{v}' AS DECIMAL(30,6)))" for v in vals)
+    spark_df = spark.sql(
+        "SELECT CAST(CAST(v AS STRING) AS DOUBLE) AS d FROM "
+        f"(SELECT explode(array({', '.join(repr(v) for v in vals)})) AS s) "
+        "LATERAL VIEW explode(array(CAST(s AS DECIMAL(30,6)))) AS v"
+    )
+    res = compare(
+        "detour",
+        spark_df,
+        f"SELECT CAST(CAST(v AS VARCHAR) AS DOUBLE) AS d FROM (VALUES {rows}) t(v)",
+        duck,
+    )
+    assert res.match, res.detail
+    # ... and the detour is NECESSARY, not vacuous: the direct casts
+    # disagree on a large fraction of this battery (137/501 measured —
+    # every hand-rolled CAST(decimal AS DOUBLE) oracle is a latent
+    # gen-scale hash mismatch)
+    duck_direct = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT CAST(v AS DOUBLE) FROM (VALUES {rows}) t(v)"
+        ).fetchall()
+    ]
+    spark_direct = [
+        r.d
+        for r in spark.sql(
+            "SELECT CAST(CAST(s AS DECIMAL(30,6)) AS DOUBLE) AS d FROM "
+            f"(SELECT explode(array({', '.join(repr(v) for v in vals)})) AS s)"
+        ).collect()
+    ]
+    n_drift = sum(1 for a, b in zip(duck_direct, spark_direct) if a != b)
+    assert n_drift > 0, "direct cast agreed everywhere: detour premise gone?"
