@@ -49,11 +49,22 @@ def _dot_double(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
+def _dec2dbl(c: Column) -> Column:
+    """DECIMAL -> double through the digit string: the direct cast
+    drifts 1 ulp across engines once the scaled value exceeds double
+    precision (measured r13: 152/500 random scale-18 decimals differ
+    Spark vs DuckDB); string->double parsing is IEEE-correctly-rounded
+    everywhere, so this double is bit-identical cross-engine. Every
+    point where a DECIMAL dot/norm becomes a double goes through here,
+    paired with CAST(CAST(x AS VARCHAR) AS DOUBLE) in the oracles."""
+    return c.cast("string").cast("double")
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Deterministic cosine similarity between two float vectors."""
-    dot = _dot_decimal(a, b).cast("double")
-    na = F.sqrt(_dot_decimal(a, a).cast("double"))
-    nb = F.sqrt(_dot_decimal(b, b).cast("double"))
+    dot = _dec2dbl(_dot_decimal(a, b))
+    na = F.sqrt(_dec2dbl(_dot_decimal(a, a)))
+    nb = F.sqrt(_dec2dbl(_dot_decimal(b, b)))
     return dot / (na * nb)
 
 
@@ -138,20 +149,20 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            F.sqrt(_dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__qnorm"),
+            F.sqrt(_dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))).alias("__qnorm"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        F.sqrt(_dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__cnorm"),
+        F.sqrt(_dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))).alias("__cnorm"),
     )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            _dec2dbl(_dot_decimal(F.col("__qvec"), F.col("__cvec")))
             / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
@@ -302,7 +313,7 @@ def lsh_exact_topk(
             b = b + F.when(dot >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
         return b
 
-    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
+    norm = lambda v: F.sqrt(_dec2dbl(_dot_decimal(v, v)))  # noqa: E731
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
@@ -322,7 +333,7 @@ def lsh_exact_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            _dec2dbl(_dot_decimal(F.col("__qvec"), F.col("__cvec")))
             / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
@@ -377,7 +388,7 @@ def embedding_neardup_pairs(
             b = b + F.when(_dot_decimal(vec_d, lit_plane) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
         return b
 
-    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
+    norm = lambda v: F.sqrt(_dec2dbl(_dot_decimal(v, v)))  # noqa: E731
     side = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
@@ -397,7 +408,7 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            _dot_decimal(F.col("__va"), F.col("__vb")).cast("double")
+            _dec2dbl(_dot_decimal(F.col("__va"), F.col("__vb")))
             / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cos") >= threshold)
@@ -524,7 +535,7 @@ def ivf_assign_exact(
     quantizer path (`ivf_topk`) remains recall-tested."""
     best_j, best_dot = _argmax_centroid(F.col(vec_col), centroids)
     return corpus.select(
-        F.col(id_col), best_j.alias("list_id"), best_dot.cast("double").alias("dot")
+        F.col(id_col), best_j.alias("list_id"), _dec2dbl(best_dot).alias("dot")
     )
 
 
@@ -553,7 +564,7 @@ def ivf_exact_topk(
     Plan shape matches production ivf_topk: query side (|Q| * nprobe
     rows) broadcasts; corpus-side lists never shuffle (bucketed by
     list_id at scale)."""
-    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
+    norm = lambda v: F.sqrt(_dec2dbl(_dot_decimal(v, v)))  # noqa: E731
     best_j, _ = _argmax_centroid(F.col(vec_col), centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -591,7 +602,7 @@ def ivf_exact_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            _dec2dbl(_dot_decimal(F.col("__qvec"), F.col("__cvec")))
             / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
@@ -622,7 +633,7 @@ def lsh_bucketed_topk(
     (1 + multi_probe)x candidate cost. Candidates stay unique: a
     corpus vector lives in exactly one bucket and the probe set is
     distinct, so no result dedup is needed."""
-    norm = lambda v: F.sqrt(_dot_decimal(v, v).cast("double"))  # noqa: E731
+    norm = lambda v: F.sqrt(_dec2dbl(_dot_decimal(v, v)))  # noqa: E731
     cb = hyperplane_buckets(corpus, id_col, vec_col, num_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
@@ -656,7 +667,7 @@ def lsh_bucketed_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            _dec2dbl(_dot_decimal(F.col("__qvec"), F.col("__cvec")))
             / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
@@ -909,7 +920,7 @@ def pq_encode(
         best_j, best_dot = _argmax_centroid(sub, cb, exact)
         codes.append(best_j)
         if m == 0:
-            dot0 = best_dot.cast("double")
+            dot0 = _dec2dbl(best_dot) if exact else best_dot.cast("double")
         off += d_sub
     return corpus.select(
         F.col(id_col), F.array(*codes).alias("codes"), dot0.alias("dot0")
@@ -1021,7 +1032,12 @@ def pq_adc_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
-        .select("q_id", id_col, F.col("__est").cast("double").alias("est"), "rnk")
+        .select(
+            "q_id",
+            id_col,
+            (_dec2dbl(F.col("__est")) if exact else F.col("__est").cast("double")).alias("est"),
+            "rnk",
+        )
     )
 
 
@@ -1094,7 +1110,8 @@ def semantic_dedup(
         best_j, _ = _argmax_centroid_hierarchical(F.col(vec_col), centroids)
     else:
         best_j, _ = _argmax_centroid(F.col(vec_col), centroids, exact=exact)
-    norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)).cast("double"))
+    conv = _dec2dbl if exact else (lambda c: c.cast("double"))
+    norm = F.sqrt(conv(dot(F.col(vec_col), F.col(vec_col))))
     side = _spread(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
@@ -1114,7 +1131,7 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            dot(F.col("__va"), F.col("__vb")).cast("double")
+            conv(dot(F.col("__va"), F.col("__vb")))
             / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cos") >= threshold)
@@ -1155,7 +1172,7 @@ def label_centroids(
         F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    mean = (F.col("s").cast("double") / F.col("n").cast("double")).alias("m")
+    mean = (_dec2dbl(F.col("s")) / F.col("n").cast("double")).alias("m")
     return (
         per_pos.select("label", "pos", mean, "n")
         .groupBy("label")
@@ -1200,7 +1217,7 @@ def hard_negatives(
             F.col(label_col).alias("anchor_label"),
             F.col(vec_col).alias("__qvec"),
             F.sqrt(
-                _dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")
+                _dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))
             ).alias("__qnorm"),
         )
     )
@@ -1209,7 +1226,7 @@ def hard_negatives(
         F.col(label_col).alias("__clabel"),
         F.col(vec_col).alias("__cvec"),
         F.sqrt(
-            _dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double")
+            _dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))
         ).alias("__cnorm"),
     )
     scored = (
@@ -1217,7 +1234,7 @@ def hard_negatives(
         .filter(F.col("anchor_label") != F.col("__clabel"))
         .withColumn(
             "cos",
-            _dot_decimal(F.col("__qvec"), F.col("__cvec")).cast("double")
+            _dec2dbl(_dot_decimal(F.col("__qvec"), F.col("__cvec")))
             / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )

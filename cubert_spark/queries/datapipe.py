@@ -170,7 +170,7 @@ per_pos AS (
   GROUP BY 1, 2
 )
 SELECT label, CAST(n AS BIGINT) AS n_vecs, CAST(pos - 1 AS INT) AS pos,
-       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS centroid_val
+       ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE), 9) AS centroid_val
 FROM per_pos
 """
 
@@ -704,10 +704,10 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) AS cos,
          ROW_NUMBER() OVER (
            PARTITION BY query_id
-           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+           ORDER BY CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) DESC,
                     neighbor_id
          ) AS rnk
   FROM scored
@@ -793,10 +793,10 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) AS cos,
          ROW_NUMBER() OVER (
            PARTITION BY query_id
-           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+           ORDER BY CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) DESC,
                     neighbor_id
          ) AS rnk
   FROM scored
@@ -1091,10 +1091,10 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) AS cos,
          ROW_NUMBER() OVER (
            PARTITION BY query_id
-           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+           ORDER BY CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) DESC,
                     neighbor_id
          ) AS rnk
   FROM scored
@@ -1167,10 +1167,10 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) AS cos,
          ROW_NUMBER() OVER (
            PARTITION BY query_id
-           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+           ORDER BY CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) DESC,
                     neighbor_id
          ) AS rnk
   FROM scored
@@ -1195,7 +1195,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
   FROM dots
 )
-SELECT vec_id, CAST(j AS INT) AS list_id, ROUND(CAST(dot AS DOUBLE), 9) AS dot
+SELECT vec_id, CAST(j AS INT) AS list_id, ROUND(CAST(CAST(dot AS VARCHAR) AS DOUBLE), 9) AS dot
 FROM ranked WHERE rn = 1
 """
 
@@ -1305,7 +1305,7 @@ est AS (
   JOIN lut2 l2 ON l2.q_id = qq.q_id AND l2.j = b2.j
   JOIN lut3 l3 ON l3.q_id = qq.q_id AND l3.j = b3.j
 )
-SELECT q_id, vec_id, ROUND(CAST(est AS DOUBLE), 9) AS est, CAST(rnk AS INT) AS rnk FROM (
+SELECT q_id, vec_id, ROUND(CAST(CAST(est AS VARCHAR) AS DOUBLE), 9) AS est, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est DESC, vec_id) AS rnk
   FROM est
 ) WHERE rnk <= 5
@@ -2188,9 +2188,9 @@ scored AS (
   GROUP BY cand.id_a, cand.id_b
 )
 SELECT id_a, id_b,
-       ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 9) AS cos
+       ROUND(CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))), 9) AS cos
 FROM scored
-WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) >= 0.3
+WHERE CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) >= 0.3
 """
 
 
@@ -2245,7 +2245,7 @@ pairs AS (
 ),
 dropped AS (
   SELECT DISTINCT id_b AS vec_id FROM pairs
-  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))) >= 0.3
+  WHERE CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(aa AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(bb AS VARCHAR) AS DOUBLE))) >= 0.3
 )
 SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id
 FROM assign a
@@ -2493,10 +2493,10 @@ scored AS (
 ),
 ranked AS (
   SELECT anchor_id, anchor_label, negative_id,
-         CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS cos,
+         CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) AS cos,
          ROW_NUMBER() OVER (
            PARTITION BY anchor_id
-           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+           ORDER BY CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qq AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cc AS VARCHAR) AS DOUBLE))) DESC,
                     negative_id
          ) AS rnk
   FROM scored
