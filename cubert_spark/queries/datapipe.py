@@ -1249,7 +1249,7 @@ cb{m}(j, c) AS (
 )''' for m in range(4))},
 {",".join(_pq_sub_sql(m) for m in range(4))}
 SELECT e.vec_id,
-       ROUND(CAST(best0.dot AS DOUBLE), 9) AS dot0,
+       ROUND(CAST(CAST(best0.dot AS VARCHAR) AS DOUBLE), 9) AS dot0,
        CAST(p AS INT) AS pos,
        CAST(CASE p WHEN 0 THEN best0.j WHEN 1 THEN best1.j
                    WHEN 2 THEN best2.j ELSE best3.j END AS INT) AS code

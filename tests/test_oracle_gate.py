@@ -123,9 +123,8 @@ def test_decimal_to_double_string_detour_is_bit_stable(spark, duck):
     vals.append("281260852696.224600")  # the literal that hashed red at gen10
     rows = ", ".join(f"(CAST('{v}' AS DECIMAL(30,6)))" for v in vals)
     spark_df = spark.sql(
-        "SELECT CAST(CAST(v AS STRING) AS DOUBLE) AS d FROM "
-        f"(SELECT explode(array({', '.join(repr(v) for v in vals)})) AS s) "
-        "LATERAL VIEW explode(array(CAST(s AS DECIMAL(30,6)))) AS v"
+        "SELECT CAST(CAST(CAST(s AS DECIMAL(30,6)) AS STRING) AS DOUBLE) AS d "
+        f"FROM (SELECT explode(array({', '.join(repr(v) for v in vals)})) AS s)"
     )
     res = compare(
         "detour",

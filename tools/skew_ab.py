@@ -140,8 +140,11 @@ def experiments(spark, d: str, runs: int) -> dict:
     def final_plan_engaged(df) -> bool:
         # plan evidence must come from an action on THIS DataFrame:
         # df.write creates its own QueryExecution, whose executedPlan
-        # would be the pre-execution adaptive plan (isFinalPlan=false)
-        df.collect()
+        # would be the pre-execution adaptive plan (isFinalPlan=false).
+        # foreachPartition drains the same QueryExecution without
+        # shipping the join output to the driver (collect() would
+        # materialize every joined row — driver OOM bait above sf1)
+        df.foreachPartition(lambda _: None)
         return "skew=true" in df._jdf.queryExecution().executedPlan().toString()
 
     spark.conf.set(
