@@ -490,20 +490,73 @@ def _argmax_centroid_loop(
     return (-best["nj"]).cast("int"), best["d"]
 
 
+def _cluster_centroids(
+    centroids: list[list[float]], n_groups: int
+) -> list[list[int]]:
+    """Group the centroid list into ``n_groups`` clusters of NEARBY
+    centroids via a tiny deterministic driver-side Lloyd (the centroid
+    list is small by the operator contract — this never touches
+    Spark). Farthest-point init from index 0, 10 iterations, empty
+    clusters re-seeded from the farthest member of the largest. The
+    point: the coarse router's group MEANS are only meaningful when
+    groups contain mutually-similar centroids — contiguous slicing of
+    e.g. random hyperplane centroids produced group means that were
+    pure noise (measured r13: the router agreed with flat argmax on
+    only 23-32% of vectors; clustered grouping is the IVF
+    coarse-quantizer idiom)."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    k = len(cm)
+    seeds = [0]
+    d2 = ((cm - cm[0]) ** 2).sum(axis=1)
+    while len(seeds) < n_groups:
+        nxt = int(d2.argmax())
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((cm - cm[nxt]) ** 2).sum(axis=1))
+    means = cm[seeds].copy()
+    for _ in range(10):
+        dist = ((cm[:, None, :] - means[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        for gi in range(n_groups):
+            mask = assign == gi
+            if mask.any():
+                means[gi] = cm[mask].mean(axis=0)
+            else:
+                big = int(np.bincount(assign, minlength=n_groups).argmax())
+                far = int(
+                    np.where(assign == big)[0][
+                        dist[assign == big, big].argmax()
+                    ]
+                )
+                means[gi] = cm[far]
+                assign[far] = gi
+    return [
+        [int(j) for j in np.where(assign == gi)[0]]
+        for gi in range(n_groups)
+        if (assign == gi).any()
+    ]
+
+
 def _argmax_centroid_hierarchical(
     vec: Column, centroids: list[list[float]], group_size: int | None = None
 ) -> tuple[Column, Column]:
-    """(best_j, best_dot) via coarse-then-fine routing: centroids are
-    split into contiguous groups of ~sqrt(k); the vector first picks
-    the group whose MEAN it dots highest, then argmaxes within that
-    group only — O(2*sqrt(k)*d) per vector instead of O(k*d), the IVF
-    idiom applied to the assignment itself. APPROXIMATE by design
-    (the winning group need not contain the global argmax; same trade
-    as IVF probing). Float tier only; ties to the smallest group then
-    the smallest j."""
+    """(best_j, best_dot) via coarse-then-fine routing: the centroids
+    are CLUSTERED (driver-side Lloyd over the centroid list — see
+    :func:`_cluster_centroids`) into ~sqrt(k) groups of mutually-near
+    centroids; the vector first picks the group whose MEAN it dots
+    highest, then argmaxes within that group only — O(~2*sqrt(k)*d)
+    per vector instead of O(k*d), the IVF coarse-quantizer idiom
+    applied to the assignment itself. APPROXIMATE by design (the
+    winning group need not contain the global argmax; same trade as
+    IVF probing) but the clustered grouping is what makes the router
+    informative for ANY centroid set. Float tier only; ties to the
+    smallest group then the smallest original index j."""
     k = len(centroids)
     g = group_size or max(1, int(math.isqrt(k)))
-    groups = [centroids[i : i + g] for i in range(0, k, g)]
+    n_groups = (k + g - 1) // g
+    idx_groups = _cluster_centroids(centroids, n_groups)
+    groups = [[centroids[j] for j in idxs] for idxs in idx_groups]
     dim = len(centroids[0])
     coarse = [
         [sum(c[p] for c in grp) / len(grp) for p in range(dim)]
@@ -512,12 +565,17 @@ def _argmax_centroid_hierarchical(
     vec_d = vec.cast("array<double>")
     cbest = _argmax_over(vec_d, _cents_lit(coarse), F.lit(len(groups)))
     cg = -cbest["nj"]
-    # ragged nested literal: the last group may be short
+    # ragged nested literals: cluster sizes vary; a parallel index
+    # array maps each group-local winner back to its ORIGINAL j
     groups_lit = F.array(*[_cents_lit(grp) for grp in groups])
+    idx_lit = F.array(
+        *[F.array(*[F.lit(j) for j in idxs]) for idxs in idx_groups]
+    )
     members = F.element_at(groups_lit, cg + 1)
     fbest = _argmax_over(vec_d, members, F.size(members))
     fj = -fbest["nj"]
-    return (cg * g + fj).cast("int"), fbest["d"]
+    orig_j = F.element_at(F.element_at(idx_lit, cg + 1), fj + 1)
+    return orig_j.cast("int"), fbest["d"]
 
 
 def ivf_assign_exact(
