@@ -198,6 +198,16 @@ BENCH_QUERIES = [
     # light-codegen path (the exact row's DECIMAL folds are its
     # JIT-heavy part)
     "pq_adc_topk_fast",
+    # r13 second-half additions: the linear REWEIGHTING alternative to
+    # pair dedup (SoftDedup commonness, 3 keyed shuffles, zero pair
+    # expansion), the CCNet head/middle/tail split (per-lang NTILE
+    # over bigram-LM ppl), temperature-flattened source sampling
+    # (sqrt rates, zero corpus shuffles), and the per-domain quota
+    # (WindowGroupLimit partial top-k)
+    "soft_dedup",
+    "perplexity_buckets",
+    "temperature_mix",
+    "domain_cap",
 ]
 
 

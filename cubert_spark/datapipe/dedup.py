@@ -889,3 +889,106 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Soft deduplication by frequency REWEIGHTING instead of removal
+    (the SoftDeDup idea, public: He et al. 2024, "SoftDedup: an
+    Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training"): score every document's *commonness* — how
+    document-frequent its k-shingles are across the corpus — and emit
+    a sampling weight that decays with commonness, so duplicated and
+    boilerplate-heavy documents contribute proportionally less to
+    training instead of being hard-dropped at an arbitrary Jaccard
+    cut. Downstream, feed ``weight_ppm`` to
+    ``weighted_deterministic_sample`` (or a loss-weighting data
+    loader) — the soft alternative to the pair-based dedup family.
+
+    Definitions (integer-exact by construction, so the whole operator
+    hash-replays in any engine — no float anywhere):
+
+    - df(s)           = number of docs containing shingle s
+    - df_ppm(s)       = (df(s) * 1_000_000) div n_docs
+    - commonness_ppm  = (sum over the doc's distinct shingles of
+                         df_ppm) div n_shingles   — mean shingle
+                         document-frequency in parts-per-million
+    - weight_ppm      = 1_000_000_000_000 div (1_000_000 +
+                         commonness_ppm)          — i.e. 1e6/(1+c),
+                         the paper's monotone-decay shape on a ppm
+                         grid: a fully unique doc (c=0) weighs
+                         1_000_000, a doc of pure corpus-wide
+                         boilerplate (c=1e6) weighs 500_000 = half.
+
+    All intermediates fit BIGINT at any realistic scale: df_ppm <=
+    1e6, its per-doc sum <= n_shingles * 1e6 (shingle counts are
+    document-length-bounded), and the weight numerator is the 1e12
+    literal.
+
+    Scale shape — the operator's whole point at 100 TB: a handful of
+    LINEAR keyed shuffles (shingle-df agg, df join-back on shingle,
+    per-doc agg; the corpus count is a 1-row agg on the raw scan) and
+    ZERO pair generation. Every pair-based near-dup operator
+    in this module is quadratic in posting-list size and needs df
+    cuts to survive; commonness is a first-moment statistic, so the
+    posting list never expands — corpus-wide boilerplate shingles
+    cost exactly one join row per occurrence. The shingle join-back
+    is inverted-index-shaped (common-shingle skew is AQE's skew-join
+    case). Docs with < k words have no shingles and are absent, as in
+    lm_perplexity.
+
+    Output: (id, n_shingles, commonness_ppm, weight_ppm), all bigint.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    # the shingled-corpus count WITHOUT a third corpus explode: a doc
+    # produces >= 1 shingle iff it has >= k words (null text splits to
+    # null, size(null) = -1, excluded on both engines) — a 1-row agg
+    # over the raw scan instead of countDistinct over the exploded
+    # pairs. Assumes ids unique per row (the documents-table
+    # contract, same as the re-fetch guard classes elsewhere).
+    n_docs = df.agg(
+        F.sum(
+            F.when(F.size(F.split(F.col(text_col), " ")) >= k, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__n_docs")
+    )
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            F.expr("(__df * CAST(1000000 AS BIGINT)) div __n_docs").alias(
+                "__df_ppm"
+            ),
+        )
+    )
+    # freq is VOCABULARY-sized (one row per distinct shingle) and must
+    # never broadcast: Catalyst's post-aggregate size estimate reads
+    # small, but at gen1 the materialized hash relation was already
+    # 300+ MiB (spilled to disk) and at 100 TB it would OOM every
+    # executor. shuffle_hash pins the inverted-index shape — both
+    # sides shuffle on the shingle key, freq builds the (smaller)
+    # hash side, AQE still handles common-shingle skew.
+    return (
+        sh.join(freq.hint("shuffle_hash"), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__df_ppm").alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.expr("__s div n_shingles").alias("commonness_ppm"),
+            F.expr(
+                "CAST(1000000000000 AS BIGINT)"
+                " div (CAST(1000000 AS BIGINT) + (__s div n_shingles))"
+            ).alias("weight_ppm"),
+        )
+    )

@@ -95,3 +95,82 @@ def lm_perplexity(
         F.round("__avg_nll", 9).alias("avg_nll"),
         F.round(F.exp("__avg_nll"), 6).alias("ppl"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    thresholds: str = "exact",
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (public: Wenzek et al.
+    2020 §4.3 — per-language, rank documents by LM perplexity and cut
+    into equal thirds; the head feeds high-quality training mixes, the
+    tail gets filtered or down-weighted). Scores come from the
+    corpus-trained bigram LM above; the split is per ``lang_col`` so
+    no language's fluency scale is judged by another's.
+
+    Determinism: the ranking key is (ppl, id) — ppl is already on the
+    ROUND(,6) grid both engines agree on, and the id tie-break makes
+    the order total, so NTILE bucket boundaries replay exactly.
+
+    Two threshold tiers:
+
+    - ``thresholds="exact"`` (the oracle-compared path): per-language
+      NTILE over a window — one shuffle on lang + a per-language
+      sort. Correct at any scale but the sort is the cost: a
+      100 TB / ~30-language corpus sorts ~3 TB per language.
+    - ``thresholds="sketch"`` (the 100 TB path): per-language
+      GK-sketch quantile cuts (percentile_approx, one mergeable agg)
+      broadcast back onto the corpus — zero sorts, one tiny agg +
+      one map stage. Bucket boundaries are approximate within the
+      sketch's rank error; CCNet itself uses precomputed threshold
+      constants, i.e. exactly this shape. Not oracle-compared (the
+      sketch is Spark-specific); parity with the exact tier is
+      pytest-pinned on agreement rate instead.
+
+    Output: (id, lang, ppl, bucket) where bucket is 'head' /
+    'middle' / 'tail' for n_buckets=3 (CCNet's setting), else the
+    1-based bucket index as a string.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"perplexity_buckets: n_buckets must be >= 2, got {n_buckets}")
+    if thresholds not in ("exact", "sketch"):
+        raise ValueError(
+            f"perplexity_buckets: thresholds must be 'exact' or 'sketch', got {thresholds!r}"
+        )
+    from pyspark.sql import Window
+
+    scored = lm_perplexity(df, text_col, id_col)
+    j = scored.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+    if thresholds == "exact":
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col("ppl").asc(), F.col(id_col).asc()
+        )
+        idx = F.ntile(n_buckets).over(w)
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = j.groupBy(lang_col).agg(
+            F.percentile_approx("ppl", qs, 10000).alias("__cuts")
+        )
+        j = j.join(F.broadcast(cuts), lang_col)
+        # bucket = 1 + #cuts strictly below this ppl (upper-inclusive
+        # buckets, matching NTILE's "boundary row stays low" side)
+        idx = F.lit(1) + F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("ppl") > c, 1).otherwise(0),
+        )
+    if n_buckets == 3:
+        bucket = (
+            F.when(idx == 1, F.lit("head"))
+            .when(idx == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = idx.cast("string")
+    return j.select(
+        F.col(id_col), F.col(lang_col), F.col("ppl"), bucket.alias("bucket")
+    )

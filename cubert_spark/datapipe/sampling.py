@@ -257,6 +257,104 @@ def epoch_shuffle(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened multi-source sampling (the mC4 / XLM-R
+    alpha-sampling idiom, public: Xue et al. 2021 §3.1, Conneau et al.
+    2020 §3): sample source s with probability proportional to
+    share_s^alpha, flattening the head so low-resource sources are not
+    drowned by the dominant one. Expressed as a deterministic keep
+    rate per source — rate_s = (min_cnt / cnt_s)^(1-alpha) — which is
+    exactly proportional to share_s^(alpha-1) (the per-ROW upweight
+    the alpha-distribution implies) normalized so the SMALLEST source
+    is kept whole and every larger source is downsampled toward it.
+    alpha=1 keeps everything (no flattening); alpha=0 equalizes all
+    source counts; the mC4 paper's useful range sits between.
+
+    Determinism doctrine: at the default alpha=0.5 the rate is one
+    IEEE divide + one sqrt — BOTH correctly-rounded operations per
+    IEEE 754, so the rate (and therefore the md5-gated kept set)
+    replays bit-for-bit in any engine from the same integer counts.
+    Other alphas go through pow(), whose libm implementations are NOT
+    correctly rounded and may disagree across engines by an ulp —
+    fine in production (a 2^-52 rate wobble moves ~nothing), but only
+    the sqrt spelling is oracle-hash-comparable, so the declared
+    query pins alpha=0.5.
+
+    Scale shape: per-source counts are a tiny keyed agg broadcast
+    back onto the corpus; the big table sees one pushed md5-gate
+    filter — zero corpus shuffles at any scale (the mixture_sample
+    shape).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"temperature_mix: alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    mn = counts.agg(F.min("__cnt").alias("__mn"))
+    ratio = F.col("__mn").cast("double") / F.col("__cnt").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    elif alpha == 1.0:
+        rate = F.lit(1.0)
+    elif alpha == 0.0:
+        rate = ratio
+    else:
+        # not correctly rounded -> not oracle-comparable (docstring)
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        source_col, rate.alias("__rate")
+    )
+    gate = hash16(F.col(key), salt).cast("double") < F.col("__rate") * float(_SPACE)
+    return df.join(F.broadcast(rates), source_col).filter(gate).drop("__rate")
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    key: str = "doc_id",
+    cap: int = 100,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-group document cap: keep at most ``cap`` rows per group,
+    chosen by a deterministic content-hash ranking (md5(salt || key),
+    ties by key) — the per-domain quota a crawl-curation pipeline runs
+    so no single domain dominates the corpus (the RefinedWeb /
+    CCNet-lineage "cap documents per registered domain" stage, public:
+    Penedo et al. 2023 §3.1 discuss URL-level caps). Hash order (not
+    arrival order) makes the kept set a stable uniform sample of each
+    group across dataset versions: a group that grows only SWAPS
+    members with probability ~cap/|group|, it never shifts wholesale.
+
+    Scale shape: rank-within-group <= k is the WindowGroupLimit plan
+    (the topn operator's assertion): Spark inserts a per-PARTITION
+    group-limit below the shuffle, so each map task forwards at most
+    ``cap`` rows per group it sees — the shuffle carries
+    O(tasks * cap) per heavy group, not the group's full row count.
+    The hot-domain skew case (one domain = 1% of a 100 TB crawl) is
+    exactly what that partial limit bounds.
+
+    Output: df columns + ``rk`` (1-based rank within the group's kept
+    sample — callers wanting the quota sample only may drop it)."""
+    if cap < 1:
+        raise ValueError(f"per_group_cap: cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(
+            F.lit(salt), F.coalesce(F.col(key).cast("string"), F.lit("__null__"))
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     log_ratio_millinats: list[int],

@@ -2587,8 +2587,118 @@ FROM documents WHERE source = 'src19'
 """
 
 
+def q_soft_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft deduplication by reweighting (dedup.soft_dedup_weights,
+    SoftDedup / He et al. 2024 lineage): per-doc shingle-commonness
+    and a monotone-decay sampling weight, all integer-exact ppm
+    arithmetic — the LINEAR alternative to pair-based dedup (three
+    keyed shuffles, zero pair expansion, no df cut needed)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.soft_dedup_weights(d)
+
+
+SQL_SOFT_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i+2), ' ') AS shingle
+  FROM w, LATERAL UNNEST(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents
+       WHERE len(string_split(text, ' ')) >= 3),
+freq AS (
+  SELECT shingle,
+         CAST((COUNT(*) * 1000000) // (SELECT n_docs FROM nd) AS BIGINT) AS df_ppm
+  FROM sh GROUP BY 1
+),
+perdoc AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shingles, SUM(freq.df_ppm) AS s
+  FROM sh JOIN freq USING (shingle) GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(s // n_shingles AS BIGINT) AS commonness_ppm,
+       CAST(1000000000000 // (1000000 + (s // n_shingles)) AS BIGINT) AS weight_ppm
+FROM perdoc
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (lm.perplexity_buckets,
+    Wenzek et al. 2020 §4.3): per-language NTILE(3) over the bigram-LM
+    perplexity. Ranking key (ppl, doc_id) is total and grid-exact, so
+    bucket boundaries replay in DuckDB. The sketch-threshold tier
+    (zero sorts — the 100 TB path) is pytest-pinned against this
+    exact tier instead of oracle-compared."""
+    from cubert_spark.datapipe.lm import perplexity_buckets
+
+    return perplexity_buckets(load_table(spark, sf, "documents"))
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH p AS ({SQL_LM_PERPLEXITY}),
+j AS (SELECT p.doc_id, d.lang, p.ppl FROM p JOIN documents d USING (doc_id))
+SELECT doc_id, lang, ppl,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM j
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened source sampling at alpha=0.5
+    (sampling.temperature_mix, mC4/XLM-R alpha-sampling lineage):
+    keep rate per source = sqrt(min_cnt/cnt) — divide and sqrt are
+    both IEEE-correctly-rounded, so the md5-gated kept set replays
+    bit-for-bit. Zero corpus shuffles (broadcast rates + pushed
+    gate)."""
+    d = load_table(spark, sf, "documents")
+    return sampling.temperature_mix(
+        d.select("doc_id", "source"), source_col="source", key="doc_id"
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+m AS (SELECT MIN(cnt) AS mn FROM c),
+r AS (SELECT source, sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+      FROM c CROSS JOIN m)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE CAST({_hash16_sql('d.doc_id', 'temp')} AS DOUBLE) < r.rate * 65536.0
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document quota (sampling.per_group_cap, RefinedWeb
+    per-domain-cap lineage): keep <= 40 docs per source by
+    deterministic md5 ranking. rank<=k plans as WindowGroupLimit —
+    each map task forwards at most cap rows per group, so a hot
+    domain's shuffle volume is O(tasks * cap), not its row count
+    (plan-asserted in pytest)."""
+    d = load_table(spark, sf, "documents")
+    return sampling.per_group_cap(
+        d.select("doc_id", "source"), group_col="source", key="doc_id", cap=40
+    )
+
+
+SQL_DOMAIN_CAP = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INT) AS rk
+FROM documents
+QUALIFY rk <= 40
+"""
+
+
 QUERIES = {
     "lm_perplexity": q_lm_perplexity,
+    "soft_dedup": q_soft_dedup,
+    "perplexity_buckets": q_perplexity_buckets,
+    "temperature_mix": q_temperature_mix,
+    "domain_cap": q_domain_cap,
     "hard_negatives": q_hard_negatives,
     "neardup_ingest": q_neardup_ingest,
     "dedup_exact": q_dedup_exact,
@@ -2667,6 +2777,10 @@ QUERIES = {
 
 ORACLES = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "soft_dedup": SQL_SOFT_DEDUP,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
+    "domain_cap": SQL_DOMAIN_CAP,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neardup_ingest": SQL_NEARDUP_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,

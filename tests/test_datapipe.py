@@ -3322,3 +3322,186 @@ def test_semantic_dedup_hierarchical_on_separated_clusters(spark):
         semantic_dedup(df, cents, 0.9, exact=True, assignment="loop")
     with _pytest.raises(ValueError, match="unknown assignment"):
         semantic_dedup(df, cents, 0.9, exact=False, assignment="nope")
+
+
+# --- r13 second-half operators: soft dedup / CCNet buckets / ---------------
+# --- temperature mix / per-domain cap ---------------------------------------
+
+
+def test_soft_dedup_weights_exact_ppm(spark):
+    """soft_dedup_weights: the whole chain (shingle df -> df_ppm ->
+    per-doc commonness -> decay weight) replayed literally in Python
+    on a corpus with hand-countable shingles."""
+    from collections import Counter
+
+    from cubert_spark.datapipe import dedup
+
+    docs = [
+        (1, "a b c d"),        # shingles: "a b c", "b c d"
+        (2, "a b c d"),        # exact dup of 1
+        (3, "x y z"),          # unique shingle "x y z"
+        (4, "a b c q"),        # shares "a b c"
+        (5, "a b"),            # too short: absent from output
+        (6, None),             # null text: absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["commonness_ppm"], r["weight_ppm"])
+        for r in dedup.soft_dedup_weights(df).collect()
+    }
+
+    # python replay
+    sh = {
+        1: {"a b c", "b c d"},
+        2: {"a b c", "b c d"},
+        3: {"x y z"},
+        4: {"a b c", "b c q"},
+    }
+    n_docs = len(sh)
+    dfreq = Counter(s for ss in sh.values() for s in ss)
+    want = {}
+    for d, ss in sh.items():
+        ppms = [(dfreq[s] * 1_000_000) // n_docs for s in ss]
+        c = sum(ppms) // len(ss)
+        want[d] = (len(ss), c, 1_000_000_000_000 // (1_000_000 + c))
+    assert got == want
+    # duplicated docs are MORE common -> weigh LESS than the unique doc
+    assert got[1][2] < got[3][2]
+    # and absent rows really are absent
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_soft_dedup_partition_independent(spark):
+    """Same weights under an adversarial repartition (determinism is
+    the operator's whole contract — weights feed reproducible
+    sampling)."""
+    from cubert_spark.datapipe import dedup
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 5} w{(i + 2) % 3} w{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.soft_dedup_weights(df).collect()))
+    b = sorted(
+        map(tuple, dedup.soft_dedup_weights(df.repartition(13, "text")).collect())
+    )
+    assert a == b
+
+
+def test_perplexity_buckets_exact_thirds(spark):
+    """exact tier: per-language buckets are NTILE-balanced (sizes
+    differ by <= 1) and ordered (every head ppl <= every tail ppl
+    within its language)."""
+    from cubert_spark.datapipe.lm import perplexity_buckets
+
+    rows = []
+    for i in range(21):
+        rows.append((i, "en", " ".join(f"t{j % (2 + i % 5)}" for j in range(8))))
+    for i in range(21, 31):
+        rows.append((i, "zh", " ".join(f"u{j % (1 + i % 4)}" for j in range(6))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(df).collect()
+    assert set(r["bucket"] for r in out) == {"head", "middle", "tail"}
+    from collections import defaultdict
+
+    sizes = defaultdict(lambda: defaultdict(int))
+    ppls = defaultdict(lambda: defaultdict(list))
+    for r in out:
+        sizes[r["lang"]][r["bucket"]] += 1
+        ppls[r["lang"]][r["bucket"]].append(r["ppl"])
+    for lang, s in sizes.items():
+        assert max(s.values()) - min(s.values()) <= 1, (lang, dict(s))
+        assert max(ppls[lang]["head"]) <= min(ppls[lang]["tail"]), lang
+        assert max(ppls[lang]["head"]) <= min(ppls[lang]["middle"]), lang
+
+
+def test_perplexity_buckets_sketch_agrees_with_exact(spark):
+    """sketch tier (the zero-sort 100 TB path): bucket assignment
+    agrees with the exact NTILE tier away from bucket boundaries —
+    only rows tied with a quantile cut may differ, so agreement on
+    this corpus stays high."""
+    from cubert_spark.datapipe.lm import perplexity_buckets
+
+    from cubert_spark.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(d, thresholds="exact").collect()
+    }
+    sketch = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(d, thresholds="sketch").collect()
+    }
+    assert set(exact) == set(sketch)
+    agree = sum(exact[k] == sketch[k] for k in exact) / len(exact)
+    assert agree >= 0.9, agree
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(d, n_buckets=1)
+    with _pytest.raises(ValueError, match="thresholds"):
+        perplexity_buckets(d, thresholds="magic")
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """alpha-sampling semantics: the smallest source is kept whole,
+    larger sources are kept at ~sqrt(min/cnt), the kept set is
+    partition-independent, alpha=1 keeps everything, and bad alpha
+    raises."""
+    import math
+
+    import pytest as _pytest
+
+    from cubert_spark.datapipe import sampling
+
+    rows = [(i, "small" if i < 100 else "big") for i in range(100 + 1600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.temperature_mix(df).collect()
+    by_src = {"small": 0, "big": 0}
+    for r in kept:
+        by_src[r["source"]] += 1
+    assert by_src["small"] == 100  # rate = sqrt(100/100) = 1
+    want_big = 1600 * math.sqrt(100 / 1600)  # = 400
+    assert abs(by_src["big"] - want_big) < 4 * math.sqrt(want_big), by_src
+    # partition-independent
+    a = sorted(r["doc_id"] for r in kept)
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.temperature_mix(df.repartition(11, "doc_id")).collect()
+    )
+    assert a == b
+    # alpha=1: no flattening at all
+    assert sampling.temperature_mix(df, alpha=1.0).count() == 1700
+    with _pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix(df, alpha=1.5)
+
+
+def test_per_group_cap_semantics(spark):
+    """per_group_cap: under-cap groups kept whole, over-cap groups
+    keep exactly cap rows, membership is hash-stable (growing a group
+    only swaps members: kept(union) restricted to the old rows is a
+    subset of kept(old)), and cap < 1 raises."""
+    import pytest as _pytest
+
+    from cubert_spark.datapipe import sampling
+
+    rows = [(i, "big") for i in range(50)] + [(1000 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.per_group_cap(df, cap=10).collect()
+    by_src = {"big": [], "small": []}
+    for r in out:
+        by_src[r["source"]].append(r["doc_id"])
+    assert len(by_src["big"]) == 10
+    assert sorted(by_src["small"]) == [1000 + i for i in range(5)]
+    assert all(1 <= r["rk"] <= 10 for r in out)
+
+    grown = rows + [(2000 + i, "big") for i in range(25)]
+    df2 = spark.createDataFrame(grown, "doc_id long, source string")
+    kept2 = {
+        r["doc_id"]
+        for r in sampling.per_group_cap(df2, cap=10).collect()
+        if r["source"] == "big"
+    }
+    old_ids = {i for i in range(50)}
+    assert kept2 & old_ids <= set(by_src["big"])  # swaps, never reshuffles
+    with _pytest.raises(ValueError, match="cap"):
+        sampling.per_group_cap(df, cap=0)

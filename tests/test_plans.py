@@ -54,6 +54,28 @@ def test_topn_plans_window_group_limit(spark):
     assert "WindowGroupLimit" in s, s
 
 
+def test_soft_dedup_freq_join_never_broadcasts(spark):
+    """The vocabulary-sized shingle-df table must never broadcast
+    (Catalyst's post-aggregate estimate reads small, but the real
+    hash relation was 300+ MiB at gen1 before the shuffle_hash pin);
+    the only broadcast in the plan is the 1-row corpus-count cross."""
+    from cubert_spark.queries.datapipe import q_soft_dedup
+
+    s = explain_str(q_soft_dedup(spark, SF))
+    assert "ShuffledHashJoin" in s, s
+    assert "BroadcastHashJoin" not in s, s
+
+
+def test_domain_cap_plans_window_group_limit(spark):
+    """per_group_cap's rank<=k must plan the partial top-k below the
+    shuffle — the property that bounds a hot domain's shuffle volume
+    at O(tasks * cap) instead of its row count."""
+    from cubert_spark.queries.datapipe import q_domain_cap
+
+    s = explain_str(q_domain_cap(spark, SF))
+    assert "WindowGroupLimit" in s, s
+
+
 def test_groupby_single_shuffle(spark):
     from cubert_spark.queries.core import q1_groupby_agg
 
@@ -429,6 +451,12 @@ _LINT_ALLOWED = {
     "dq_expectations": ("pairs",),
     # 1-row |vocab| crossJoin(broadcast)
     "lm_perplexity": ("pairs",),
+    # r13 second half: 1-row shingled-corpus-count crossJoin
+    "soft_dedup": ("pairs",),
+    # inherits lm_perplexity's 1-row |vocab| crossJoin
+    "perplexity_buckets": ("pairs",),
+    # 1-row min-source-count crossJoin(broadcast) (mixture_sample's shape)
+    "temperature_mix": ("pairs",),
     # 1-row shingled-corpus-count crossJoin(broadcast) feeding the
     # relative stopword cut (df <= frac * n_docs)
     "ngram_jaccard_cut": ("pairs",),
@@ -651,6 +679,17 @@ _SHUFFLE_CEILINGS = {
     # r12: winnowing pairs — input spread + posting agg + pair agg;
     # NO self-join (bounded in-array pair expansion)
     "winnow_pairs": 3,
+    # r13 second half: soft_dedup = 2 input spreads + shingle-keyed
+    # freq agg/join + per-doc agg (the 1-row corpus count rides the
+    # raw scan, no third explode); perplexity_buckets adds the
+    # per-lang NTILE sort atop lm_perplexity's token joins;
+    # temperature_mix = source-count agg + its exchange (corpus sees
+    # only a pushed gate); domain_cap = ONE group shuffle under
+    # WindowGroupLimit
+    "soft_dedup": 5,
+    "perplexity_buckets": 4,
+    "temperature_mix": 2,
+    "domain_cap": 1,
 }
 
 
@@ -825,6 +864,18 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
                      "counts + 1-row |V|); AQE re-plans if the vocab "
                      "outgrows the threshold",
     "hard_negatives": "broadcast side = the fixed anchor-vector set",
+    # r13 second-half operators
+    "soft_dedup": "broadcast side = 1-row shingled-corpus count "
+                  "(group-by-nothing aggregate: exactly one row at "
+                  "any SF; the vocabulary-sized freq join is "
+                  "shuffle_hash-pinned at the implementation)",
+    "perplexity_buckets": "inherits lm_perplexity's vocabulary "
+                          "aggregates (unigram counts + 1-row |V|); "
+                          "AQE re-plans if the vocab outgrows the "
+                          "threshold",
+    "temperature_mix": "broadcast sides = per-source rate table "
+                       "(|sources| rows, corpus-independent) + 1-row "
+                       "min-count stat (mixture_sample's shape)",
 }
 
 

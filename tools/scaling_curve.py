@@ -79,6 +79,15 @@ HEAVY = {
     # df cut bounding pair expansion)
     "dsir_weights": "documents",
     "winnow_pairs": "documents",
+    # r13 second half: SoftDedup commonness reweighting (3 linear
+    # keyed shuffles, zero pair expansion — expect ~linear), the
+    # CCNet bucket split (lm_perplexity + per-lang NTILE sort),
+    # temperature-flattened sampling (tiny agg + pushed gate), and
+    # the per-domain quota (WindowGroupLimit partial top-k)
+    "soft_dedup": "documents",
+    "perplexity_buckets": "documents",
+    "temperature_mix": "documents",
+    "domain_cap": "documents",
 }
 
 
