@@ -208,6 +208,10 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "temperature_mix",
     "domain_cap",
+    # token-budget prefix selection (two-level prefix sum) and
+    # token-share mixing (per-source bigint token sums + pushed gate)
+    "token_budget",
+    "token_mixture",
 ]
 
 

@@ -120,6 +120,7 @@ def mixture_sample(
     source_col: str = "source",
     key: str = "doc_id",
     salt: str = "mix",
+    size_col: str | None = None,
 ) -> DataFrame:
     """Deterministic dataset mixing — downsample each source so the
     output matches the target mixture ``weights`` (e.g. 50% web /
@@ -140,6 +141,16 @@ def mixture_sample(
     Scale shape: per-source counts are a tiny keyed agg (|sources|
     rows) that broadcasts back; the big table sees one pushed filter
     on the md5 gate — no shuffle of the corpus at any scale.
+
+    ``size_col``: mix by a SIZE measure instead of row count — pass an
+    integer column (e.g. a token count) and every share/T computation
+    runs over summed sizes: the mixture real LLM data recipes specify
+    ("50% of TOKENS from web"), not document counts. Per-source
+    expected kept-size then matches the target shares in expectation
+    (rows are still kept whole via the same md5 gate — a row-level
+    gate cannot cut mid-document, so realized token shares concentrate
+    around the target as corpus size grows). Sums of bigints keep the
+    arithmetic engine-exact, same as counts.
     """
     total = float(sum(weights.values()))
     shares = {s: w / total for s, w in weights.items()}
@@ -147,10 +158,15 @@ def mixture_sample(
         F.create_map(*[F.lit(x) for s, w in shares.items() for x in (s, w)]),
         F.col(source_col),
     )
+    size = (
+        F.count(F.lit(1))
+        if size_col is None
+        else F.sum(F.col(size_col).cast("bigint"))
+    )
     counts = (
         df.filter(F.col(source_col).isin(list(shares)))
         .groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(size.alias("__cnt"))
         .withColumn("__share", share)
     )
     t = counts.agg(
@@ -170,6 +186,108 @@ def mixture_sample(
         df.join(F.broadcast(frac), source_col)
         .filter(gate)
         .drop("__frac")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_frac: float | None = None,
+    budget_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    priority: Column | None = None,
+    salt: str = "budget",
+    n_shards: int = 256,
+) -> DataFrame:
+    """Token-budget corpus assembly: keep documents in ``priority``
+    order while the running token total stays within the budget — the
+    "take the best N tokens" selection step every sized pretraining
+    mix runs (DataComp-LM-style top-fraction-by-score selection;
+    Chinchilla-style token-count targets). The rule is a deterministic
+    PREFIX cut, not a knapsack: the first document that would overflow
+    the budget is dropped and nothing later back-fills, so membership
+    is reproducible and engine-portable.
+
+    ``priority`` is an integer Column (lower = selected first; ties
+    broken by id — the order is total). Default: the content-keyed
+    md5 hash16, i.e. a uniform deterministic subsample up to the
+    budget. Budget: ``budget_tokens`` (absolute) or ``budget_frac``
+    (fraction of the corpus's total tokens — the scale-free spelling;
+    one bigint total x one literal = one correctly-rounded multiply,
+    exact on both engines).
+
+    Scale shape — the global running sum is the DISTRIBUTED two-level
+    prefix sum (the sequence_pack / r13-dictionary idiom), not a
+    single-partition window: priority splits into ``n_shards``
+    VALUE-CONTIGUOUS ranges off a 1-row min/max stat, shard totals
+    (n_shards rows) take the only unpartitioned window, and each doc
+    adds its within-shard cumulative sum (window partitioned by
+    shard). Priorities concentrated in one value range would serialize
+    their shard — the default hash16 is uniform; pre-scale custom
+    scores with that in mind.
+
+    Output: (id, n_tokens, cum_tokens) for kept docs only.
+    """
+    if (budget_frac is None) == (budget_tokens is None):
+        raise ValueError(
+            "token_budget_select: pass exactly one of budget_frac / budget_tokens"
+        )
+    if n_shards < 1:
+        raise ValueError(f"token_budget_select: n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = (priority if priority is not None else hash16(F.col(id_col), salt)).cast(
+        "bigint"
+    )
+    from cubert_spark.datapipe.dedup import _spread
+
+    toks = _spread(df, id_col).select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        h.alias("__h"),
+    )
+    stats = toks.agg(
+        F.min("__h").alias("__mn"),
+        F.max("__h").alias("__mx"),
+        F.sum("n_tokens").alias("__tot"),
+    )
+    if budget_frac is not None:
+        thresh = F.floor(F.col("__tot") * F.lit(float(budget_frac))).cast("bigint")
+    else:
+        thresh = F.lit(int(budget_tokens)).cast("bigint")
+    # value-contiguous shards: floor((h - min) / width) with width
+    # sized so the shard id lands in [0, n_shards)
+    width = F.expr(f"(__mx - __mn) div {n_shards} + 1")
+    t = toks.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "n_tokens",
+        "__h",
+        F.expr("(__h - __mn)").cast("bigint").alias("__rel"),
+        thresh.alias("__thresh"),
+        width.alias("__w"),
+    )
+    t = t.withColumn("__shard", F.expr("__rel div __w"))
+    shard_totals = t.groupBy("__shard").agg(F.sum("n_tokens").alias("__tot"))
+    w_shard = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_totals.select(
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_shard), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(offsets), "__shard")
+        .withColumn(
+            "cum_tokens",
+            (F.col("__off") + F.sum("n_tokens").over(w_in)).cast("bigint"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("__thresh"))
+        .select(id_col, "n_tokens", "cum_tokens")
     )
 
 

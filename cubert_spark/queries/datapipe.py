@@ -2669,6 +2669,79 @@ WHERE CAST({_hash16_sql('d.doc_id', 'temp')} AS DOUBLE) < r.rate * 65536.0
 """
 
 
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus assembly (sampling.token_budget_select):
+    keep documents in deterministic md5-priority order until 50% of
+    the corpus's tokens are spent — a distributed two-level prefix
+    sum (value-contiguous priority shards off a 1-row min/max stat;
+    the only unpartitioned window runs over the n_shards shard
+    totals). The prefix rule (first overflowing doc drops, no
+    back-fill) makes membership engine-exact."""
+    d = load_table(spark, sf, "documents")
+    return sampling.token_budget_select(d, budget_frac=0.5)
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         {_hash16_sql('doc_id', 'budget')} AS h
+  FROM documents
+),
+tot AS (SELECT CAST(floor(SUM(n_tokens) * 0.5) AS BIGINT) AS thresh FROM t),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens
+FROM c, tot
+WHERE cum_tokens <= thresh
+"""
+
+
+def q_token_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset mixing by TOKEN shares instead of document counts
+    (sampling.mixture_sample with size_col) — the units real LLM data
+    recipes specify ("50% of tokens from web"). Same
+    scarcest-source-kept-whole sizing and md5 gate; per-source sums
+    of bigint token counts keep every step engine-exact."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("bigint").alias(
+            "__n_toks"
+        ),
+    )
+    return sampling.mixture_sample(
+        d, _MIX_WEIGHTS, salt="tmix", size_col="__n_toks"
+    ).select("doc_id", "source")
+
+
+SQL_TOKEN_MIXTURE = f"""
+WITH shares(source, share) AS (VALUES {_MIX_SHARES}),
+counts AS (
+  SELECT d.source,
+         SUM(CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)) AS cnt
+  FROM documents d JOIN shares s ON s.source = d.source
+  GROUP BY d.source
+),
+t AS (
+  SELECT MIN(CAST(c.cnt AS DOUBLE) / s.share) AS t
+  FROM counts c JOIN shares s ON s.source = c.source
+),
+frac AS (
+  SELECT c.source, (s.share * t.t) / CAST(c.cnt AS DOUBLE) AS f
+  FROM counts c JOIN shares s ON s.source = c.source, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN frac ON frac.source = d.source
+WHERE CAST({_hash16_sql('d.doc_id', 'tmix')} AS DOUBLE) < frac.f * 65536.0
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source document quota (sampling.per_group_cap, RefinedWeb
     per-domain-cap lineage): keep <= 40 docs per source by
@@ -2699,6 +2772,8 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "temperature_mix": q_temperature_mix,
     "domain_cap": q_domain_cap,
+    "token_budget": q_token_budget,
+    "token_mixture": q_token_mixture,
     "hard_negatives": q_hard_negatives,
     "neardup_ingest": q_neardup_ingest,
     "dedup_exact": q_dedup_exact,
@@ -2781,6 +2856,8 @@ ORACLES = {
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "domain_cap": SQL_DOMAIN_CAP,
+    "token_budget": SQL_TOKEN_BUDGET,
+    "token_mixture": SQL_TOKEN_MIXTURE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neardup_ingest": SQL_NEARDUP_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,

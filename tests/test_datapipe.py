@@ -3505,3 +3505,103 @@ def test_per_group_cap_semantics(spark):
     assert kept2 & old_ids <= set(by_src["big"])  # swaps, never reshuffles
     with _pytest.raises(ValueError, match="cap"):
         sampling.per_group_cap(df, cap=0)
+
+
+def test_token_budget_select_prefix_rule(spark):
+    """token_budget_select: replay the md5-priority prefix cut in
+    Python — kept set = docs in hash order while cumulative tokens
+    fit; the first overflowing doc drops and nothing back-fills."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from cubert_spark.datapipe import sampling
+
+    rows = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h16(i):
+        return int(
+            hashlib.md5(f"budget{i}".encode()).hexdigest()[:4], 16
+        )
+
+    toks = {i: 3 + i % 7 for i, _ in rows}
+    order = sorted(toks, key=lambda i: (h16(i), i))
+    budget = sum(toks.values()) // 2
+    want, cum = [], 0
+    for i in order:
+        cum += toks[i]
+        if cum <= budget:
+            want.append((i, toks[i], cum))
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in sampling.token_budget_select(df, budget_frac=0.5).collect()
+    )
+    assert got == sorted(want)
+    # absolute budget spelling agrees with the frac spelling
+    got_abs = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in sampling.token_budget_select(
+            df, budget_tokens=budget
+        ).collect()
+    )
+    assert got_abs == got
+    # partition independence (the two-level prefix sum is global)
+    got_rep = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in sampling.token_budget_select(
+            df.repartition(7, "text"), budget_frac=0.5
+        ).collect()
+    )
+    assert got_rep == got
+    with _pytest.raises(ValueError, match="exactly one"):
+        sampling.token_budget_select(df)
+    with _pytest.raises(ValueError, match="exactly one"):
+        sampling.token_budget_select(df, budget_frac=0.5, budget_tokens=10)
+    with _pytest.raises(ValueError, match="n_shards"):
+        sampling.token_budget_select(df, budget_frac=0.5, n_shards=0)
+
+
+def test_token_budget_custom_priority(spark):
+    """A caller-supplied integer priority drives the order: with
+    priority = doc_id the kept set is exactly the id-prefix whose
+    tokens fit."""
+    from pyspark.sql import functions as F
+
+    from cubert_spark.datapipe import sampling
+
+    rows = [(i, " ".join(["w"] * 10)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.token_budget_select(
+        df, budget_tokens=95, priority=F.col("doc_id")
+    ).collect()
+    # 10 tokens per doc, budget 95 -> docs 0..8 (cum 90); doc 9 would
+    # hit 100 > 95 and drops
+    assert sorted(r["doc_id"] for r in out) == list(range(9))
+    assert max(r["cum_tokens"] for r in out) == 90
+
+
+def test_mixture_sample_by_tokens(spark):
+    """size_col mixing: shares are enforced over summed sizes, not
+    row counts — the scarcest source BY TOKENS is kept whole and the
+    realized token shares track the target."""
+    from pyspark.sql import functions as F
+
+    from cubert_spark.datapipe import sampling
+
+    # src_a: many short docs; src_b: few long docs. By COUNT src_b is
+    # scarcest; by TOKENS src_b is the bigger pool.
+    rows = [(i, "a", 4) for i in range(600)] + [
+        (10_000 + i, "b", 100) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_toks long")
+    out = sampling.mixture_sample(
+        df, {"a": 0.5, "b": 0.5}, size_col="n_toks", salt="tt"
+    ).collect()
+    toks = {"a": 0, "b": 0}
+    for r in out:
+        toks[r["source"]] += r["n_toks"]
+    # token pools: a=2400, b=6000. Equal-share target => T=4800; a is
+    # the scarce side and keeps everything; b cuts to ~2400 tokens.
+    assert toks["a"] == 2400
+    assert abs(toks["b"] - 2400) < 700, toks  # 60 whole docs, 100 toks apiece

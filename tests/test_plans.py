@@ -457,6 +457,11 @@ _LINT_ALLOWED = {
     "perplexity_buckets": ("pairs",),
     # 1-row min-source-count crossJoin(broadcast) (mixture_sample's shape)
     "temperature_mix": ("pairs",),
+    # 1-row min/max/total stat crossJoin + the n_shards-row shard-
+    # offset window (the sequence_pack two-level prefix-sum shape)
+    "token_budget": ("pairs", "unpartitioned window"),
+    # 1-row total-T crossJoin(broadcast) (mixture_sample's shape)
+    "token_mixture": ("pairs",),
     # 1-row shingled-corpus-count crossJoin(broadcast) feeding the
     # relative stopword cut (df <= frac * n_docs)
     "ngram_jaccard_cut": ("pairs",),
@@ -690,6 +695,11 @@ _SHUFFLE_CEILINGS = {
     "perplexity_buckets": 4,
     "temperature_mix": 2,
     "domain_cap": 1,
+    # token_budget: input spread + shard-totals agg + the n_shards-row
+    # offsets window + the per-shard cum window + 1-row stat agg;
+    # token_mixture = mixture_sample's two (source agg + its exchange)
+    "token_budget": 6,
+    "token_mixture": 2,
 }
 
 
@@ -876,6 +886,13 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "temperature_mix": "broadcast sides = per-source rate table "
                        "(|sources| rows, corpus-independent) + 1-row "
                        "min-count stat (mixture_sample's shape)",
+    "token_budget": "broadcast sides = 1-row min/max/total token stat "
+                    "+ n_shards-row shard offsets (n_shards is a "
+                    "config constant, not corpus-scaled — the "
+                    "sequence_pack/dict_encode prefix-sum shape)",
+    "token_mixture": "broadcast sides = per-source token-sum table "
+                     "(|sources| rows, corpus-independent) + 1-row "
+                     "total-T stat (mixture_sample's shape)",
 }
 
 

@@ -88,6 +88,10 @@ HEAVY = {
     "perplexity_buckets": "documents",
     "temperature_mix": "documents",
     "domain_cap": "documents",
+    # token-budget prefix selection (two-level prefix sum) and
+    # token-share mixing (tiny agg + pushed gate)
+    "token_budget": "documents",
+    "token_mixture": "documents",
 }
 
 
