@@ -212,6 +212,10 @@ BENCH_QUERIES = [
     # token-share mixing (per-source bigint token sums + pushed gate)
     "token_budget",
     "token_mixture",
+    # Gopher rule flags (one codegen projection, zero shuffles) and
+    # quality-argmax dedup survivors (max_by over the CC labeling)
+    "gopher_filter",
+    "cluster_reps",
 ]
 
 

@@ -160,6 +160,43 @@ def dedup_clusters(
     )
 
 
+def cluster_representatives(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: within each dedup
+    cluster keep the HIGHEST-quality member instead of the min-id one
+    — the "keep the longest/best document" policy production dedup
+    actually ships (SlimPajama keeps the longest of each duplicate
+    cluster; RefinedWeb and Gopher's MassiveWeb pick survivors by
+    quality-adjacent heuristics). ``quality`` supplies one integer
+    score row per id (higher = better, e.g. a char count or a
+    quality-classifier score in milli-units).
+
+    Determinism: the argmax key is the single bigint
+    ``quality * 10^10 - id`` — a total order (unique ids below 10^10
+    by contract), so ties on quality break toward the SMALLEST id
+    identically in any engine; one max_by aggregate, no window.
+
+    Scale shape: the cluster labeling is the checkpointed min-label
+    propagation of connected_components (pair-graph-sized, never the
+    corpus); survivor selection adds one keyed join + one keyed agg.
+
+    Output: (rep_id cluster label, kept_id survivor, n_members).
+    """
+    cl = dedup_clusters(pairs, id_col)
+    j = cl.join(quality.select(F.col(id_col), F.col(quality_col)), id_col)
+    return j.groupBy("rep_id").agg(
+        F.expr(
+            f"max_by({id_col}, CAST({quality_col} AS BIGINT)"
+            f" * CAST(10000000000 AS BIGINT) - {id_col})"
+        ).alias("kept_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

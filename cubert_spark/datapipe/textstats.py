@@ -707,3 +707,93 @@ def pii_redact(
         red.alias("redacted"),
         n.cast("bigint").alias("n_redacted"),
     )
+
+
+#: The Gopher rule set's required stop words (Rae et al. 2021,
+#: Appendix A.1.1: a document must contain at least 2 of these).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (public: Rae et al. 2021,
+    Appendix A.1.1 — the document-level heuristics most later corpora
+    kept: MassiveWeb, RefinedWeb §3.1.2, FineWeb). Emits every rule as
+    its own boolean plus the conjunction, for ALL documents — filter
+    on ``keep`` or inspect per-rule pass rates to tune a corpus.
+
+    Rules (thresholds per the paper):
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] characters
+    - >= 80% of words contain at least one alphabetic character
+    - contains >= 2 of the 8 required stop words
+    - <= 30% of lines end with an ellipsis
+    - < 90% of lines start with a bullet character
+    - symbol-to-word ratio (# or ...) < 0.1
+
+    Determinism: every ratio threshold is spelled as an INTEGER
+    cross-multiplication (e.g. ``10 * n_sym < n_words`` instead of
+    ``n_sym / n_words < 0.1``) — no float is ever computed, so the
+    flags replay bit-for-bit in any engine. Null text yields
+    all-false flags on both engines (COALESCE at the rule level).
+
+    Scale shape: one codegen projection over the scan — zero
+    shuffles, zero UDFs; the filter rides the parquet read at any
+    corpus size.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    lower_toks = F.transform(toks, lambda w: F.lower(w))
+    stop_present = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_toks, s),
+        )
+    )
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    ell_lines = F.size(F.filter(lines, lambda line: line.endswith("...")))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda line: line.startswith("-")
+            | line.startswith("*")
+            | line.startswith("•"),
+        )
+    )
+
+    def rule(c):
+        return F.coalesce(c, F.lit(False))
+
+    r_wc = rule((n >= min_words) & (n <= max_words))
+    r_mwl = rule((sum_len >= 3 * n) & (sum_len <= 10 * n))
+    r_alpha = rule(5 * alpha_words >= 4 * n)
+    r_stop = rule(stop_present >= 2)
+    r_ell = rule(10 * ell_lines <= 3 * n_lines)
+    r_bullet = rule(10 * bullet_lines < 9 * n_lines)
+    r_sym = rule(10 * n_sym < n)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_frac"),
+        r_stop.alias("r_stopwords"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_bullet.alias("r_bullet_lines"),
+        r_sym.alias("r_symbol_ratio"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_ell & r_bullet & r_sym).alias(
+            "keep"
+        ),
+    )

@@ -2742,6 +2742,89 @@ WHERE CAST({_hash16_sql('d.doc_id', 'tmix')} AS DOUBLE) < frac.f * 65536.0
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality-filter rule set (textstats.gopher_rules,
+    Rae et al. 2021 Appendix A.1.1): every rule emitted as its own
+    boolean + the conjunction, for all documents. Every ratio
+    threshold is an integer cross-multiplication — no float is ever
+    computed, so the flags replay bit-for-bit. One codegen
+    projection, zero shuffles."""
+    d = load_table(spark, sf, "documents")
+    return textstats.gopher_rules(d)
+
+
+_GOPHER_STOPS = ", ".join(repr(s) for s in textstats.GOPHER_STOPWORDS)
+
+SQL_GOPHER_FILTER = f"""
+WITH f AS (
+  SELECT doc_id,
+         string_split_regex(text, '\\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         LEN(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         LEN(toks) AS n,
+         list_aggregate(list_transform(toks, w -> LENGTH(w)), 'sum') AS sum_len,
+         LEN(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         LEN(list_filter([{_GOPHER_STOPS}],
+             s -> list_contains(list_transform(toks, w -> lower(w)), s))) AS stop_present,
+         n_sym,
+         LEN(lines) AS n_lines,
+         LEN(list_filter(lines, l -> ends_with(l, '...'))) AS ell_lines,
+         LEN(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')
+                                      OR starts_with(l, '•'))) AS bullet_lines
+  FROM f
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_words,
+       COALESCE(n >= 50 AND n <= 100000, FALSE) AS r_word_count,
+       COALESCE(sum_len >= 3 * n AND sum_len <= 10 * n, FALSE) AS r_mean_word_len,
+       COALESCE(5 * alpha_words >= 4 * n, FALSE) AS r_alpha_frac,
+       COALESCE(stop_present >= 2, FALSE) AS r_stopwords,
+       COALESCE(10 * ell_lines <= 3 * n_lines, FALSE) AS r_ellipsis_lines,
+       COALESCE(10 * bullet_lines < 9 * n_lines, FALSE) AS r_bullet_lines,
+       COALESCE(10 * n_sym < n, FALSE) AS r_symbol_ratio,
+       (COALESCE(n >= 50 AND n <= 100000, FALSE)
+        AND COALESCE(sum_len >= 3 * n AND sum_len <= 10 * n, FALSE)
+        AND COALESCE(5 * alpha_words >= 4 * n, FALSE)
+        AND COALESCE(stop_present >= 2, FALSE)
+        AND COALESCE(10 * ell_lines <= 3 * n_lines, FALSE)
+        AND COALESCE(10 * bullet_lines < 9 * n_lines, FALSE)
+        AND COALESCE(10 * n_sym < n, FALSE)) AS keep
+FROM g
+"""
+
+
+def q_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware dedup survivors (components.cluster_representatives,
+    SlimPajama keep-the-longest lineage): near-dup clusters from the
+    scale-safe cut pair graph, survivor = the member with max n_chars
+    (ties to the smaller id via one bigint argmax key) — one max_by
+    agg on top of the checkpointed CC labeling, no window."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.2, max_doc_freq_frac=0.04, max_doc_freq=2000
+    ).select("id_a", "id_b")
+    return components.cluster_representatives(
+        pairs, d.select("doc_id", "n_chars")
+    )
+
+
+# the dedup_clusters transitive closure with a quality-argmax end-cap
+SQL_CLUSTER_REPS = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT id AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY id",
+    """,
+clusters AS (SELECT id AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY id)
+SELECT c.rep_id,
+       arg_max(c.doc_id, CAST(d.n_chars AS BIGINT) * 10000000000 - c.doc_id) AS kept_id,
+       COUNT(*) AS n_members
+FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY c.rep_id""",
+)
+
+
 def q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source document quota (sampling.per_group_cap, RefinedWeb
     per-domain-cap lineage): keep <= 40 docs per source by
@@ -2774,6 +2857,8 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "token_budget": q_token_budget,
     "token_mixture": q_token_mixture,
+    "gopher_filter": q_gopher_filter,
+    "cluster_reps": q_cluster_reps,
     "hard_negatives": q_hard_negatives,
     "neardup_ingest": q_neardup_ingest,
     "dedup_exact": q_dedup_exact,
@@ -2858,6 +2943,8 @@ ORACLES = {
     "domain_cap": SQL_DOMAIN_CAP,
     "token_budget": SQL_TOKEN_BUDGET,
     "token_mixture": SQL_TOKEN_MIXTURE,
+    "gopher_filter": SQL_GOPHER_FILTER,
+    "cluster_reps": SQL_CLUSTER_REPS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neardup_ingest": SQL_NEARDUP_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -65,14 +65,21 @@ def test_regression_rule_uses_prior_spread_with_floors():
 
 
 def test_payload_is_parseable_json_with_contract_keys():
+    """The line stays parseable with the contract keys at ANY bench
+    row count: every row is either in the map or counted in "dropped"
+    (the v6 heaviest-first drop rung — production stdout carries the
+    smaller declared-only set, pinned by the budget test above)."""
     bench = _bench()
     t = {n: 1.234 for n in bench.BENCH_QUERIES}
-    d = json.loads(bench._stdout_payload(t, 107.358, 0.1))
+    p = bench._stdout_payload(t, 107.358, 0.1)
+    assert len(p) <= bench._STDOUT_BUDGET
+    d = json.loads(p)
     assert d["metric"] == "bench_total_wall_sec"
     assert d["unit"] == "sec"
     assert d["sf"] == 0.1
     assert d["value"] == 107.358
-    assert set(d["queries"]) == set(bench.BENCH_QUERIES)
+    assert set(d["queries"]) <= set(bench.BENCH_QUERIES)
+    assert len(d["queries"]) + d.get("dropped", 0) == len(bench.BENCH_QUERIES)
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
 
 

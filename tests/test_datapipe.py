@@ -3605,3 +3605,58 @@ def test_mixture_sample_by_tokens(spark):
     # the scarce side and keeps everything; b cuts to ~2400 tokens.
     assert toks["a"] == 2400
     assert abs(toks["b"] - 2400) < 700, toks  # 60 whole docs, 100 toks apiece
+
+
+def test_gopher_rules_literal_replay(spark):
+    """gopher_rules: each rule exercised by a targeted document and
+    the flags replayed literally."""
+    from cubert_spark.datapipe import textstats
+
+    long_ok = " ".join(
+        ["the", "be", "to", "of"] + [f"word{i}" for i in range(60)]
+    )
+    rows = [
+        (1, long_ok),                               # passes everything
+        (2, "too short"),                           # fails word count
+        (3, " ".join(["123"] * 60)),                # fails alpha frac + stopwords
+        (4, long_ok + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),
+        (5, None),                                  # null -> all false
+        (6, " ".join(["#"] * 30 + ["the be to of and that"] * 10)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textstats.gopher_rules(df).collect()}
+
+    assert got[1]["keep"] is True
+    assert got[2]["r_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["r_alpha_frac"] is False
+    assert got[3]["r_stopwords"] is False
+    # doc 4: 10 of its 11 lines start with '-': > 90% bullets fails
+    assert got[4]["r_bullet_lines"] is False
+    assert all(
+        got[5][k] is False
+        for k in got[5]
+        if k.startswith("r_") or k == "keep"
+    )
+    # doc 6: 30 '#' among 90 words -> symbol ratio 1/3 >= 0.1 fails
+    assert got[6]["r_symbol_ratio"] is False
+
+
+def test_cluster_representatives_keeps_best(spark):
+    """cluster_representatives: survivor = the max-quality member of
+    each component; quality ties break to the smaller id."""
+    from cubert_spark.datapipe import components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 100), (2, 500), (3, 400), (10, 7), (11, 7)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["rep_id"]: (r["kept_id"], r["n_members"])
+        for r in components.cluster_representatives(pairs, quality).collect()
+    }
+    # cluster {1,2,3}: 2 has the best quality; cluster {10,11}: tie ->
+    # smaller id survives
+    assert got == {1: (2, 3), 10: (10, 2)}

@@ -700,6 +700,8 @@ _SHUFFLE_CEILINGS = {
     # token_mixture = mixture_sample's two (source agg + its exchange)
     "token_budget": 6,
     "token_mixture": 2,
+    # gopher_filter is ONE codegen projection over the scan
+    "gopher_filter": 0,
 }
 
 

@@ -92,6 +92,8 @@ HEAVY = {
     # token-share mixing (tiny agg + pushed gate)
     "token_budget": "documents",
     "token_mixture": "documents",
+    "gopher_filter": "documents",
+    "cluster_reps": "documents",
 }
 
 
@@ -135,6 +137,7 @@ def main() -> None:
     #: iteration eagerly (components.py), which made their r12
     #: first-pass "corrected" times nonsense (t at the 1e-3 clamp).
     EAGER = {
+        "cluster_reps",
         "kmeans_lloyd",
         "dedup_clusters",
         "neardup_dedup",
