@@ -216,6 +216,20 @@ BENCH_QUERIES = [
     # quality-argmax dedup survivors (max_by over the CC labeling)
     "gopher_filter",
     "cluster_reps",
+    # r13 batch 4: C4 line/page cleaning (codegen projection over
+    # synthesized line structure), DoReMi mixture weights (one
+    # map-side-combined groupBy + bounded driver fold), and D4-style
+    # prototype pruning (kmeans labeling + one cluster_id rank shuffle)
+    "c4_filter",
+    "doremi_weights",
+    "proto_prune",
+    # r13 batch 5: UniMax water-fill (one groupBy + bounded fold) and
+    # epoch-plan materialization (zero-shuffle generate over the scan)
+    "unimax_budget",
+    "repeat_upsample",
+    # r13 batch 6: GPT-3-style span decontamination (|tokens|-row gram
+    # explode + inverted-index bench join + per-doc interval fold)
+    "decontaminate_spans",
 ]
 
 

@@ -565,3 +565,125 @@ def duplicate_spans(
             .alias("dup_frac"),
         )
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    window: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Aggressive span decontamination (public: Brown et al. 2020,
+    GPT-3 paper, Appendix C): wherever a training document shares an
+    n-gram with the benchmark set, remove the colliding n-gram PLUS a
+    symmetric window around it and split the document into the
+    surviving pieces — the conservative upgrade over doc-level
+    screens like ``contamination``, which keep or drop whole
+    documents. The paper removes 200 characters around a 13-gram
+    collision and discards docs split into > 10 pieces; this
+    operator works in TOKEN space (``window`` tokens each side) so
+    every split point is an engine-exact integer, and it emits
+    ``n_pieces`` for the caller to apply the discard policy.
+
+    Output: (id_col, piece_id, start_tok, end_tok, piece_text,
+    n_pieces). Uncontaminated docs return as their own single piece
+    (piece_id 1, the full token range); fully-redacted docs return
+    NO rows. ``[start_tok, end_tok)`` is 0-based over the doc's
+    whitespace tokens.
+
+    Scale shape (100 TB): the benchmark n-gram set is a
+    benchmark-sized DISTINCT aggregate (broadcast — it scales with
+    the eval suite, not the corpus); the corpus explodes to (id,
+    position, gram) — |tokens| rows, the duplicate_spans class — and
+    meets the bench set in ONE equi-join (inverted index, never doc
+    x bench-doc). Span merge is the classic running-max interval
+    fold, partitioned per doc; piece complement + slicing are
+    in-array expressions. No window is ever unpartitioned, nothing
+    quadratic anywhere.
+    """
+    if n < 1 or window < 0:
+        raise ValueError("n must be >= 1 and window >= 0")
+    toks = F.split(F.col(text_col), " ")
+    base = _spread(df, id_col).select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__nt")
+    )
+    bgrams = (
+        bench.select(
+            F.explode(shingles(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    garr = F.when(
+        F.col("__nt") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nt") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        F.col(id_col), F.posexplode(garr).alias("pos", "gram")
+    )
+    hits = grams.join(bgrams, "gram").select(id_col, "pos")
+    spans0 = hits.select(
+        F.col(id_col),
+        F.greatest(F.col("pos") - window, F.lit(0)).alias("s"),
+        (F.col("pos") + n + window).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    run = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = spans0.withColumn(
+        "__ng", (F.col("s") > F.coalesce(run, F.lit(-1))).cast("int")
+    ).withColumn("__grp", F.sum("__ng").over(w))
+    merged = grouped.groupBy(id_col, "__grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    spans_per_doc = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans")
+    )
+    enriched = base.join(spans_per_doc, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<s:int,e:int>>"),
+        ),
+    )
+    m = F.size(F.col("__spans"))
+    nt = F.col("__nt")
+
+    def piece(k: Column):
+        ps = F.when(k == 0, F.lit(0)).otherwise(
+            F.least(F.element_at(F.col("__spans"), k).getField("e"), nt)
+        )
+        pe = F.when(k == m, nt).otherwise(
+            F.element_at(F.col("__spans"), k + 1).getField("s")
+        )
+        return F.struct(ps.alias("ps"), pe.alias("pe"))
+
+    pieces = F.filter(
+        F.transform(F.sequence(F.lit(0), m), piece),
+        lambda p: p.getField("pe") > p.getField("ps"),
+    )
+    out = enriched.withColumn("__pieces", pieces).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.size(F.col("__pieces")).alias("n_pieces"),
+        F.posexplode(F.col("__pieces")).alias("__k", "__p"),
+    )
+    return out.select(
+        F.col(id_col),
+        (F.col("__k") + 1).cast("int").alias("piece_id"),
+        F.col("__p").getField("ps").cast("bigint").alias("start_tok"),
+        F.col("__p").getField("pe").cast("bigint").alias("end_tok"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__toks"),
+                F.col("__p").getField("ps") + 1,
+                F.col("__p").getField("pe") - F.col("__p").getField("ps"),
+            ),
+        ).alias("piece_text"),
+        F.col("n_pieces").cast("bigint").alias("n_pieces"),
+    )

@@ -593,3 +593,207 @@ def dsir_resample(
         .orderBy(F.desc("priority"), F.col(id_col))
         .limit(k)
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "excess_milli",
+    rounds: int = 5,
+    eta_ppm: int = 10_000,
+    smooth_ppm: int = 100_000,
+) -> DataFrame:
+    """DoReMi domain reweighting (public: Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    Algorithm 1) — the Group-DRO multiplicative-weights fold that
+    turns per-example EXCESS LOSS (proxy-model loss minus reference-
+    model loss, here supplied as a bigint milli-nat column) into
+    per-domain mixture weights for the main training run.
+
+    This is the STATIC-LOSS variant: the paper recomputes per-domain
+    excess loss as the proxy model trains; offline, against a fixed
+    loss column, the per-domain mean is a constant, so `rounds`
+    multiplicative-weights steps factor into a single closed form
+    u_i ** rounds with ONE final normalization. The update itself is
+    the LINEARIZED (Freund-Schapire) rule
+
+        u_i = 1_000_000 + (eta_ppm * lbar_i) // 1000
+
+    with lbar_i = max(0, floor-mean of the domain's excess milli-nats)
+    (Group DRO clips negative excess — a domain the proxy already
+    beats the reference on gets no extra mass), followed by uniform
+    smoothing: w = (1 - c) * normalized + c / n_domains, everything
+    in exact ppm integers.
+
+    Determinism: the corpus pass is one exact bigint (sum, count)
+    aggregation; the fold runs in Python's unbounded ints on the
+    collected |domains|-row table (the bounded-driver-fold
+    convention of kmeans_lloyd), and every step stays HUGEINT-
+    expressible (u_i**rounds * 1e6 <= ~1e37 at the defaults) so a
+    SQL oracle replays it bit-for-bit.
+
+    Scale shape (100 TB): ONE map-side-combined groupBy over the
+    corpus (partial aggregation in every task, |domains| rows out);
+    the driver fold touches |domains| rows — corpus-independent.
+
+    Output: (domain, n_docs, lbar_milli, weight_ppm), one row per
+    domain, ordered by domain name.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    stats = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(loss_col).cast("bigint")).alias("sum_loss"),
+        )
+        .collect()
+    )
+    folded = []
+    for r in sorted(stats, key=lambda r: r["domain"]):
+        n = int(r["n_docs"])
+        # floor division (Python // floors; the oracle replays it
+        # with the pmod spelling), then the Group-DRO clip
+        lbar = max(0, int(r["sum_loss"]) // n)
+        folded.append((r["domain"], n, lbar))
+    us = [
+        (1_000_000 + (eta_ppm * lbar) // 1000) ** rounds
+        for (_, _, lbar) in folded
+    ]
+    tot = sum(us)
+    nd = len(folded)
+    out = []
+    for (dom, n, lbar), u in zip(folded, us):
+        w = (u * 1_000_000) // tot
+        w = ((1_000_000 - smooth_ppm) * w) // 1_000_000 + smooth_ppm // nd
+        out.append((dom, n, lbar, w))
+    return df.sparkSession.createDataFrame(
+        out,
+        "domain string, n_docs bigint, lbar_milli bigint, weight_ppm bigint",
+    )
+
+
+def unimax_budget(
+    df: DataFrame,
+    source_col: str = "source",
+    size_col: str | None = None,
+    budget: int = 1_000_000,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (public: Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", Algorithm 1): spread a total unit
+    budget (tokens/chars/docs) across sources AS UNIFORMLY AS
+    POSSIBLE subject to no source being repeated more than
+    ``max_epochs`` times — the closed-form answer to temperature
+    tuning that never over-epochs a low-resource source.
+
+    Water-filling, exactly as the paper orders it: visit sources
+    ASCENDING by their epoch cap (size * max_epochs); each gets
+    min(cap, remaining_budget // remaining_sources). The fold is
+    sequential integer arithmetic — Python ints on the collected
+    |sources|-row table (the doremi_weights / kmeans convention),
+    replayable bit-for-bit by a recursive-CTE SQL oracle.
+
+    ``size_col=None`` counts rows (doc budget); pass a bigint column
+    (e.g. a token count) to budget in those units.
+
+    Scale shape (100 TB): ONE map-side-combined groupBy over the
+    corpus; the fold touches |sources| rows — corpus-independent.
+
+    Output: (source, n_units, cap_units, alloc_units, epochs_ppm)
+    ordered by (cap_units, source) — the visit order; epochs_ppm =
+    alloc * 1e6 // size is what ``repeat_upsample`` consumes.
+    """
+    if budget < 0 or max_epochs < 1:
+        raise ValueError("budget must be >= 0 and max_epochs >= 1")
+    unit = (
+        F.count(F.lit(1)).cast("bigint")
+        if size_col is None
+        else F.sum(F.col(size_col).cast("bigint"))
+    )
+    stats = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(unit.alias("n_units"))
+        .collect()
+    )
+    # ascending by cap, ties by source name — the deterministic
+    # visit order the oracle's recursion replays
+    rows = sorted(
+        ((r["source"], int(r["n_units"])) for r in stats),
+        key=lambda x: (x[1] * max_epochs, x[0]),
+    )
+    out = []
+    b_rem = budget
+    m_rem = len(rows)
+    for src, n in rows:
+        cap = n * max_epochs
+        share = b_rem // m_rem
+        alloc = cap if cap < share else share
+        b_rem -= alloc
+        m_rem -= 1
+        out.append((src, n, cap, alloc, alloc * 1_000_000 // n))
+    return df.sparkSession.createDataFrame(
+        out,
+        "source string, n_units bigint, cap_units bigint, "
+        "alloc_units bigint, epochs_ppm bigint",
+    )
+
+
+def repeat_upsample(
+    df: DataFrame,
+    epochs_ppm: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_ppm: int = 1_000_000,
+    salt: str = "repeat",
+) -> DataFrame:
+    """Materialize a per-source epoch plan as an exploded training
+    stream (public lineage: Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models" — repeating data up to ~4
+    epochs is near-free; UniMax's allocation is expressed in exactly
+    these per-source epoch counts). ``epochs_ppm[src] = 2_300_000``
+    means every doc of src appears in 2 full epochs and joins a
+    third with probability 0.3 — decided by the deterministic
+    content/id hash, so the stream replays bit-for-bit. Values below
+    1e6 subsample (epoch plans double as downsampling plans).
+
+    The fractional-epoch gate is the integer cross-multiplication
+    ``hash16 * 1_000_000 < frac_ppm * 65536`` — no float anywhere.
+
+    Scale shape (100 TB): zero shuffles — one generate/explode over
+    the scan with a broadcast-literal plan; output size is exactly
+    the planned token budget. Compose with ``epoch_shuffle`` to
+    order the stream.
+
+    Output: (id_col, source_col, epoch) — epoch is 1-based;
+    a doc's fractional epoch (if won) is full_epochs + 1.
+    """
+    if not epochs_ppm:
+        raise ValueError("epochs_ppm must be non-empty")
+    src = F.col(source_col)
+
+    def per_source(value_of) -> Column:
+        # the plan is a dict of literals, so full/frac fold at plan
+        # time in Python ints — the engine never divides
+        return F.coalesce(
+            *[
+                F.when(src == F.lit(s), F.lit(int(value_of(v))).cast("bigint"))
+                for s, v in sorted(epochs_ppm.items())
+            ],
+            F.lit(int(value_of(default_ppm))).cast("bigint"),
+        )
+
+    full = per_source(lambda v: v // 1_000_000)
+    frac = per_source(lambda v: v % 1_000_000)
+    gate = (
+        hash16(F.col(id_col), salt).cast("bigint") * 1_000_000
+        < frac * 65536
+    )
+    n_epochs = full + gate.cast("bigint")
+    epochs = F.when(
+        n_epochs >= 1, F.sequence(F.lit(1).cast("bigint"), n_epochs)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col), src.alias(source_col), F.explode(epochs).alias("epoch")
+    )

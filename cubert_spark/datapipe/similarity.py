@@ -1514,3 +1514,68 @@ def kmeans_assign(
         m["j"].alias("cluster_id"),
         m["d"].alias("dist"),
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    keep_num: int = 7,
+    keep_den: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SSL-prototypes diversity pruning (public: Sorscher et al. 2022
+    "Beyond neural scaling laws"; applied to LLM pretraining data as
+    the second stage of D4, Tirumala et al. 2023): cluster the
+    embedding space, then DROP the most PROTOTYPICAL points — the
+    ones closest to their cluster centroid — keeping the
+    ``keep_num/keep_den`` fraction of each cluster that sits farthest
+    out. Prototypical points are the ones large corpora oversample;
+    pruning them preserves coverage while cutting redundancy (D4 runs
+    it after SemDeDup — compose with ``semantic_dedup`` for the full
+    pipeline).
+
+    Per cluster of size n the keep count is ceil(keep_num * n /
+    keep_den), spelled as the integer cross-multiplication
+    ``rk * keep_den <= keep_num * n + keep_den - 1`` — no float, and
+    every cluster keeps >= 1 member.
+
+    Determinism: reuses kmeans_assign's exact-integer discipline
+    (fixed-point quantized vectors, bigint squared distances, argmin
+    ties to the lower cluster id); the per-cluster rank orders by
+    (dist DESC, id) so ties replay identically in any engine.
+
+    Scale shape (100 TB): the labeling pass is one zero-shuffle
+    corpus scan against broadcast centroid literals; the prune adds
+    ONE shuffle on cluster_id for the per-cluster rank. With k
+    clusters each partition holds ~corpus/k rows — for small k on a
+    huge corpus, raise k (D4 uses k ~= 11k) or swap the exact rank
+    for a per-cluster distance-quantile threshold; the exact window
+    is the oracle-replayable tier.
+
+    Output: (id_col, cluster_id, dist, rk) for the SURVIVORS —
+    rk = 1 is the farthest-from-centroid member of its cluster.
+    """
+    if not (0 < keep_num <= keep_den):
+        raise ValueError("keep fraction must be in (0, 1]")
+    asg = kmeans_assign(df, k, iters, vec_col, id_col, scale)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("dist").desc(), F.col(id_col)
+    )
+    n = Window.partitionBy("cluster_id")
+    return (
+        asg.withColumn("rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(
+            F.col("rk") * keep_den
+            <= F.col("__n") * keep_num + (keep_den - 1)
+        )
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "dist",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -797,3 +797,86 @@ def gopher_rules(
             "keep"
         ),
     )
+
+
+# C4 line-terminal punctuation marks (Raffel et al. 2020 §2.2: "only
+# retained lines that ended in a terminal punctuation mark (i.e. a
+# period, exclamation mark, question mark, or end quotation mark)")
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (public: Raffel et al. 2020 §2.2 —
+    the web-corpus filter T5 trained on; kept by mC4, FLAN, Dolma's
+    C4 subset). Line-level rules prune the page; page-level rules
+    flag it. Emits every signal for ALL documents — filter on
+    ``keep`` or inspect per-rule rates to tune a corpus.
+
+    A line SURVIVES iff all of:
+    - it ends with a terminal punctuation mark (``. ! ? "``)
+    - it has >= ``min_words_per_line`` whitespace-separated words
+    - it does not contain the word "javascript" (any case)
+
+    A page is KEPT iff all of:
+    - the lowercased page does not contain "lorem ipsum"
+    - the page does not contain a curly brace ``{``
+    - the cleaned page has >= ``min_sentences`` sentences (sentence
+      := one ``[.!?]`` occurrence in the surviving text — C4 counts
+      sentences post-cleaning)
+    - at least one line survived
+
+    C4's final rule (the bad-words screen) is the separate
+    ``curation.blocklist_filter`` operator and composes after this.
+
+    Determinism: pure string predicates and integer counts — no
+    float is ever computed, so the flags and the reassembled
+    ``clean_text`` replay bit-for-bit in any engine. Null text
+    yields all-false flags and an empty clean_text on both engines.
+
+    Scale shape (100 TB): one codegen projection over the scan —
+    zero shuffles, zero UDFs, rides the parquet read at any corpus
+    size (the same posture as ``gopher_rules``).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def survives(line: Column) -> Column:
+        s = F.trim(line)
+        ends = s.endswith(C4_TERMINALS[0])
+        for mark in C4_TERMINALS[1:]:
+            ends = ends | s.endswith(mark)
+        n_words = F.size(F.split(s, " +"))
+        no_js = ~F.contains(F.lower(s), F.lit("javascript"))
+        return ends & (n_words >= min_words_per_line) & no_js
+
+    kept = F.filter(lines, survives)
+    clean = F.coalesce(F.array_join(kept, "\n"), F.lit(""))
+    n_lines = F.coalesce(F.size(lines), F.lit(0))
+    n_kept = F.coalesce(F.size(kept), F.lit(0))
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0)))
+    has_lorem = F.coalesce(
+        F.contains(F.lower(t), F.lit("lorem ipsum")), F.lit(False)
+    )
+    has_brace = F.coalesce(F.contains(t, F.lit("{")), F.lit(False))
+    keep = (
+        ~has_lorem
+        & ~has_brace
+        & (n_sent >= min_sentences)
+        & (n_kept >= 1)
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        n_sent.cast("int").alias("n_sentences"),
+        clean.alias("clean_text"),
+        keep.alias("keep"),
+    )

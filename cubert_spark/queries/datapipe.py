@@ -2849,6 +2849,335 @@ QUALIFY rk <= 40
 """
 
 
+def q_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The C4 cleaning heuristics (textstats.c4_rules, Raffel et al.
+    2020 §2.2): line-terminal-punctuation / min-words-per-line /
+    javascript line rules + lorem-ipsum / curly-brace / min-sentences
+    page rules, every flag for every document. The testdata corpus is
+    single-line and punctuation-free, so the demo synthesizes the
+    line structure DETERMINISTICALLY first (a sentence break after
+    every 7th word, page-level markers keyed on doc_id) — the same
+    in-query fixture convention as the multimodal/PII rows. One
+    codegen projection end to end, zero shuffles."""
+    d = load_table(spark, sf, "documents")
+    structured = F.concat(
+        F.when(F.col("doc_id") % 37 == 0, F.lit("{ ")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 41 == 0, F.lit("lorem ipsum dolor. "))
+        .otherwise(F.lit("")),
+        F.regexp_replace(F.col("text"), r"((\S+ ){6}\S+) ", "$1.\n"),
+    )
+    return textstats.c4_rules(d.withColumn("text", structured))
+
+
+SQL_C4_FILTER = """
+WITH s AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 37 = 0 THEN '{ ' ELSE '' END,
+           CASE WHEN doc_id % 41 = 0 THEN 'lorem ipsum dolor. ' ELSE '' END,
+           regexp_replace(text, '((\\S+ ){6}\\S+) ', '\\1.' || chr(10), 'g')
+         ) AS t
+  FROM documents
+), f AS (
+  SELECT doc_id, t,
+         string_split(t, chr(10)) AS lines,
+         list_filter(
+           string_split(t, chr(10)),
+           l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                 OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+                AND len(string_split_regex(trim(l), ' +')) >= 5
+                AND NOT contains(lower(l), 'javascript')
+         ) AS kept
+  FROM s
+), g AS (
+  SELECT doc_id,
+         COALESCE(len(lines), 0) AS n_lines,
+         COALESCE(len(kept), 0) AS n_kept,
+         COALESCE(contains(lower(t), 'lorem ipsum'), FALSE) AS has_lorem,
+         COALESCE(contains(t, '{'), FALSE) AS has_brace,
+         COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_kept AS INT) AS n_kept_lines,
+       has_lorem, has_brace,
+       CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT)
+         AS n_sentences,
+       clean_text,
+       (NOT has_lorem AND NOT has_brace
+        AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        AND n_kept >= 1) AS keep
+FROM g
+"""
+
+
+def q_doremi_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi domain reweighting (sampling.doremi_weights, Xie et al.
+    2023 Algorithm 1, static-loss variant): per-source mixture
+    weights from per-example excess loss via the linearized
+    multiplicative-weights fold + uniform smoothing, all in exact
+    ppm integers. The demo's excess-loss column is a deterministic
+    integer surrogate (mean word length in milli-chars over a 4.0
+    reference, clipped at 0) — the operator takes any bigint
+    milli-nat column. One map-side-combined groupBy; the fold runs
+    on the |sources|-row collect (the kmeans_lloyd convention)."""
+    d = load_table(spark, sf, "documents")
+    toks = textstats.tokens(F.col("text"))
+    scored = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("__n"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("__sl"),
+    ).select(
+        "source",
+        F.coalesce(
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.expr("(1000 * __sl) div __n") - F.lit(4000),
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("excess_milli"),
+    )
+    return sampling.doremi_weights(scored, domain_col="source")
+
+
+SQL_DOREMI_WEIGHTS = """
+WITH docs AS (
+  SELECT source,
+         COALESCE(GREATEST(0,
+           (1000 * list_aggregate(
+              list_transform(string_split_regex(text, '\\s+'),
+                             w -> CAST(LENGTH(w) AS BIGINT)), 'sum'))
+           // CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+           - 4000), 0) AS excess
+  FROM documents
+), d AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(excess) AS s
+  FROM docs GROUP BY 1
+), l AS (
+  SELECT source, n_docs,
+         GREATEST(0, (s - (((s % n_docs) + n_docs) % n_docs)) // n_docs)
+           AS lbar
+  FROM d
+), u AS (
+  SELECT source, n_docs, lbar,
+         CAST(1000000 + (10000 * lbar) // 1000 AS HUGEINT) AS uu
+  FROM l
+), p AS (
+  SELECT source, n_docs, lbar, uu * uu * uu * uu * uu AS u5 FROM u
+), t AS (
+  SELECT SUM(u5) AS tot, COUNT(*) AS nd FROM p
+)
+SELECT p.source AS domain,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(lbar AS BIGINT) AS lbar_milli,
+       CAST((1000000 - 100000) * ((u5 * 1000000) // tot) // 1000000
+            + 100000 // nd AS BIGINT) AS weight_ppm
+FROM p, t
+"""
+
+
+def q_proto_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SSL-prototypes diversity pruning (similarity.prototype_prune,
+    Sorscher et al. 2022 / D4 stage 2, Tirumala et al. 2023): kmeans
+    the embedding space with the exact-integer Lloyd rounds, then
+    drop the most prototypical (closest-to-centroid) 30% of each
+    cluster — survivors ranked farthest-first. The labeling pass is
+    one zero-shuffle scan against broadcast centroid literals; the
+    prune adds one shuffle on cluster_id for the per-cluster rank."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.prototype_prune(e, k=8, iters=3, keep_num=7, keep_den=10)
+
+
+SQL_PROTO_PRUNE = f"""
+SELECT vec_id, cluster_id, dist, CAST(rk AS INT) AS rk
+FROM (
+  SELECT vec_id, cluster_id, dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id ORDER BY dist DESC, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n
+  FROM ({SQL_KMEANS_ASSIGN}) a
+)
+WHERE rk * 10 <= n * 7 + 9
+"""
+
+
+def q_unimax_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax budget allocation (sampling.unimax_budget, Chung et al.
+    2023 Algorithm 1): water-fill a 1000-doc budget across sources
+    with a 2-epoch cap, visiting sources ascending by cap — exact
+    sequential integer fold on the |sources|-row collect, replayed
+    by a recursive-CTE oracle. One map-side-combined groupBy over
+    the corpus; the fold is corpus-independent."""
+    d = load_table(spark, sf, "documents")
+    return sampling.unimax_budget(d, budget=1000, max_epochs=2)
+
+
+SQL_UNIMAX_BUDGET = """
+WITH RECURSIVE
+counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+ord AS (
+  SELECT source, n, n * 2 AS cap,
+         ROW_NUMBER() OVER (ORDER BY n * 2, source) AS rn,
+         COUNT(*) OVER () AS m
+  FROM counts
+),
+alloc AS (
+  SELECT rn, source, n, cap,
+         LEAST(cap, 1000 // m) AS a,
+         1000 - LEAST(cap, 1000 // m) AS b_rem,
+         m - 1 AS m_rem
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.source, o.n, o.cap,
+         LEAST(o.cap, p.b_rem // p.m_rem),
+         p.b_rem - LEAST(o.cap, p.b_rem // p.m_rem),
+         p.m_rem - 1
+  FROM alloc p JOIN ord o ON o.rn = p.rn + 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_units,
+       CAST(cap AS BIGINT) AS cap_units,
+       CAST(a AS BIGINT) AS alloc_units,
+       CAST(a * 1000000 // n AS BIGINT) AS epochs_ppm
+FROM alloc
+"""
+
+
+#: fixed per-source epoch plan for the repeat_upsample demo row —
+#: full epochs + fractional md5-gated epoch, plus a sub-epoch
+#: downsample and a full drop; unlisted sources take the default
+_REPEAT_PLAN = {"src0": 2_500_000, "src1": 1_000_000, "src2": 300_000,
+                "src3": 0}
+_REPEAT_DEFAULT = 1_500_000
+
+
+def q_repeat_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-plan materialization (sampling.repeat_upsample,
+    Muennighoff et al. 2023 data-constrained-scaling lineage): each
+    source's docs exploded into full epochs + an md5-gated
+    fractional epoch, sub-1.0 plans downsampling — zero shuffles,
+    one generate over the scan, output size = the planned budget."""
+    d = load_table(spark, sf, "documents")
+    return sampling.repeat_upsample(
+        d, _REPEAT_PLAN, default_ppm=_REPEAT_DEFAULT
+    )
+
+
+_REPEAT_VALUES = ", ".join(
+    f"('{s}', {v})" for s, v in sorted(_REPEAT_PLAN.items())
+)
+
+SQL_REPEAT_UPSAMPLE = f"""
+WITH plan(psource, ppm) AS (VALUES {_REPEAT_VALUES}),
+d AS (
+  SELECT doc_id, d.source,
+         CAST(COALESCE(p.ppm, {_REPEAT_DEFAULT}) AS BIGINT) AS ppm
+  FROM documents d LEFT JOIN plan p ON p.psource = d.source
+),
+g AS (
+  SELECT doc_id, source, ppm // 1000000 AS fl,
+         CASE WHEN CAST({_hash16_sql('doc_id', 'repeat')} AS BIGINT)
+                   * 1000000 < (ppm % 1000000) * 65536
+              THEN 1 ELSE 0 END AS gate
+  FROM d
+)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM g, LATERAL UNNEST(range(1, CAST(fl + gate + 1 AS BIGINT))) AS t(e)
+"""
+
+
+def q_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggressive span decontamination (curation.decontaminate_spans,
+    Brown et al. 2020 GPT-3 Appendix C): n-gram collisions with the
+    benchmark set are removed together with a symmetric token window
+    and the doc splits into surviving pieces. Benchmark = the
+    mid-document fragment (tokens 9-16) of the doc_id % 7 == 0
+    slice — collisions land INTERIOR to the colliding docs, so bench
+    members and their near-dups split into leading/trailing pieces
+    while clean docs pass through whole; n=6/window=2 are sized to
+    the short testdata docs — the operator defaults to the paper's
+    13-gram / 40-token window."""
+    d = load_table(spark, sf, "documents")
+    frag = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 9, 8))
+    bench = d.filter(F.col("doc_id") % 7 == 0).withColumn("text", frag)
+    return curation.decontaminate_spans(d, bench, n=6, window=2)
+
+
+SQL_DECONTAMINATE_SPANS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS nt
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+  FROM (SELECT string_split(array_to_string(list_slice(toks, 9, 16), ' '),
+                            ' ') AS toks,
+               len(list_slice(toks, 9, 16)) AS nt
+        FROM w WHERE doc_id % 7 = 0) b,
+       LATERAL UNNEST(range(1, nt - 4)) AS t(i)
+  WHERE nt >= 6
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+  FROM w, LATERAL UNNEST(range(1, nt - 4)) AS t(i)
+  WHERE nt >= 6
+),
+hits AS (SELECT doc_id, pos FROM grams JOIN bench USING (gram)),
+spans0 AS (
+  SELECT doc_id, GREATEST(pos - 2, 0) AS s, pos + 6 + 2 AS e FROM hits
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ng
+  FROM spans0
+),
+grouped AS (
+  SELECT doc_id, s, e,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM grouped GROUP BY doc_id, grp
+),
+spans AS (
+  SELECT doc_id, list({'s': s, 'e': e} ORDER BY s, e) AS sp FROM merged
+  GROUP BY doc_id
+),
+docs AS (
+  SELECT w.doc_id, w.toks, w.nt, COALESCE(sp.sp, []) AS sp
+  FROM w LEFT JOIN spans sp USING (doc_id)
+),
+pieces AS (
+  SELECT doc_id, toks, k,
+         CASE WHEN k = 0 THEN 0 ELSE LEAST(sp[k].e, nt) END AS ps,
+         CASE WHEN k = len(sp) THEN nt ELSE sp[k + 1].s END AS pe
+  FROM docs, LATERAL UNNEST(range(0, len(sp) + 1)) AS t(k)
+),
+kept AS (
+  SELECT doc_id, toks, ps, pe,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS piece_id,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_pieces
+  FROM pieces WHERE pe > ps
+)
+SELECT doc_id, CAST(piece_id AS INT) AS piece_id,
+       CAST(ps AS BIGINT) AS start_tok, CAST(pe AS BIGINT) AS end_tok,
+       array_to_string(list_slice(toks, ps + 1, pe), ' ') AS piece_text,
+       CAST(n_pieces AS BIGINT) AS n_pieces
+FROM kept
+"""
+
+
 QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "soft_dedup": q_soft_dedup,
@@ -2859,6 +3188,12 @@ QUERIES = {
     "token_mixture": q_token_mixture,
     "gopher_filter": q_gopher_filter,
     "cluster_reps": q_cluster_reps,
+    "c4_filter": q_c4_filter,
+    "doremi_weights": q_doremi_weights,
+    "proto_prune": q_proto_prune,
+    "unimax_budget": q_unimax_budget,
+    "repeat_upsample": q_repeat_upsample,
+    "decontaminate_spans": q_decontaminate_spans,
     "hard_negatives": q_hard_negatives,
     "neardup_ingest": q_neardup_ingest,
     "dedup_exact": q_dedup_exact,
@@ -2945,6 +3280,12 @@ ORACLES = {
     "token_mixture": SQL_TOKEN_MIXTURE,
     "gopher_filter": SQL_GOPHER_FILTER,
     "cluster_reps": SQL_CLUSTER_REPS,
+    "c4_filter": SQL_C4_FILTER,
+    "doremi_weights": SQL_DOREMI_WEIGHTS,
+    "proto_prune": SQL_PROTO_PRUNE,
+    "unimax_budget": SQL_UNIMAX_BUDGET,
+    "repeat_upsample": SQL_REPEAT_UPSAMPLE,
+    "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neardup_ingest": SQL_NEARDUP_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,

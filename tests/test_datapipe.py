@@ -3660,3 +3660,262 @@ def test_cluster_representatives_keeps_best(spark):
     # cluster {1,2,3}: 2 has the best quality; cluster {10,11}: tie ->
     # smaller id survives
     assert got == {1: (2, 3), 10: (10, 2)}
+
+
+def test_c4_rules_literal_replay(spark):
+    """c4_rules: each line rule and page rule exercised by a targeted
+    document and the flags + reassembled clean_text replayed."""
+    from cubert_spark.datapipe import textstats
+
+    good = "this line has enough words to survive."
+    rows = [
+        (1, good + "\nanother full sentence with many words!\n"
+            "a third good sentence right here?"),      # keeps all 3
+        (2, "short line.\n" + good),                    # line 1: <5 words
+        (3, good + "\nno terminal punctuation here at all"),
+        (4, "uses javascript for rendering the page.\n" + good),
+        (5, "lorem ipsum dolor sit amet. " + good + "\n" + good
+            + "\n" + good),                             # page: lorem
+        (6, "var f = function() { return 1; }\n" + good),  # page: brace
+        (7, good + "\n" + good),                        # only 2 sentences
+        (8, None),                                      # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textstats.c4_rules(df).collect()}
+
+    assert got[1]["keep"] is True and got[1]["n_kept_lines"] == 3
+    assert got[1]["n_sentences"] == 3
+    assert got[2]["n_kept_lines"] == 1          # short line pruned
+    assert got[3]["n_kept_lines"] == 1          # unpunctuated line pruned
+    assert got[4]["n_kept_lines"] == 1          # javascript line pruned
+    assert got[5]["has_lorem"] is True and got[5]["keep"] is False
+    assert got[6]["has_brace"] is True and got[6]["keep"] is False
+    assert got[7]["n_sentences"] == 2 and got[7]["keep"] is False
+    assert got[8]["keep"] is False and got[8]["clean_text"] == ""
+    assert got[8]["n_lines"] == 0
+    # clean_text is the surviving lines, order preserved
+    assert got[2]["clean_text"] == good
+
+
+def test_doremi_weights_concentrates_on_lossy_domain(spark):
+    """doremi_weights: the domain with higher excess loss gets more
+    mass; negative excess clips to the uniform-smoothing floor; the
+    ppm weights are exact integers that replay."""
+    from cubert_spark.datapipe import sampling
+
+    rows = (
+        [("hard", 5000)] * 4
+        + [("easy", 1000)] * 4
+        + [("won", -2000)] * 4   # proxy already beats reference
+    )
+    df = spark.createDataFrame(rows, "source string, excess_milli long")
+    got = {
+        r["domain"]: r.asDict()
+        for r in sampling.doremi_weights(df).collect()
+    }
+    assert got["won"]["lbar_milli"] == 0        # Group-DRO clip
+    assert got["hard"]["lbar_milli"] == 5000
+    assert (
+        got["hard"]["weight_ppm"]
+        > got["easy"]["weight_ppm"]
+        > got["won"]["weight_ppm"]
+    )
+    # replay the closed form: u = 1e6 + (eta * lbar) // 1000, w ∝ u^5
+    us = {d: (1_000_000 + (10_000 * got[d]["lbar_milli"]) // 1000) ** 5
+          for d in got}
+    tot = sum(us.values())
+    for d in got:
+        w = (us[d] * 1_000_000) // tot
+        w = (900_000 * w) // 1_000_000 + 100_000 // 3
+        assert got[d]["weight_ppm"] == w, d
+    # smoothing floor: even the clipped domain keeps c/n mass
+    assert got["won"]["weight_ppm"] >= 100_000 // 3
+
+
+def test_doremi_weights_rejects_zero_rounds(spark):
+    from cubert_spark.datapipe import sampling
+
+    df = spark.createDataFrame([("a", 1)], "source string, excess_milli long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.doremi_weights(df, rounds=0)
+
+
+def test_prototype_prune_drops_closest_to_centroid(spark):
+    """prototype_prune: within each cluster the closest-to-centroid
+    (most prototypical) members go first; ceil keeps >= 1 per
+    cluster; survivor ranks are farthest-first."""
+    from cubert_spark.datapipe import similarity
+
+    # two tight groups in 2-d; k=2 seeds from the first two vectors
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.9, 0.0]), (3, [0.1, 0.0]),
+        (4, [0.05, 0.0]), (5, [0.92, 0.0]), (6, [0.88, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = similarity.prototype_prune(
+        df, k=2, iters=2, keep_num=1, keep_den=2
+    ).collect()
+    by_cluster: dict[int, list] = {}
+    for r in kept:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # half of each 3-member cluster kept = ceil(3/2) = 2 members
+    assert sorted(len(v) for v in by_cluster.values()) == [2, 2]
+    for members in by_cluster.values():
+        ranks = sorted(m["rk"] for m in members)
+        assert ranks == [1, 2]
+        # rank 1 is the farthest member of its cluster
+        far = max(members, key=lambda m: (m["dist"], -m["vec_id"]))
+        assert far["rk"] == 1
+
+    with __import__("pytest").raises(ValueError):
+        similarity.prototype_prune(df, keep_num=0)
+
+
+def test_unimax_budget_water_fill(spark):
+    """unimax_budget: low-resource sources cap at max_epochs of their
+    own data; the freed budget spreads uniformly over the rest; the
+    fold replays in exact integers."""
+    from cubert_spark.datapipe import sampling
+
+    rows = [("tiny", i) for i in range(10)] + \
+           [("mid", i) for i in range(100)] + \
+           [("big", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {r["source"]: r.asDict()
+           for r in sampling.unimax_budget(df, budget=300, max_epochs=4).collect()}
+    # tiny caps at 4 epochs x 10 = 40 < 300//3 = 100
+    assert got["tiny"]["alloc_units"] == 40
+    assert got["tiny"]["epochs_ppm"] == 4_000_000
+    # remaining 260 over 2 sources: share 130 each; mid caps at 400 (no),
+    # 130 < 400 -> mid gets 130, big gets 130
+    assert got["mid"]["alloc_units"] == 130
+    assert got["big"]["alloc_units"] == 130
+    assert got["big"]["epochs_ppm"] == 130 * 1_000_000 // 400
+    assert sum(r["alloc_units"] for r in got.values()) == 300
+
+    with __import__("pytest").raises(ValueError):
+        sampling.unimax_budget(df, budget=-1)
+
+
+def test_unimax_budget_token_units(spark):
+    """size_col switches the budget units to summed tokens."""
+    from cubert_spark.datapipe import sampling
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 100), ("b", 3, 1000)],
+        "source string, doc_id long, n_toks long",
+    )
+    got = {r["source"]: r.asDict()
+           for r in sampling.unimax_budget(
+               df, size_col="n_toks", budget=600, max_epochs=2).collect()}
+    # a: 200 tokens, cap 400; share 300 -> capped? 400 > 300 -> a=300
+    # ... visit order ascending by cap: a (400) then b (2000)
+    assert got["a"]["alloc_units"] == 300
+    assert got["b"]["alloc_units"] == 300
+
+
+def test_repeat_upsample_epoch_counts(spark):
+    """repeat_upsample: full epochs always appear; the fractional
+    epoch is hash-gated at the planned rate; ppm=0 drops the source;
+    sub-1e6 plans downsample."""
+    from cubert_spark.datapipe import sampling
+
+    rows = [("up", i) for i in range(200)] + \
+           [("down", i + 1000) for i in range(200)] + \
+           [("gone", i + 5000) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = sampling.repeat_upsample(
+        df, {"up": 2_500_000, "down": 400_000, "gone": 0},
+        default_ppm=1_000_000,
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r)
+    assert "gone" not in by
+    up_epochs = {}
+    for r in by["up"]:
+        up_epochs.setdefault(r["doc_id"], set()).add(r["epoch"])
+    # every up doc has epochs {1,2}; ~50% also epoch 3
+    assert all({1, 2} <= e for e in up_epochs.values())
+    frac = sum(1 for e in up_epochs.values() if 3 in e)
+    assert 60 <= frac <= 140, frac
+    # down: single hash-gated epoch at ~40%
+    down_n = len(by["down"])
+    assert 50 <= down_n <= 110, down_n
+    assert all(r["epoch"] == 1 for r in by["down"])
+    # determinism: second run returns the identical multiset
+    out2 = sampling.repeat_upsample(
+        df, {"up": 2_500_000, "down": 400_000, "gone": 0},
+        default_ppm=1_000_000,
+    ).collect()
+    key = lambda r: (r["source"], r["doc_id"], r["epoch"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+
+    with __import__("pytest").raises(ValueError):
+        sampling.repeat_upsample(df, {})
+
+
+def test_decontaminate_spans_splits_and_windows(spark):
+    """decontaminate_spans: interior collisions split the doc with
+    the window removed; clean docs pass whole; fully-redacted docs
+    vanish; overlapping hits merge into one span."""
+    from cubert_spark.datapipe import curation
+
+    # 30-token doc; benchmark 5-gram sits at tokens 10..14
+    words = [f"w{i}" for i in range(30)]
+    contaminated = " ".join(words)
+    clean = " ".join(f"c{i}" for i in range(12))
+    short = "a b c"
+    df = spark.createDataFrame(
+        [(1, contaminated), (2, clean), (3, short),
+         (4, " ".join(words[10:15]))],  # the bench text itself
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(words[10:15]))], "doc_id long, text string"
+    )
+    out = curation.decontaminate_spans(df, bench, n=5, window=2)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["doc_id"], []).append(r.asDict())
+
+    # doc 1: hit at pos 10 -> remove [8, 17) -> pieces [0,8) and [17,30)
+    p1 = sorted(by[1], key=lambda r: r["piece_id"])
+    assert [(r["start_tok"], r["end_tok"]) for r in p1] == [(0, 8), (17, 30)]
+    assert p1[0]["piece_text"] == " ".join(words[0:8])
+    assert p1[1]["piece_text"] == " ".join(words[17:30])
+    assert all(r["n_pieces"] == 2 for r in p1)
+    # doc 2: untouched single piece, full range
+    assert by[2] == [dict(doc_id=2, piece_id=1, start_tok=0, end_tok=12,
+                          piece_text=clean, n_pieces=1)]
+    # doc 3: shorter than n -> whole-doc piece
+    assert by[3][0]["piece_text"] == short
+    # doc 4: the bench text itself -> fully redacted, no rows
+    assert 4 not in by
+
+    with __import__("pytest").raises(ValueError):
+        curation.decontaminate_spans(df, bench, n=0)
+
+
+def test_decontaminate_spans_merges_overlapping_hits(spark):
+    """Two overlapping collisions collapse into one removal span."""
+    from cubert_spark.datapipe import curation
+
+    words = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    # bench grams hit at pos 10 and pos 13 (overlapping 5-gram spans)
+    bench = spark.createDataFrame(
+        [(100, " ".join(words[10:15])), (101, " ".join(words[13:18]))],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        curation.decontaminate_spans(df, bench, n=5, window=1).collect(),
+        key=lambda r: r["piece_id"],
+    )
+    # spans [9,16) and [12,19) merge -> remove [9,19)
+    assert [(r["start_tok"], r["end_tok"]) for r in out] == [(0, 9), (19, 40)]
+    assert all(r["n_pieces"] == 2 for r in out)

@@ -702,6 +702,24 @@ _SHUFFLE_CEILINGS = {
     "token_mixture": 2,
     # gopher_filter is ONE codegen projection over the scan
     "gopher_filter": 0,
+    # r13 batch 4/5: c4_filter is one codegen projection (line rules
+    # ride the scan); repeat_upsample is one generate over the scan
+    # (broadcast-literal epoch plan, zero shuffles); proto_prune's
+    # Lloyd iterations run eagerly at build (bounded collects), so
+    # the returned plan is the zero-shuffle labeling scan + ONE
+    # cluster_id exchange for the rank window; doremi/unimax corpus
+    # passes are ONE map-side-combined groupBy each (their driver
+    # folds also run at build, so the returned plan is the
+    # |domains|-row literal frame — pinned at 0)
+    "c4_filter": 0,
+    "repeat_upsample": 0,
+    "proto_prune": 1,
+    "doremi_weights": 0,
+    "unimax_budget": 0,
+    # r13 batch 6: gram-key join for the bench hits + the per-doc
+    # interval-merge window + the spans collect (duplicate_spans'
+    # class: |tokens|-row spreads, all keyed)
+    "decontaminate_spans": 3,
 }
 
 

@@ -94,6 +94,18 @@ HEAVY = {
     "token_mixture": "documents",
     "gopher_filter": "documents",
     "cluster_reps": "documents",
+    # r13 batch 4: C4 cleaning (pure scan — expect ~linear), DoReMi
+    # weights (one groupBy + |domains|-row driver fold), and D4
+    # prototype pruning (kmeans labeling + cluster_id rank shuffle)
+    "c4_filter": "documents",
+    "doremi_weights": "documents",
+    "proto_prune": "embeddings",
+    # r13 batch 5: one groupBy + bounded fold / zero-shuffle generate
+    "unimax_budget": "documents",
+    "repeat_upsample": "documents",
+    # r13 batch 6: |tokens|-row gram explode + bench join + interval
+    # fold (the duplicate_spans cost class — expect ~linear)
+    "decontaminate_spans": "documents",
 }
 
 
@@ -138,6 +150,12 @@ def main() -> None:
     #: first-pass "corrected" times nonsense (t at the 1e-3 clamp).
     EAGER = {
         "cluster_reps",
+        # the multiplicative-weights / water-fill folds collect their
+        # |domains|-row stats while the DataFrame is built
+        "doremi_weights",
+        "unimax_budget",
+        # prototype_prune's Lloyd iterations run eagerly at build
+        "proto_prune",
         "kmeans_lloyd",
         "dedup_clusters",
         "neardup_dedup",
