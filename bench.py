@@ -230,6 +230,12 @@ BENCH_QUERIES = [
     # r13 batch 6: GPT-3-style span decontamination (|tokens|-row gram
     # explode + inverted-index bench join + per-doc interval fold)
     "decontaminate_spans",
+    # r13 batch 7: the full 13-signal Gopher repetition set (~9x token
+    # explode + keyed gram counts + coverage joins — the heaviest
+    # per-doc text operator; its cost class is duplicate_spans')
+    "gopher_repetition",
+    # r13 batch 8: RefinedWeb line-wise corrections (pure codegen scan)
+    "refinedweb_lines",
 ]
 
 

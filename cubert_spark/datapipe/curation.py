@@ -687,3 +687,102 @@ def decontaminate_spans(
         ).alias("piece_text"),
         F.col("n_pieces").cast("bigint").alias("n_pieces"),
     )
+
+
+#: RefinedWeb line-wise correction rules (Penedo et al. 2023,
+#: Appendix G.2): the social-media counter vocabulary
+REFINEDWEB_COUNTER_WORDS = (
+    "like", "likes", "comment", "comments", "share", "shares",
+    "view", "views", "point", "points", "vote", "votes", "retweet",
+    "retweets", "follower", "followers", "upvote", "upvotes",
+)
+
+
+def refinedweb_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_removed_pct: int = 5,
+) -> DataFrame:
+    """RefinedWeb line-wise corrections (public: Penedo et al. 2023,
+    "The RefinedWeb Dataset for Falcon LLM", §3.1.3 + Appendix G.2):
+    after document-level filtering, individual junk LINES remain —
+    social-media counters, navigation stubs, all-caps headers,
+    bare numbers. Remove them; if the removed mass exceeds
+    ``max_removed_pct`` percent of the document's characters, drop
+    the whole document.
+
+    A line is REMOVED iff any of (trimmed):
+    - mainly uppercase: more than half of its alphabetic chars are
+      uppercase (and it has at least one)
+    - numerical-only: nothing but digits once spaces are removed
+    - a counter: ``<digits> <counter-word>`` (e.g. "3 likes",
+      "70 comments")
+    - a one-word stub: a single token
+
+    Determinism: string predicates + integer cross-multiplications
+    (``100 * removed_chars > pct * total_chars``) — no float, flags
+    and the reassembled clean_text replay bit-for-bit. Null text
+    yields keep=false and an empty clean_text.
+
+    Scale shape (100 TB): one codegen projection over the scan —
+    zero shuffles, zero UDFs (the c4_rules / gopher_rules posture).
+
+    Output: (id_col, n_lines, n_removed, removed_char_ppm,
+    clean_text, keep).
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.split(t, "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+
+    counter_alt = "|".join(REFINEDWEB_COUNTER_WORDS)
+
+    def removed(line: Column) -> Column:
+        s = F.trim(line)
+        alpha = F.length(F.regexp_replace(s, "[^A-Za-z]", ""))
+        upper = F.length(F.regexp_replace(s, "[^A-Z]", ""))
+        mainly_upper = (alpha >= 1) & (2 * upper > alpha)
+        numeric_only = F.regexp_replace(s, " ", "").rlike("^[0-9]+$")
+        counter = F.lower(s).rlike(f"^[0-9]+ ({counter_alt})$")
+        one_word = ~s.contains(" ")
+        return mainly_upper | numeric_only | counter | one_word
+
+    kept = F.filter(lines, lambda x: ~removed(x))
+    gone = F.filter(lines, removed)
+
+    def charsum(arr: Column) -> Column:
+        return F.coalesce(
+            F.aggregate(
+                arr, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    n_lines = F.coalesce(F.size(lines), F.lit(0)).cast("bigint")
+    n_removed = F.coalesce(F.size(gone), F.lit(0)).cast("bigint")
+    rc, tc = charsum(gone), charsum(lines)
+    keep = F.coalesce(
+        (100 * rc <= max_removed_pct * tc) & (F.size(kept) >= 1),
+        F.lit(False),
+    )
+    base = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_removed.alias("n_removed"),
+        rc.alias("__rc"),
+        tc.alias("__tc"),
+        F.coalesce(F.array_join(kept, "\n"), F.lit("")).alias("clean_text"),
+        keep.alias("keep"),
+    )
+    return base.select(
+        F.col(id_col),
+        "n_lines",
+        "n_removed",
+        F.expr(
+            "CASE WHEN __tc > 0 THEN (__rc * 1000000) div __tc "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("removed_char_ppm"),
+        "clean_text",
+        "keep",
+    )

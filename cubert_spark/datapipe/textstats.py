@@ -880,3 +880,245 @@ def c4_rules(
         clean.alias("clean_text"),
         keep.alias("keep"),
     )
+
+
+#: Gopher A.1.2 keep-thresholds in percent: signal <= T% of the
+#: char/line mass (Rae et al. 2021, Table A1)
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_ppm": 30, "dup_para_ppm": 30,
+    "dup_line_char_ppm": 20, "dup_para_char_ppm": 20,
+    "top2_char_ppm": 20, "top3_char_ppm": 18, "top4_char_ppm": 16,
+    "dup5_char_ppm": 15, "dup6_char_ppm": 14, "dup7_char_ppm": 13,
+    "dup8_char_ppm": 12, "dup9_char_ppm": 11, "dup10_char_ppm": 10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The FULL Gopher within-document repetition rule set (public:
+    Rae et al. 2021, Appendix A.1.2 Table A1 — the 13 signals kept by
+    MassiveWeb, RefinedWeb and FineWeb): duplicate line / paragraph
+    fractions (by count and by character mass), top-{2,3,4}-gram
+    character fractions, and duplicate-{5..10}-gram character
+    coverage. ``repetition_stats`` is the 2-signal in-array sketch;
+    this is the complete set in the DISTRIBUTED spelling.
+
+    Conventions (documented because the paper leaves them open):
+    - a duplicate line/paragraph is every occurrence AFTER the first
+      of an identical unit (so frac = (n - n_distinct) / n); units
+      are trimmed-non-empty segments of '\\n' / '\\n\\n' splits
+    - character mass is the sum of TOKEN lengths (whitespace
+      excluded); the top-n-gram numerator is count * token-chars of
+      the gram, ties broken to the lexicographically smallest gram
+    - duplicate-n-gram coverage marks every token POSITION inside
+      any occurrence of an n-gram seen more than once, without
+      double counting overlaps, and weighs positions by token length
+    All signals are floor-ppm integers (x * 1e6 // mass) and every
+    keep-threshold is the integer cross-multiplication
+    ``100 * x <= T * mass`` — no float anywhere, so the flags replay
+    bit-for-bit in any engine. Empty/null docs pass every rule
+    (nothing is repeated).
+
+    Scale shape (100 TB): line/para signals ride the scan in one
+    codegen projection; the n-gram signals explode to (doc, n, pos,
+    gram) — ~9x token count, the duplicate_spans class — then move
+    ONLY through keyed shuffles: gram counts, duplicated-occurrence
+    re-join, distinct covered positions, token-length join, per-doc
+    fold. No window is unpartitioned; nothing is quadratic in
+    document length (the in-array top_bigram_frac of
+    ``repetition_stats`` is — which is why this operator exists).
+    """
+    from cubert_spark.datapipe.dedup import _spread
+
+    t = F.col(text_col)
+    toks = F.split(t, r"\s+")
+
+    def seg_stats(sep: str):
+        units = F.filter(
+            F.split(t, sep), lambda x: F.trim(x) != F.lit("")
+        )
+        n = F.coalesce(F.size(units), F.lit(0))
+        nd = F.coalesce(F.size(F.array_distinct(units)), F.lit(0))
+        chars = F.coalesce(
+            F.aggregate(
+                units, F.lit(0).cast("bigint"),
+                lambda a, x: a + F.length(x),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        dchars = F.coalesce(
+            F.aggregate(
+                F.array_distinct(units), F.lit(0).cast("bigint"),
+                lambda a, x: a + F.length(x),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        return n.cast("bigint"), nd.cast("bigint"), chars, dchars
+
+    nl, ndl, cl, cdl = seg_stats("\n")
+    np_, ndp, cp, cdp = seg_stats("\n\n")
+    base = _spread(df, id_col).select(
+        F.col(id_col),
+        (nl - ndl).alias("__dl"), nl.alias("__nl"),
+        (cl - cdl).alias("__dlc"), cl.alias("__cl"),
+        (np_ - ndp).alias("__dp"), np_.alias("__np"),
+        (cp - cdp).alias("__dpc"), cp.alias("__cp"),
+        toks.alias("__toks"),
+    )
+    base = base.withColumn(
+        "__nt", F.coalesce(F.size(F.col("__toks")), F.lit(0))
+    ).localCheckpoint(eager=False)
+
+    # one exploded relation serves every n: n=1 doubles as the
+    # token-length table, 2-4 feed the top-gram stats, 5-10 the
+    # duplicate-coverage stats
+    ns = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+
+    def entry_builder(n: int):
+        # a single-parameter lambda per n — a 2-arg lambda would make
+        # pyspark pass the ARRAY INDEX as the second argument
+        def build(i: Column) -> Column:
+            return F.struct(
+                F.lit(n).alias("n"),
+                i.cast("int").alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(F.col("__toks"), i + 1, n)
+                ).alias("gram"),
+            )
+
+        return build
+
+    entries = F.flatten(
+        F.array(*[
+            F.when(
+                F.col("__nt") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nt") - n),
+                    entry_builder(n),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<n:int,pos:int,gram:string>>"
+                )
+            )
+            for n in ns
+        ])
+    )
+    occ = base.select(
+        F.col(id_col), F.explode(entries).alias("__e")
+    ).select(
+        F.col(id_col),
+        F.col("__e.n").alias("n"),
+        F.col("__e.pos").alias("pos"),
+        F.col("__e.gram").alias("gram"),
+    )
+    toklens = occ.filter(F.col("n") == 1).select(
+        F.col(id_col), F.col("pos").alias("p"),
+        F.length("gram").cast("bigint").alias("__len"),
+    )
+    mass = toklens.groupBy(id_col).agg(
+        F.sum("__len").alias("__mass")
+    )
+    grams = occ.filter(F.col("n") >= 2)
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # token chars of the gram = string length minus separators
+        (F.length(F.first("gram")) - (F.col("n") - 1).cast("bigint"))
+        .alias("glen"),
+    )
+    top = (
+        counts.filter(F.col("n").isin(2, 3, 4))
+        .groupBy(id_col, "n")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negc"),
+                    F.col("gram").alias("g"),
+                    (F.col("cnt") * F.col("glen")).alias("numer"),
+                )
+            ).alias("__m")
+        )
+        .groupBy(id_col)
+        .agg(*[
+            F.sum(
+                F.when(F.col("n") == n, F.col("__m.numer")).otherwise(0)
+            ).alias(f"__top{n}")
+            for n in (2, 3, 4)
+        ])
+    )
+    dup_cov = (
+        grams.filter(F.col("n") >= 5)
+        .join(
+            counts.filter(
+                (F.col("n") >= 5) & (F.col("cnt") >= 2)
+            ).select(id_col, "n", "gram"),
+            [id_col, "n", "gram"],
+        )
+        .select(
+            F.col(id_col), F.col("n"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("p"),
+        )
+        .distinct()
+        .join(toklens, [id_col, "p"])
+        .groupBy(id_col)
+        .agg(*[
+            F.sum(
+                F.when(F.col("n") == n, F.col("__len")).otherwise(0)
+            ).alias(f"__dup{n}")
+            for n in range(5, 11)
+        ])
+    )
+    out = (
+        base.join(mass, id_col, "left")
+        .join(top, id_col, "left")
+        .join(dup_cov, id_col, "left")
+    )
+
+    m = F.col("__mass")
+    sig = [
+        ("dup_line_ppm", F.col("__dl"), F.col("__nl")),
+        ("dup_para_ppm", F.col("__dp"), F.col("__np")),
+        ("dup_line_char_ppm", F.col("__dlc"), F.col("__cl")),
+        ("dup_para_char_ppm", F.col("__dpc"), F.col("__cp")),
+        ("top2_char_ppm", F.col("__top2"), m),
+        ("top3_char_ppm", F.col("__top3"), m),
+        ("top4_char_ppm", F.col("__top4"), m),
+    ] + [
+        (f"dup{n}_char_ppm", F.col(f"__dup{n}"), m) for n in range(5, 11)
+    ]
+    # name the (numerator, denominator) pairs so the ppm is the exact
+    # integer `div` (no float detour; div-by-0 -> null -> 0)
+    named = out.select(
+        F.col(id_col),
+        *[
+            c
+            for name, x, denom in sig
+            for c in (
+                F.coalesce(x, F.lit(0).cast("bigint")).alias(f"__x_{name}"),
+                F.coalesce(denom, F.lit(0).cast("bigint")).alias(
+                    f"__d_{name}"
+                ),
+            )
+        ],
+    )
+    keep = F.lit(True)
+    cols = [F.col(id_col)]
+    for name, _, _ in sig:
+        cols.append(
+            F.expr(
+                f"CASE WHEN __d_{name} > 0 THEN "
+                f"(__x_{name} * 1000000) div __d_{name} "
+                f"ELSE CAST(0 AS BIGINT) END"
+            ).alias(name)
+        )
+        pct = GOPHER_REPETITION_THRESHOLDS[name]
+        keep = keep & (
+            100 * F.col(f"__x_{name}") <= pct * F.col(f"__d_{name}")
+        )
+    cols.append(keep.alias("keep"))
+    return named.select(*cols)

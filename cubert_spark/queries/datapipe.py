@@ -3178,6 +3178,264 @@ FROM kept
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL Gopher repetition rule set (textstats.gopher_repetition,
+    Rae et al. 2021 Appendix A.1.2 Table A1): 13 signals — dup
+    line/para fractions by count and char mass, top-{2,3,4}-gram char
+    fractions, dup-{5..10}-gram char coverage — as floor-ppm integers
+    + the keep conjunction. Line/paragraph structure is synthesized
+    deterministically (paragraph break every 21 words, line break
+    every 7, duplicated lines/paras planted on doc_id % 11 / % 23) —
+    the in-query fixture convention of c4_filter. n-gram stats run
+    the DISTRIBUTED spelling: keyed shuffles only, nothing quadratic
+    in document length."""
+    d = load_table(spark, sf, "documents")
+    s1 = F.regexp_replace(F.col("text"), r"((\S+ ){20}\S+) ", "$1.\n\n")
+    s2 = F.regexp_replace(s1, r"((\S+ ){6}\S+) ", "$1.\n")
+    structured = F.concat(
+        s2,
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nrepeat line marker five.\nrepeat line marker five."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.lit("\n\ndup para block.\n\ndup para block."),
+        ).otherwise(F.lit("")),
+    )
+    return textstats.gopher_repetition(d.withColumn("text", structured))
+
+
+def _gopher_repetition_oracle() -> str:
+    from cubert_spark.datapipe.textstats import GOPHER_REPETITION_THRESHOLDS
+
+    top_pivot = ",\n       ".join(
+        f"SUM(CASE WHEN n = {n} THEN numer ELSE 0 END) AS top{n}"
+        for n in (2, 3, 4)
+    )
+    dup_pivot = ",\n       ".join(
+        f"SUM(CASE WHEN n = {n} THEN cov ELSE 0 END) AS dup{n}"
+        for n in range(5, 11)
+    )
+    pairs = [
+        ("dup_line_ppm", "dl", "nl"), ("dup_para_ppm", "dp", "np"),
+        ("dup_line_char_ppm", "dlc", "cl"),
+        ("dup_para_char_ppm", "dpc", "cp"),
+        ("top2_char_ppm", "top2", "mass"),
+        ("top3_char_ppm", "top3", "mass"),
+        ("top4_char_ppm", "top4", "mass"),
+    ] + [(f"dup{n}_char_ppm", f"dup{n}", "mass") for n in range(5, 11)]
+    # DuckDB SUM(BIGINT) widens to HUGEINT (pandas float) — cast both
+    # sides back down so the ppm stays an int64 like Spark's
+    ppm_cols = ",\n       ".join(
+        f"CASE WHEN {d} > 0 THEN "
+        f"(CAST({x} AS BIGINT) * 1000000) // CAST({d} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END AS {name}"
+        for name, x, d in pairs
+    )
+    keep = "\n        AND ".join(
+        f"100 * {x} <= {GOPHER_REPETITION_THRESHOLDS[name]} * {d}"
+        for name, x, d in pairs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         concat(
+           regexp_replace(
+             regexp_replace(text, '((\\S+ ){{20}}\\S+) ',
+                            '\\1.' || chr(10) || chr(10), 'g'),
+             '((\\S+ ){{6}}\\S+) ', '\\1.' || chr(10), 'g'),
+           CASE WHEN doc_id % 11 = 0
+                THEN chr(10) || 'repeat line marker five.'
+                     || chr(10) || 'repeat line marker five.'
+                ELSE '' END,
+           CASE WHEN doc_id % 23 = 0
+                THEN chr(10) || chr(10) || 'dup para block.'
+                     || chr(10) || chr(10) || 'dup para block.'
+                ELSE '' END
+         ) AS t
+  FROM documents
+),
+w AS (SELECT doc_id, t, string_split_regex(t, '\\s+') AS toks FROM s),
+seg AS (
+  SELECT doc_id,
+     list_filter(string_split(t, chr(10)), x -> trim(x) != '') AS lines,
+     list_filter(string_split(t, chr(10) || chr(10)),
+                 x -> trim(x) != '') AS paras
+  FROM s
+),
+segstats AS (
+  SELECT doc_id,
+    COALESCE(len(lines), 0) - COALESCE(len(list_distinct(lines)), 0) AS dl,
+    COALESCE(len(lines), 0) AS nl,
+    COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+      - COALESCE(list_aggregate(
+          list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0)
+      AS dlc,
+    COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+      AS cl,
+    COALESCE(len(paras), 0) - COALESCE(len(list_distinct(paras)), 0) AS dp,
+    COALESCE(len(paras), 0) AS np,
+    COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0)
+      - COALESCE(list_aggregate(
+          list_transform(list_distinct(paras), x -> length(x)), 'sum'), 0)
+      AS dpc,
+    COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0)
+      AS cp
+  FROM seg
+),
+toklens AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS p,
+         CAST(length(toks[i]) AS BIGINT) AS tlen
+  FROM w, LATERAL UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+massq AS (SELECT doc_id, SUM(tlen) AS mass FROM toklens GROUP BY 1),
+grams AS (
+  SELECT doc_id, nn.n, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(toks, i, i + nn.n - 1), ' ') AS gram
+  FROM w CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS nn(n),
+       LATERAL UNNEST(range(1, len(toks) - nn.n + 2)) AS u(i)
+  WHERE len(toks) >= nn.n
+),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt,
+         CAST(length(gram) - (n - 1) AS BIGINT) AS glen
+  FROM grams GROUP BY doc_id, n, gram
+),
+topg AS (
+  SELECT doc_id, n, cnt * glen AS numer
+  FROM (SELECT doc_id, n, cnt, glen,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY cnt DESC, gram) AS rn
+        FROM counts WHERE n IN (2, 3, 4))
+  WHERE rn = 1
+),
+topq AS (SELECT doc_id, {top_pivot} FROM topg GROUP BY doc_id),
+cov0 AS (
+  SELECT DISTINCT g.doc_id, g.n, pp.p
+  FROM grams g
+  JOIN counts c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram,
+       LATERAL UNNEST(range(g.pos, g.pos + g.n)) AS pp(p)
+  WHERE g.n >= 5 AND c.cnt >= 2
+),
+covs AS (
+  SELECT c.doc_id, c.n, SUM(tl.tlen) AS cov
+  FROM cov0 c JOIN toklens tl ON tl.doc_id = c.doc_id AND tl.p = c.p
+  GROUP BY c.doc_id, c.n
+),
+dupq AS (SELECT doc_id, {dup_pivot} FROM covs GROUP BY doc_id),
+a AS (
+  SELECT ss.doc_id, ss.dl, ss.nl, ss.dlc, ss.cl, ss.dp, ss.np, ss.dpc,
+         ss.cp,
+         COALESCE(m.mass, 0) AS mass,
+         COALESCE(topq.top2, 0) AS top2, COALESCE(topq.top3, 0) AS top3,
+         COALESCE(topq.top4, 0) AS top4,
+         COALESCE(dupq.dup5, 0) AS dup5, COALESCE(dupq.dup6, 0) AS dup6,
+         COALESCE(dupq.dup7, 0) AS dup7, COALESCE(dupq.dup8, 0) AS dup8,
+         COALESCE(dupq.dup9, 0) AS dup9, COALESCE(dupq.dup10, 0) AS dup10
+  FROM segstats ss
+  LEFT JOIN massq m USING (doc_id)
+  LEFT JOIN topq USING (doc_id)
+  LEFT JOIN dupq USING (doc_id)
+)
+SELECT doc_id,
+       {ppm_cols},
+       ({keep}) AS keep
+FROM a
+"""
+
+
+SQL_GOPHER_REPETITION = _gopher_repetition_oracle()
+
+
+def q_refinedweb_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb line-wise corrections (curation.refinedweb_lines,
+    Penedo et al. 2023 §3.1.3 + G.2): social-media counters,
+    all-caps headers, bare numbers and one-word stubs removed
+    line-by-line; doc dropped when the removed mass tops 5% of its
+    chars. Line structure + offender lines are synthesized
+    deterministically on doc_id mods (the c4_filter fixture
+    convention). One codegen projection, zero shuffles."""
+    d = load_table(spark, sf, "documents")
+    structured = F.concat(
+        F.regexp_replace(F.col("text"), r"((\S+ ){6}\S+) ", "$1.\n"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\n42 likes"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("\nNAV HEADER BLOCK"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\n2024"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\nHome"))
+        .otherwise(F.lit("")),
+    )
+    return curation.refinedweb_lines(d.withColumn("text", structured))
+
+
+def _refinedweb_lines_oracle() -> str:
+    from cubert_spark.datapipe.curation import REFINEDWEB_COUNTER_WORDS
+
+    alt = "|".join(REFINEDWEB_COUNTER_WORDS)
+    removed = (
+        "(length(regexp_replace(trim(x), '[^A-Za-z]', '', 'g')) >= 1 "
+        " AND 2 * length(regexp_replace(trim(x), '[^A-Z]', '', 'g'))"
+        "     > length(regexp_replace(trim(x), '[^A-Za-z]', '', 'g')))"
+        " OR regexp_matches(regexp_replace(trim(x), ' ', '', 'g'),"
+        "                   '^[0-9]+$')"
+        f" OR regexp_matches(lower(trim(x)), '^[0-9]+ ({alt})$')"
+        " OR NOT contains(trim(x), ' ')"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         concat(
+           regexp_replace(text, '((\\S+ ){{6}}\\S+) ',
+                          '\\1.' || chr(10), 'g'),
+           CASE WHEN doc_id % 5 = 0 THEN chr(10) || '42 likes'
+                ELSE '' END,
+           CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'NAV HEADER BLOCK'
+                ELSE '' END,
+           CASE WHEN doc_id % 13 = 0 THEN chr(10) || '2024'
+                ELSE '' END,
+           CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Home'
+                ELSE '' END
+         ) AS t
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_filter(string_split(t, chr(10)), x -> trim(x) != '')
+           AS lines
+  FROM s
+), g AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x -> NOT ({removed})) AS kept,
+         list_filter(lines, x -> ({removed})) AS gone
+  FROM f
+), h AS (
+  SELECT doc_id,
+         CAST(COALESCE(len(lines), 0) AS BIGINT) AS n_lines,
+         CAST(COALESCE(len(gone), 0) AS BIGINT) AS n_removed,
+         CAST(COALESCE(list_aggregate(
+           list_transform(gone, x -> length(x)), 'sum'), 0) AS BIGINT)
+           AS rc,
+         CAST(COALESCE(list_aggregate(
+           list_transform(lines, x -> length(x)), 'sum'), 0) AS BIGINT)
+           AS tc,
+         COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+         COALESCE(len(kept), 0) AS n_kept
+  FROM g
+)
+SELECT doc_id, n_lines, n_removed,
+       CASE WHEN tc > 0 THEN (rc * 1000000) // tc
+            ELSE CAST(0 AS BIGINT) END AS removed_char_ppm,
+       clean_text,
+       (100 * rc <= 5 * tc AND n_kept >= 1) AS keep
+FROM h
+"""
+
+
+SQL_REFINEDWEB_LINES = _refinedweb_lines_oracle()
+
+
 QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "soft_dedup": q_soft_dedup,
@@ -3194,6 +3452,8 @@ QUERIES = {
     "unimax_budget": q_unimax_budget,
     "repeat_upsample": q_repeat_upsample,
     "decontaminate_spans": q_decontaminate_spans,
+    "gopher_repetition": q_gopher_repetition,
+    "refinedweb_lines": q_refinedweb_lines,
     "hard_negatives": q_hard_negatives,
     "neardup_ingest": q_neardup_ingest,
     "dedup_exact": q_dedup_exact,
@@ -3286,6 +3546,8 @@ ORACLES = {
     "unimax_budget": SQL_UNIMAX_BUDGET,
     "repeat_upsample": SQL_REPEAT_UPSAMPLE,
     "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "refinedweb_lines": SQL_REFINEDWEB_LINES,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neardup_ingest": SQL_NEARDUP_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -3919,3 +3919,77 @@ def test_decontaminate_spans_merges_overlapping_hits(spark):
     # spans [9,16) and [12,19) merge -> remove [9,19)
     assert [(r["start_tok"], r["end_tok"]) for r in out] == [(0, 9), (19, 40)]
     assert all(r["n_pieces"] == 2 for r in out)
+
+
+def test_gopher_repetition_signals(spark):
+    """gopher_repetition: each signal family exercised by a targeted
+    document and the ppm integers replayed literally."""
+    from cubert_spark.datapipe import textstats
+
+    rows = [
+        # 2 identical lines of 6 chars + 1 distinct line: dup_line
+        # 1/3, dup_line_char 6/(6+6+18)
+        (1, "aa bb\naa bb\nunique line here tok"),
+        # fully repetitive: every 5..10-gram duplicated, coverage 1.0
+        (2, ("x y z " * 20).strip()),
+        # all-distinct text: zero dup signals
+        (3, "all distinct words only once here today friend"),
+        (4, None),
+        # duplicate paragraphs
+        (5, "p q r\n\np q r\n\nsolo para"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.gopher_repetition(df).collect()
+    }
+    assert got[1]["dup_line_ppm"] == 1_000_000 // 3
+    assert got[1]["dup_line_char_ppm"] == 5 * 1_000_000 // (5 + 5 + 20)
+    assert got[2]["dup5_char_ppm"] == 1_000_000
+    assert got[2]["dup10_char_ppm"] == 1_000_000
+    # top bigram: "x y" (or tie) 20 occurrences x 2 chars / 60 chars
+    assert got[2]["top2_char_ppm"] == 40 * 1_000_000 // 60
+    assert got[2]["keep"] is False
+    assert got[3]["dup5_char_ppm"] == 0
+    # top bigram of an all-distinct doc: count 1, tie -> lexicographic
+    # smallest gram "all distinct" (11 chars) over 39 token chars
+    assert got[3]["top2_char_ppm"] == 11 * 1_000_000 // 39
+    # null text: every signal 0, every rule passes
+    assert got[4]["keep"] is True
+    assert all(v == 0 for k, v in got[4].items()
+               if k.endswith("_ppm"))
+    assert got[5]["dup_para_ppm"] == 1_000_000 // 3
+    assert got[5]["dup_line_ppm"] == 1_000_000 // 3
+
+
+def test_refinedweb_lines_rules(spark):
+    """refinedweb_lines: each removal rule fires on a targeted line;
+    the 5% char budget drops heavy-junk docs; clean docs pass."""
+    from cubert_spark.datapipe import curation
+
+    body = "this is a perfectly normal line of prose text with words"
+    rows = [
+        (1, body + "\n42 likes"),              # counter -> removed
+        (2, body + "\nNAV HEADER BLOCK"),      # mainly upper -> removed
+        (3, body + "\n2 024"),                 # numeric-only -> removed
+        (4, body + "\nHome"),                  # one word -> removed
+        (5, body),                             # untouched
+        (6, "SHOUTING JUNK EVERYWHERE\nok"),   # junk dominates -> drop
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.refinedweb_lines(df).collect()
+    }
+    for d in (1, 2, 3, 4):
+        assert got[d]["n_removed"] == 1, d
+        assert got[d]["clean_text"] == body, d
+    # removed mass is small relative to the body -> doc 1 keeps...
+    assert got[1]["keep"] is False or got[1]["removed_char_ppm"] > 50_000
+    assert got[5] == dict(doc_id=5, n_lines=1, n_removed=0,
+                          removed_char_ppm=0, clean_text=body, keep=True)
+    # doc 6: the junk line is most of the chars -> dropped ('ok' is
+    # also a one-word stub, so everything is removed)
+    assert got[6]["keep"] is False
+    assert got[7]["keep"] is False and got[7]["clean_text"] == ""

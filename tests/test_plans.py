@@ -720,6 +720,13 @@ _SHUFFLE_CEILINGS = {
     # interval-merge window + the spans collect (duplicate_spans'
     # class: |tokens|-row spreads, all keyed)
     "decontaminate_spans": 3,
+    # r13 batch 7: the 13-signal repetition fold — gram counts,
+    # dup-occurrence re-join, distinct coverage, token-length join,
+    # per-doc top/coverage pivots + the 3-way final assembly joins;
+    # every one keyed, measured 8 on the demo plan
+    "gopher_repetition": 8,
+    # r13 batch 8: one codegen projection over the scan
+    "refinedweb_lines": 0,
 }
 
 
@@ -913,6 +920,14 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "token_mixture": "broadcast sides = per-source token-sum table "
                      "(|sources| rows, corpus-independent) + 1-row "
                      "total-T stat (mixture_sample's shape)",
+    # r13 batch 7: the per-doc signal aggregates (token mass, top-gram
+    # numerators, duplicate coverage) broadcast at test SF but grow
+    # with the corpus; every consumer is a doc_id/gram keyed equi-join
+    # so AQE flips them to shuffle joins at true sizes — the
+    # fuzzy_pairs re-fetch class
+    "gopher_repetition": "per-doc signal aggregates grow with the "
+                         "corpus; keyed equi-joins, AQE re-plans at "
+                         "runtime",
 }
 
 

@@ -106,6 +106,11 @@ HEAVY = {
     # r13 batch 6: |tokens|-row gram explode + bench join + interval
     # fold (the duplicate_spans cost class — expect ~linear)
     "decontaminate_spans": "documents",
+    # r13 batch 7: ~9x token explode + keyed gram counts + coverage
+    # joins (the heaviest text operator — expect ~linear, watch it)
+    "gopher_repetition": "documents",
+    # r13 batch 8: pure codegen scan (c4_filter's profile)
+    "refinedweb_lines": "documents",
 }
 
 
