@@ -975,7 +975,7 @@ def gopher_repetition(
     # one exploded relation serves every n: n=1 doubles as the
     # token-length table, 2-4 feed the top-gram stats, 5-10 the
     # duplicate-coverage stats
-    ns = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    ns = [2, 3, 4, 5, 6, 7, 8, 9, 10]
 
     def entry_builder(n: int):
         # a single-parameter lambda per n — a 2-arg lambda would make
@@ -1007,7 +1007,19 @@ def gopher_repetition(
             for n in ns
         ])
     )
-    occ = base.select(
+    # token lengths get their own 1x explode — routing them through
+    # the 8x gram explode would compute that generate twice
+    toklens = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("__toks")).alias("p", "__tok"),
+    ).select(
+        F.col(id_col), F.col("p").cast("int").alias("p"),
+        F.length("__tok").cast("bigint").alias("__len"),
+    )
+    mass = toklens.groupBy(id_col).agg(
+        F.sum("__len").alias("__mass")
+    )
+    grams = base.select(
         F.col(id_col), F.explode(entries).alias("__e")
     ).select(
         F.col(id_col),
@@ -1015,16 +1027,15 @@ def gopher_repetition(
         F.col("__e.pos").alias("pos"),
         F.col("__e.gram").alias("gram"),
     )
-    toklens = occ.filter(F.col("n") == 1).select(
-        F.col(id_col), F.col("pos").alias("p"),
-        F.length("gram").cast("bigint").alias("__len"),
-    )
-    mass = toklens.groupBy(id_col).agg(
-        F.sum("__len").alias("__mass")
-    )
-    grams = occ.filter(F.col("n") >= 2)
+    # the ONLY shuffle that moves gram strings: collecting the
+    # occurrence positions here means the coverage stage never
+    # re-joins the 8x gram relation on its string key (a second
+    # ~9x-token string shuffle in the first spelling of this
+    # operator, measured 16% slower at 10x). The position list is
+    # bounded by the doc's own occurrence count of that gram.
     counts = grams.groupBy(id_col, "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt"),
+        F.collect_list("pos").alias("__poss"),
         # token chars of the gram = string length minus separators
         (F.length(F.first("gram")) - (F.col("n") - 1).cast("bigint"))
         .alias("glen"),
@@ -1050,12 +1061,10 @@ def gopher_repetition(
         ])
     )
     dup_cov = (
-        grams.filter(F.col("n") >= 5)
-        .join(
-            counts.filter(
-                (F.col("n") >= 5) & (F.col("cnt") >= 2)
-            ).select(id_col, "n", "gram"),
-            [id_col, "n", "gram"],
+        counts.filter((F.col("n") >= 5) & (F.col("cnt") >= 2))
+        .select(
+            F.col(id_col), F.col("n"),
+            F.explode(F.col("__poss")).alias("pos"),
         )
         .select(
             F.col(id_col), F.col("n"),
