@@ -720,7 +720,9 @@ def unimax_budget(
     # ascending by cap, ties by source name — the deterministic
     # visit order the oracle's recursion replays
     rows = sorted(
-        ((r["source"], int(r["n_units"])) for r in stats),
+        # a source whose size_col sums to NULL (all-null sizes)
+        # contributes nothing: treat as 0 units
+        ((r["source"], int(r["n_units"] or 0)) for r in stats),
         key=lambda x: (x[1] * max_epochs, x[0]),
     )
     out = []
@@ -732,7 +734,9 @@ def unimax_budget(
         alloc = cap if cap < share else share
         b_rem -= alloc
         m_rem -= 1
-        out.append((src, n, cap, alloc, alloc * 1_000_000 // n))
+        out.append(
+            (src, n, cap, alloc, alloc * 1_000_000 // n if n > 0 else 0)
+        )
     return df.sparkSession.createDataFrame(
         out,
         "source string, n_units bigint, cap_units bigint, "
@@ -771,6 +775,9 @@ def repeat_upsample(
     """
     if not epochs_ppm:
         raise ValueError("epochs_ppm must be non-empty")
+    bad = {s: v for s, v in epochs_ppm.items() if int(v) < 0}
+    if bad or int(default_ppm) < 0:
+        raise ValueError(f"epochs_ppm values must be >= 0: {bad or default_ppm}")
     src = F.col(source_col)
 
     def per_source(value_of) -> Column:
