@@ -178,7 +178,12 @@ def cluster_representatives(
     Determinism: the argmax key is the single bigint
     ``quality * 10^10 - id`` — a total order (unique ids below 10^10
     by contract), so ties on quality break toward the SMALLEST id
-    identically in any engine; one max_by aggregate, no window.
+    identically in any engine; one max_by aggregate, no window. The
+    key stays inside BIGINT only while quality < 9*10^8 (beyond that
+    quality * 10^10 would exceed 2^63 and wrap under non-ANSI Spark),
+    so the score is clamped to that bound with least() — scores above
+    it compare equal and fall back to the min-id tie-break; rescale
+    finer-grained scores upstream if that matters.
 
     Scale shape: the cluster labeling is the checkpointed min-label
     propagation of connected_components (pair-graph-sized, never the
@@ -190,7 +195,8 @@ def cluster_representatives(
     j = cl.join(quality.select(F.col(id_col), F.col(quality_col)), id_col)
     return j.groupBy("rep_id").agg(
         F.expr(
-            f"max_by({id_col}, CAST({quality_col} AS BIGINT)"
+            f"max_by({id_col}, least(CAST({quality_col} AS BIGINT),"
+            f" CAST(900000000 AS BIGINT))"
             f" * CAST(10000000000 AS BIGINT) - {id_col})"
         ).alias("kept_id"),
         F.count(F.lit(1)).alias("n_members"),

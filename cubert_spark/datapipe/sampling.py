@@ -129,8 +129,12 @@ def mixture_sample(
     for every weighted source (the scarcest source is kept whole and
     every other source is cut to proportion). Sources absent from
     ``weights`` are dropped; a weighted source with NO rows in ``df``
-    is ignored when sizing T (it can't constrain a mix it contributes
-    nothing to) rather than forcing the whole output empty. Membership
+    — or, under ``size_col``, whose sizes are all NULL (summed size
+    0) — is ignored when sizing T (it can't constrain a mix it
+    contributes nothing to) rather than forcing the whole output
+    empty; its rows are likewise excluded from the output, since a
+    source with no measurable size cannot be cut to proportion.
+    Membership
     is the content-keyed md5 gate, so the mix is stable across runs
     and engines.
 
@@ -166,7 +170,12 @@ def mixture_sample(
     counts = (
         df.filter(F.col(source_col).isin(list(shares)))
         .groupBy(source_col)
-        .agg(size.alias("__cnt"))
+        # a weighted source whose size_col is all NULL sums to NULL:
+        # coalesce to 0 and treat it like the no-rows case (excluded
+        # from sizing T and from the output — a source with no
+        # measurable size cannot be proportionally cut)
+        .agg(F.coalesce(size.cast("bigint"), F.lit(0)).alias("__cnt"))
+        .filter(F.col("__cnt") > 0)
         .withColumn("__share", share)
     )
     t = counts.agg(
@@ -209,9 +218,10 @@ def token_budget_select(
     is reproducible and engine-portable.
 
     ``priority`` is an integer Column (lower = selected first; ties
-    broken by id — the order is total). Default: the content-keyed
-    md5 hash16, i.e. a uniform deterministic subsample up to the
-    budget. Budget: ``budget_tokens`` (absolute) or ``budget_frac``
+    broken by id — the order is total). Default: the ID-keyed md5
+    hash16 (hash16(id_col) — pass a content hash as id_col to make
+    it content-keyed, the epoch_shuffle distinction), i.e. a uniform
+    deterministic subsample up to the budget. Budget: ``budget_tokens`` (absolute) or ``budget_frac``
     (fraction of the corpus's total tokens — the scale-free spelling;
     one bigint total x one literal = one correctly-rounded multiply,
     exact on both engines).
@@ -411,7 +421,14 @@ def temperature_mix(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"temperature_mix: alpha must be in [0, 1], got {alpha}")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # NULL sources form their own deterministic group (a bare inner
+    # join on source_col would silently drop them — even at alpha=1.0
+    # where every row must survive): key the count/join on a
+    # coalesced sentinel, keep the original column untouched.
+    src = F.coalesce(F.col(source_col).cast("string"), F.lit("\u0000"))
+    counts = df.groupBy(src.alias("__src")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     mn = counts.agg(F.min("__cnt").alias("__mn"))
     ratio = F.col("__mn").cast("double") / F.col("__cnt").cast("double")
     if alpha == 0.5:
@@ -424,10 +441,15 @@ def temperature_mix(
         # not correctly rounded -> not oracle-comparable (docstring)
         rate = F.pow(ratio, F.lit(1.0 - alpha))
     rates = counts.crossJoin(F.broadcast(mn)).select(
-        source_col, rate.alias("__rate")
+        "__src", rate.alias("__rate")
     )
     gate = hash16(F.col(key), salt).cast("double") < F.col("__rate") * float(_SPACE)
-    return df.join(F.broadcast(rates), source_col).filter(gate).drop("__rate")
+    return (
+        df.withColumn("__src", src)
+        .join(F.broadcast(rates), "__src")
+        .filter(gate)
+        .drop("__rate", "__src")
+    )
 
 
 def per_group_cap(
@@ -653,8 +675,10 @@ def doremi_weights(
     for r in sorted(stats, key=lambda r: r["domain"]):
         n = int(r["n_docs"])
         # floor division (Python // floors; the oracle replays it
-        # with the pmod spelling), then the Group-DRO clip
-        lbar = max(0, int(r["sum_loss"]) // n)
+        # with the pmod spelling), then the Group-DRO clip; an
+        # all-NULL loss column sums to NULL -> treat as 0 loss
+        # (the unimax_budget null-size convention)
+        lbar = max(0, int(r["sum_loss"] or 0) // n)
         folded.append((r["domain"], n, lbar))
     us = [
         (1_000_000 + (eta_ppm * lbar) // 1000) ** rounds

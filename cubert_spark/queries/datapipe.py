@@ -2818,7 +2818,7 @@ SQL_CLUSTER_REPS = SQL_DEDUP_CLUSTERS.replace(
     """,
 clusters AS (SELECT id AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY id)
 SELECT c.rep_id,
-       arg_max(c.doc_id, CAST(d.n_chars AS BIGINT) * 10000000000 - c.doc_id) AS kept_id,
+       arg_max(c.doc_id, LEAST(CAST(d.n_chars AS BIGINT), 900000000) * 10000000000 - c.doc_id) AS kept_id,
        COUNT(*) AS n_members
 FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
 GROUP BY c.rep_id""",

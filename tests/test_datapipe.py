@@ -3993,3 +3993,59 @@ def test_refinedweb_lines_rules(spark):
     # also a one-word stub, so everything is removed)
     assert got[6]["keep"] is False
     assert got[7]["keep"] is False and got[7]["clean_text"] == ""
+
+
+def test_doremi_weights_all_null_loss_domain(spark):
+    """A domain whose loss column is all NULL must fold as zero loss
+    (the unimax null-size convention), not crash on int(None)."""
+    from cubert_spark.datapipe import sampling
+
+    rows = [("hard", 5000)] * 3 + [("nul", None)] * 3
+    df = spark.createDataFrame(rows, "source string, excess_milli long")
+    got = {r["domain"]: r.asDict() for r in sampling.doremi_weights(df).collect()}
+    assert got["nul"]["lbar_milli"] == 0
+    assert got["hard"]["weight_ppm"] > got["nul"]["weight_ppm"]
+    # the clipped domain still keeps the smoothing floor
+    assert got["nul"]["weight_ppm"] >= 100_000 // 2
+
+
+def test_mixture_sample_all_null_size_source(spark):
+    """A weighted source whose size_col is all NULL sums to 0: it is
+    excluded from sizing T and from the output (like the no-rows
+    case) instead of NULL-gating every row of the mix."""
+    from cubert_spark.datapipe import sampling
+
+    rows = [(i, "web", 10) for i in range(100)] + [
+        (i + 1000, "ghost", None) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    out = sampling.mixture_sample(
+        df, {"web": 0.5, "ghost": 0.5}, size_col="n_tok"
+    )
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got == {"web"}
+    assert out.count() == 100  # web kept whole: it's the only constraint
+
+
+def test_temperature_mix_null_source_rows_kept(spark):
+    """NULL-source rows form their own deterministic group: at
+    alpha=1.0 every row (null-source included) survives; at lower
+    alpha the null group is downsampled like any other, never
+    silently dropped wholesale by the rate join."""
+    from cubert_spark.datapipe import sampling
+
+    rows = [(i, "web") for i in range(400)] + [
+        (i + 1000, None) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    assert sampling.temperature_mix(df, alpha=1.0).count() == 440
+    out = sampling.temperature_mix(df, alpha=0.0)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=0 equalizes: web downsampled toward the null group's 40
+    assert None in counts and counts[None] == 40
+    assert counts["web"] < 100
+    # schema unchanged: no helper columns leak
+    assert out.columns == df.columns
