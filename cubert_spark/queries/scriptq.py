@@ -99,11 +99,57 @@ WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-03-31'
 GROUP BY o_orderpriority
 """
 
+# Positional $N column references (CubertPhysical.g4:176
+# `columnProjectionExpression: '$' INT | ID`, 0-based like Pig;
+# resolved against the input schema at runtime by
+# FunctionTree.java:176-186). The legacy-script idiom: project and
+# filter a LOADed table by column position before names are assigned.
+# lineitem positions: $0 l_orderkey, $3 l_linenumber, $4 l_quantity,
+# $8 l_returnflag.
+_SCRIPT_POSITIONAL = """
+PROGRAM "positional refs";
+
+JOB "returned line stats by position"
+    REDUCERS 8;
+    MAP {
+        li = LOAD "$SF/lineitem.parquet" USING PARQUET();
+        keep = FILTER li BY $8 == "R" AND $4 > 30.0;
+        proj = FROM keep GENERATE $0 AS orderkey, $3 AS linenum,
+               CASTTOLONG($4) AS qty;
+    }
+    SHUFFLE proj PARTITIONED ON linenum;
+    REDUCE {
+        agg = GROUP proj BY linenum AGGREGATES COUNT(orderkey) AS n,
+              SUM(qty) AS sum_qty, MAX(qty) AS max_qty;
+    }
+END
+"""
+
+
+def q_script_positional(spark: SparkSession, sf: str) -> DataFrame:
+    env = run_script(spark, _SCRIPT_POSITIONAL, params={"SF": sf})
+    return env["agg"]
+
+
+# CAST(SUM(BIGINT) AS BIGINT): DuckDB widens BIGINT sums to HUGEINT,
+# which pandas renders as float — pin the exact type back.
+SQL_SCRIPT_POSITIONAL = """
+SELECT l_linenumber AS linenum,
+       COUNT(l_orderkey) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       MAX(CAST(l_quantity AS BIGINT)) AS max_qty
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 30.0
+GROUP BY l_linenumber
+"""
+
 QUERIES = {
     "script_bucket_agg": q_script_bucket_agg,
     "script_js_dates": q_script_js_dates,
+    "script_positional": q_script_positional,
 }
 ORACLES = {
     "script_bucket_agg": SQL_SCRIPT_BUCKET_AGG,
     "script_js_dates": SQL_SCRIPT_JS_DATES,
+    "script_positional": SQL_SCRIPT_POSITIONAL,
 }

@@ -383,7 +383,22 @@ class _Parser:
             elif up in _FN_MAP and self.peek() == "(":
                 parts.append(_FN_MAP[up])
             elif t == "$":
-                raise ScriptError("positional $N references are not supported")
+                # positional column reference $N (0-based, the Pig
+                # convention; CubertPhysical.g4:176
+                # `columnProjectionExpression: '$' INT | ID`, resolved
+                # against the INPUT schema at runtime —
+                # FunctionTree.java:176-186 getSelectorIndex). The
+                # schema isn't known at parse time (inputs may be
+                # bare parquet paths), so emit a placeholder the plan
+                # executor rewrites to the Nth input column.
+                nxt = self.peek()
+                if not (nxt and re.fullmatch(r"\d+", nxt)):
+                    raise ScriptError(
+                        f"positional reference: $ must be followed by an "
+                        f"integer column index, got {nxt!r}"
+                    )
+                self.next()
+                parts.append(f"__cmr_pos_{nxt}__")
             elif t == ".":
                 # nested projection / uri: strip function package prefix
                 nxt = self.peek()

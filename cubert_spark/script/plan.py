@@ -32,6 +32,7 @@ mirroring release/examples/wordcount.cmr):
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,32 @@ from cubert_spark.operators.dictionary import build_dictionary, decode, encode
 
 class PlanError(ValueError):
     pass
+
+
+#: Placeholder the .cmr frontend emits for positional `$N` column
+#: references (CubertPhysical.g4:176); resolved here, where the input
+#: relation's schema is known (FunctionTree.java:176-186 does the same
+#: integer-selector lookup against the input schema at runtime).
+_POSREF_RE = re.compile(r"__cmr_pos_(\d+)__")
+
+
+def _resolve_positional(expr, cols: list[str]):
+    """Rewrite ``__cmr_pos_N__`` placeholders to the backticked Nth
+    input column (0-based, the Pig convention). Non-string or
+    placeholder-free expressions pass through untouched."""
+    if not isinstance(expr, str) or "__cmr_pos_" not in expr:
+        return expr
+
+    def _sub(m) -> str:
+        i = int(m.group(1))
+        if i >= len(cols):
+            raise PlanError(
+                f"positional reference ${i} out of range: input has "
+                f"{len(cols)} columns ({', '.join(cols)})"
+            )
+        return f"`{cols[i]}`"
+
+    return _POSREF_RE.sub(_sub, expr)
 
 
 def _agg_tuples(specs: list[dict]) -> list[tuple]:
@@ -138,9 +165,12 @@ def run_plan(
         src = env[op["input"]] if "input" in op else None
 
         if kind == "FILTER":
-            res = filter_by(src, op["filterExpr"])
+            res = filter_by(src, _resolve_positional(op["filterExpr"], src.columns))
         elif kind in ("GENERATE", "PROJECT"):
-            res = generate(src, *op["outputExpressions"])
+            res = generate(
+                src,
+                *[_resolve_positional(e, src.columns) for e in op["outputExpressions"]],
+            )
         elif kind == "GROUP_BY":
             res = group_by(src, op.get("groupBy", []), *_agg_tuples(op["aggregates"]))
         elif kind == "CUBE":
@@ -252,8 +282,12 @@ def run_plan(
                 src,
                 op["path"],
                 fmt=op.get("format", "parquet"),
-                predicate=op.get("filterExpr"),
-                project=op.get("generate"),
+                predicate=_resolve_positional(op.get("filterExpr"), src.columns),
+                project=[
+                    _resolve_positional(e, src.columns) for e in op["generate"]
+                ]
+                if op.get("generate")
+                else op.get("generate"),
                 split=bool(op.get("split", False)),
                 **op.get("options", {}),
             )

@@ -662,3 +662,61 @@ def test_backtick_failure_raises():
 
     with pytest.raises(ScriptError, match="failed"):
         substitute_backticks('LOAD "`false`"')
+
+
+def test_positional_column_references(spark):
+    """$N positional refs (CubertPhysical.g4:176: '$' INT | ID),
+    0-based like Pig, resolved against the INPUT relation's schema at
+    run time (FunctionTree.java:176-186 getSelectorIndex) — the
+    legacy-script idiom for unnamed LOADed columns."""
+    d = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 30.0)],
+        "name string, v int, price double",
+    )
+    script = """
+    JOB "pos"
+      REDUCE {
+        out = FROM d GENERATE $0 AS nm, $1 * 100 + $1 AS v2,
+              CASTTOLONG($2) AS p;
+        f = FILTER d BY $1 > 1 AND $0 != "c";
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    rows = {r["nm"]: r for r in env["out"].collect()}
+    assert rows["a"]["v2"] == 101 and rows["c"]["v2"] == 303
+    assert rows["b"]["p"] == 20
+    assert [r["name"] for r in env["f"].collect()] == ["b"]
+
+
+def test_positional_reference_into_struct(spark):
+    """$N composes with nested projection: $1.field projects out of
+    the struct at position 1 (nestedProjectionExpression in the
+    grammar chains columnProjectionExpressions with '.')."""
+    d = spark.createDataFrame(
+        [("x", (1, "u")), ("y", (2, "w"))],
+        "k string, s struct<a:int,b:string>",
+    )
+    script = """
+    JOB "pos-nested"
+      REDUCE { out = FROM d GENERATE $0 AS k2, $1.a AS sa; }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    assert {(r["k2"], r["sa"]) for r in env["out"].collect()} == {("x", 1), ("y", 2)}
+
+
+def test_positional_reference_out_of_range(spark):
+    from cubert_spark.script.plan import PlanError
+
+    d = spark.createDataFrame([("a", 1)], "name string, v int")
+    script = 'JOB "oob" REDUCE { out = FROM d GENERATE $5 AS x; } END'
+    with pytest.raises(PlanError, match=r"\$5 out of range"):
+        run_script(spark, script, relations={"d": d})
+
+
+def test_positional_reference_malformed():
+    from cubert_spark.script.cmr import ScriptError, compile_script
+
+    with pytest.raises(ScriptError, match="integer column index"):
+        compile_script('JOB "bad" REDUCE { out = FROM d GENERATE $ + 1 AS x; } END')
