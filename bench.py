@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     # pair stage), KMV distinct-set algebra (two TakeOrdered
     # sketches, tables never join), TPC-H-Q3 shipping priority
     "semantic_dedup",
+    # r14: the production tier (float dots + hierarchical routing),
+    # benched alongside the exact row it is contracted against — its
+    # row time INCLUDES one exact-tier pass (the in-query ground truth)
+    "semantic_dedup_prod",
     "kmv_set_ops",
     "shipping_priority",
     # bloom-filter semi-join pruning (fact side never shuffles).
@@ -237,6 +241,16 @@ BENCH_QUERIES = [
     # r13 batch 8: RefinedWeb line-wise corrections (pure codegen scan)
     "refinedweb_lines",
 ]
+
+#: Declared rows benched but kept OUT of the one-line stdout map: the
+#: 1-decimal rung stopped fitting the driver's ~2 KB capture window at
+#: 90 declared rows (v6 contract, test_bench_payload). Rows here are
+#: in-query CONTRACT twins whose runtime is dominated by a pass the
+#: stdout map already carries (semantic_dedup_prod re-runs the exact
+#: tier as its ground truth); their mins/medians/spreads live in
+#: BENCH_DETAIL.json and their time counts in "value", exactly like
+#: the _EXTRA/folded twins.
+STDOUT_EXCLUDE = {"semantic_dedup_prod"}
 
 
 #: The driver records the LAST ~2000 chars of combined output and the
@@ -504,7 +518,11 @@ def main() -> None:
     # whose time still counts in "value") buys the 1-decimal rung
     # back with ~400 bytes of margin. Everything else goes to
     # BENCH_DETAIL.json next to this script (committed per-round).
-    stdout_rows = {n: v for n, v in timings.items() if n in queries}
+    stdout_rows = {
+        n: v
+        for n, v in timings.items()
+        if n in queries and n not in STDOUT_EXCLUDE
+    }
     payload = _stdout_payload(stdout_rows, total, sf)
     detail = {
         "metric": "bench_total_wall_sec",

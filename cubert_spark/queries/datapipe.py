@@ -2253,6 +2253,101 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
 """.replace("{vals}", _vals(_SEMDEDUP_CENTROIDS))
 
 
+def q_semantic_dedup_prod(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION semantic_dedup tier (exact=False,
+    assignment="hierarchical" — float dots, coarse-then-fine O(sqrt(k)*d)
+    centroid routing), driver-attested via an in-query agreement
+    contract against the DECIMAL-exact tier (the _ann_recall_contract
+    pattern): this is the spelling whose pair stage stays linear at
+    100 TB because k can grow with the corpus (the exact tier is
+    Theta(N^1.5) at its optimal k — measured cost model in the
+    semantic_dedup docstring / SCALE.md r13).
+
+    Output (one row): n_total / n_exact are exact values the oracle
+    recomputes independently; agree_ok asserts the production tier
+    re-keeps >= 50% of the exact tier's kept set (measured 88% at
+    sf0.001, 85% at sf0.01 — 1.7x margin; the synthetic noise
+    embeddings are the WORST case for hierarchical routing, since all
+    centroid dots are near-equidistant and half the vectors route to a
+    different cluster); size_ok asserts the production kept count is
+    within +-50% of the exact count (measured 1.04x / 0.95x). A broken
+    production tier — wrong routing scale, inverted threshold, dropped
+    normalization — collapses agreement toward zero and flips the hash
+    red. Both tiers are run-to-run deterministic: every float fold is
+    a row-local fixed-order projection, never a shuffle-ordered
+    aggregate."""
+    e = load_table(spark, sf, "embeddings")
+    exact = similarity.semantic_dedup(e, _SEMDEDUP_CENTROIDS, threshold=0.3)
+    prod = similarity.semantic_dedup(
+        e,
+        _SEMDEDUP_CENTROIDS,
+        threshold=0.3,
+        exact=False,
+        assignment="hierarchical",
+    )
+    inter = exact.select("vec_id").join(prod.select("vec_id"), "vec_id")
+    stats = (
+        e.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact"))))
+        .crossJoin(F.broadcast(prod.agg(F.count(F.lit(1)).alias("__n_prod"))))
+        .crossJoin(F.broadcast(inter.agg(F.count(F.lit(1)).alias("__n_inter"))))
+    )
+    return stats.select(
+        "n_total",
+        "n_exact",
+        (F.col("__n_inter") * 2 >= F.col("n_exact")).alias("agree_ok"),
+        (
+            (F.col("__n_prod") * 2 >= F.col("n_exact"))
+            & (F.col("__n_prod") * 2 <= F.col("n_exact") * 3)
+        ).alias("size_ok"),
+    )
+
+
+# the oracle recomputes the EXACT tier's kept count independently via
+# the same DECIMAL pipeline as SQL_SEMANTIC_DEDUP and asserts the
+# agreement booleans (TRUE literals, the SQL_ANN_RECALL convention)
+SQL_SEMANTIC_DEDUP_PROD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(j, c) AS (
+  VALUES {{vals}}
+),
+dots AS (
+  SELECT e.vec_id, ct.j,
+         SUM(CAST(e.v[i] * ct.c[i] AS DECIMAL(38,18))) AS dot
+  FROM e, cents ct, LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY e.vec_id, ct.j
+),
+assign AS (
+  SELECT vec_id, j AS list_id FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(ea.v[i] * eb.v[i] AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(ea.v[i] * ea.v[i] AS DECIMAL(38,18))) AS aa,
+         SUM(CAST(eb.v[i] * eb.v[i] AS DECIMAL(38,18))) AS bb
+  FROM assign a JOIN assign b USING (list_id)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id,
+  LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT id_b AS vec_id FROM pairs
+  WHERE CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(aa AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(bb AS VARCHAR) AS DOUBLE))) >= 0.3
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_total,
+       (SELECT COUNT(*) FROM assign a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS n_exact,
+       TRUE AS agree_ok,
+       TRUE AS size_ok
+""".replace("{vals}", _vals(_SEMDEDUP_CENTROIDS))
+
+
 #: Fixed BM25 query set over the corpus vocabulary (engine words).
 BM25_QUERIES = [
     (0, "hash join merge"),
@@ -3495,6 +3590,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_prod": q_semantic_dedup_prod,
     "jaccard_prefix": q_jaccard_prefix,
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
@@ -3583,6 +3679,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semantic_dedup_prod": SQL_SEMANTIC_DEDUP_PROD,
     "jaccard_prefix": SQL_JACCARD_PREFIX,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "label_centroids": SQL_LABEL_CENTROIDS,

@@ -34,14 +34,23 @@ def test_payload_fits_capture_window_at_worst_case_widths():
 
 def test_declared_rows_render_at_one_decimal():
     """v6 contract (r11 VERDICT task 4): the stdout map carries only
-    the DECLARED queries() rows, and at that count the 1-decimal rung
-    must fit — the per-query values in BENCH_r{N}.json are only
-    useful for cross-round deltas with >= 1 decimal of resolution."""
+    the DECLARED queries() rows (minus the STDOUT_EXCLUDE contract
+    twins, whose mins live in BENCH_DETAIL.json — r14), and at that
+    count the 1-decimal rung must fit — the per-query values in
+    BENCH_r{N}.json are only useful for cross-round deltas with >= 1
+    decimal of resolution."""
     bench = _bench()
     from cubert_spark.queries import all_queries
 
     declared = set(all_queries())
-    rows = {n: 99.9 for n in bench.BENCH_QUERIES if n in declared}
+    # every excluded name must be a real declared+benched row — a
+    # typo'd exclusion would silently re-grow the stdout map
+    assert bench.STDOUT_EXCLUDE <= declared & set(bench.BENCH_QUERIES)
+    rows = {
+        n: 99.9
+        for n in bench.BENCH_QUERIES
+        if n in declared and n not in bench.STDOUT_EXCLUDE
+    }
     assert rows, "bench set shares no rows with queries()?"
     p = bench._stdout_payload(rows, 9999.999, 0.1)
     assert len(p) <= bench._STDOUT_BUDGET

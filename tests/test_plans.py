@@ -441,6 +441,9 @@ _LINT_ALLOWED = {
     # 1-row total-hits crossJoin(broadcast)
     "ivf_topk": ("pairs",),
     "lsh_ann": ("pairs",),
+    # same contract shape (r14): exact-vs-production agreement stats
+    # via 1-row count crossJoin(broadcast)s
+    "semantic_dedup_prod": ("pairs",),
     # per-column 1-row stats crossJoin(broadcast) + <=10-row
     # post-limit rank
     "skew_profile": ("pairs", "unpartitioned window"),
@@ -829,6 +832,9 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "lsh_ann_exact": "broadcast sides = fixed hyperplanes + queries",
     "pq_adc_topk": "broadcast sides = fixed PQ codebook LUT + queries",
     "semantic_dedup": "broadcast side = k fixed cluster centroids",
+    "semantic_dedup_prod": "broadcast sides = k fixed cluster centroids "
+                           "+ 1-row agreement-count stats (the recall-"
+                           "contract shape; corpus-independent)",
     "bloom_prune": "broadcast side = fixed-width bloom bitmap (size set "
                    "by n_bits, not by the corpus)",
     "mixture_sample": "broadcast sides = per-dataset weight/stat table "
