@@ -628,6 +628,24 @@ def tx_commit(
         return n
 
 
+def tx_files(path: str, version: int | None = None) -> list[str]:
+    """The manifest file list of a tx-table version (default: latest),
+    relative to ``path`` — the snapshot's exact file set. Public so
+    delta readers (plans.ivm.tx_delta) can diff two snapshots at
+    manifest level instead of re-scanning data."""
+    import json
+    import os
+
+    versions = tx_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no tx log at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
+        return json.load(fh)["files"]
+
+
 def tx_read(
     spark: SparkSession,
     path: str,
@@ -641,17 +659,9 @@ def tx_read(
     evolved (a later append added a column — the mergeSchema path the
     schema_evolution row proves for plain directories, here scoped to
     exactly the snapshot's files)."""
-    import json
     import os
 
-    versions = tx_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no tx log at {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
-    with open(os.path.join(_txlog_dir(path), f"v{v}.json")) as fh:
-        files = json.load(fh)["files"]
+    files = tx_files(path, version)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")

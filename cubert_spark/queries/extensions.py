@@ -1624,6 +1624,69 @@ def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     return out[0].unionByName(out[1])
 
 
+def q_tx_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental join-view maintenance FROM THE TX LOG
+    (plans.ivm.maintain_join_tx over catalog.tx_commit chains — the
+    reference's SummaryRewriter idea, AggregateRewriter.java:54,
+    generalized from dated partitions to manifest-diffed snapshots):
+    orders and customer each get two append commits; the join MV is
+    materialized at (v1, v1) and maintained to the heads with
+    delta-sized work — the deltas are read from the MANIFEST file-set
+    difference (plans.ivm.tx_delta), never a row-level diff or a
+    replay. The oracle is the DIRECT RECOMPUTE of the final join —
+    result-identity of maintain vs recompute is the IVM contract.
+    Construction WRITES (once per session/sf — ``_materialize_once``)."""
+    from cubert_spark.catalog import tx_commit, tx_read
+    from cubert_spark.plans.ivm import maintain_join_tx
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    a1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    a2 = o.filter(F.col("o_orderkey") % 3 == 1)
+    b1 = c.filter(F.col("o_custkey") % 2 == 0)
+    b2 = c.filter(F.col("o_custkey") % 2 == 1)
+
+    def _write(p):
+        tx_commit(a1, f"{p}/a", mode="append")
+        tx_commit(a2, f"{p}/a", mode="append")
+        tx_commit(b1, f"{p}/b", mode="append")
+        tx_commit(b2, f"{p}/b", mode="append")
+
+    path = _materialize_once(spark, sf, "txivm", _write)
+    j_old = tx_read(spark, f"{path}/a", version=1).join(
+        tx_read(spark, f"{path}/b", version=1), "o_custkey"
+    )
+    j_new = maintain_join_tx(
+        spark, j_old, f"{path}/a", f"{path}/b", ["o_custkey"], 1, 1
+    )
+    return (
+        j_new.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            dsum("o_totalprice").alias("price_sum"),
+            dsum("c_acctbal").alias("bal_sum"),
+        )
+    )
+
+
+SQL_TX_MAINTAIN = f"""
+SELECT o_custkey % 10 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {dsum_sql('o_totalprice')} AS price_sum,
+       {dsum_sql('c_acctbal')} AS bal_sum
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_custkey % 10
+"""
+
+
 SQL_TIME_TRAVEL = f"""
 SELECT 1 AS version, COUNT(*) AS n,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
@@ -1652,6 +1715,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "dq_expectations": q_dq_expectations,
     "time_travel": q_time_travel,
+    "tx_maintain": q_tx_maintain,
     "schema_evolution": q_schema_evolution,
     "golden_record": q_golden_record,
     "join_ivm": q_join_ivm,
@@ -1694,6 +1758,7 @@ ORACLES = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "dq_expectations": SQL_DQ_EXPECTATIONS,
     "time_travel": SQL_TIME_TRAVEL,
+    "tx_maintain": SQL_TX_MAINTAIN,
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "golden_record": SQL_GOLDEN_RECORD,
     "join_ivm": SQL_JOIN_IVM,

@@ -700,3 +700,54 @@ def test_summary_store_and_avro_source_reject_uri_paths(spark):
             spark.range(3).selectExpr("id AS a").write.format(
                 "cubert_avro"
             ).option("path", bad).mode("overwrite").save()
+
+
+def test_tx_delta_reads_only_appended_files(spark, tmp_path):
+    """plans.ivm.tx_delta: the delta between two tx versions is read
+    from the MANIFEST file-set difference — exactly the appended rows,
+    an empty (schema-correct) frame for v==v, and a hard error when
+    the chain is not append-only (overwrite) between the versions."""
+    import pytest
+
+    from cubert_spark.catalog import tx_commit
+    from cubert_spark.plans.ivm import tx_delta
+
+    p = str(tmp_path / "t")
+    tx_commit(spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    tx_commit(spark.createDataFrame([(2, "b")], "k long, v string"), p)
+    tx_commit(spark.createDataFrame([(3, "c")], "k long, v string"), p)
+
+    d12 = tx_delta(spark, p, 1, 2)
+    assert sorted(map(tuple, d12.collect())) == [(2, "b")]
+    d13 = tx_delta(spark, p, 1)  # to head
+    assert sorted(map(tuple, d13.collect())) == [(2, "b"), (3, "c")]
+    d33 = tx_delta(spark, p, 3, 3)
+    assert d33.count() == 0 and d33.columns == ["k", "v"]
+
+    tx_commit(
+        spark.createDataFrame([(9, "z")], "k long, v string"), p, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="not append-only"):
+        tx_delta(spark, p, 1, 4)
+
+
+def test_maintain_join_tx_equals_recompute(spark, tmp_path):
+    """maintain_join_tx from two tx logs == direct recompute of the
+    join at the heads (the IVM contract), with j_old taken at v1/v1."""
+    from cubert_spark.catalog import tx_commit, tx_read
+    from cubert_spark.plans.ivm import maintain_join_tx
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    tx_commit(spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string"), pa)
+    tx_commit(spark.createDataFrame([(3, "a3")], "k long, av string"), pa)
+    tx_commit(spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string"), pb)
+    tx_commit(spark.createDataFrame([(2, "b2"), (3, "b3d")], "k long, bv string"), pb)
+
+    j_old = tx_read(spark, pa, version=1).join(tx_read(spark, pb, version=1), ["k"])
+    got = sorted(
+        map(tuple, maintain_join_tx(spark, j_old, pa, pb, ["k"], 1, 1).collect())
+    )
+    want = sorted(
+        map(tuple, tx_read(spark, pa).join(tx_read(spark, pb), ["k"]).collect())
+    )
+    assert got == want and len(got) == 4
