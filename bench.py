@@ -240,6 +240,14 @@ BENCH_QUERIES = [
     "gopher_repetition",
     # r13 batch 8: RefinedWeb line-wise corrections (pure codegen scan)
     "refinedweb_lines",
+    # r14: Unicode NFC pass (Arrow mapInPandas — the one justified
+    # Python kernel in the text tier; stdout-excluded, see below)
+    "unicode_nfc",
+    # r14 batch 2: best-fit-decreasing packing (per-shard greedy in
+    # applyInPandas) and margin-based pair mining (DECIMAL pair
+    # matrix + rank-ordered folds) — both stdout-excluded
+    "bestfit_pack",
+    "margin_align",
 ]
 
 #: Declared rows benched but kept OUT of the one-line stdout map: the
@@ -250,7 +258,11 @@ BENCH_QUERIES = [
 #: tier as its ground truth); their mins/medians/spreads live in
 #: BENCH_DETAIL.json and their time counts in "value", exactly like
 #: the _EXTRA/folded twins.
-STDOUT_EXCLUDE = {"semantic_dedup_prod"}
+#: r14 on: the stdout map is frozen at the 89-row v6 set — NEW bench
+#: rows land here (full record in BENCH_DETAIL.json) instead of
+#: degrading every row to the integer rung.
+STDOUT_EXCLUDE = {"semantic_dedup_prod", "unicode_nfc", "bestfit_pack",
+                  "margin_align"}
 
 
 #: The driver records the LAST ~2000 chars of combined output and the

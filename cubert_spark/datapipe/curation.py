@@ -265,6 +265,101 @@ def sequence_pack(
     return packed.select(id_col, "n_tokens", "start_offset", "start_bin", "end_bin")
 
 
+def bestfit_pack(
+    df: DataFrame,
+    capacity: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "bfd",
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing (public: Ding et al. 2024,
+    "Fewer Truncations Improve Language Modeling", best-fit packing):
+    instead of concatenating documents and cutting at ``capacity``
+    boundaries (sequence_pack above — which truncates ~straddling
+    documents), assign each document WHOLE to the open bin with the
+    smallest residual capacity that still fits it, visiting documents
+    longest-first. No document is ever split; bins are context
+    windows with only padding waste.
+
+    Deterministic spelling of the paper's greedy: within a shard,
+    visit docs by (n_tokens DESC, id ASC); a doc goes to the bin with
+    the MINIMUM residual >= its length (ties -> the earliest-opened
+    bin), else opens a new bin. A doc LONGER than ``capacity`` opens
+    its own bin whose residual goes negative and never fits anything
+    else — it gets a private bin, un-truncated, flagged ``oversize``
+    (chunk upstream via chunk_documents if that matters). Every step
+    is integer arithmetic on a residual list, so a recursive-CTE SQL
+    oracle replays the fold bit-for-bit.
+
+    Scale shape (100 TB): true global BFD is sequential, so the
+    corpus is sharded by the content hash (hash16(id, salt) mod
+    ``n_shards`` — the token_budget_select move) and BFD runs
+    INDEPENDENTLY per shard inside one Arrow-batched applyInPandas
+    pass: one shuffle on the shard key, bounded per-task state, zero
+    driver involvement. Packing quality degrades only by the shard
+    boundary effect (each shard wastes at most one bin's tail), which
+    vanishes as shards grow; the paper itself packs within chunks.
+    Set ``n_shards`` so |corpus| / n_shards stays comfortably in one
+    task's memory (the per-doc state is one int).
+
+    Output: (id, n_tokens, shard, bin, oversize) — bin is the 0-based
+    bin index WITHIN the shard; (shard, bin) is the global window key.
+    """
+    from collections.abc import Iterator  # noqa: F401 (parallel to peers)
+
+    import pandas as pd
+
+    from cubert_spark.datapipe.dedup import _spread
+    from cubert_spark.datapipe.sampling import hash16
+
+    if capacity < 1 or n_shards < 1:
+        raise ValueError("bestfit_pack: capacity and n_shards must be >= 1")
+    toks = _spread(df, id_col).select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (hash16(F.col(id_col), salt) % n_shards).alias("shard"),
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        resid: list[int] = []
+        bins: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            best_i = -1
+            for i, r in enumerate(resid):
+                # best fit: smallest residual that still fits; ties
+                # resolve to the EARLIEST bin because strict <
+                if r >= n and (best_i < 0 or r < resid[best_i]):
+                    best_i = i
+            if best_i < 0:
+                resid.append(capacity - n)
+                bins.append(len(resid) - 1)
+            else:
+                resid[best_i] -= n
+                bins.append(best_i)
+        pdf["bin"] = pd.Series(bins, dtype="int32")
+        pdf["oversize"] = pdf["n_tokens"] > capacity
+        return pdf
+
+    return (
+        toks.groupBy("shard")
+        .applyInPandas(
+            kernel,
+            schema=(
+                f"{id_col} long, n_tokens bigint, shard int, "
+                "bin int, oversize boolean"
+            ),
+        )
+        .select(id_col, "n_tokens", "shard", "bin", "oversize")
+    )
+
+
 #: (pattern, replacement) chain for normalize_text — module-level so
 #: the DuckDB oracle folds the IDENTICAL patterns (both engines'
 #: regex dialects — Java and RE2 — agree on this subset: character
@@ -299,6 +394,91 @@ def normalize_text(
         out.alias("clean_text"),
         F.length(text_col).cast("int").alias("n_chars_before"),
         F.length(out).cast("int").alias("n_chars_after"),
+    )
+
+
+def unicode_nfc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fix_mojibake: bool = False,
+) -> DataFrame:
+    """Unicode NFC normalization (Unicode Standard Annex #15 —
+    public): compose decomposed sequences (e + U+0301 -> é), map
+    singleton compatibility points that NFC covers (U+212B ANGSTROM
+    SIGN -> Å), compose Hangul jamo — the canonicalization pass crawl
+    pipelines (CCNet lineage; ftfy, R. Speer 2019, is the public
+    tool) run before hashing/dedup so byte-different spellings of the
+    SAME text stop defeating exact dedup. normalize_text (above)
+    covers the whitespace/control tier; this covers the codepoint
+    tier Spark has no builtin for.
+
+    Determinism: NFC is fully specified by the Unicode character
+    database — Python's unicodedata and DuckDB's utf8proc agree
+    bit-for-bit on assigned codepoints (pinned in
+    tests/test_datapipe.py over composed/decomposed/singleton/jamo
+    cases), so the output is oracle-replayable via nfc_normalize().
+
+    ``fix_mojibake=True`` prepends the classic double-encoding repair
+    (UTF-8 bytes read as Latin-1, ftfy's core heuristic, simplified):
+    re-encode to Latin-1 and re-decode as UTF-8 IF that round-trips
+    cleanly AND strictly shrinks the text (a real repair always does:
+    each mojibake char pair collapses to one codepoint) — pytest-
+    pinned, not oracle-declared (the heuristic is a Python-side
+    detour DuckDB cannot replay).
+
+    Scale shape (100 TB): zero shuffles — one Arrow-batched
+    mapInPandas projection; Python is unavoidable here (no JVM NFC
+    builtin) but it is the vectorized batch path, never per-row UDF
+    dispatch. Output: (id, nfc_text, changed, n_cp_before,
+    n_cp_after) — codepoint counts, so the delta is the number of
+    compositions applied."""
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _repair(t: str) -> str:
+        try:
+            fixed = t.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return t
+        return fixed if len(fixed) < len(t) else t
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    rows.append(
+                        {
+                            id_col: int(i),
+                            "nfc_text": None,
+                            "changed": None,
+                            "n_cp_before": None,
+                            "n_cp_after": None,
+                        }
+                    )
+                    continue
+                t = _repair(text) if fix_mojibake else text
+                n = unicodedata.normalize("NFC", t)
+                rows.append(
+                    {
+                        id_col: int(i),
+                        "nfc_text": n,
+                        "changed": n != text,
+                        "n_cp_before": len(text),
+                        "n_cp_after": len(n),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, nfc_text string, changed boolean, "
+            "n_cp_before int, n_cp_after int"
+        ),
     )
 
 

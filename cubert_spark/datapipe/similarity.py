@@ -1579,3 +1579,126 @@ def prototype_prune(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def margin_align(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_x: int | None = 100_000,
+    known_x_count: int | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining over two embedding sides
+    (public: Artetxe & Schwenk 2019, "Margin-based Parallel Corpus
+    Mining with Multilingual Sentence Embeddings", ratio margin;
+    scaled up as CCMatrix, Schwenk et al. 2021) — the alignment stage
+    multilingual pretraining corpora are built with: a pair (x, y) is
+    kept when it is the MUTUAL margin-best match and its margin
+
+        margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)
+
+    clears the threshold, where avg_k is the mean cosine of the
+    side's k nearest neighbors on the OTHER side — the normalization
+    that fixes the hubness problem raw cosine thresholds have.
+
+    Determinism doctrine: cosines are DECIMAL-exact; each avg_k folds
+    exactly k cosines in RANK order (bit-identical doubles rank
+    identically in both engines) then divides by the literal k —
+    fixed-order float adds + one correctly-rounded divide, so margins
+    and the kept pair set replay bit-for-bit in the DuckDB oracle.
+    Ties (equal cosine / equal margin) break by neighbor id.
+
+    Scale shape: this exact tier scores |X| x |Y| pairs — the
+    ``max_x`` guard RAISES rather than melt down at corpus scale
+    (the cosine_topk contract). At 100 TB the production spelling
+    swaps the exact pair stage for the bucketed ANN tiers (ivf_topk /
+    lsh_bucketed_topk) to generate candidates + top-k lists; the
+    margin arithmetic and the mutual-best rule are unchanged — they
+    consume (x, y, cos, rank) from ANY neighbor source.
+
+    Output: (x_id, y_id, cos, margin) for kept pairs.
+    """
+    from pyspark.sql import Window
+
+    _guard_small_query_side(x_df, max_x, "margin_align", known_x_count)
+    x = F.broadcast(
+        x_df.select(
+            F.col(id_col).alias("x_id"),
+            F.col(vec_col).alias("__xv"),
+            F.sqrt(_dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))).alias(
+                "__xn"
+            ),
+        )
+    )
+    y = y_df.select(
+        F.col(id_col).alias("y_id"),
+        F.col(vec_col).alias("__yv"),
+        F.sqrt(_dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))).alias(
+            "__yn"
+        ),
+    )
+    pairs = x.crossJoin(y).select(
+        "x_id",
+        "y_id",
+        (
+            _dec2dbl(_dot_decimal(F.col("__xv"), F.col("__yv")))
+            / (F.col("__xn") * F.col("__yn"))
+        ).alias("cos"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.col("cos").desc(), F.col("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.col("cos").desc(), F.col("x_id"))
+    ranked = pairs.select(
+        "x_id",
+        "y_id",
+        "cos",
+        F.row_number().over(wx).alias("__rx"),
+        F.row_number().over(wy).alias("__ry"),
+    )
+
+    def _avg_k(side: str, rk: str) -> DataFrame:
+        # fold the k neighbor cosines in RANK order (sort_array on the
+        # (rank, cos) struct pins it), then one divide by the literal
+        # k — the fixed-order float fold both engines replay
+        folded = (
+            ranked.filter(F.col(rk) <= k)
+            .groupBy(side)
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(rk), F.col("cos")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["cos"],
+                ).alias("__s")
+            )
+        )
+        return folded.select(side, (F.col("__s") / F.lit(float(k))).alias(f"__avg_{side}"))
+
+    ax = _avg_k("x_id", "__rx")
+    ay = _avg_k("y_id", "__ry")
+    scored = (
+        ranked.join(F.broadcast(ax), "x_id")
+        .join(F.broadcast(ay), "y_id")
+        .withColumn(
+            "margin",
+            F.col("cos") / ((F.col("__avg_x_id") + F.col("__avg_y_id")) / F.lit(2.0)),
+        )
+    )
+    mx = Window.partitionBy("x_id").orderBy(F.col("margin").desc(), F.col("y_id"))
+    my = Window.partitionBy("y_id").orderBy(F.col("margin").desc(), F.col("x_id"))
+    best = (
+        scored.select(
+            "x_id",
+            "y_id",
+            "cos",
+            "margin",
+            F.row_number().over(mx).alias("__bx"),
+            F.row_number().over(my).alias("__by"),
+        )
+        .filter((F.col("__bx") == 1) & (F.col("__by") == 1))
+        .filter(F.col("margin") >= float(margin_threshold))
+    )
+    return best.select("x_id", "y_id", "cos", "margin")

@@ -3443,6 +3443,180 @@ FROM a
 SQL_GOPHER_REPETITION = _gopher_repetition_oracle()
 
 
+def q_margin_align(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based parallel-pair mining (similarity.margin_align,
+    Artetxe & Schwenk 2019 / CCMatrix): the embeddings table splits
+    into two 'languages' by vec_id parity; pairs are kept when
+    mutually margin-best and above threshold 1.0. DECIMAL-exact
+    cosines + rank-ordered k=4 neighborhood folds, so margins and the
+    kept set replay bit-for-bit; output rounded to 9 places (the
+    lsh_ann_exact convention)."""
+    e = load_table(spark, sf, "embeddings")
+    x = e.filter(F.col("vec_id") % 2 == 0)
+    y = e.filter(F.col("vec_id") % 2 == 1)
+    out = similarity.margin_align(
+        x, y, k=4, margin_threshold=1.0, max_x=None
+    )
+    return _round9(out, "cos", "margin")
+
+
+SQL_MARGIN_ALIGN = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM e, LATERAL UNNEST(v) AS t(x)
+  GROUP BY vec_id, v
+),
+pairs AS (
+  SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+         CAST(CAST(SUM(CAST(a.v[i] * b.v[i] AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+           / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1,
+       LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id, a.nrm, b.nrm
+),
+rx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS r
+  FROM pairs
+),
+ry AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS r
+  FROM pairs
+),
+ax AS (
+  SELECT x_id, list_reduce(list(cos ORDER BY r), (a, b) -> a + b) / 4.0 AS avg_x
+  FROM rx WHERE r <= 4 GROUP BY x_id
+),
+ay AS (
+  SELECT y_id, list_reduce(list(cos ORDER BY r), (a, b) -> a + b) / 4.0 AS avg_y
+  FROM ry WHERE r <= 4 GROUP BY y_id
+),
+scored AS (
+  SELECT p.x_id, p.y_id, p.cos,
+         p.cos / ((ax.avg_x + ay.avg_y) / 2.0) AS margin
+  FROM pairs p JOIN ax USING (x_id) JOIN ay USING (y_id)
+),
+best AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+         ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS b_y
+  FROM scored
+)
+SELECT x_id, y_id, ROUND(cos, 9) AS cos, ROUND(margin, 9) AS margin
+FROM best
+WHERE bx = 1 AND b_y = 1 AND margin >= 1.0
+"""
+
+
+def q_bestfit_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-fit-decreasing packing (curation.bestfit_pack, Ding et
+    al. 2024 "Fewer Truncations"): whole-document bin assignment,
+    longest-first, smallest-fitting-residual bin wins — sharded by
+    content hash so the greedy runs distributed. capacity=256 makes
+    the synthetic docs (10-99 tokens) pack 3-6 per bin, so the
+    best-fit CHOICE is exercised, not just bin-opening. The oracle
+    replays the per-shard fold with a recursive CTE over a residual
+    LIST — every step is integer arithmetic, bit-replayable."""
+    d = load_table(spark, sf, "documents")
+    return curation.bestfit_pack(d, capacity=256, n_shards=16)
+
+
+SQL_BESTFIT_PACK = f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST({_hash16_sql('doc_id', 'bfd')} % 16 AS INT) AS shard
+  FROM documents
+),
+ordd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM t
+),
+st AS (
+  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS resid,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS INT) AS bin
+  FROM (SELECT DISTINCT shard FROM ordd)
+  UNION ALL
+  SELECT o.shard, o.rn,
+         CASE WHEN list_min(list_filter(p.resid, r -> r >= o.n_tokens)) IS NULL
+              THEN list_append(p.resid, 256 - o.n_tokens)
+              ELSE list_transform(range(1, len(p.resid) + 1),
+                     i -> CASE WHEN i = list_position(p.resid,
+                              list_min(list_filter(p.resid, r -> r >= o.n_tokens)))
+                          THEN p.resid[i] - o.n_tokens ELSE p.resid[i] END)
+         END,
+         o.doc_id, o.n_tokens,
+         CASE WHEN list_min(list_filter(p.resid, r -> r >= o.n_tokens)) IS NULL
+              THEN len(p.resid)
+              ELSE list_position(p.resid,
+                     list_min(list_filter(p.resid, r -> r >= o.n_tokens))) - 1
+         END
+  FROM st p JOIN ordd o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, shard, CAST(bin AS INT) AS bin,
+       n_tokens > 256 AS oversize
+FROM st WHERE rn >= 1
+"""
+
+
+def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization (curation.unicode_nfc, UAX #15). The
+    synthetic corpus is ASCII (NFC would be a no-op), so the query
+    decorates documents with doc_id-keyed NFC-ACTIVE sequences — a
+    decomposed accent (e + U+0301), the U+212B Angstrom singleton,
+    Hangul jamo (L+V+T), a combining ring (A + U+030A) — the
+    gopher_repetition structured-injection idiom. Both engines build
+    the identical decorated input and normalize it; nfc_text, the
+    changed flag, and the codepoint deltas all hash-compare, so a
+    composition-table disagreement or a kernel bug flips the row red."""
+    d = load_table(spark, sf, "documents")
+    # escape-spelled DECOMPOSED forms (a raw composed glyph here would
+    # silently desynchronize the decoration from the oracle's chr()
+    # build if any tool NFC-normalizes the source file)
+    deco = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" cafe\u0301")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" \u212Bngstrom")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" \u1100\u1161\u11A8")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" A\u030Arhus")).otherwise(
+            F.lit("")
+        ),
+    )
+    return curation.unicode_nfc(d.withColumn("text", deco))
+
+
+SQL_UNICODE_NFC = """
+WITH dec AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' caf' || 'e' || chr(769) ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' ' || chr(8491) || 'ngstrom' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ' || chr(4352) || chr(4449) || chr(4520) ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' A' || chr(778) || 'rhus' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) AS nfc_text,
+       nfc_normalize(t) != t AS changed,
+       CAST(length(t) AS INT) AS n_cp_before,
+       CAST(length(nfc_normalize(t)) AS INT) AS n_cp_after
+FROM dec
+"""
+
+
 def q_refinedweb_lines(spark: SparkSession, sf: str) -> DataFrame:
     """RefinedWeb line-wise corrections (curation.refinedweb_lines,
     Penedo et al. 2023 §3.1.3 + G.2): social-media counters,
@@ -3549,6 +3723,9 @@ QUERIES = {
     "decontaminate_spans": q_decontaminate_spans,
     "gopher_repetition": q_gopher_repetition,
     "refinedweb_lines": q_refinedweb_lines,
+    "unicode_nfc": q_unicode_nfc,
+    "margin_align": q_margin_align,
+    "bestfit_pack": q_bestfit_pack,
     "hard_negatives": q_hard_negatives,
     "neardup_ingest": q_neardup_ingest,
     "dedup_exact": q_dedup_exact,
@@ -3644,6 +3821,9 @@ ORACLES = {
     "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "refinedweb_lines": SQL_REFINEDWEB_LINES,
+    "unicode_nfc": SQL_UNICODE_NFC,
+    "margin_align": SQL_MARGIN_ALIGN,
+    "bestfit_pack": SQL_BESTFIT_PACK,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neardup_ingest": SQL_NEARDUP_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -4049,3 +4049,183 @@ def test_temperature_mix_null_source_rows_kept(spark):
     assert counts["web"] < 100
     # schema unchanged: no helper columns leak
     assert out.columns == df.columns
+
+
+def test_unicode_nfc_composes_and_counts(spark):
+    """unicode_nfc: decomposed accents, the U+212B singleton, and
+    Hangul jamo all compose; ASCII is untouched (changed=False); the
+    codepoint delta equals the number of compositions; NULL text
+    propagates as a NULL row. Cross-engine pin: DuckDB's
+    nfc_normalize agrees bit-for-bit on every case."""
+    import duckdb
+
+    from cubert_spark.datapipe import curation
+
+    rows = [
+        (1, "café plain"),            # e + combining acute
+        (2, "Ångstrom"),               # Angstrom singleton -> U+00C5
+        (3, "각 jamo"),     # L+V+T -> U+AC01
+        (4, "plain ascii"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in curation.unicode_nfc(df).collect()}
+    assert got[1]["nfc_text"] == "café plain" and got[1]["changed"]
+    assert got[1]["n_cp_before"] - got[1]["n_cp_after"] == 1
+    assert got[2]["nfc_text"] == "Ångstrom" and got[2]["changed"]
+    assert got[2]["n_cp_before"] == got[2]["n_cp_after"]  # singleton swap
+    assert got[3]["nfc_text"] == "각 jamo"
+    assert got[3]["n_cp_before"] - got[3]["n_cp_after"] == 2
+    assert got[4]["nfc_text"] == "plain ascii" and not got[4]["changed"]
+    assert got[5]["nfc_text"] is None and got[5]["changed"] is None
+    con = duckdb.connect()
+    for i, t in rows[:4]:
+        assert (
+            con.execute("select nfc_normalize(?)", [t]).fetchone()[0]
+            == got[i]["nfc_text"]
+        )
+
+
+def test_unicode_nfc_mojibake_tier(spark):
+    """fix_mojibake=True repairs the classic UTF-8-read-as-Latin-1
+    double encoding (ftfy's core case) and leaves clean text alone;
+    the repair only fires when the Latin-1 round-trip SHRINKS the
+    text, so ordinary accented text never false-positives."""
+    from cubert_spark.datapipe import curation
+
+    mojibake = "cafÃ©"  # 'café' UTF-8 bytes read as Latin-1
+    rows = [(1, mojibake), (2, "café ok"), (3, "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.unicode_nfc(df, fix_mojibake=True).collect()
+    }
+    assert got[1]["nfc_text"] == "café" and got[1]["changed"]
+    assert got[2]["nfc_text"] == "café ok" and not got[2]["changed"]
+    assert got[3]["nfc_text"] == "plain" and not got[3]["changed"]
+
+
+def test_bestfit_pack_no_truncation_and_best_fit_choice(spark):
+    """bestfit_pack (Ding et al. 2024): every document lands WHOLE in
+    exactly one bin (no straddling — the property sequence_pack lacks
+    by design); the best-fit rule picks the smallest fitting residual
+    with ties to the earliest bin; an oversize doc opens a private
+    bin that never accepts another member."""
+    from cubert_spark.datapipe import curation
+
+    # one shard (n_shards=1) so the greedy order is fully visible:
+    # lengths desc: 90, 60, 50, 40, 30 with capacity 100 ->
+    #   90 -> bin0 (resid 10); 60 -> bin1 (40); 50 -> bin2 (50);
+    #   40 -> bin1 (best fit: resid 40 < 50); 30 -> bin2 (resid 20)
+    rows = [
+        (1, " ".join(["w"] * 90)),
+        (2, " ".join(["w"] * 60)),
+        (3, " ".join(["w"] * 50)),
+        (4, " ".join(["w"] * 40)),
+        (5, " ".join(["w"] * 30)),
+        (6, " ".join(["w"] * 130)),  # oversize
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.bestfit_pack(df, capacity=100, n_shards=1).collect()
+    }
+    # greedy order is 130, 90, 60, 50, 40, 30
+    assert got[6]["bin"] == 0 and got[6]["oversize"]
+    assert got[1]["bin"] == 1
+    assert got[2]["bin"] == 2
+    assert got[3]["bin"] == 3
+    assert got[4]["bin"] == 2  # best fit: resid 40 over bin3's 50
+    assert got[5]["bin"] == 3  # resid 20... bin3 resid 50 -> 20
+    # nothing shares the oversize doc's bin
+    assert sum(1 for v in got.values() if v["bin"] == 0) == 1
+    # per-bin loads never exceed capacity except the oversize single
+    from collections import defaultdict
+
+    loads = defaultdict(int)
+    for v in got.values():
+        loads[v["bin"]] += v["n_tokens"]
+    assert all(l <= 100 for b, l in loads.items() if b != 0)
+
+
+def test_bestfit_pack_is_partition_independent(spark):
+    """The shard hash (not arrival order) drives assignment: the same
+    corpus repartitioned arbitrarily packs identically."""
+    from cubert_spark.datapipe import curation
+
+    rows = [(i, " ".join(["w"] * (10 + (i * 7) % 90))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        map(tuple, curation.bestfit_pack(df, capacity=128, n_shards=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            curation.bestfit_pack(
+                df.repartition(13), capacity=128, n_shards=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_margin_align_mutual_best_and_hubness(spark):
+    """margin_align (Artetxe & Schwenk 2019): a planted translation
+    pair with the highest mutual cosine is mined; a HUB vector that
+    is everyone's near-neighbor is demoted by the margin
+    normalization (its avg_k is high, so its margin stays ~1) while
+    the planted pair's margin clears the threshold; output is
+    deterministic under repartitioning."""
+    from cubert_spark.datapipe import similarity
+
+    dim = 8
+
+    def v(*idx, scale=1.0):
+        out = [0.0] * dim
+        for i in idx:
+            out[i] = scale
+        return out
+
+    # x side (even ids): x0 aligned with y1; x2/x4 point at the hub axis
+    # y side (odd ids): y1 is x0's pair; y3 is a hub (moderate cos to all)
+    rows = [
+        (0, v(0, 1)),            # x0 ~ y1
+        (2, v(2, 7)),
+        (4, v(3, 7)),
+        (1, v(0, 1)),            # y1 == x0 direction (planted pair)
+        (3, v(7)),               # hub: shares axis 7 with x2, x4
+        (5, v(4)),
+        (7, v(5)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = df.filter(F.col("vec_id") % 2 == 0)
+    y = df.filter(F.col("vec_id") % 2 == 1)
+    out = {
+        (r["x_id"], r["y_id"]): r["margin"]
+        for r in similarity.margin_align(
+            x, y, k=2, margin_threshold=1.0, max_x=None
+        ).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] > 1.0
+    # determinism under repartition
+    out2 = {
+        (r["x_id"], r["y_id"]): r["margin"]
+        for r in similarity.margin_align(
+            x.repartition(5), y.repartition(3), k=2, margin_threshold=1.0,
+            max_x=None,
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_margin_align_guard_raises_on_huge_x(spark):
+    from cubert_spark.datapipe import similarity
+
+    x = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 4).alias("embedding"),
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="margin_align"):
+        similarity.margin_align(x, x, max_x=10).collect()

@@ -1,0 +1,92 @@
+"""gen10 oracle parity for PER-DOCUMENT operators via CHUNKED DuckDB
+replay (r14, VERDICT r13 task 3).
+
+gopher_repetition's gen10 DuckDB replay (8x gram explode over 500k
+docs) exceeds any reasonable measurement window as ONE statement —
+but the operator is doc-local (every output row depends only on its
+own document), so the replay partitions EXACTLY: run the same oracle
+SQL over doc_id-modulus shards of the documents view, concatenate,
+and canonicalize. The Spark side runs ONCE over the full corpus; the
+comparison is the driver's own dtype-sensitive sorted row-hash
+multiset (oracle._canon_pdf/_hash_frame), so a MATCH here is the same
+claim as a CORRECTNESS row, just assembled from shard replays.
+
+Soundness: valid ONLY for queries whose output is a pure per-row
+function of one `documents` row (no cross-document aggregates/joins).
+gopher_repetition qualifies: all 13 signals are within-document.
+
+Usage: PYTHONPATH=/root/repo python3 tools/gen10_chunked_parity.py \
+          --sf-dir /tmp/gen_sf10 --query gopher_repetition --chunks 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--query", default="gopher_repetition")
+    ap.add_argument("--chunks", type=int, default=10)
+    ap.add_argument("--cpus", default="16")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", args.cpus)
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", args.cpus)
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from cubert_spark import get_session
+    from cubert_spark.oracle import _canon_pdf, _dtype_kind, _hash_frame
+    from cubert_spark.queries import all_oracles, all_queries
+
+    spark = get_session(
+        "gen10-chunked", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    t0 = time.time()
+    spdf = all_queries()[args.query](spark, args.sf_dir).toPandas()
+    t_spark = time.time() - t0
+    print(f"spark: {len(spdf)} rows in {t_spark:.1f}s")
+
+    sql = all_oracles()[args.query]
+    doc_path = os.path.join(args.sf_dir, "documents.parquet")
+    parts = []
+    t0 = time.time()
+    for k in range(args.chunks):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{doc_path}') WHERE doc_id % {args.chunks} = {k}"
+        )
+        parts.append(con.execute(sql).df())
+        con.close()
+        print(f"  replay shard {k}: {len(parts[-1])} rows "
+              f"(t={time.time() - t0:.0f}s)")
+    dpdf = pd.concat(parts, ignore_index=True)
+    t_duck = time.time() - t0
+    print(f"duckdb chunked replay: {len(dpdf)} rows in {t_duck:.1f}s")
+
+    scanon = _canon_pdf(spdf[sorted(spdf.columns)], "spark")
+    dcanon = _canon_pdf(dpdf[sorted(dpdf.columns)], "duckdb")
+    skinds = {c: _dtype_kind(scanon[c].dtype) for c in scanon.columns}
+    dkinds = {c: _dtype_kind(dcanon[c].dtype) for c in dcanon.columns}
+    assert skinds == dkinds, f"dtype-kind mismatch: {skinds} vs {dkinds}"
+    ok = len(scanon) == len(dcanon) and np.array_equal(
+        _hash_frame(scanon), _hash_frame(dcanon)
+    )
+    print(
+        f"{args.query} @ {args.sf_dir}: "
+        f"{'MATCH' if ok else 'MISMATCH'} "
+        f"({len(scanon)} rows; spark {t_spark:.1f}s, "
+        f"replay {t_duck:.1f}s over {args.chunks} shards)"
+    )
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
