@@ -444,6 +444,10 @@ _LINT_ALLOWED = {
     # same contract shape (r14): exact-vs-production agreement stats
     # via 1-row count crossJoin(broadcast)s
     "semantic_dedup_prod": ("pairs",),
+    # exact pair-matrix tier (r14): |X| x |Y| broadcast cross join is
+    # the operator's documented exact shape, guarded by max_x; the
+    # 100 TB spelling swaps in ANN candidates (docstring)
+    "margin_align": ("pairs",),
     # per-column 1-row stats crossJoin(broadcast) + <=10-row
     # post-limit rank
     "skew_profile": ("pairs", "unpartitioned window"),
@@ -835,6 +839,9 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "semantic_dedup_prod": "broadcast sides = k fixed cluster centroids "
                            "+ 1-row agreement-count stats (the recall-"
                            "contract shape; corpus-independent)",
+    "margin_align": "broadcast sides = the guarded X side (max_x raises "
+                    "at scale; ANN tiers replace the exact pair matrix "
+                    "at 100 TB) + per-side avg_k tables",
     "bloom_prune": "broadcast side = fixed-width bloom bitmap (size set "
                    "by n_bits, not by the corpus)",
     "mixture_sample": "broadcast sides = per-dataset weight/stat table "
