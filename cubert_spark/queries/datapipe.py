@@ -3446,13 +3446,16 @@ SQL_GOPHER_REPETITION = _gopher_repetition_oracle()
 def q_margin_align(spark: SparkSession, sf: str) -> DataFrame:
     """Margin-based parallel-pair mining (similarity.margin_align,
     Artetxe & Schwenk 2019 / CCMatrix): the embeddings table splits
-    into two 'languages' by vec_id parity; pairs are kept when
+    into two 'languages' by vec_id parity, with the X side bounded to
+    ids < 100 (the q_ivf_topk query-set convention — keeps the pair
+    matrix LINEAR in SF so the row benches sanely; the operator's own
+    max_x guard covers unbounded callers); pairs are kept when
     mutually margin-best and above threshold 1.0. DECIMAL-exact
     cosines + rank-ordered k=4 neighborhood folds, so margins and the
     kept set replay bit-for-bit; output rounded to 9 places (the
     lsh_ann_exact convention)."""
     e = load_table(spark, sf, "embeddings")
-    x = e.filter(F.col("vec_id") % 2 == 0)
+    x = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 100))
     y = e.filter(F.col("vec_id") % 2 == 1)
     out = similarity.margin_align(
         x, y, k=4, margin_threshold=1.0, max_x=None
@@ -3472,7 +3475,7 @@ pairs AS (
   SELECT a.vec_id AS x_id, b.vec_id AS y_id,
          CAST(CAST(SUM(CAST(a.v[i] * b.v[i] AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
            / (a.nrm * b.nrm) AS cos
-  FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1,
+  FROM n a JOIN n b ON a.vec_id % 2 = 0 AND a.vec_id < 100 AND b.vec_id % 2 = 1,
        LATERAL UNNEST(range(1, {_EMB_DIM + 1})) AS t(i)
   GROUP BY a.vec_id, b.vec_id, a.nrm, b.nrm
 ),
