@@ -106,6 +106,12 @@ HEAVY = {
     # r13 batch 6: |tokens|-row gram explode + bench join + interval
     # fold (the duplicate_spans cost class — expect ~linear)
     "decontaminate_spans": "documents",
+    # r14: Arrow NFC kernel (zero shuffles — expect ~linear in chars),
+    # per-shard BFD greedy (one shard shuffle + bounded kernel state),
+    # and the bounded-X margin miner (|X| fixed -> ~linear in |Y|)
+    "unicode_nfc": "documents",
+    "bestfit_pack": "documents",
+    "margin_align": "embeddings",
     # r13 batch 7: ~9x token explode + keyed gram counts + coverage
     # joins (the heaviest text operator — expect ~linear, watch it)
     "gopher_repetition": "documents",
