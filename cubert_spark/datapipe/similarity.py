@@ -1602,7 +1602,10 @@ def margin_align(
 
     clears the threshold, where avg_k is the mean cosine of the
     side's k nearest neighbors on the OTHER side — the normalization
-    that fixes the hubness problem raw cosine thresholds have.
+    that fixes the hubness problem raw cosine thresholds have. (When
+    a side has fewer than k counterparts the fold still divides by
+    the literal k — deterministic and mirrored by the oracle, but
+    margins inflate; pick k <= min side size, as the paper assumes.)
 
     Determinism doctrine: cosines are DECIMAL-exact; each avg_k folds
     exactly k cosines in RANK order (bit-identical doubles rank

@@ -69,6 +69,11 @@ def tx_delta(spark, path: str, from_version: int, to_version: int | None = None)
     to_v = (
         catalog.tx_versions(path)[-1] if to_version is None else to_version
     )
+    if to_v < from_version:
+        raise ValueError(
+            f"tx_delta: to_version v{to_v} precedes from_version "
+            f"v{from_version}"
+        )
     f_to = catalog.tx_files(path, to_v)
     if not f_from <= set(f_to):
         raise ValueError(

@@ -73,7 +73,10 @@ _POSREF_RE = re.compile(r"__cmr_pos_(\d+)__")
 def _resolve_positional(expr, cols: list[str]):
     """Rewrite ``__cmr_pos_N__`` placeholders to the backticked Nth
     input column (0-based, the Pig convention). Non-string or
-    placeholder-free expressions pass through untouched."""
+    placeholder-free expressions pass through untouched. (A user
+    string LITERAL spelled exactly ``__cmr_pos_N__`` would also be
+    rewritten — the placeholder is namespaced enough that this is a
+    documented non-case rather than a guarded one.)"""
     if not isinstance(expr, str) or "__cmr_pos_" not in expr:
         return expr
 
