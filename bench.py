@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     # matrix + rank-ordered folds) — both stdout-excluded
     "bestfit_pack",
     "margin_align",
+    # r14 batch 3: per-language rank cut (one group-key shuffle)
+    "adaptive_cut",
 ]
 
 #: Declared rows benched but kept OUT of the one-line stdout map: the
@@ -262,7 +264,7 @@ BENCH_QUERIES = [
 #: rows land here (full record in BENCH_DETAIL.json) instead of
 #: degrading every row to the integer rung.
 STDOUT_EXCLUDE = {"semantic_dedup_prod", "unicode_nfc", "bestfit_pack",
-                  "margin_align"}
+                  "margin_align", "adaptive_cut"}
 
 
 #: The driver records the LAST ~2000 chars of combined output and the

@@ -828,3 +828,55 @@ def repeat_upsample(
     return df.select(
         F.col(id_col), src.alias(source_col), F.explode(epochs).alias("epoch")
     )
+
+
+def adaptive_quality_cut(
+    df: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "n_chars",
+    drop_ppm: int = 300_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group adaptive quality threshold (public: Penedo et al.
+    2024, FineWeb/FineWeb-2 — per-LANGUAGE filter thresholds instead
+    of one global cutoff, because a score distribution that is
+    healthy for one language is the garbage tail of another): within
+    each group, drop the lowest-scoring ``drop_ppm`` parts-per-million
+    of rows and keep the rest.
+
+    The cut is RANK-based, not value-based: keep rows whose ascending
+    (score, id) rank exceeds floor(n_group * drop_ppm / 1e6). Pure
+    integer arithmetic — no quantile interpolation (engines disagree
+    on continuous-quantile float math), ties broken by id, so the
+    kept set is exact and engine-portable. A group never loses
+    everything: floor() guarantees at least the top row survives for
+    drop_ppm < 1e6.
+
+    Scale shape (100 TB): one shuffle on the group key; the rank is a
+    per-group window but the FILTER is rank > constant-per-group, so
+    Spark cannot group-limit it (the limit keeps the TOP, unbounded);
+    state per group is the running count — the same cost class as
+    per_group_cap's ranking. Groups are languages (hundreds, large) —
+    skew bounded by the biggest language, the same skew the corpus
+    itself has; pre-salt + two-phase rank if one language is >50% of
+    the corpus.
+
+    Output: df columns + ``grp_rank`` (1-based ascending quality rank
+    within the group) for kept rows.
+    """
+    if not 0 <= drop_ppm < 1_000_000:
+        raise ValueError(
+            f"adaptive_quality_cut: drop_ppm must be in [0, 1e6), got {drop_ppm}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = df.withColumn("grp_rank", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    # integer div, not float floor — engine-exact at any group size
+    cut = F.expr(f"(__n * CAST({int(drop_ppm)} AS BIGINT)) div 1000000")
+    return ranked.filter(F.col("grp_rank") > cut).drop("__n")

@@ -3443,6 +3443,31 @@ FROM a
 SQL_GOPHER_REPETITION = _gopher_repetition_oracle()
 
 
+def q_adaptive_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language adaptive quality cut (sampling.adaptive_quality_cut,
+    FineWeb/FineWeb-2 lineage — per-language thresholds, not one global
+    cutoff): drop the bottom 30% of each language by n_chars (rank-
+    based, ties by doc_id — pure integer logic, no quantile
+    interpolation), keep the rest with their within-language rank."""
+    d = load_table(spark, sf, "documents")
+    return sampling.adaptive_quality_cut(d, drop_ppm=300_000).select(
+        "doc_id", "lang", "n_chars", "grp_rank"
+    )
+
+
+SQL_ADAPTIVE_CUT = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS grp_rank,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(grp_rank AS BIGINT) AS grp_rank
+FROM r
+WHERE grp_rank > (n * 300000) // 1000000
+"""
+
+
 def q_margin_align(spark: SparkSession, sf: str) -> DataFrame:
     """Margin-based parallel-pair mining (similarity.margin_align,
     Artetxe & Schwenk 2019 / CCMatrix): the embeddings table splits
@@ -3728,6 +3753,7 @@ QUERIES = {
     "refinedweb_lines": q_refinedweb_lines,
     "unicode_nfc": q_unicode_nfc,
     "margin_align": q_margin_align,
+    "adaptive_cut": q_adaptive_cut,
     "bestfit_pack": q_bestfit_pack,
     "hard_negatives": q_hard_negatives,
     "neardup_ingest": q_neardup_ingest,
@@ -3826,6 +3852,7 @@ ORACLES = {
     "refinedweb_lines": SQL_REFINEDWEB_LINES,
     "unicode_nfc": SQL_UNICODE_NFC,
     "margin_align": SQL_MARGIN_ALIGN,
+    "adaptive_cut": SQL_ADAPTIVE_CUT,
     "bestfit_pack": SQL_BESTFIT_PACK,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neardup_ingest": SQL_NEARDUP_INGEST,

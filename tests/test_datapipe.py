@@ -4229,3 +4229,30 @@ def test_margin_align_guard_raises_on_huge_x(spark):
 
     with pytest.raises(Exception, match="margin_align"):
         similarity.margin_align(x, x, max_x=10).collect()
+
+
+def test_adaptive_quality_cut_per_group_rank_rule(spark):
+    """adaptive_quality_cut (FineWeb-2 per-language thresholds): each
+    group drops its own bottom drop_ppm by (score, id) rank — a group
+    whose scores would all clear another group's threshold still
+    loses its bottom fraction; floor() keeps at least the top row;
+    drop_ppm=0 keeps everything; out-of-range drop_ppm raises."""
+    import pytest
+
+    from cubert_spark.datapipe import sampling
+
+    rows = [("en", i, 100 + i) for i in range(10)] + [
+        ("fr", 100 + i, 1000 + i) for i in range(4)
+    ] + [("io", 999, 1)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars int")
+    out = sampling.adaptive_quality_cut(df, drop_ppm=300_000)
+    got = {r["doc_id"]: r["grp_rank"] for r in out.collect()}
+    # en: 10 docs, floor(3.0)=3 dropped -> ranks 4..10 survive
+    assert {d for d in got if d < 100} == {3, 4, 5, 6, 7, 8, 9}
+    # fr: 4 docs (all higher-scoring than en), floor(1.2)=1 dropped
+    assert {d for d in got if 100 <= d < 999} == {101, 102, 103}
+    # singleton group: floor(0.3)=0 dropped — survives
+    assert 999 in got and got[999] == 1
+    assert sampling.adaptive_quality_cut(df, drop_ppm=0).count() == 15
+    with pytest.raises(ValueError, match="drop_ppm"):
+        sampling.adaptive_quality_cut(df, drop_ppm=1_000_000)

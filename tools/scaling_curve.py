@@ -110,6 +110,7 @@ HEAVY = {
     # per-shard BFD greedy (one shard shuffle + bounded kernel state),
     # and the bounded-X margin miner (|X| fixed -> ~linear in |Y|)
     "unicode_nfc": "documents",
+    "adaptive_cut": "documents",
     "bestfit_pack": "documents",
     "margin_align": "embeddings",
     # r13 batch 7: ~9x token explode + keyed gram counts + coverage
