@@ -250,21 +250,65 @@ BENCH_QUERIES = [
     "margin_align",
     # r14 batch 3: per-language rank cut (one group-key shuffle)
     "adaptive_cut",
+    # r15: the production margin-mining tier (IVF candidates feeding
+    # the unchanged margin rule), benched alongside the exact row it
+    # is contracted against — its time INCLUDES one exact-tier pass
+    # (the in-query ground truth, the semantic_dedup_prod convention)
+    "margin_align_prod",
 ]
 
-#: Declared rows benched but kept OUT of the one-line stdout map: the
-#: 1-decimal rung stopped fitting the driver's ~2 KB capture window at
-#: 90 declared rows (v6 contract, test_bench_payload). Rows here are
-#: in-query CONTRACT twins whose runtime is dominated by a pass the
-#: stdout map already carries (semantic_dedup_prod re-runs the exact
-#: tier as its ground truth); their mins/medians/spreads live in
-#: BENCH_DETAIL.json and their time counts in "value", exactly like
-#: the _EXTRA/folded twins.
-#: r14 on: the stdout map is frozen at the 89-row v6 set — NEW bench
-#: rows land here (full record in BENCH_DETAIL.json) instead of
-#: degrading every row to the integer rung.
-STDOUT_EXCLUDE = {"semantic_dedup_prod", "unicode_nfc", "bestfit_pack",
-                  "margin_align", "adaptive_cut"}
+#: The r01 baseline rows (BASELINE.md §2's protocol) — the judge's
+#: vs-baseline gate compares exactly these, so they appear in EVERY
+#: round's stdout map regardless of rotation (v7). minhash_lsh_fast
+#: is r01-benched but not declared, so it lives in BENCH_DETAIL only.
+BASELINE_PINNED = [
+    "q1_groupby_agg", "join_inner", "mesh_join", "cube_count_distinct",
+    "grouping_combos", "topn", "distinct", "sort_limit", "wordcount",
+    "minhash_lsh", "embedding_topk", "sessionize", "summary_rewrite",
+    "corpus_pipeline", "ivf_topk",
+]
+
+#: v7 (r15): the stdout map ROTATES instead of freezing (the r14
+#: STDOUT_EXCLUDE froze the external record at the 89-row v6 set, so
+#: drift on rows added after r14 was invisible to BENCH_r*.json).
+#: Each round the map carries BASELINE_PINNED plus a round-robin
+#: window of the remaining declared rows; 89 rows is the proven
+#: 1-decimal fit (v6), so every declared row reaches the external
+#: record within ceil((N - pinned) / (89 - pinned)) rounds — k=2 at
+#: the current 94-row inventory (test_bench_payload pins coverage).
+#: The rotation index is the count of committed BENCH_r*.json files:
+#: stable within a round (the driver writes BENCH_r{N} at round end),
+#: advances exactly once per round, and is replayable from git.
+MAX_STDOUT_ROWS = 87
+
+
+def _rotation_index(repo_dir: str) -> int:
+    import glob
+
+    return len(glob.glob(os.path.join(repo_dir, "BENCH_r[0-9]*.json")))
+
+
+def _rotate_stdout_rows(
+    timings: dict, declared_names: list, rot: int
+) -> dict:
+    """BASELINE_PINNED always; the rest of the declared rows via a
+    round-robin window that advances by its own width each round, so
+    consecutive rounds carry disjoint pool slices until the pool
+    wraps. Pure function of (timings, declared order, rot) so the
+    payload test can enumerate every rotation."""
+    pinned = [n for n in BASELINE_PINNED if n in timings]
+    pool = [
+        n for n in declared_names if n in timings and n not in BASELINE_PINNED
+    ]
+    width = max(0, MAX_STDOUT_ROWS - len(pinned))
+    if len(pool) <= width:
+        window = pool
+    else:
+        start = (rot * width) % len(pool)
+        window = (pool + pool)[start : start + width]
+    keep = set(pinned) | set(window)
+    # preserve BENCH_QUERIES order (timings dict is insertion-ordered)
+    return {n: v for n, v in timings.items() if n in keep}
 
 
 #: The driver records the LAST ~2000 chars of combined output and the
@@ -274,7 +318,7 @@ STDOUT_EXCLUDE = {"semantic_dedup_prod", "unicode_nfc", "bestfit_pack",
 _STDOUT_BUDGET = 1950
 
 
-def _stdout_payload(timings: dict, total: float, sf) -> str:
+def _stdout_payload(timings: dict, total: float, sf, rot: int | None = None) -> str:
     """The ONE compact stdout line. The driver's capture keeps the
     last ~2 KB of output (the full medians+runs payload truncated the
     official record in r5 AND r6, and r7's line sat at 1,929 bytes
@@ -293,7 +337,12 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
     integer seconds at 93 rows; the _EXTRA/folded twins' mins live in
     BENCH_DETAIL.json, which the total still includes). Mins are
     computed identically across versions, so cross-round min
-    comparisons remain valid via BENCH_DETAIL."""
+    comparisons remain valid via BENCH_DETAIL. 7 = the stdout map
+    ROTATES (r15): BASELINE_PINNED rows every round plus a
+    round-robin window of the rest, "rot" records the rotation index
+    so the external record is self-describing — every declared row
+    reaches some BENCH_r*.json within k=ceil(pool/width) rounds
+    instead of the r14 freeze-out."""
     import json
 
     def render(decimals: int, rows: dict, dropped: int = 0) -> str:
@@ -306,9 +355,11 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
             "value": total,
             "unit": "sec",
             "queries": q,
-            "v": 6,
+            "v": 7,
             "sf": sf,
         }
+        if rot is not None:
+            d["rot"] = rot
         if dropped:
             d["dropped"] = dropped
         return json.dumps(d, separators=(",", ":"))
@@ -333,6 +384,44 @@ def _stdout_payload(timings: dict, total: float, sf) -> str:
         if len(p) <= _STDOUT_BUDGET:
             return p
     return p  # unreachable: keep=0 renders a constant-size line
+
+
+def host_fingerprint() -> dict:
+    """~2 s single-thread CPU fingerprint recorded in BENCH_DETAIL so
+    cross-round drift can be attributed to the box, not the code
+    (r14->r15 root cause: every row — including fixed-work trivial
+    ones like wordcount — drifted ~2x with zero code changes; an
+    isolated idle re-measure landed at r01-era values, i.e. the r13
+    round sat on a faster/less-contended host. With this fingerprint
+    committed per round, the next such drift is a one-line diff
+    instead of a forensic session)."""
+    import hashlib
+    import time as _t
+
+    t0 = _t.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    pyloop = _t.perf_counter() - t0
+    data = b"x" * 1_000_000
+    t0 = _t.perf_counter()
+    for _ in range(100):
+        hashlib.md5(data).hexdigest()
+    md5_sec = _t.perf_counter() - t0
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = list(map(int, parts[1:]))
+        tot = sum(vals)
+        steal_cum_pct = round(100.0 * vals[7] / tot, 2) if tot else None
+    except (OSError, IndexError, ValueError):
+        steal_cum_pct = None
+    return {
+        "pyloop10m_sec": round(pyloop, 3),
+        "md5_100mb_sec": round(md5_sec, 3),
+        "steal_cum_pct": steal_cum_pct,
+        "loadavg_1m": os.getloadavg()[0],
+    }
 
 
 def warmup(spark, sf_dir: str) -> None:
@@ -380,6 +469,47 @@ def _regressed_rows(
         spread = (max(prev_runs[n]) - old) if n in prev_runs else 0.0
         if timings[n] > old + max(spread, 0.15 * old, 0.05):
             out.append(n)
+    return out
+
+
+#: r15 (VERDICT r14 task 2): the prev-pass-only gate RATCHETS — r14's
+#: minhash_lsh committed medians walked 3.8 -> 5.6 -> 9.1 s with
+#: quiet_pass=true at every step because each pass compared only to
+#: the one before it. The anchor gate pins each row to its BEST-EVER
+#: quiet median (BENCH_ANCHORS.json, monotone-decreasing, updated
+#: only by quiet passes) and fails quiet_pass when any row's fresh
+#: median exceeds ANCHOR_FACTOR x its anchor — no number of
+#: intermediate quiet passes can launder a slow drift past it. The
+#: 0.15 s absolute floor keeps sub-0.3 s rows from flapping on timer
+#: noise (1.5 x 0.2 s = 0.3 s is within box weather).
+ANCHOR_FACTOR = 1.5
+ANCHOR_ABS_FLOOR = 0.15
+
+
+def _anchor_regressed(medians: dict, anchors: dict, names: list) -> list:
+    """Rows whose fresh median exceeds ANCHOR_FACTOR x the pinned
+    best-ever quiet median (and the absolute floor). Pure so tests
+    can replay committed-median sequences against it."""
+    out = []
+    for n in names:
+        a = anchors.get(n)
+        if a is None or n not in medians:
+            continue
+        m = medians[n]
+        if m > ANCHOR_FACTOR * a and m > a + ANCHOR_ABS_FLOOR:
+            out.append(n)
+    return out
+
+
+def _updated_anchors(medians: dict, anchors: dict, names: list) -> dict:
+    """Fold a QUIET pass into the anchor file: existing anchors only
+    move DOWN (best-ever), new rows seed at their first quiet median.
+    Replaying r14's 3.8 -> 5.6 -> 9.1 sequence through this keeps the
+    anchor at 3.8, so the 9.1 pass fails the gate (the test pins it)."""
+    out = dict(anchors)
+    for n in names:
+        if n in medians:
+            out[n] = min(out.get(n, medians[n]), medians[n])
     return out
 
 
@@ -468,10 +598,24 @@ def main() -> None:
     # so nobody treats its medians as the official baseline.
     requeued: list[str] = []
     still_regressed: list[str] = []
+    anchor_violations: list[str] = []
     # None = the gate never ran (off-SF run, or no readable committed
     # baseline) — recording true there would make an UNVERIFIED pass
     # indistinguishable from a gate-verified quiet one
     quiet_pass: bool | None = None
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    anchors_path = os.path.join(repo_dir, "BENCH_ANCHORS.json")
+    anchors: dict = {}
+    if sf_str == "0.1" and os.path.exists(anchors_path):
+        try:
+            with open(anchors_path) as f:
+                anchors = json.load(f).get("anchors", {})
+        except (OSError, ValueError) as e:
+            print(
+                f"WARNING: {anchors_path} unreadable ({e}); anchor "
+                "gate disabled for this run",
+                file=sys.stderr,
+            )
     prev_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     prev = None
     if sf_str == "0.1" and os.path.exists(prev_path):
@@ -491,7 +635,11 @@ def main() -> None:
     if prev and isinstance(prev.get("queries"), dict):
         pq, pr = prev["queries"], prev.get("runs", {})
         shared = [n for n in BENCH_QUERIES if n in pq]
-        requeued = _regressed_rows(timings, pq, pr, shared)
+        requeued = sorted(
+            set(_regressed_rows(timings, pq, pr, shared))
+            | set(_anchor_regressed(medians, anchors, BENCH_QUERIES)),
+            key=BENCH_QUERIES.index,
+        )
         for name in requeued:
             fn = queries.get(name) or _extra[name]
             extra_runs = [_timed_run(fn) for _ in range(2)]
@@ -501,15 +649,25 @@ def main() -> None:
                 f"extra_runs={extra_runs}",
                 file=sys.stderr,
             )
-        still_regressed = _regressed_rows(timings, pq, pr, requeued)
-        quiet_pass = len(still_regressed) <= max(4, round(0.15 * len(shared)))
+        still_regressed = _regressed_rows(
+            timings, pq, pr, [n for n in requeued if n in pq]
+        )
+        anchor_violations = _anchor_regressed(medians, anchors, requeued)
+        quiet_pass = (
+            len(still_regressed) <= max(4, round(0.15 * len(shared)))
+            and not anchor_violations
+        )
         if not quiet_pass:
             print(
                 f"# LOADED PASS: {len(still_regressed)}/{len(shared)} rows "
                 f"regressed beyond prior spread after requeue "
-                f"({still_regressed}) — do NOT commit this "
+                f"({still_regressed}); anchor violations (median > "
+                f"{ANCHOR_FACTOR}x best-ever quiet median): "
+                f"{anchor_violations} — do NOT commit this "
                 "BENCH_DETAIL.json as the official medians; re-run on "
-                "a quiet machine.",
+                "a quiet machine (or, for a named environment change "
+                "recorded in SCALE.md, re-pin anchors with "
+                "SPARK_GRAFT_REBASE_ANCHORS=1).",
                 file=sys.stderr,
             )
 
@@ -532,12 +690,14 @@ def main() -> None:
     # whose time still counts in "value") buys the 1-decimal rung
     # back with ~400 bytes of margin. Everything else goes to
     # BENCH_DETAIL.json next to this script (committed per-round).
-    stdout_rows = {
-        n: v
-        for n, v in timings.items()
-        if n in queries and n not in STDOUT_EXCLUDE
-    }
-    payload = _stdout_payload(stdout_rows, total, sf)
+    rot = _rotation_index(repo_dir)
+    declared_order = [n for n in BENCH_QUERIES if n in queries]
+    stdout_rows = _rotate_stdout_rows(
+        {n: v for n, v in timings.items() if n in queries},
+        declared_order,
+        rot,
+    )
+    payload = _stdout_payload(stdout_rows, total, sf, rot=rot)
     detail = {
         "metric": "bench_total_wall_sec",
         "value": total,
@@ -549,10 +709,46 @@ def main() -> None:
         "n_runs_per_query": n_runs,
         "requeued": requeued,
         "still_regressed": still_regressed,
+        "anchor_violations": anchor_violations,
         "quiet_pass": quiet_pass,
-        "bench_schema_version": 6,
+        "stdout_rotation": rot,
+        "host": host_fingerprint(),
+        "bench_schema_version": 7,
         "sf": sf,
     }
+    # Anchor maintenance: ONLY a gate-verified quiet official pass may
+    # touch BENCH_ANCHORS.json, and existing anchors only move DOWN
+    # (best-ever quiet median). SPARK_GRAFT_REBASE_ANCHORS=1 re-pins
+    # every anchor to THIS pass's medians — for a named environment
+    # change recorded in SCALE.md (e.g. the r14->r15 host-placement
+    # slowdown), never for routine runs.
+    if sf_str == "0.1" and quiet_pass:
+        if os.environ.get("SPARK_GRAFT_REBASE_ANCHORS") == "1":
+            new_anchors = {n: medians[n] for n in BENCH_QUERIES if n in medians}
+            print(
+                "# ANCHOR REBASE: re-pinned all anchors to this pass "
+                "(record the named cause in SCALE.md)",
+                file=sys.stderr,
+            )
+        else:
+            new_anchors = _updated_anchors(medians, anchors, BENCH_QUERIES)
+        try:
+            with open(anchors_path, "w") as f:
+                json.dump(
+                    {
+                        "note": "best-ever QUIET official medians per row; "
+                        "written only by gate-verified quiet sf0.1 passes; "
+                        "existing entries only decrease (see bench.py "
+                        "_updated_anchors / ANCHOR_FACTOR)",
+                        "anchors": new_anchors,
+                    },
+                    f,
+                    indent=1,
+                    sort_keys=True,
+                )
+                f.write("\n")
+        except OSError as e:
+            print(f"# BENCH_ANCHORS.json write failed: {e}", file=sys.stderr)
     # Only the recorded sf0.1 protocol — AND only a pass the quietness
     # gate did not stamp loaded — overwrites the committed
     # BENCH_DETAIL.json: a quick smoke at another SF used to clobber

@@ -315,11 +315,18 @@ def bestfit_pack(
 
     if capacity < 1 or n_shards < 1:
         raise ValueError("bestfit_pack: capacity and n_shards must be >= 1")
+    # NULL text packs as a 0-token doc (r14 ADVICE): size(split(NULL))
+    # is NULL, which reached the Arrow kernel as NaN and crashed
+    # int(n) while the oracle emitted a NULL row. Convention: NULL
+    # text occupies zero capacity but keeps its id in the output (the
+    # same keep-the-row convention as mixture_sample's null-hardening),
+    # mirrored by the coalesce in SQL_BESTFIT_PACK.
     toks = _spread(df, id_col).select(
         F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
-        .cast("bigint")
-        .alias("n_tokens"),
+        F.coalesce(
+            F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_tokens"),
         (hash16(F.col(id_col), salt) % n_shards).alias("shard"),
     )
 

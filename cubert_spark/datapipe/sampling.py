@@ -423,10 +423,14 @@ def temperature_mix(
         raise ValueError(f"temperature_mix: alpha must be in [0, 1], got {alpha}")
     # NULL sources form their own deterministic group (a bare inner
     # join on source_col would silently drop them — even at alpha=1.0
-    # where every row must survive): key the count/join on a
-    # coalesced sentinel, keep the original column untouched.
-    src = F.coalesce(F.col(source_col).cast("string"), F.lit("\u0000"))
-    counts = df.groupBy(src.alias("__src")).agg(
+    # where every row must survive). r14 ADVICE: the old "\u0000"
+    # string sentinel was IN-BAND — a real source equal to the NUL
+    # string (or a non-string source whose string cast collided)
+    # silently merged with the NULL group and took its rate. groupBy
+    # already treats NULL as its own group natively, so group on the
+    # RAW column and join back null-safely (eqNullSafe) — no
+    # sentinel, no cast, no collision class at all.
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
     mn = counts.agg(F.min("__cnt").alias("__mn"))
@@ -445,8 +449,10 @@ def temperature_mix(
     )
     gate = hash16(F.col(key), salt).cast("double") < F.col("__rate") * float(_SPACE)
     return (
-        df.withColumn("__src", src)
-        .join(F.broadcast(rates), "__src")
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+        )
         .filter(gate)
         .drop("__rate", "__src")
     )
@@ -836,6 +842,8 @@ def adaptive_quality_cut(
     score_col: str = "n_chars",
     drop_ppm: int = 300_000,
     id_col: str = "doc_id",
+    salted: bool = False,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Per-group adaptive quality threshold (public: Penedo et al.
     2024, FineWeb/FineWeb-2 — per-LANGUAGE filter thresholds instead
@@ -858,8 +866,27 @@ def adaptive_quality_cut(
     state per group is the running count — the same cost class as
     per_group_cap's ranking. Groups are languages (hundreds, large) —
     skew bounded by the biggest language, the same skew the corpus
-    itself has; pre-salt + two-phase rank if one language is >50% of
-    the corpus.
+    itself has. When one language dominates (>50% of an
+    English-heavy crawl — the COMMON case at 100 TB, not the
+    corner), pass ``salted=True``: the two-phase rank below
+    subdivides each group's shuffle into ``salt_buckets``
+    score-range sub-partitions (range "salts" are the only salting
+    that composes into EXACT global ranks — hash salts can't, since
+    cross-salt rank offsets would need a merge of sorted streams):
+
+      phase 0: per-group approximate score boundaries (one tiny agg;
+               boundary quality only steers PARTITION BALANCE — the
+               rank algebra below is exact for ANY cut points);
+      phase 1: row_number within (group, bucket) — the row-bearing
+               shuffle now keys on BOTH columns, so the hot group
+               spreads over ``salt_buckets`` tasks;
+      phase 2: per-(group, bucket) counts -> running-sum offsets
+               (|groups| x ``salt_buckets`` rows, broadcast back);
+               global rank = offset + local rank.
+
+    Result-identical to the unsalted path by construction (the
+    planted-skew pytest asserts exact equality); grp_rank stays INT —
+    like the unsalted row_number, per-group size is bounded at 2^31.
 
     Output: df columns + ``grp_rank`` (1-based ascending quality rank
     within the group) for kept rows.
@@ -870,8 +897,20 @@ def adaptive_quality_cut(
         )
     from pyspark.sql import Window
 
+    if salted:
+        return _adaptive_cut_salted(
+            df, group_col, score_col, drop_ppm, id_col, salt_buckets
+        )
+
+    # Explicit NULL placement (r14 ADVICE): Spark's bare asc() sorts
+    # NULLs FIRST while DuckDB's bare ASC defaults to NULLS LAST — an
+    # implicit default here silently diverges the kept set the moment
+    # a NULL score appears. Convention: NULL score = unknown quality =
+    # worst -> lowest ranks -> dropped first (NULLS FIRST on the
+    # ascending rank), spelled explicitly in BOTH engines
+    # (SQL_ADAPTIVE_CUT says NULLS FIRST).
     w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
+        F.col(score_col).asc_nulls_first(), F.col(id_col).asc_nulls_first()
     )
     wn = Window.partitionBy(group_col)
     ranked = df.withColumn("grp_rank", F.row_number().over(w)).withColumn(
@@ -880,3 +919,71 @@ def adaptive_quality_cut(
     # integer div, not float floor — engine-exact at any group size
     cut = F.expr(f"(__n * CAST({int(drop_ppm)} AS BIGINT)) div 1000000")
     return ranked.filter(F.col("grp_rank") > cut).drop("__n")
+
+
+def _adaptive_cut_salted(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    drop_ppm: int,
+    id_col: str,
+    salt_buckets: int,
+) -> DataFrame:
+    """The >50%-skew spelling of adaptive_quality_cut (r14 VERDICT
+    task 4) — see its docstring for the three phases. Exactness
+    argument: buckets are VALUE-disjoint (bucket = # boundaries
+    strictly below the score, so score ties always share a bucket
+    and NULLs land in bucket 0, preserving the NULLS FIRST
+    convention), hence ascending (score, id) order across (bucket,
+    local_rank) is the group's total order, and offset + local rank
+    is the exact global row_number for ANY boundary values."""
+    from pyspark.sql import Window
+
+    sc = F.col(score_col).cast("double")
+    probs = [i / salt_buckets for i in range(1, salt_buckets)]
+    bounds = df.groupBy(group_col).agg(
+        F.percentile_approx(sc, probs, 10_000).alias("__bounds")
+    )
+    bucket = F.aggregate(
+        F.col("__bounds"),
+        F.lit(0),
+        # x < NULL-score is NULL -> otherwise(0): NULL scores sum to
+        # bucket 0, ranked first there by the NULLS FIRST ordering
+        lambda acc, x: acc + F.when(x < sc, 1).otherwise(0),
+    )
+    rows = (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn("__b", bucket)
+        .drop("__bounds")
+    )
+    wl = Window.partitionBy(group_col, "__b").orderBy(
+        F.col(score_col).asc_nulls_first(), F.col(id_col).asc_nulls_first()
+    )
+    local = rows.withColumn("__lr", F.row_number().over(wl))
+    cnts = local.groupBy(group_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wo = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy(group_col)
+    offs = cnts.select(
+        group_col,
+        "__b",
+        F.coalesce(F.sum("__c").over(wo), F.lit(0).cast("bigint")).alias(
+            "__off"
+        ),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    cut = F.expr(f"(__n * CAST({int(drop_ppm)} AS BIGINT)) div 1000000")
+    out_cols = [*df.columns, "grp_rank"]
+    return (
+        local.join(F.broadcast(offs), [group_col, "__b"])
+        .withColumn(
+            "grp_rank", (F.col("__off") + F.col("__lr")).cast("int")
+        )
+        .filter(F.col("grp_rank") > cut)
+        .select(*out_cols)
+    )

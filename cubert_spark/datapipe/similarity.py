@@ -1705,3 +1705,124 @@ def margin_align(
         .filter(F.col("margin") >= float(margin_threshold))
     )
     return best.select("x_id", "y_id", "cos", "margin")
+
+
+def margin_from_candidates(
+    pairs: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """The margin + mutual-best rule of :func:`margin_align` applied
+    to an ARBITRARY candidate pair set ``(x_id, y_id, cos)`` — the
+    production decoupling the margin_align docstring promises: any
+    neighbor source (ivf_topk / lsh_bucketed_topk candidate lists)
+    feeds the identical alignment arithmetic, so the pair stage can
+    be bucketed/banded at 100 TB while the selection rule stays the
+    paper's. avg_k on each side folds that side's top-k CANDIDATE
+    cosines in rank order (fixed-order float adds — run-to-run
+    deterministic, row-local); with exhaustive candidates this equals
+    margin_align's exact avg_k up to float-vs-DECIMAL dot precision.
+    """
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy("x_id").orderBy(F.col("cos").desc(), F.col("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.col("cos").desc(), F.col("x_id"))
+    ranked = pairs.select(
+        "x_id",
+        "y_id",
+        "cos",
+        F.row_number().over(wx).alias("__rx"),
+        F.row_number().over(wy).alias("__ry"),
+    )
+
+    def _avg_k(side: str, rk: str) -> DataFrame:
+        folded = (
+            ranked.filter(F.col(rk) <= k)
+            .groupBy(side)
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(rk), F.col("cos")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["cos"],
+                ).alias("__s")
+            )
+        )
+        return folded.select(
+            side, (F.col("__s") / F.lit(float(k))).alias(f"__avg_{side}")
+        )
+
+    scored = (
+        ranked.join(F.broadcast(_avg_k("x_id", "__rx")), "x_id")
+        .join(F.broadcast(_avg_k("y_id", "__ry")), "y_id")
+        .withColumn(
+            "margin",
+            F.col("cos")
+            / ((F.col("__avg_x_id") + F.col("__avg_y_id")) / F.lit(2.0)),
+        )
+    )
+    mx = Window.partitionBy("x_id").orderBy(F.col("margin").desc(), F.col("y_id"))
+    my = Window.partitionBy("y_id").orderBy(F.col("margin").desc(), F.col("x_id"))
+    best = (
+        scored.select(
+            "x_id",
+            "y_id",
+            "cos",
+            "margin",
+            F.row_number().over(mx).alias("__bx"),
+            F.row_number().over(my).alias("__by"),
+        )
+        .filter((F.col("__bx") == 1) & (F.col("__by") == 1))
+        .filter(F.col("margin") >= float(margin_threshold))
+    )
+    return best.select("x_id", "y_id", "cos", "margin")
+
+
+def margin_align_ann(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    candidates_per_x: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """PRODUCTION margin alignment (r14 VERDICT task 3): IVF
+    candidate generation replaces margin_align's exact |X| x |Y| pair
+    matrix — each x probes its ``nprobe`` nearest y-side inverted
+    lists, exact-scores only those candidates (float dots; the index
+    is approximate by design, the cosine_topk_fast argument), and the
+    unchanged margin/mutual-best rule (margin_from_candidates) picks
+    pairs. Candidate volume is ~|X| * |Y| * nprobe / n_lists — the
+    100 TB path: both sides partition by list_id (the y index is a
+    bucketed table at scale), no all-pairs stage anywhere.
+
+    ``candidates_per_x`` (default max(4k, 16)) keeps enough
+    candidates per x that the y-side avg_k folds see a stable
+    neighborhood even though they only rank candidate pairs.
+
+    Attestation: the declared margin_align_prod row runs this tier
+    against margin_align's DECIMAL-exact tier in-query and asserts
+    kept-set agreement + size floors (the semantic_dedup_prod
+    contract pattern)."""
+    cand_k = candidates_per_x if candidates_per_x is not None else max(4 * k, 16)
+    cand = ivf_topk(
+        y_df,
+        x_df,
+        k=cand_k,
+        n_lists=n_lists,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    pairs = cand.select(
+        F.col("query_id").alias("x_id"),
+        F.col("neighbor_id").alias("y_id"),
+        "cos",
+    )
+    return margin_from_candidates(pairs, k, margin_threshold)

@@ -272,10 +272,31 @@ class _Parser:
             raise ScriptError(f"expected string, got {t!r}")
         return t
 
+    def colref(self) -> str:
+        """A column name, or a positional ``$N`` reference emitted as
+        the ``__cmr_pos_N__`` placeholder (r14 ADVICE: the reference
+        resolves integer selectors in EVERY expression context via
+        FunctionTree.getSelectorIndex, but only expression()-parsed
+        contexts emitted the placeholder here — $N in GROUP BY / JOIN
+        keys / SORT / CUBE dims either mis-parsed or reached Spark as
+        an unresolved column; plan.py resolves the placeholder against
+        the input schema in all those contexts now)."""
+        t = self.next()
+        if t != "$":
+            return t
+        nxt = self.peek()
+        if not (nxt and re.fullmatch(r"\d+", nxt)):
+            raise ScriptError(
+                f"positional reference: $ must be followed by an "
+                f"integer column index, got {nxt!r}"
+            )
+        self.next()
+        return f"__cmr_pos_{nxt}__"
+
     def columns(self) -> list[str]:
-        cols = [self.next()]
+        cols = [self.colref()]
         while self.accept(","):
-            cols.append(self.next())
+            cols.append(self.colref())
         return cols
 
     def params(self) -> dict[str, str]:
@@ -302,7 +323,7 @@ class _Parser:
             self.expect("(")
             cols = []
             while self.peek() != ")":
-                cols.append(self.next())
+                cols.append(self.colref())
                 self.accept(",")
             self.expect(")")
             alias = self.next() if self.accept("AS") else None
@@ -884,10 +905,10 @@ class _Parser:
             left = self.next()
             self.expect("BY")
             # left key list ends at the ", rel BY" separator (lookahead)
-            lkeys = [self.next()]
+            lkeys = [self.colref()]
             while self.peek() == "," and self.peek_kw(2) != "BY":
                 self.next()
-                lkeys.append(self.next())
+                lkeys.append(self.colref())
             self.expect(",")
             right = self.next()
             self.expect("BY")

@@ -92,12 +92,80 @@ def _resolve_positional(expr, cols: list[str]):
     return _POSREF_RE.sub(_sub, expr)
 
 
-def _agg_tuples(specs: list[dict]) -> list[tuple]:
+def _resolve_name(name, cols: list[str]):
+    """Positional resolution for COLUMN-NAME contexts (groupBy /
+    sort / join keys, agg inputs, cube dims — r14 ADVICE: the .cmr
+    parser emits ``__cmr_pos_N__`` in ANY expression context, the
+    reference resolves integer selectors everywhere via
+    FunctionTree.getSelectorIndex, but only FILTER/GENERATE/STORE
+    resolved them here; a $N in GROUP BY reached Spark as a cryptic
+    unresolved-column error). Substitutes the BARE column name — no
+    backticks, these APIs take names, not SQL fragments."""
+    if not isinstance(name, str) or "__cmr_pos_" not in name:
+        return name
+
+    def _sub(m) -> str:
+        i = int(m.group(1))
+        if i >= len(cols):
+            raise PlanError(
+                f"positional reference ${i} out of range: input has "
+                f"{len(cols)} columns ({', '.join(cols)})"
+            )
+        return cols[i]
+
+    return _POSREF_RE.sub(_sub, name)
+
+
+def _resolve_names(names, cols: list[str]) -> list:
+    """Resolve a (possibly nested) list of name-context entries."""
+    return [
+        _resolve_names(n, cols)
+        if isinstance(n, (list, tuple))
+        else _resolve_name(n, cols)
+        for n in names
+    ]
+
+
+def _reject_unresolved_positionals(op: dict) -> None:
+    """Catch-all (r14 ADVICE, option 2 for contexts with no input
+    frame to resolve against): any ``__cmr_pos_N__`` still present in
+    an operator's spec after the per-kind resolution above would
+    reach Spark as an unresolved column — fail at plan time with the
+    $N spelling instead."""
+    import json as _json
+
+    blob = _json.dumps(op)
+    m = _POSREF_RE.search(blob)
+    if m:
+        raise PlanError(
+            f"positional reference ${m.group(1)} is not supported in a "
+            f"{op.get('operator', '?')} operator context"
+        )
+
+
+#: Operator kinds whose name/expression fields RESOLVE $N above —
+#: everything else gets the plan-time rejection guard instead.
+_POSITIONAL_KINDS = frozenset({
+    "FILTER", "GENERATE", "PROJECT", "GROUP_BY", "CUBE", "JOIN",
+    "MERGE_JOIN", "HASHJOIN", "REDUCE_JOIN", "FLATTEN", "SORT",
+    "SHUFFLE", "BLOCKGEN", "CREATE_BLOCK", "RANK", "TOP_N", "ENCODE",
+    "DECODE", "TEE",
+})
+
+
+def _agg_tuples(specs: list[dict], cols: list[str] | None = None) -> list[tuple]:
     out = []
     for s in specs:
         name = s["type"]
         col = s.get("input", "*")
+        if cols is not None:
+            col = _resolve_name(col, cols)
         alias = s.get("output") or f"{name.lower()}_{col}"
+        if cols is not None:
+            # a defaulted cmr alias like sum___cmr_pos_1__ resolves to
+            # the column's real name (sum_v), same as the reference's
+            # selector-index naming
+            alias = _resolve_name(alias, cols)
         out.append((name, col, alias))
     return out
 
@@ -175,18 +243,24 @@ def run_plan(
                 *[_resolve_positional(e, src.columns) for e in op["outputExpressions"]],
             )
         elif kind == "GROUP_BY":
-            res = group_by(src, op.get("groupBy", []), *_agg_tuples(op["aggregates"]))
+            res = group_by(
+                src,
+                _resolve_names(op.get("groupBy", []), src.columns),
+                *_agg_tuples(op["aggregates"], src.columns),
+            )
         elif kind == "CUBE":
-            dims = op["dimensions"]
-            aggs = _agg_tuples(op["aggregates"])
+            dims = _resolve_names(op["dimensions"], src.columns)
+            aggs = _agg_tuples(op["aggregates"], src.columns)
             if "groupingSets" in op:
-                res = grouping_sets(src, op["groupingSets"], *aggs)
+                res = grouping_sets(
+                    src, _resolve_names(op["groupingSets"], src.columns), *aggs
+                )
             elif "groupingCombos" in op:
                 res = grouping_combos(src, dims, int(op["groupingCombos"]), *aggs)
             elif "rollups" in op:
                 # ROLLUPS (a,b),(c): union of each cuboid's prefix chain
                 sets: list[list[str]] = []
-                for cuboid in op["rollups"]:
+                for cuboid in _resolve_names(op["rollups"], src.columns):
                     for k in range(len(cuboid) + 1):
                         pref = list(cuboid[:k])
                         if pref not in sets:
@@ -197,40 +271,47 @@ def run_plan(
         elif kind in ("JOIN", "MERGE_JOIN", "HASHJOIN", "REDUCE_JOIN"):
             right = env[op["rightBlock"]]
             left = env[op.get("leftBlock", op.get("input"))]
+            jkeys = _resolve_names(op["joinKeys"], left.columns)
             rkeys = op.get("rightKeys")
-            if rkeys and list(rkeys) != list(op["joinKeys"]):
+            if rkeys:
+                rkeys = _resolve_names(rkeys, right.columns)
+            if rkeys and list(rkeys) != list(jkeys):
                 # JOIN x BY a, y BY b: align right key names to left's
-                for lk, rk in zip(op["joinKeys"], rkeys):
+                for lk, rk in zip(jkeys, rkeys):
                     if lk != rk and lk in right.columns:
                         raise PlanError(
                             f"JOIN key rename {rk!r}->{lk!r} collides with an "
                             f"existing right-side column {lk!r}; rename it first"
                         )
                     right = right.withColumnRenamed(rk, lk)
-            res = join(left, right, op["joinKeys"], op.get("joinType", "INNER"))
+            res = join(left, right, jkeys, op.get("joinType", "INNER"))
         elif kind == "FLATTEN":
-            specs = [tuple(s) for s in op["flatten"]]
+            specs = [tuple(s) for s in _resolve_names(op["flatten"], src.columns)]
             res = flatten(src, *specs, aliases=op.get("aliases"))
         elif kind == "DISTINCT":
             res = distinct(src)
         elif kind == "LIMIT":
             res = limit(src, int(op["maxTuples"]))
         elif kind == "SORT":
-            res = sort_within_blocks(src, *op["sortBy"])
+            res = sort_within_blocks(src, *_resolve_names(op["sortBy"], src.columns))
         elif kind == "SHUFFLE":
             spec = BlockSpec(
-                partition_keys=tuple(op["partitionKeys"]),
-                sort_keys=tuple(op.get("pivotKeys", ())),
+                partition_keys=tuple(_resolve_names(op["partitionKeys"], src.columns)),
+                sort_keys=tuple(_resolve_names(op.get("pivotKeys", ()), src.columns)),
                 num_buckets=int(op.get("numReducers", 32)),
             )
             res = repartition_blocks(src, spec)
             if op.get("aggregates"):
                 # SHUFFLE ... AGGREGATES: combiner+reducer GROUP BY
-                res = group_by(res, op["partitionKeys"], *_agg_tuples(op["aggregates"]))
+                res = group_by(
+                    res,
+                    _resolve_names(op["partitionKeys"], src.columns),
+                    *_agg_tuples(op["aggregates"], src.columns),
+                )
         elif kind in ("BLOCKGEN", "CREATE_BLOCK"):
             spec = BlockSpec(
-                partition_keys=tuple(op["partitionKeys"]),
-                sort_keys=tuple(op.get("sortKeys", ())),
+                partition_keys=tuple(_resolve_names(op["partitionKeys"], src.columns)),
+                sort_keys=tuple(_resolve_names(op.get("sortKeys", ()), src.columns)),
                 num_buckets=int(op.get("numBlocks", 32)),
             )
             res = repartition_blocks(src, spec)
@@ -239,10 +320,22 @@ def run_plan(
         elif kind == "GATHER":
             res = gather(*[env[n] for n in op["inputs"]])
         elif kind == "RANK":
-            res = rank(src, op.get("output_column", "rank"), op.get("groupBy", []), op.get("orderBy", []))
+            res = rank(
+                src,
+                op.get("output_column", "rank"),
+                _resolve_names(op.get("groupBy", []), src.columns),
+                _resolve_names(op.get("orderBy", []), src.columns),
+            )
         elif kind == "TOP_N":
-            res = top_n(src, int(op["n"]), op.get("groupBy", []), op.get("orderBy", []))
+            res = top_n(
+                src,
+                int(op["n"]),
+                _resolve_names(op.get("groupBy", []), src.columns),
+                _resolve_names(op.get("orderBy", []), src.columns),
+            )
         elif kind in ("ENCODE", "DECODE"):
+            op = dict(op, columns=_resolve_names(op["columns"], src.columns)) \
+                if not isinstance(op.get("columns"), dict) else op
             if "dictionary" in op:
                 d = env[op["dictionary"]]
             elif "dictionaryPath" in op:
@@ -332,6 +425,13 @@ def run_plan(
             res = fn([env[n] for n in op["inputs"]], op.get("params", {}))
         else:
             raise PlanError(f"unsupported operator {kind!r}")
+        # kinds with no positional-bearing fields (DISTINCT, LIMIT,
+        # GATHER, DUPLICATE, dictionary/validate/user ops): a $N that
+        # slipped into their spec resolves nowhere — fail at plan
+        # time with the $N spelling, not as a Spark unresolved-column
+        # error downstream (r14 ADVICE, option 2)
+        if kind not in _POSITIONAL_KINDS:
+            _reject_unresolved_positionals(op)
         env[out_name] = res
 
     out = plan.get("output")

@@ -23,7 +23,7 @@ def test_payload_fits_capture_window_at_worst_case_widths():
     several more rows."""
     bench = _bench()
     worst = {n: 99.9 for n in bench.BENCH_QUERIES}
-    p = bench._stdout_payload(worst, 9999.999, 0.1)
+    p = bench._stdout_payload(worst, 9999.999, 0.1, rot=12)
     assert len(p) <= bench._STDOUT_BUDGET
     # headroom probe: +5 future queries still fit (possibly via the
     # integer-degrade rung, which is exactly what it exists for)
@@ -32,30 +32,92 @@ def test_payload_fits_capture_window_at_worst_case_widths():
     assert len(p2) <= bench._STDOUT_BUDGET
 
 
-def test_declared_rows_render_at_one_decimal():
-    """v6 contract (r11 VERDICT task 4): the stdout map carries only
-    the DECLARED queries() rows (minus the STDOUT_EXCLUDE contract
-    twins, whose mins live in BENCH_DETAIL.json — r14), and at that
-    count the 1-decimal rung must fit — the per-query values in
-    BENCH_r{N}.json are only useful for cross-round deltas with >= 1
-    decimal of resolution."""
+def test_rotation_covers_every_declared_row_within_k_rounds():
+    """v7 contract (r14 VERDICT task 5): the stdout map rotates —
+    BASELINE_PINNED every round, the rest via a round-robin window —
+    so EVERY declared benched row reaches the external BENCH_r*.json
+    record within k = ceil(pool / width) rounds, and every rotation
+    renders at the 1-decimal rung (BENCH_r{N} values are only useful
+    for cross-round deltas with >= 1 decimal)."""
     bench = _bench()
     from cubert_spark.queries import all_queries
 
     declared = set(all_queries())
-    # every excluded name must be a real declared+benched row — a
-    # typo'd exclusion would silently re-grow the stdout map
-    assert bench.STDOUT_EXCLUDE <= declared & set(bench.BENCH_QUERIES)
-    rows = {
-        n: 99.9
-        for n in bench.BENCH_QUERIES
-        if n in declared and n not in bench.STDOUT_EXCLUDE
-    }
-    assert rows, "bench set shares no rows with queries()?"
-    p = bench._stdout_payload(rows, 9999.999, 0.1)
-    assert len(p) <= bench._STDOUT_BUDGET
-    d = json.loads(p)
-    assert d["queries"][next(iter(rows))] == 99.9  # 1-decimal rung
+    # pinned rows must be real declared+benched rows — a typo would
+    # silently drop a judge-gate row from every round's record
+    assert set(bench.BASELINE_PINNED) <= declared & set(bench.BENCH_QUERIES)
+    declared_order = [n for n in bench.BENCH_QUERIES if n in declared]
+    timings = {n: 99.9 for n in declared_order}
+    pool = len(declared_order) - len(
+        [n for n in bench.BASELINE_PINNED if n in timings]
+    )
+    width = bench.MAX_STDOUT_ROWS - len(bench.BASELINE_PINNED)
+    k = -(-pool // width)  # ceil
+    assert k <= 2, f"rotation period grew to {k} rounds — document it"
+    seen = set()
+    for rot in range(k):
+        rows = bench._rotate_stdout_rows(timings, declared_order, rot)
+        assert set(bench.BASELINE_PINNED) <= set(rows)
+        assert len(rows) <= bench.MAX_STDOUT_ROWS
+        p = bench._stdout_payload(rows, 9999.999, 0.1, rot=rot)
+        assert len(p) <= bench._STDOUT_BUDGET
+        d = json.loads(p)
+        assert d["rot"] == rot
+        assert d["queries"][next(iter(rows))] == 99.9  # 1-decimal rung
+        seen |= set(rows)
+    assert seen == set(declared_order), (
+        f"rows never reaching the external record: "
+        f"{set(declared_order) - seen}"
+    )
+    # consecutive rotation indices shift the window: rot and rot+k
+    # carry the same map (period k), rot and rot+1 differ when the
+    # pool overflows one window
+    if pool > width:
+        r0 = bench._rotate_stdout_rows(timings, declared_order, 0)
+        r1 = bench._rotate_stdout_rows(timings, declared_order, 1)
+        assert set(r0) != set(r1)
+
+
+def test_anchor_gate_rejects_the_r14_ratchet_sequence():
+    """r14 VERDICT task 2: the prev-pass-only gate admitted
+    minhash_lsh's committed-median walk 3.8 -> 5.6 -> 9.1 s
+    (quiet_pass=true at every step — each pass compared only to the
+    one before). Replaying that sequence against the pinned anchor:
+    the anchor NEVER moves up, so the 9.1 pass violates 1.5x the 3.8
+    anchor and the gate stamps it loaded."""
+    bench = _bench()
+    anchors = {"minhash_lsh": 3.8}
+    # step 1: 5.6 s median — under 1.5 x 3.8 = 5.7, passes (the gate
+    # is an anchor, not a prev-pass ratchet; a one-step +47% is box
+    # weather the requeue already handles)
+    assert bench._anchor_regressed({"minhash_lsh": 5.6}, anchors,
+                                   ["minhash_lsh"]) == []
+    # a quiet pass at 5.6 must NOT raise the anchor
+    anchors = bench._updated_anchors({"minhash_lsh": 5.6}, anchors,
+                                     ["minhash_lsh"])
+    assert anchors == {"minhash_lsh": 3.8}
+    # step 2: 9.1 s — rejected against the still-pinned 3.8 anchor,
+    # which the old prev-pass rule (vs 5.6) would have admitted
+    assert bench._anchor_regressed({"minhash_lsh": 9.1}, anchors,
+                                   ["minhash_lsh"]) == ["minhash_lsh"]
+    # anchors only move DOWN, and new rows seed at first quiet median
+    anchors = bench._updated_anchors(
+        {"minhash_lsh": 3.1, "new_row": 2.0}, anchors,
+        ["minhash_lsh", "new_row"])
+    assert anchors == {"minhash_lsh": 3.1, "new_row": 2.0}
+
+
+def test_anchor_gate_absolute_floor_protects_subsecond_rows():
+    """1.5x alone would flag a 0.2 s row at 0.31 s — timer noise. The
+    0.15 s absolute floor keeps sub-0.3 s rows from flapping."""
+    bench = _bench()
+    anchors = {"tiny": 0.2, "mid": 1.0}
+    assert bench._anchor_regressed({"tiny": 0.34}, anchors, ["tiny"]) == []
+    assert bench._anchor_regressed({"tiny": 0.36}, anchors, ["tiny"]) == ["tiny"]
+    assert bench._anchor_regressed({"mid": 1.45}, anchors, ["mid"]) == []
+    assert bench._anchor_regressed({"mid": 1.55}, anchors, ["mid"]) == ["mid"]
+    # rows without an anchor (first round on the board) never flag
+    assert bench._anchor_regressed({"fresh": 99.0}, anchors, ["fresh"]) == []
 
 
 def test_regression_rule_uses_prior_spread_with_floors():

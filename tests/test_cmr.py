@@ -720,3 +720,62 @@ def test_positional_reference_malformed():
 
     with pytest.raises(ScriptError, match="integer column index"):
         compile_script('JOB "bad" REDUCE { out = FROM d GENERATE $ + 1 AS x; } END')
+
+
+def test_positional_references_in_group_by_and_aggregates(spark):
+    """r14 ADVICE: $N resolves in EVERY expression context like the
+    reference's FunctionTree.getSelectorIndex — GROUP BY keys and
+    aggregate inputs, not just GENERATE/FILTER. The defaulted agg
+    alias also resolves ($1 -> sum_v, not sum___cmr_pos_1__)."""
+    d = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "name string, v int"
+    )
+    script = """
+    JOB "posgroup"
+      REDUCE { g = GROUP d BY $0 AGGREGATES SUM($1), COUNT($0) AS n; }
+    END
+    """
+    env = run_script(spark, script, relations={"d": d})
+    rows = {r["name"]: r for r in env["g"].collect()}
+    assert rows["a"]["sum_v"] == 3 and rows["a"]["n"] == 2
+    assert rows["b"]["sum_v"] == 3 and rows["b"]["n"] == 1
+
+
+def test_positional_references_in_join_and_sort(spark):
+    """$N in JOIN keys (resolved per SIDE: left $0 against the left
+    schema, right $1 against the right's) and in SORT columns."""
+    lft = spark.createDataFrame([(1, "x"), (2, "y")], "k long, lv string")
+    rgt = spark.createDataFrame([("p", 1), ("q", 2)], "rv string, rk long")
+    script = """
+    JOB "posjoin"
+      REDUCE {
+        j = JOIN lft BY $0, rgt BY $1;
+        s = SORT j ON $0;
+      }
+    END
+    """
+    env = run_script(spark, script, relations={"lft": lft, "rgt": rgt})
+    got = sorted(map(tuple, env["j"].select("k", "lv", "rv").collect()))
+    assert got == [(1, "x", "p"), (2, "y", "q")]
+    assert env["s"].columns == env["j"].columns
+
+
+def test_positional_reference_rejected_in_unsupported_context(spark):
+    """A $N that lands in an operator with no input schema to resolve
+    against fails at PLAN time with the $N spelling — not as a Spark
+    unresolved-column __cmr_pos_N__ AnalysisException downstream."""
+    from cubert_spark.script.plan import PlanError, run_plan
+
+    d = spark.createDataFrame([(1, 2)], "a long, b long")
+    plan = {
+        "operators": [
+            {
+                "operator": "GATHER",
+                "inputs": ["d"],
+                "output": "g",
+                "note": "__cmr_pos_1__",
+            }
+        ]
+    }
+    with pytest.raises(PlanError, match=r"\$1 is not supported"):
+        run_plan(spark, plan, relations={"d": d})

@@ -4256,3 +4256,41 @@ def test_adaptive_quality_cut_per_group_rank_rule(spark):
     assert sampling.adaptive_quality_cut(df, drop_ppm=0).count() == 15
     with pytest.raises(ValueError, match="drop_ppm"):
         sampling.adaptive_quality_cut(df, drop_ppm=1_000_000)
+
+
+def test_adaptive_cut_salted_two_phase_on_planted_skew(spark):
+    """r14 VERDICT task 4: with one language at 80% of the corpus
+    (the English-heavy-crawl COMMON case at 100 TB), salted=True runs
+    the two-phase rank — and is RESULT-IDENTICAL to the unsalted
+    window, including score ties and a NULL score (NULLS FIRST
+    convention), while the row-bearing shuffle keys on (group,
+    bucket) so the hot group spreads over salt_buckets tasks."""
+    from cubert_spark.datapipe import sampling
+    from cubert_spark.plans.assertions import explain_str
+
+    rows = []
+    for i in range(1000):
+        lang = "en" if i % 10 < 8 else ("fr" if i % 2 == 0 else "de")
+        score = (i * 37) % 199  # plants plenty of score ties
+        rows.append((i, lang, score))
+    rows.append((2000, "en", None))  # NULL score ranks first, dropped
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+
+    base = sampling.adaptive_quality_cut(df, drop_ppm=300_000)
+    salt = sampling.adaptive_quality_cut(
+        df, drop_ppm=300_000, salted=True, salt_buckets=8
+    )
+    key = lambda r: (r["lang"], r["grp_rank"])  # noqa: E731
+    b = sorted(map(tuple, base.select("doc_id", "lang", "grp_rank").collect()))
+    s = sorted(map(tuple, salt.select("doc_id", "lang", "grp_rank").collect()))
+    assert b == s and len(b) > 0
+    assert salt.schema["grp_rank"].dataType == base.schema["grp_rank"].dataType
+
+    # plan pin: the hot group's row-bearing window shuffle is SALTED —
+    # it partitions on (lang, __b), never lang alone
+    plan = explain_str(salt)
+    assert "hashpartitioning(lang" in plan
+    win_parts = [
+        ln for ln in plan.splitlines() if "hashpartitioning(lang" in ln
+    ]
+    assert any("__b" in ln for ln in win_parts), plan

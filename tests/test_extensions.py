@@ -751,3 +751,63 @@ def test_maintain_join_tx_equals_recompute(spark, tmp_path):
         map(tuple, tx_read(spark, pa).join(tx_read(spark, pb), ["k"]).collect())
     )
     assert got == want and len(got) == 4
+
+
+def test_maintain_join_tx_handles_overwrite_commit(spark, tmp_path):
+    """r14 VERDICT task 7: a version range containing an OVERWRITE
+    commit routes through the retract+insert rule (maintain_join_rw)
+    and still equals the direct recompute at the heads — including
+    duplicate rows (multiset semantics: exceptAll, not except)."""
+    from cubert_spark.catalog import tx_commit, tx_read
+    from cubert_spark.plans.ivm import maintain_join_tx, tx_delta_rw
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    # a: v1 append (with a planted duplicate row), v2 OVERWRITE that
+    # drops one of the dupes and rewrites the rest
+    tx_commit(
+        spark.createDataFrame(
+            [(1, "a1"), (1, "a1"), (2, "a2")], "k long, av string"
+        ),
+        pa,
+    )
+    tx_commit(
+        spark.createDataFrame(
+            [(1, "a1"), (2, "a2x"), (3, "a3")], "k long, av string"
+        ),
+        pa,
+        mode="overwrite",
+    )
+    # b: plain append chain
+    tx_commit(spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string"), pb)
+    tx_commit(spark.createDataFrame([(2, "b2")], "k long, bv string"), pb)
+
+    ins, ret = tx_delta_rw(spark, pa, 1, 2)
+    assert sorted(map(tuple, ins.collect())) == [(1, "a1"), (2, "a2x"), (3, "a3")]
+    assert sorted(map(tuple, ret.collect())) == [(1, "a1"), (1, "a1"), (2, "a2")]
+
+    j_old = tx_read(spark, pa, version=1).join(tx_read(spark, pb, version=1), ["k"])
+    got = sorted(
+        map(tuple, maintain_join_tx(spark, j_old, pa, pb, ["k"], 1, 1).collect())
+    )
+    want = sorted(
+        map(tuple, tx_read(spark, pa).join(tx_read(spark, pb), ["k"]).collect())
+    )
+    assert got == want and len(got) == 3
+
+
+def test_tx_delta_merge_schema_handles_evolved_append_chain(spark, tmp_path):
+    """r14 ADVICE: an append chain whose later commit ADDED a column
+    (the case tx_read's merge_schema exists for) must be deltable —
+    merge_schema=True null-pads the delta to the evolved schema; the
+    default stays strict (documented schema-stability)."""
+    from cubert_spark.catalog import tx_commit
+    from cubert_spark.plans.ivm import tx_delta
+
+    p = str(tmp_path / "t")
+    tx_commit(spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    tx_commit(
+        spark.createDataFrame([(2, "b", 7)], "k long, v string, extra long"), p
+    )
+    d = tx_delta(spark, p, 1, 2, merge_schema=True)
+    assert sorted(d.columns) == ["extra", "k", "v"]
+    assert sorted(map(tuple, d.select("k", "v", "extra").collect())) == [(2, "b", 7)]

@@ -448,6 +448,10 @@ _LINT_ALLOWED = {
     # the operator's documented exact shape, guarded by max_x; the
     # 100 TB spelling swaps in ANN candidates (docstring)
     "margin_align": ("pairs",),
+    # contract row (r15): includes one exact-tier pass as in-query
+    # ground truth (the |X| x |Y| shape above) + 1-row agreement-
+    # count crossJoin(broadcast)s — the semantic_dedup_prod shape
+    "margin_align_prod": ("pairs",),
     # per-column 1-row stats crossJoin(broadcast) + <=10-row
     # post-limit rank
     "skew_profile": ("pairs", "unpartitioned window"),
@@ -842,6 +846,14 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "margin_align": "broadcast sides = the guarded X side (max_x raises "
                     "at scale; ANN tiers replace the exact pair matrix "
                     "at 100 TB) + per-side avg_k tables",
+    "margin_align_prod": "broadcast sides = the bounded X query set "
+                         "(ids < 100, the ivf_topk convention), its "
+                         "IVF probe fan-out and avg_k tables, the "
+                         "exact ground-truth tier's guarded X-side "
+                         "broadcasts, and 1-row agreement-count stats "
+                         "(the recall-contract shape; every side is "
+                         "query-set- or centroid-sized, never corpus-"
+                         "sized)",
     "bloom_prune": "broadcast side = fixed-width bloom bitmap (size set "
                    "by n_bits, not by the corpus)",
     "mixture_sample": "broadcast sides = per-dataset weight/stat table "

@@ -113,6 +113,9 @@ HEAVY = {
     "adaptive_cut": "documents",
     "bestfit_pack": "documents",
     "margin_align": "embeddings",
+    # r15: production margin tier (IVF probe + candidate margin rule +
+    # one exact-tier ground-truth pass — the bounded-X shape again)
+    "margin_align_prod": "embeddings",
     # r13 batch 7: ~9x token explode + keyed gram counts + coverage
     # joins (the heaviest text operator — expect ~linear, watch it)
     "gopher_repetition": "documents",
