@@ -255,6 +255,15 @@ BENCH_QUERIES = [
     # is contracted against — its time INCLUDES one exact-tier pass
     # (the in-query ground truth, the semantic_dedup_prod convention)
     "margin_align_prod",
+    # r15 batch 2: KN bigram model build (token-key shuffles, vocab-
+    # bounded output), 3-epoch full-batch GD probe training (three
+    # corpus scans + sorted two-level gradient folds), URL dedup (one
+    # canonical-key groupBy over a codegen regexp chain), and the
+    # span-corruption plan (zero-shuffle map)
+    "kneser_ney_lm",
+    "linear_probe",
+    "url_dedup",
+    "span_corruption",
 ]
 
 #: The r01 baseline rows (BASELINE.md §2's protocol) — the judge's

@@ -973,3 +973,134 @@ def refinedweb_lines(
         "clean_text",
         "keep",
     )
+
+
+#: Query parameters stripped by canonical_url — the tracking/session
+#: params the Dolma and RefinedWeb URL-dedup passes discard (public:
+#: Soldaini et al. 2024 Dolma dedupe-by-URL; Penedo et al. 2023
+#: RefinedWeb URL normalization). Module-level so the DuckDB oracle
+#: folds the IDENTICAL anchored pattern.
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Deterministic URL canonicalization as a pure codegen expression
+    chain (zero shuffles, zero Python): strip the fragment, lowercase
+    scheme+host, drop default :80/:443 ports, collapse duplicate path
+    slashes, strip the trailing slash (bare host renders as '/'),
+    drop tracking query params (TRACKING_PARAM_RE) while PRESERVING
+    the order of the survivors (param reordering can change server
+    semantics, so it is deliberately NOT done — documented contract).
+    Path and query case is preserved (paths are case-sensitive)."""
+    u = F.regexp_replace(url, "#.*$", "")
+    head = F.lower(
+        F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    )
+    head = F.regexp_replace(head, ":(80|443)$", "")
+    path = F.regexp_extract(
+        u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike("^" + TRACKING_PARAM_RE + "="),
+    )
+    q2 = F.array_join(kept, "&")
+    return F.concat(
+        head,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup (public: Dolma's dedupe-by-URL pass — the
+    cheapest dedup tier every crawl pipeline runs BEFORE content
+    dedup, since a re-crawled page is a guaranteed duplicate):
+    canonicalize (canonical_url), keep the smallest id per canonical
+    key. Output: (canonical_url, kept_{id}, n_dups).
+
+    Scale shape (100 TB): the canonicalization rides the scan
+    (whole-stage codegen); the dedup is ONE map-side-combinable
+    groupBy on the canonical key — the dedup_exact cost class, zero
+    pair expansion, no skew beyond the key distribution itself."""
+    return (
+        df.select(canonical_url(F.col(url_col)).alias("canonical_url"),
+                  F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias(f"kept_{id_col}"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    span_len: int = 3,
+    salt: str = "span",
+) -> DataFrame:
+    """Deterministic span-corruption PLAN for T5/UL2-style denoising
+    objectives (public: Raffel et al. 2020 §3.1.4 span corruption;
+    Tay et al. 2022 UL2 mixture-of-denoisers): for every full
+    ``window``-token window of a document, mask one ``span_len``-token
+    span whose offset is the content hash hash16(id:span_id) mod
+    (window - span_len + 1) — a corruption rate of span_len/window
+    (18.75% at the 3/16 default, the T5 ballpark) that is
+    reproducible across runs, engines, and repartitions (the
+    deterministic-sampling doctrine: training-data corruption masks
+    must replay exactly or checkpoint resume shifts the objective).
+    Windows are non-overlapping by construction so spans never
+    collide; a trailing partial window is left unmasked (documented).
+
+    Scale shape: one codegen projection + one explode to |windows|
+    rows (~|tokens|/window) — no shuffle at all; the plan is a pure
+    map over the scan.
+
+    Output: (id, span_id, start, length) with start a global 0-based
+    token index.
+    """
+    if window < 1 or not 1 <= span_len <= window:
+        raise ValueError(
+            f"span_corruption: need 1 <= span_len <= window, got "
+            f"window={window} span_len={span_len}"
+        )
+    from cubert_spark.datapipe.dedup import _spread
+    from cubert_spark.datapipe.sampling import hash16
+
+    base = _spread(df, id_col).select(
+        F.col(id_col),
+        F.expr(f"size(split({text_col}, ' ')) div {int(window)}").alias(
+            "__wins"
+        ),
+    )
+    spans = base.filter(F.col("__wins") > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("__wins") - 1)
+        ).alias("span_id"),
+    )
+    off = hash16(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("span_id").cast("string"),
+        ),
+        salt,
+    ) % (window - span_len + 1)
+    return spans.select(
+        F.col(id_col),
+        "span_id",
+        (F.col("span_id") * window + off).cast("bigint").alias("start"),
+        F.lit(span_len).cast("int").alias("length"),
+    )

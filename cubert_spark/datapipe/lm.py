@@ -174,3 +174,103 @@ def perplexity_buckets(
     return j.select(
         F.col(id_col), F.col(lang_col), F.col("ppl"), bucket.alias("bucket")
     )
+
+
+def kneser_ney_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model BUILD (public: Kneser &
+    Ney 1995; Chen & Goodman 1998's interpolated form; the smoothing
+    KenLM implements — the filter-model CCNet trains on reference
+    text and scores crawls with). This builds the model table IN the
+    engine, so a pipeline can train its quality-filter LM and apply
+    it (lm_perplexity's join shape) without leaving the cluster:
+
+        p_KN(w|v) = max(c(v,w) - D, 0) / c(v)  +  lam(v) * p_cont(w)
+        lam(v)    = D * N1+(v.) / c(v)
+        p_cont(w) = N1+(.w) / N1+(..)
+
+    where N1+ are continuation counts (distinct-context counts — the
+    KN insight that 'Francisco' is frequent but follows only 'San').
+
+    Determinism doctrine: D is the fixed rational 3/4, so every term
+    is a SINGLE correctly-rounded divide of exact bigint counts —
+    max(c-3/4, 0)/c(v) = (4c-3)/(4*c(v)) for observed bigrams (c>=1,
+    so the max never binds), lam = (3*N1+(v.))/(4*c(v)), p_cont =
+    N1+(.w)/N1+(..) — and the final fma-free `t1 + lam*pc` is one
+    IEEE multiply + one add on identical doubles: bit-identical
+    cross-engine, no rounding needed.
+
+    Scale shape: one token explode (|tokens| rows), bigram + context
+    + continuation aggregates (vocabulary-bounded, orders below the
+    corpus), equi-joins on token keys, one 1-row N1+(..) broadcast
+    (documented stat-join lint class). 100 TB: identical to
+    lm_perplexity's cost class — token-key shuffles, vocab-sized
+    model output, nothing corpus-quadratic.
+
+    Output: (v, w, c_vw, prob, lambda_v, pcont_w) for every OBSERVED
+    bigram; unseen-pair probability is lambda_v * pcont_w by the
+    interpolation identity, so the table + the two factor columns
+    evaluate ANY pair (the sum-to-1-per-context identity is pytest-
+    pinned).
+    """
+    from cubert_spark.datapipe.dedup import _spread
+
+    base = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    bg_arr = base.select(
+        F.expr(
+            "CASE WHEN size(__w) >= 2 THEN "
+            "transform(sequence(0, size(__w) - 2), "
+            "i -> struct(__w[i] AS v, __w[i+1] AS w)) "
+            "ELSE array() END"
+        ).alias("__bg")
+    )
+    bg = (
+        bg_arr.select(F.explode_outer("__bg").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select(F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    )
+    # observed-bigram counts feed three downstream aggregates —
+    # checkpoint once so the corpus explode is not re-executed per
+    # consumer (the components.py multi-consumer lineage rule)
+    bgc = (
+        bg.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c_vw"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bgc.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"),
+        F.count(F.lit(1)).alias("n1p_v"),  # N1+(v.)
+    )
+    cont = bgc.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))  # N1+(.w)
+    nbi = F.broadcast(bgc.agg(F.count(F.lit(1)).alias("n_bi")))  # N1+(..)
+    return (
+        bgc.join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(nbi)
+        .select(
+            "v",
+            "w",
+            "c_vw",
+            (
+                (4 * F.col("c_vw") - 3).cast("double")
+                / (4 * F.col("c_v")).cast("double")
+                + (
+                    (3 * F.col("n1p_v")).cast("double")
+                    / (4 * F.col("c_v")).cast("double")
+                )
+                * (F.col("n1p_w").cast("double") / F.col("n_bi").cast("double"))
+            ).alias("prob"),
+            (
+                (3 * F.col("n1p_v")).cast("double")
+                / (4 * F.col("c_v")).cast("double")
+            ).alias("lambda_v"),
+            (F.col("n1p_w").cast("double") / F.col("n_bi").cast("double")).alias(
+                "pcont_w"
+            ),
+        )
+    )

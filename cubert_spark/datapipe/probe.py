@@ -1,0 +1,129 @@
+"""Deterministic in-engine model training: a least-squares linear
+probe fitted by FULL-BATCH gradient descent, entirely as Spark
+aggregations (public lineage: linear probes — Alain & Bengio 2016,
+"Understanding intermediate layers using linear classifier probes";
+fastText-style shallow quality classifiers — Joulin et al. 2017; the
+GPT-3/LLaMA quality-filter classifiers are exactly such shallow
+models trained on corpus features).
+
+Why full-batch GD and squared loss, not SGD and logistic: the point
+of an IN-ENGINE trainer is bit-reproducibility of the fitted filter
+model (a quality classifier that drifts across retrains silently
+changes the corpus). Squared loss keeps every scalar step inside
+correctly-rounded IEEE ops (+, *, /); logistic's exp() is NOT
+correctly rounded across libms and would break cross-engine hashes.
+
+Gradient-sum determinism — why a SORTED TWO-LEVEL FOLD and not a
+DECIMAL sum: casting an arbitrary double to DECIMAL rounds it, and
+the engines disagree on the rounding INPUT — Spark rounds the
+double's shortest decimal string (BigDecimal.valueOf), DuckDB rounds
+the exact binary value — so any term whose shortest repr carries a
+'5' at the cut digit diverges (measured: 1.0000000000005 ->
+1.000000000001 in Spark, 1.000000000000 in DuckDB). The dsum
+doctrine survives this only because its inputs are exact at the cast
+scale (prices, counts); gradient terms are arbitrary doubles, so the
+cast is unsound here. Instead every cross-row sum is the repo's
+fixed-order float fold (the bm25/margin_align pattern): fold terms
+in id order within content-keyed shards (id % n_shards), then fold
+the shard sums in shard order — pure IEEE adds in an identical order
+in both engines, bit-exact for ANY doubles.
+
+Scale shape (100 TB): each epoch is ONE two-level keyed aggregation
+over the corpus producing d+2 numbers; the driver folds only those
+(the kmeans_lloyd bounded-collect precedent). Per-shard state is
+|corpus|/n_shards terms — size n_shards so that stays in one task's
+memory (the bestfit_pack sharding argument; for extreme corpora the
+fold extends to a deeper tree, same construction). No corpus
+shuffle beyond the one shard-key aggregation; epochs are sequential
+full scans — cache the bounded-width feature projection upstream if
+scans dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _folded_sum(order_col: str, term, alias: str):
+    """Level-1 fold: sum ``term`` in ``order_col`` order within the
+    current group — F.aggregate over the sorted (order, term) structs,
+    == DuckDB list_reduce(list(term ORDER BY order))."""
+    return F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), term.alias("t")))
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s["t"],
+    ).alias(alias)
+
+
+def linear_probe_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str = "doc_id",
+    epochs: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 8,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Fit ``y ~ w0 + w . x`` by ``epochs`` full-batch GD steps from
+    w = 0 with the exact-rational learning rate ``lr_num/lr_den``
+    (1/8 default — a power of two, so the scalar multiply is exact in
+    binary): per epoch,
+
+        r_i    = w0 + w . x_i - y_i          (row-local doubles)
+        grad_j = 2/n * fold(r_i * x_ij)      (sorted two-level fold)
+        w_j   -= lr * grad_j
+
+    ``id_col`` must be a unique row key — it is the fold order (and
+    the shard key, id % n_shards), which is what makes the gradient
+    bit-reproducible across runs, engines, and repartitions.
+
+    Returns one row per epoch: (epoch, w0, w_1..w_d as ``w_<col>``,
+    mse) where ``mse`` is the loss UNDER THE PRE-UPDATE weights (the
+    loss whose gradient produced this epoch's step) and the weights
+    are AFTER the step — reading down the rows shows the descent.
+    """
+    if epochs < 1:
+        raise ValueError(f"linear_probe_train: epochs must be >= 1, got {epochs}")
+    if not feature_cols:
+        raise ValueError("linear_probe_train: feature_cols is empty")
+    spark = df.sparkSession
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    lr = lr_num / lr_den  # exact when lr_den is a power of two
+    d = len(feature_cols)
+    w = [0.0] * (d + 1)  # [bias, w_1..w_d]
+    out_rows = []
+    for epoch in range(1, epochs + 1):
+        pred = F.lit(w[0])
+        for j, x in enumerate(xs):
+            pred = pred + F.lit(w[j + 1]) * x
+        r = pred - y
+        terms = [("g0", r)] + [
+            (f"g{j + 1}", r * x) for j, x in enumerate(xs)
+        ] + [("sse", r * r)]
+        lvl1 = df.groupBy((F.col(id_col) % n_shards).alias("__s")).agg(
+            *[_folded_sum(id_col, t, a) for a, t in terms],
+            F.count(F.lit(1)).alias("__n"),
+        )
+        lvl2 = lvl1.agg(
+            *[_folded_sum("__s", F.col(a), a) for a, _ in terms],
+            F.sum("__n").alias("n"),
+        )
+        row = lvl2.collect()[0]
+        n = float(row["n"])
+        mse = row["sse"] / n
+        for j in range(d + 1):
+            # 2/n * g, then one exact lr multiply and one subtract —
+            # all correctly rounded on identical inputs
+            w[j] = w[j] - lr * (2.0 * row[f"g{j}"] / n)
+        out_rows.append((epoch, *w, mse))
+    schema = ", ".join(
+        ["epoch int", "w0 double"]
+        + [f"w_{c} double" for c in feature_cols]
+        + ["mse double"]
+    )
+    return spark.createDataFrame(out_rows, schema)

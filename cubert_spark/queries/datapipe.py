@@ -3804,6 +3804,249 @@ FROM h
 SQL_REFINEDWEB_LINES = _refinedweb_lines_oracle()
 
 
+def q_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model BUILD (datapipe.lm.
+    kneser_ney_lm — the KenLM smoothing; Kneser & Ney 1995, Chen &
+    Goodman 1998): the full model table over the corpus vocabulary
+    (bounded: the synthetic vocab is ~31 words at every SF, so the
+    output is the model, not the corpus). Every probability is a
+    composition of correctly-rounded IEEE ops on exact bigint counts
+    — bit-identical cross-engine, no rounding."""
+    from cubert_spark.datapipe.lm import kneser_ney_lm
+
+    d = load_table(spark, sf, "documents")
+    return kneser_ney_lm(d)
+
+
+SQL_KNESER_NEY_LM = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT ws[i] AS v, ws[i + 1] AS w
+       FROM tk, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+       WHERE len(ws) >= 2),
+bgc AS (SELECT v, w, COUNT(*) AS c_vw FROM bg GROUP BY 1, 2),
+ctx AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v, COUNT(*) AS n1p_v
+        FROM bgc GROUP BY 1),
+cont AS (SELECT w, COUNT(*) AS n1p_w FROM bgc GROUP BY 1),
+nb AS (SELECT COUNT(*) AS n_bi FROM bgc)
+SELECT v, w, c_vw,
+       CAST(4 * c_vw - 3 AS DOUBLE) / CAST(4 * c_v AS DOUBLE)
+         + (CAST(3 * n1p_v AS DOUBLE) / CAST(4 * c_v AS DOUBLE))
+           * (CAST(n1p_w AS DOUBLE) / CAST(n_bi AS DOUBLE)) AS prob,
+       CAST(3 * n1p_v AS DOUBLE) / CAST(4 * c_v AS DOUBLE) AS lambda_v,
+       CAST(n1p_w AS DOUBLE) / CAST(n_bi AS DOUBLE) AS pcont_w
+FROM bgc JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN nb
+"""
+
+
+def q_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic in-engine training (datapipe.probe.
+    linear_probe_train): a least-squares linear probe predicting
+    lang='en' from two scaled corpus features (n_chars/1000,
+    tokens/100), fitted by 3 full-batch GD epochs at lr=1/8. Each
+    epoch's gradient is a DECIMAL-exact order-independent sum; every
+    scalar step is correctly-rounded IEEE — the weight TRAJECTORY
+    (not just the final fit) hash-matches the oracle's unrolled
+    3-epoch CTE replay, which is the whole point: a quality-filter
+    model retrained on the same corpus must come out bit-identical."""
+    from cubert_spark.datapipe.probe import linear_probe_train
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (
+            F.size(F.split(F.col("text"), " ")).cast("double")
+            / F.lit(100.0)
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return linear_probe_train(d, ["x1", "x2"], "y", id_col="doc_id", epochs=3)
+
+
+def _probe_epoch_sql(n: int) -> tuple[str, str]:
+    """(gradient CTE pair, weight CTE) for epoch n of the 3-epoch
+    replay — mirrors linear_probe_train's arithmetic exactly: every
+    cross-row sum is the sorted two-level float fold (per-shard
+    list_reduce in doc_id order, then shard sums in shard order — the
+    bm25/margin_align fixed-order-fold equivalence), and the scalar
+    update is 0.125 * ((2 * g) / n)."""
+
+    def fold(expr: str, order: str, alias: str) -> str:
+        return (
+            f"list_reduce(list(CAST(({expr}) AS DOUBLE) ORDER BY {order}), "
+            f"(a, b) -> a + b) AS {alias}"
+        )
+
+    if n == 1:
+        r = "(0.0 + 0.0 * x1 + 0.0 * x2 - y)"
+        src = "f"
+        wsrc = f"e{n}"
+        pw = ("0.0", "0.0", "0.0")
+    else:
+        r = "(w0 + w1 * x1 + w2 * x2 - y)"
+        src = f"f CROSS JOIN w{n - 1}"
+        wsrc = f"e{n} CROSS JOIN w{n - 1} p"
+        pw = ("p.w0", "p.w1", "p.w2")
+    lvl1 = (
+        f"e{n}s AS (SELECT doc_id % 256 AS s, "
+        + ", ".join(
+            [
+                fold(r, "doc_id", "g0"),
+                fold(f"{r} * x1", "doc_id", "g1"),
+                fold(f"{r} * x2", "doc_id", "g2"),
+                fold(f"{r} * {r}", "doc_id", "sse"),
+            ]
+        )
+        + f", COUNT(*) AS ns FROM {src} GROUP BY 1)"
+    )
+    lvl2 = (
+        f"e{n} AS (SELECT "
+        + ", ".join(fold(a, "s", a) for a in ("g0", "g1", "g2", "sse"))
+        + f", CAST(SUM(ns) AS BIGINT) AS n FROM e{n}s)"
+    )
+    upd = ", ".join(
+        f"{pw[j]} - 0.125 * ((2.0 * g{j}) / CAST(n AS DOUBLE)) AS w{j}"
+        for j in range(3)
+    )
+    weight = (
+        f"w{n} AS (SELECT {upd}, sse / CAST(n AS DOUBLE) AS mse FROM {wsrc})"
+    )
+    return f"{lvl1},\n{lvl2}", weight
+
+
+SQL_LINEAR_PROBE = (
+    """
+WITH f AS (SELECT doc_id,
+                  CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+"""
+    + ",\n".join(
+        part for k in (1, 2, 3) for part in _probe_epoch_sql(k)
+    )
+    + """
+SELECT 1 AS epoch, w0, w1 AS w_x1, w2 AS w_x2, mse FROM w1
+UNION ALL SELECT 2, w0, w1, w2, mse FROM w2
+UNION ALL SELECT 3, w0, w1, w2, mse FROM w3
+"""
+)
+
+
+def _decorated_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """documents decorated with a doc_id-keyed messy URL (the
+    unicode_nfc structured-injection idiom — the synthetic corpus has
+    no url column, so BOTH engines build the identical one): mixed
+    scheme/host case, default and explicit ports, duplicate path
+    slashes, trailing slashes, tracking params, fragments."""
+    d = load_table(spark, sf, "documents")
+    i = F.col("doc_id")
+    s = lambda m: (i % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(i % 3 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW.Site"), s(7), F.lit(".COM"),
+        F.when(i % 5 == 0, F.lit(":80"))
+        .when(i % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/A/b"), s(13),
+        F.when(i % 2 == 0, F.lit("//c/")).otherwise(F.lit("/c")),
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit("?utm_source=x&id="), s(11), F.lit("&fbclid=z&q=Y")),
+        )
+        .when(i % 4 == 1, F.concat(F.lit("?id="), s(11)))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + dedup (curation.url_dedup — the Dolma
+    dedupe-by-URL pass): the decoration plants every equivalence the
+    canonicalizer must merge (case, :80, //, trailing /, fragments,
+    utm_*/fbclid params) and every one it must NOT (scheme http vs
+    https, :8080, differing id= values). Smallest doc_id wins."""
+    from cubert_spark.datapipe.curation import url_dedup
+
+    return url_dedup(_decorated_urls(spark, sf))
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         regexp_replace(
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END)
+           || 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+           || (CASE WHEN doc_id % 5 = 0 THEN ':80'
+                    WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+           || '/A/b' || CAST(doc_id % 13 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '//c/' ELSE '/c' END)
+           || (CASE WHEN doc_id % 4 = 0
+                    THEN '?utm_source=x&id=' || CAST(doc_id % 11 AS VARCHAR)
+                         || '&fbclid=z&q=Y'
+                    WHEN doc_id % 4 = 1
+                    THEN '?id=' || CAST(doc_id % 11 AS VARCHAR)
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END),
+           '#.*$', '') AS nofrag
+  FROM documents
+),
+pieces AS (
+  SELECT doc_id,
+         lower(regexp_replace(
+             regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1),
+             ':(80|443)$', '')) AS head,
+         regexp_replace(regexp_replace(
+             regexp_extract(nofrag,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+             '/{2,}', '/', 'g'), '/$', '') AS path,
+         -- array_to_string([]) is NULL in DuckDB (Spark array_join
+         -- gives '') — COALESCE pins the empty-query case
+         COALESCE(array_to_string(list_filter(
+             string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+               '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)=')),
+             '&'), '') AS q
+  FROM u
+),
+c AS (
+  SELECT doc_id,
+         head || (CASE WHEN path = '' THEN '/' ELSE path END)
+              || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+  FROM pieces
+)
+SELECT canonical_url, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_dups
+FROM c GROUP BY 1
+"""
+
+
+def q_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic T5/UL2 span-corruption plan (curation.
+    span_corruption): one 3-token masked span per full 16-token
+    window, offset = hash16(doc_id:span_id) mod 14 — the corruption
+    mask replays bit-for-bit across engines (content-keyed, the
+    deterministic-sampling doctrine)."""
+    from cubert_spark.datapipe.curation import span_corruption
+
+    d = load_table(spark, sf, "documents")
+    return span_corruption(d, window=16, span_len=3)
+
+
+SQL_SPAN_CORRUPTION = f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+w AS (SELECT doc_id, CAST(i AS BIGINT) AS span_id
+      FROM t, LATERAL UNNEST(range(0, n // 16)) AS u(i)
+      WHERE n // 16 > 0)
+SELECT doc_id, span_id,
+       CAST(span_id * 16
+            + ({_hash16_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(span_id AS VARCHAR)", 'span')} % 14)
+            AS BIGINT) AS start,
+       CAST(3 AS INT) AS length
+FROM w
+"""
+
+
+
 QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "soft_dedup": q_soft_dedup,
@@ -3869,6 +4112,10 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_prod": q_semantic_dedup_prod,
     "margin_align_prod": q_margin_align_prod,
+    "kneser_ney_lm": q_kneser_ney_lm,
+    "linear_probe": q_linear_probe,
+    "url_dedup": q_url_dedup,
+    "span_corruption": q_span_corruption,
     "jaccard_prefix": q_jaccard_prefix,
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
@@ -3925,6 +4172,10 @@ ORACLES = {
     "unicode_nfc": SQL_UNICODE_NFC,
     "margin_align": SQL_MARGIN_ALIGN,
     "margin_align_prod": SQL_MARGIN_ALIGN_PROD,
+    "kneser_ney_lm": SQL_KNESER_NEY_LM,
+    "linear_probe": SQL_LINEAR_PROBE,
+    "url_dedup": SQL_URL_DEDUP,
+    "span_corruption": SQL_SPAN_CORRUPTION,
     "adaptive_cut": SQL_ADAPTIVE_CUT,
     "bestfit_pack": SQL_BESTFIT_PACK,
     "hard_negatives": SQL_HARD_NEGATIVES,

@@ -4294,3 +4294,132 @@ def test_adaptive_cut_salted_two_phase_on_planted_skew(spark):
         ln for ln in plan.splitlines() if "hashpartitioning(lang" in ln
     ]
     assert any("__b" in ln for ln in win_parts), plan
+
+
+def test_kneser_ney_lm_identities_and_hand_values(spark):
+    """Interpolated KN (Kneser & Ney 1995): on 'a b a b c', c(a,b)=2,
+    c(b,a)=1, c(b,c)=1 — check the exact D=3/4 arithmetic, and the
+    sum-to-1-per-context identity: sum over observed w of
+    (prob - lam*pcont) plus lam*1 (sum of pcont over the continuation
+    vocab is 1 by construction) must be exactly 1 per context."""
+    from cubert_spark.datapipe.lm import kneser_ney_lm
+
+    d = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    m = {(r["v"], r["w"]): r for r in kneser_ney_lm(d).collect()}
+    # contexts: a -> {b:2} (c_a=2, N1+(a.)=1); b -> {a:1, c:1}
+    # (c_b=2, N1+(b.)=2); continuation: N1+(.b)=1, N1+(.a)=1,
+    # N1+(.c)=1; N1+(..)=3
+    ab = m[("a", "b")]
+    assert ab["c_vw"] == 2
+    assert ab["lambda_v"] == (3 * 1) / (4 * 2)
+    assert ab["pcont_w"] == 1 / 3
+    assert ab["prob"] == (4 * 2 - 3) / (4 * 2) + (3 / 8) * (1 / 3)
+    ba = m[("b", "a")]
+    assert ba["lambda_v"] == (3 * 2) / (4 * 2)
+    assert ba["prob"] == (4 * 1 - 3) / (4 * 2) + (6 / 8) * (1 / 3)
+    # sum-to-1 identity per context
+    import collections
+
+    by_v = collections.defaultdict(list)
+    for (v, w), r in m.items():
+        by_v[v].append(r)
+    for v, rows in by_v.items():
+        lam = rows[0]["lambda_v"]
+        total = sum(r["prob"] - lam * r["pcont_w"] for r in rows) + lam
+        assert abs(total - 1.0) < 1e-9, (v, total)
+
+
+def test_canonical_url_merges_and_preserves(spark):
+    """canonical_url merges what URL semantics say is identical
+    (case of scheme/host, :80/:443, //, trailing /, fragments,
+    tracking params) and preserves what is not (path case, param
+    ORDER, non-default ports, differing param values)."""
+    from cubert_spark.datapipe.curation import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a//b/?utm_source=x&id=1&fbclid=z#f",
+         "http://www.ex.com/a/b?id=1"),
+        ("http://www.ex.com/a/b?id=1", "http://www.ex.com/a/b?id=1"),
+        ("https://ex.com:443", "https://ex.com/"),
+        ("https://ex.com:8080/P", "https://ex.com:8080/P"),  # case kept
+        ("https://ex.com/x?b=2&a=1", "https://ex.com/x?b=2&a=1"),  # order kept
+        ("https://ex.com/x?utm_campaign=only", "https://ex.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    from cubert_spark.datapipe.curation import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (5, "http://ex.com/a?utm_source=t"),
+            (3, "HTTP://EX.com:80/a#frag"),
+            (9, "http://ex.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert got["http://ex.com/a"]["kept_doc_id"] == 3
+    assert got["http://ex.com/a"]["n_dups"] == 2
+    assert got["http://ex.com/b"]["n_dups"] == 1
+
+
+def test_span_corruption_plan_properties(spark):
+    """Spans: one per FULL 16-token window, inside their window
+    (never overlapping, never crossing the doc end), trailing partial
+    window unmasked, short docs absent; deterministic across
+    repartition; invalid geometry raises."""
+    import pytest
+
+    from cubert_spark.datapipe.curation import span_corruption
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(40))),  # 2 windows + tail 8
+        (2, " ".join(f"t{i}" for i in range(16))),  # exactly 1 window
+        (3, "short doc only"),  # no full window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = span_corruption(df, window=16, span_len=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [1, 2]
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 1
+    for r in rows:
+        lo = r["span_id"] * 16
+        assert lo <= r["start"] <= lo + 16 - 3
+        assert r["length"] == 3
+    # deterministic under repartition
+    again = span_corruption(df.repartition(7), window=16, span_len=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    with pytest.raises(ValueError, match="span_len"):
+        span_corruption(df, window=4, span_len=5)
+
+
+def test_linear_probe_train_descends_and_is_partition_invariant(spark):
+    """Full-batch GD: the per-epoch mse (loss under pre-update
+    weights) strictly decreases on a learnable signal, and the whole
+    weight trajectory is BIT-identical under repartition (the sorted
+    two-level fold contract — a plain double sum would not be)."""
+    import pytest
+
+    from cubert_spark.datapipe.probe import linear_probe_train
+
+    # features scaled to ~[0,1]: full-batch GD at lr=1/8 needs
+    # 2*lr*E[x^2] < 2 to contract — unscaled [0,9] features diverge
+    rows = [(i, (i % 10) / 10.0, 1.0 if i % 10 >= 5 else 0.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y double")
+    out = linear_probe_train(df, ["x"], "y", id_col="doc_id", epochs=4)
+    mses = [r["mse"] for r in out.orderBy("epoch").collect()]
+    assert all(b < a for a, b in zip(mses, mses[1:])), mses
+    out2 = linear_probe_train(
+        df.repartition(13), ["x"], "y", id_col="doc_id", epochs=4
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    with pytest.raises(ValueError, match="epochs"):
+        linear_probe_train(df, ["x"], "y", epochs=0)
+    with pytest.raises(ValueError, match="feature_cols"):
+        linear_probe_train(df, [], "y")

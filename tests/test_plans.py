@@ -462,6 +462,9 @@ _LINT_ALLOWED = {
     "dq_expectations": ("pairs",),
     # 1-row |vocab| crossJoin(broadcast)
     "lm_perplexity": ("pairs",),
+    # 1-row N1+(..) continuation-total crossJoin(broadcast) — the
+    # lm_perplexity |V| shape
+    "kneser_ney_lm": ("pairs",),
     # r13 second half: 1-row shingled-corpus-count crossJoin
     "soft_dedup": ("pairs",),
     # inherits lm_perplexity's 1-row |vocab| crossJoin
@@ -858,6 +861,13 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
                    "by n_bits, not by the corpus)",
     "mixture_sample": "broadcast sides = per-dataset weight/stat table "
                       "(|datasets| rows, corpus-independent)",
+    "kneser_ney_lm": "broadcast sides = vocabulary-bounded aggregate "
+                     "tables (context/continuation counts + the 1-row "
+                     "N1+(..) total; vocab grows ~Heaps-law sublinearly "
+                     "and the synthetic corpus vocab saturates at ~31 — "
+                     "if an open vocab outgrows the threshold they flip "
+                     "to shuffle equi-joins, which IS the correct plan, "
+                     "the lm_perplexity posture)",
     # r13 two-level prefix-sum dictionary build: the factor model
     # scales the shard-offsets broadcast by corpus growth, but it has
     # exactly num_shards rows (spark.sql.shuffle.partitions — a config

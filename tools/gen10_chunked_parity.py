@@ -11,12 +11,20 @@ comparison is the driver's own dtype-sensitive sorted row-hash
 multiset (oracle._canon_pdf/_hash_frame), so a MATCH here is the same
 claim as a CORRECTNESS row, just assembled from shard replays.
 
-Soundness: valid ONLY for queries whose output is a pure per-row
-function of one `documents` row (no cross-document aggregates/joins).
-gopher_repetition qualifies: all 13 signals are within-document.
+Soundness: valid ONLY for queries whose output FACTORIZES over the
+shard predicate's equivalence classes — per-document queries under a
+doc_id-modulus predicate (no cross-document aggregates/joins;
+gopher_repetition qualifies: all 13 signals are within-document), and
+per-SHARD-pure folds under their OWN shard key (bestfit_pack: the BFD
+greedy runs independently per hash16(doc_id,'bfd') % 16 shard, so
+restricting the documents view to one shard's docs replays exactly
+that shard's fold — the same argument one level up, r14 VERDICT
+task 6). --preset picks the matching predicate.
 
 Usage: PYTHONPATH=/root/repo python3 tools/gen10_chunked_parity.py \
           --sf-dir /tmp/gen_sf10 --query gopher_repetition --chunks 10
+       PYTHONPATH=/root/repo python3 tools/gen10_chunked_parity.py \
+          --sf-dir /tmp/gen_sf1 --query bestfit_pack --preset bfd_shard
 """
 
 from __future__ import annotations
@@ -32,6 +40,14 @@ def main() -> None:
     ap.add_argument("--query", default="gopher_repetition")
     ap.add_argument("--chunks", type=int, default=10)
     ap.add_argument("--cpus", default="16")
+    ap.add_argument(
+        "--preset",
+        choices=["doc_mod", "bfd_shard"],
+        default="doc_mod",
+        help="shard predicate: doc_id modulus (per-document queries) "
+        "or the bestfit_pack content-hash shard key (per-shard folds; "
+        "forces chunks=16 to match the operator's n_shards)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", args.cpus)
@@ -55,13 +71,22 @@ def main() -> None:
 
     sql = all_oracles()[args.query]
     doc_path = os.path.join(args.sf_dir, "documents.parquet")
+    if args.preset == "bfd_shard":
+        from cubert_spark.queries.datapipe import _hash16_sql
+
+        # one replay chunk per BFD shard — the fold's own independence
+        # boundary (curation.bestfit_pack n_shards=16 declared row)
+        args.chunks = 16
+        pred = f"({_hash16_sql('doc_id', 'bfd')}) % 16 = {{k}}"
+    else:
+        pred = f"doc_id % {args.chunks} = {{k}}"
     parts = []
     t0 = time.time()
     for k in range(args.chunks):
         con = duckdb.connect()
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM "
-            f"read_parquet('{doc_path}') WHERE doc_id % {args.chunks} = {k}"
+            f"read_parquet('{doc_path}') WHERE " + pred.format(k=k)
         )
         parts.append(con.execute(sql).df())
         con.close()

@@ -116,6 +116,13 @@ HEAVY = {
     # r15: production margin tier (IVF probe + candidate margin rule +
     # one exact-tier ground-truth pass — the bounded-X shape again)
     "margin_align_prod": "embeddings",
+    # r15 batch 2: vocab-bounded model build (expect sublinear — the
+    # token explode is the data term), 3 corpus scans + bounded folds,
+    # one canonical-key groupBy, and a zero-shuffle map
+    "kneser_ney_lm": "documents",
+    "linear_probe": "documents",
+    "url_dedup": "documents",
+    "span_corruption": "documents",
     # r13 batch 7: ~9x token explode + keyed gram counts + coverage
     # joins (the heaviest text operator — expect ~linear, watch it)
     "gopher_repetition": "documents",
