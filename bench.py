@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "linear_probe",
     "url_dedup",
     "span_corruption",
+    # code-vs-prose routing (one codegen regexp projection)
+    "code_detect",
 ]
 
 #: The r01 baseline rows (BASELINE.md §2's protocol) — the judge's

@@ -1131,3 +1131,75 @@ def gopher_repetition(
         )
     cols.append(keep.alias("keep"))
     return named.select(*cols)
+
+
+#: Per-language code-signal regexes for code_detect — module-level so
+#: the DuckDB oracle folds the IDENTICAL patterns (RE2 and Java agree
+#: on this subset: literals, alternation, \b word boundaries).
+CODE_LANG_PATTERNS = {
+    "python": r"\bdef |\bimport |\bself\.|\belif ",
+    "js": r"\bfunction\b|=>|\bconst |\bvar ",
+    "java": r"\bpublic |\bvoid |\bstatic |\bnew ",
+    "c": r"#include|\bprintf|\bmalloc|->",
+}
+
+#: Structural code signals (language-agnostic).
+CODE_STRUCT_PATTERNS = {
+    "n_braces": r"[{}]",
+    "n_semis": r";",
+    "n_indent_lines": r"(?m)^(\t+| {2,})\S",
+}
+
+
+def code_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Code-vs-prose routing (public lineage: The Stack / StarCoder —
+    Kocetkov et al. 2022 — and every mixed pretraining pipeline that
+    routes code and prose into different cleaning + mixing branches):
+    per-document structural signals (braces, semicolons, indented
+    lines) decide ``is_code`` by an integer cross-multiplication rule
+    (the gopher_rules convention — no float thresholds), and
+    per-language keyword counts pick ``code_lang`` by argmax with a
+    fixed python > js > java > c tie priority (deterministic, spelled
+    identically in the oracle).
+
+    is_code  <=>  1000 * s >= 10 * n_chars  AND  s >= 5,
+    where s = n_braces + n_semis + n_indent_lines (>= ~1% structural
+    signal density and an absolute floor so short prose with one ';'
+    never flips).
+
+    Scale shape: regex counts ride the scan (single codegen
+    projection, zero shuffles) — the gopher_filter cost class.
+
+    Output: (id, n_braces, n_semis, n_indent_lines, is_code,
+    code_lang) — code_lang is NULL for prose or zero-signal docs.
+    """
+    cnt = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+        for name, pat in {**CODE_STRUCT_PATTERNS, **CODE_LANG_PATTERNS}.items()
+    }
+    s = cnt["n_braces"] + cnt["n_semis"] + cnt["n_indent_lines"]
+    is_code = (s * 1000 >= 10 * F.length(F.col(text_col))) & (s >= 5)
+    py, js, jv, c = (cnt[k] for k in ("python", "js", "java", "c"))
+    lang = (
+        F.when(py + js + jv + c == 0, F.lit(None).cast("string"))
+        .when((py >= js) & (py >= jv) & (py >= c), F.lit("python"))
+        .when((js >= jv) & (js >= c), F.lit("js"))
+        .when(jv >= c, F.lit("java"))
+        .otherwise(F.lit("c"))
+    )
+    return df.select(
+        F.col(id_col),
+        cnt["n_braces"].cast("int").alias("n_braces"),
+        cnt["n_semis"].cast("int").alias("n_semis"),
+        cnt["n_indent_lines"].cast("int").alias("n_indent_lines"),
+        is_code.alias("is_code"),
+        F.when(is_code, lang).otherwise(F.lit(None).cast("string")).alias(
+            "code_lang"
+        ),
+    )

@@ -3804,6 +3804,83 @@ FROM h
 SQL_REFINEDWEB_LINES = _refinedweb_lines_oracle()
 
 
+#: code_detect decoration snippets (ASCII, quote-free so the SQL
+#: literal embeds verbatim) — planted so BOTH branches of the rule
+#: and all four language argmaxes are exercised on the prose corpus.
+_CODE_SNIPPETS = {
+    0: "\ndef f(x):\n  import os\n  v = {1: 2};\n  w = {3: 4};\n  return v;",
+    1: "\nconst f = (x) => { return x; }; var y = f(1); var z = y;;",
+    2: "\npublic static void main() { new X(); int y = 1; y += 2; }",
+    3: "\n#include <stdio.h>\nint main() { int* p = x->y; printf(s); malloc(4); return 0; };;",
+}
+
+
+def q_code_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-vs-prose routing (textstats.code_detect, The Stack /
+    StarCoder lineage): docs with doc_id % 11 in 0..3 get a planted
+    language-marked code snippet (the unicode_nfc injection idiom —
+    the synthetic corpus is pure prose), so the integer density rule
+    flips is_code on exactly the planted docs that stay under the
+    1% structural-signal density bound, and the keyword argmax must
+    recover each planted language."""
+    from cubert_spark.datapipe.textstats import code_detect
+
+    d = load_table(spark, sf, "documents")
+    deco = F.concat(
+        F.col("text"),
+        *[
+            F.when(F.col("doc_id") % 11 == k, F.lit(sn)).otherwise(F.lit(""))
+            for k, sn in _CODE_SNIPPETS.items()
+        ],
+    )
+    return code_detect(d.select("doc_id", deco.alias("text")))
+
+
+def _code_detect_oracle() -> str:
+    from cubert_spark.datapipe.textstats import (
+        CODE_LANG_PATTERNS,
+        CODE_STRUCT_PATTERNS,
+    )
+
+    sn = {
+        k: v.replace("\n", chr(10)) for k, v in _CODE_SNIPPETS.items()
+    }
+    deco = " || ".join(
+        f"(CASE WHEN doc_id % 11 = {k} THEN '{v}' ELSE '' END)"
+        for k, v in sn.items()
+    )
+
+    def n(pat: str) -> str:
+        return f"LEN(regexp_extract_all(dtext, '{pat}'))"
+
+    c = {name: n(p) for name, p in CODE_STRUCT_PATTERNS.items()}
+    l = {name: n(p) for name, p in CODE_LANG_PATTERNS.items()}
+    s = f"({c['n_braces']} + {c['n_semis']} + {c['n_indent_lines']})"
+    is_code = f"({s} * 1000 >= 10 * LEN(dtext) AND {s} >= 5)"
+    lang = (
+        f"CASE WHEN {l['python']} + {l['js']} + {l['java']} + {l['c']} = 0 "
+        "THEN NULL "
+        f"WHEN {l['python']} >= {l['js']} AND {l['python']} >= {l['java']} "
+        f"AND {l['python']} >= {l['c']} THEN 'python' "
+        f"WHEN {l['js']} >= {l['java']} AND {l['js']} >= {l['c']} THEN 'js' "
+        f"WHEN {l['java']} >= {l['c']} THEN 'java' ELSE 'c' END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text || {deco} AS dtext FROM documents)
+SELECT doc_id,
+       CAST({c['n_braces']} AS INT) AS n_braces,
+       CAST({c['n_semis']} AS INT) AS n_semis,
+       CAST({c['n_indent_lines']} AS INT) AS n_indent_lines,
+       {is_code} AS is_code,
+       CASE WHEN {is_code} THEN {lang} ELSE NULL END AS code_lang
+FROM d
+"""
+
+
+SQL_CODE_DETECT = _code_detect_oracle()
+
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram model BUILD (datapipe.lm.
     kneser_ney_lm — the KenLM smoothing; Kneser & Ney 1995, Chen &
@@ -4116,6 +4193,7 @@ QUERIES = {
     "linear_probe": q_linear_probe,
     "url_dedup": q_url_dedup,
     "span_corruption": q_span_corruption,
+    "code_detect": q_code_detect,
     "jaccard_prefix": q_jaccard_prefix,
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
@@ -4176,6 +4254,7 @@ ORACLES = {
     "linear_probe": SQL_LINEAR_PROBE,
     "url_dedup": SQL_URL_DEDUP,
     "span_corruption": SQL_SPAN_CORRUPTION,
+    "code_detect": SQL_CODE_DETECT,
     "adaptive_cut": SQL_ADAPTIVE_CUT,
     "bestfit_pack": SQL_BESTFIT_PACK,
     "hard_negatives": SQL_HARD_NEGATIVES,

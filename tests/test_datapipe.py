@@ -4423,3 +4423,29 @@ def test_linear_probe_train_descends_and_is_partition_invariant(spark):
         linear_probe_train(df, ["x"], "y", epochs=0)
     with pytest.raises(ValueError, match="feature_cols"):
         linear_probe_train(df, [], "y")
+
+
+def test_code_detect_rule_and_language_argmax(spark):
+    """code_detect: the integer density rule (1% structural signals +
+    absolute floor 5) and the fixed-priority language argmax — prose
+    stays prose even with one semicolon; each planted snippet routes
+    to its language; ties resolve python > js > java > c."""
+    from cubert_spark.datapipe.textstats import code_detect
+
+    docs = [
+        (1, "plain prose with one ; semicolon " * 3),
+        (2, "def f(x):\n  import os\n  v = {1: 2};\n  w = {3: 4};\n  return v;"),
+        (3, "const f = (x) => { return x; }; var y = f(1); var z = y;;"),
+        (4, "#include <x>\nint main() { int* p = a->b; printf(s); malloc(4); }"),
+        # tie between python and js signals -> python wins by priority
+        (5, "def a\ndef b\nfunction c\nfunction d\n{};{};{};"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert not got[1]["is_code"] and got[1]["code_lang"] is None
+    assert got[2]["is_code"] and got[2]["code_lang"] == "python"
+    assert got[3]["is_code"] and got[3]["code_lang"] == "js"
+    assert got[4]["is_code"] and got[4]["code_lang"] == "c"
+    assert got[5]["is_code"] and got[5]["code_lang"] == "python"
+    assert got[2]["n_braces"] == 4 and got[2]["n_semis"] == 3
+    assert got[2]["n_indent_lines"] == 4  # import/v/w/return lines

@@ -123,6 +123,7 @@ HEAVY = {
     "linear_probe": "documents",
     "url_dedup": "documents",
     "span_corruption": "documents",
+    "code_detect": "documents",
     # r13 batch 7: ~9x token explode + keyed gram counts + coverage
     # joins (the heaviest text operator — expect ~linear, watch it)
     "gopher_repetition": "documents",
