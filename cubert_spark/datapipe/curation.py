@@ -991,7 +991,10 @@ def canonical_url(url: Column) -> Column:
     drop tracking query params (TRACKING_PARAM_RE) while PRESERVING
     the order of the survivors (param reordering can change server
     semantics, so it is deliberately NOT done — documented contract).
-    Path and query case is preserved (paths are case-sensitive)."""
+    Path and query case is preserved (paths are case-sensitive).
+    Assumes ABSOLUTE scheme://host URLs (the crawl-pipeline case);
+    schemeless/relative inputs canonicalize to their path+query only
+    — filter or resolve them upstream."""
     u = F.regexp_replace(url, "#.*$", "")
     head = F.lower(
         F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)

@@ -953,6 +953,14 @@ def _adaptive_cut_salted(
     )
     rows = (
         df.join(F.broadcast(bounds), group_col)
+        # a group whose scores are ALL NULL yields NULL bounds ->
+        # NULL bucket -> silently dropped by the offsets equi-join;
+        # coalesce to the empty array so such groups land whole in
+        # bucket 0 (where the NULLS FIRST ordering puts them anyway)
+        .withColumn(
+            "__bounds",
+            F.coalesce(F.col("__bounds"), F.array().cast("array<double>")),
+        )
         .withColumn("__b", bucket)
         .drop("__bounds")
     )

@@ -4274,6 +4274,9 @@ def test_adaptive_cut_salted_two_phase_on_planted_skew(spark):
         score = (i * 37) % 199  # plants plenty of score ties
         rows.append((i, lang, score))
     rows.append((2000, "en", None))  # NULL score ranks first, dropped
+    # a group whose scores are ALL NULL must not lose rows (NULL
+    # percentile bounds -> NULL bucket was a silent-drop edge)
+    rows += [(3000, "xx", None), (3001, "xx", None), (3002, "xx", None)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
 
     base = sampling.adaptive_quality_cut(df, drop_ppm=300_000)
