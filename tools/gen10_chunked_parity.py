@@ -34,6 +34,21 @@ import os
 import time
 
 
+def _replay_shard(doc_path: str, where: str, sql: str, threads: int):
+    import duckdb
+
+    con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads = {threads}")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{doc_path}') WHERE {where}"
+    )
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
@@ -47,6 +62,16 @@ def main() -> None:
         help="shard predicate: doc_id modulus (per-document queries) "
         "or the bestfit_pack content-hash shard key (per-shard folds; "
         "forces chunks=16 to match the operator's n_shards)",
+    )
+    ap.add_argument(
+        "--parallel",
+        type=int,
+        default=1,
+        help="replay shards in N worker processes (each shard is an "
+        "independent statement over a disjoint document set, so "
+        "parallel replay is sound by the same factorization argument "
+        "as chunking itself); per-worker DuckDB threads are capped so "
+        "N workers do not thrash the box",
     )
     args = ap.parse_args()
 
@@ -80,18 +105,29 @@ def main() -> None:
         pred = f"({_hash16_sql('doc_id', 'bfd')}) % 16 = {{k}}"
     else:
         pred = f"doc_id % {args.chunks} = {{k}}"
-    parts = []
     t0 = time.time()
-    for k in range(args.chunks):
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW documents AS SELECT * FROM "
-            f"read_parquet('{doc_path}') WHERE " + pred.format(k=k)
-        )
-        parts.append(con.execute(sql).df())
-        con.close()
-        print(f"  replay shard {k}: {len(parts[-1])} rows "
-              f"(t={time.time() - t0:.0f}s)")
+    if args.parallel > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(args.parallel) as pool:
+            parts = pool.starmap(
+                _replay_shard,
+                [
+                    (doc_path, pred.format(k=k), sql,
+                     max(1, 32 // args.parallel))
+                    for k in range(args.chunks)
+                ],
+            )
+        for k, p in enumerate(parts):
+            print(f"  replay shard {k}: {len(p)} rows")
+    else:
+        parts = []
+        for k in range(args.chunks):
+            parts.append(
+                _replay_shard(doc_path, pred.format(k=k), sql, 0)
+            )
+            print(f"  replay shard {k}: {len(parts[-1])} rows "
+                  f"(t={time.time() - t0:.0f}s)")
     dpdf = pd.concat(parts, ignore_index=True)
     t_duck = time.time() - t0
     print(f"duckdb chunked replay: {len(dpdf)} rows in {t_duck:.1f}s")
