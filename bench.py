@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "span_corruption",
     # code-vs-prose routing (one codegen regexp projection)
     "code_detect",
+    # Heaps-law vocab curve (token explode + vocab-sized min-id agg)
+    "vocab_growth",
 ]
 
 #: The r01 baseline rows (BASELINE.md §2's protocol) — the judge's

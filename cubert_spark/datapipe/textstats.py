@@ -1203,3 +1203,68 @@ def code_detect(
             "code_lang"
         ),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_docs: int = 100,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (public: Heaps 1978; the
+    corpus diagnostic behind tokenizer/vocab sizing and crawl-
+    saturation checks — a flattening curve says new data stops
+    bringing new vocabulary): cumulative distinct-token count and
+    cumulative token count after every ``bucket_docs``-document
+    prefix of the corpus in ``id_col`` order.
+
+    Spelled WITHOUT any cumulative-distinct scan: a token is new in
+    the bucket where its FIRST occurrence lives (min id), so
+    cum_vocab is a running sum over per-bucket first-occurrence
+    counts — one token-keyed aggregate (vocabulary-sized), one
+    bucket-keyed aggregate (|corpus|/bucket_docs rows), and one
+    window over the BUCKET table only. Pure integer arithmetic.
+
+    Scale shape (100 TB): the token explode and min-id aggregate are
+    the lm_perplexity cost class (token-key shuffles, map-side
+    combinable); the unpartitioned running-sum window sees only
+    bucket rows (documented lint class — e.g. 10M docs / 1000 =
+    10k rows), never the corpus.
+
+    Output: (bucket, cum_tokens, cum_vocab) — bucket b covers docs
+    with id div bucket_docs <= b.
+    """
+    if bucket_docs < 1:
+        raise ValueError(
+            f"vocab_growth: bucket_docs must be >= 1, got {bucket_docs}"
+        )
+    from pyspark.sql import Window
+
+    from cubert_spark.datapipe.dedup import _spread
+
+    base = _spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    # integer div, never float-divide-then-cast (precision-exact at
+    # any id magnitude)
+    bucket_of = lambda c: F.expr(f"{c} div {int(bucket_docs)}")  # noqa: E731
+    occ = base.groupBy(bucket_of(id_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("__n_tok")
+    )
+    firsts = (
+        base.groupBy("tok")
+        .agg(F.min(id_col).alias("__first_id"))
+        .groupBy(bucket_of("__first_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("__n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("__n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("__n_new"), F.lit(0).cast("bigint")))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+    )

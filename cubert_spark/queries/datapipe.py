@@ -3804,6 +3804,35 @@ FROM h
 SQL_REFINEDWEB_LINES = _refinedweb_lines_oracle()
 
 
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (textstats.vocab_growth):
+    cumulative token and distinct-token counts per 100-document
+    prefix — the tokenizer/vocab-sizing and crawl-saturation
+    diagnostic. First-occurrence spelling: no cumulative-distinct
+    scan anywhere; the running sum sees only bucket rows."""
+    d = load_table(spark, sf, "documents")
+    return textstats.vocab_growth(d, bucket_docs=100)
+
+
+SQL_VOCAB_GROWTH = """
+WITH tok AS (
+  SELECT doc_id, t.tok FROM documents,
+       LATERAL UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+),
+occ AS (SELECT doc_id // 100 AS bucket, COUNT(*) AS n_tok
+        FROM tok GROUP BY 1),
+fr AS (SELECT MIN(doc_id) AS fid FROM tok GROUP BY tok),
+nw AS (SELECT fid // 100 AS bucket, COUNT(*) AS n_new FROM fr GROUP BY 1)
+SELECT occ.bucket,
+       CAST(SUM(n_tok) OVER (ORDER BY occ.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY occ.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM occ LEFT JOIN nw USING (bucket)
+"""
+
+
+
 #: code_detect decoration snippets (ASCII, quote-free so the SQL
 #: literal embeds verbatim) — planted so BOTH branches of the rule
 #: and all four language argmaxes are exercised on the prose corpus.
@@ -4194,6 +4223,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "span_corruption": q_span_corruption,
     "code_detect": q_code_detect,
+    "vocab_growth": q_vocab_growth,
     "jaccard_prefix": q_jaccard_prefix,
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
@@ -4255,6 +4285,7 @@ ORACLES = {
     "url_dedup": SQL_URL_DEDUP,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "code_detect": SQL_CODE_DETECT,
+    "vocab_growth": SQL_VOCAB_GROWTH,
     "adaptive_cut": SQL_ADAPTIVE_CUT,
     "bestfit_pack": SQL_BESTFIT_PACK,
     "hard_negatives": SQL_HARD_NEGATIVES,

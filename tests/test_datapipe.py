@@ -4452,3 +4452,25 @@ def test_code_detect_rule_and_language_argmax(spark):
     assert got[5]["is_code"] and got[5]["code_lang"] == "python"
     assert got[2]["n_braces"] == 4 and got[2]["n_semis"] == 3
     assert got[2]["n_indent_lines"] == 4  # import/v/w/return lines
+
+
+def test_vocab_growth_curve_hand_example(spark):
+    """Heaps curve on a hand corpus: cum_vocab counts a token in the
+    bucket of its FIRST occurrence only; cum_tokens counts every
+    occurrence; both are running sums over doc-id-prefix buckets."""
+    import pytest
+
+    from cubert_spark.datapipe.textstats import vocab_growth
+
+    docs = [
+        (0, "a b a"),      # bucket 0: tokens a,b,a -> vocab {a,b}
+        (1, "b c"),        # bucket 0: +c
+        (2, "a c d"),      # bucket 1: +d
+        (3, "d d d"),      # bucket 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["bucket"]: r for r in vocab_growth(df, bucket_docs=2).collect()}
+    assert got[0]["cum_tokens"] == 5 and got[0]["cum_vocab"] == 3
+    assert got[1]["cum_tokens"] == 11 and got[1]["cum_vocab"] == 4  # {a,b,c,d}
+    with pytest.raises(ValueError, match="bucket_docs"):
+        vocab_growth(df, bucket_docs=0)

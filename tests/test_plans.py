@@ -455,6 +455,9 @@ _LINT_ALLOWED = {
     # per-column 1-row stats crossJoin(broadcast) + <=10-row
     # post-limit rank
     "skew_profile": ("pairs", "unpartitioned window"),
+    # running sum over the BUCKET table only (|corpus|/bucket_docs
+    # rows — 10k rows at 1M docs), never the corpus
+    "vocab_growth": ("unpartitioned window",),
     # two 1-row count summaries crossJoin(broadcast) + (r11) the cut
     # pair source's 1-row shingled-corpus-count crossJoin
     "triangle_count": ("pairs",),

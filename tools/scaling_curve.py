@@ -124,6 +124,7 @@ HEAVY = {
     "url_dedup": "documents",
     "span_corruption": "documents",
     "code_detect": "documents",
+    "vocab_growth": "documents",
     # r13 batch 7: ~9x token explode + keyed gram counts + coverage
     # joins (the heaviest text operator — expect ~linear, watch it)
     "gopher_repetition": "documents",
