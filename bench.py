@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "code_detect",
     # Heaps-law vocab curve (token explode + vocab-sized min-id agg)
     "vocab_growth",
+    # SFT conversation assembly (one conv-key shuffle + bounded fold)
+    "chat_assembly",
 ]
 
 #: The r01 baseline rows (BASELINE.md §2's protocol) — the judge's

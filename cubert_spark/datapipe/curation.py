@@ -1107,3 +1107,108 @@ def span_corruption(
         (F.col("span_id") * window + off).cast("bigint").alias("start"),
         F.lit(span_len).cast("int").alias("length"),
     )
+
+
+def chat_assembly(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_tokens: int = 1024,
+) -> DataFrame:
+    """SFT conversation assembly (public lineage: instruction-tuning
+    data prep — Ouyang et al. 2022; the ChatML rendering convention
+    and FastChat-style templates): order each conversation's turns,
+    render them as ``<|im_start|>{role}\\n{text}<|im_end|>`` blocks
+    joined by newlines, and enforce a token budget by keeping the
+    LONGEST SUFFIX of turns that fits — the keep-recent-context rule
+    chat training uses (dropping the tail would cut the assistant
+    answer being trained on). The newest turn always survives, even
+    alone over budget (flagged ``truncated`` along with any
+    suffix-cut conversation; chunk upstream if that matters).
+
+    Deterministic: whitespace token counts (integer), suffix
+    selection via a reverse running sum per conversation, assembly
+    via the sort_array ordered fold — no nondeterministic
+    concat ordering anywhere.
+
+    Scale shape (100 TB): one shuffle on the conversation key; the
+    reverse-cumulative window and the reassembly fold are both
+    bounded by turns-per-conversation. The render is pure codegen.
+
+    Output: (conv, n_turns_total, n_turns_kept, n_tokens_kept, text,
+    truncated).
+    """
+    if max_tokens < 1:
+        raise ValueError(
+            f"chat_assembly: max_tokens must be >= 1, got {max_tokens}"
+        )
+    rendered = _spread(df, conv_col).select(
+        F.col(conv_col),
+        F.col(order_col),
+        F.concat(
+            F.lit("<|im_start|>"),
+            F.col(role_col),
+            F.lit("\n"),
+            F.col(text_col),
+            F.lit("<|im_end|>"),
+        ).alias("__r"),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+        .cast("bigint")
+        .alias("__tok"),
+    )
+    w_desc = Window.partitionBy(conv_col).orderBy(F.col(order_col).desc())
+    marked = rendered.select(
+        conv_col,
+        order_col,
+        "__r",
+        "__tok",
+        (
+            (
+                F.sum("__tok").over(
+                    w_desc.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                <= max_tokens
+            )
+            | (F.row_number().over(w_desc) == 1)
+        ).alias("__keep"),
+    )
+    # ONE keyed aggregation over the already-conv-partitioned window
+    # output (no second totals/kept split re-executing the lineage):
+    # totals and kept stats are conditional aggregates, the render is
+    # an in-array filter over the ordered struct fold
+    asm = marked.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns_total"),
+        F.sum(F.col("__keep").cast("bigint")).alias("n_turns_kept"),
+        F.sum(F.when(F.col("__keep"), F.col("__tok")).otherwise(0)).alias(
+            "n_tokens_kept"
+        ),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col), F.col("__r"), F.col("__keep")
+                            )
+                        )
+                    ),
+                    lambda st: st["__keep"],
+                ),
+                lambda st: st["__r"],
+            ),
+        ).alias("text"),
+    )
+    return asm.select(
+        conv_col,
+        "n_turns_total",
+        "n_turns_kept",
+        "n_tokens_kept",
+        "text",
+        (
+            (F.col("n_turns_kept") < F.col("n_turns_total"))
+            | (F.col("n_tokens_kept") > max_tokens)
+        ).alias("truncated"),
+    )

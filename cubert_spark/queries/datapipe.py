@@ -3804,6 +3804,55 @@ FROM h
 SQL_REFINEDWEB_LINES = _refinedweb_lines_oracle()
 
 
+def q_chat_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT conversation assembly (curation.chat_assembly — ChatML
+    render + keep-recent-suffix token budget, the instruction-tuning
+    data-prep stage): documents fold into 4-turn conversations
+    (conv_id = doc_id div 4, alternating user/assistant roles) with a
+    150-token budget, so suffix truncation and the always-keep-newest
+    rule are both exercised on real rows."""
+    from cubert_spark.datapipe.curation import chat_assembly
+
+    d = load_table(spark, sf, "documents").select(
+        (F.col("doc_id") / 4).cast("bigint").alias("conv_id"),
+        (F.col("doc_id") % 4).alias("turn"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    return chat_assembly(d, max_tokens=150)
+
+
+SQL_CHAT_ASSEMBLY = """
+WITH t AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+                  CASE WHEN doc_id % 2 = 0 THEN 'user'
+                       ELSE 'assistant' END AS role,
+                  text,
+                  CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS tok
+           FROM documents),
+r AS (SELECT conv_id, turn,
+             '<|im_start|>' || role || chr(10) || text || '<|im_end|>' AS rr,
+             tok,
+             CAST(SUM(tok) OVER (PARTITION BY conv_id ORDER BY turn DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS revcum,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY turn DESC) AS rnd
+      FROM t),
+tot AS (SELECT conv_id, COUNT(*) AS n_turns_total FROM t GROUP BY 1),
+k AS (SELECT * FROM r WHERE revcum <= 150 OR rnd = 1),
+a AS (SELECT conv_id, COUNT(*) AS n_turns_kept,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens_kept,
+             string_agg(rr, chr(10) ORDER BY turn) AS text
+      FROM k GROUP BY 1)
+SELECT tot.conv_id, n_turns_total, n_turns_kept, n_tokens_kept, a.text,
+       (n_turns_kept < n_turns_total OR n_tokens_kept > 150) AS truncated
+FROM tot JOIN a ON tot.conv_id = a.conv_id
+"""
+
+
+
 def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve (textstats.vocab_growth):
     cumulative token and distinct-token counts per 100-document
@@ -4224,6 +4273,7 @@ QUERIES = {
     "span_corruption": q_span_corruption,
     "code_detect": q_code_detect,
     "vocab_growth": q_vocab_growth,
+    "chat_assembly": q_chat_assembly,
     "jaccard_prefix": q_jaccard_prefix,
     "containment_pairs": q_containment_pairs,
     "compression_ratio": q_compression_ratio,
@@ -4286,6 +4336,7 @@ ORACLES = {
     "span_corruption": SQL_SPAN_CORRUPTION,
     "code_detect": SQL_CODE_DETECT,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "chat_assembly": SQL_CHAT_ASSEMBLY,
     "adaptive_cut": SQL_ADAPTIVE_CUT,
     "bestfit_pack": SQL_BESTFIT_PACK,
     "hard_negatives": SQL_HARD_NEGATIVES,

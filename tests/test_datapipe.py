@@ -4474,3 +4474,38 @@ def test_vocab_growth_curve_hand_example(spark):
     assert got[1]["cum_tokens"] == 11 and got[1]["cum_vocab"] == 4  # {a,b,c,d}
     with pytest.raises(ValueError, match="bucket_docs"):
         vocab_growth(df, bucket_docs=0)
+
+
+def test_chat_assembly_suffix_budget_and_render(spark):
+    """chat_assembly: ChatML render in turn order; the token budget
+    keeps the longest SUFFIX (newest turns), never the prefix; the
+    newest turn survives even alone over budget (flagged)."""
+    import pytest
+
+    from cubert_spark.datapipe.curation import chat_assembly
+
+    rows = [
+        # conv 1: 3 turns of 4/4/4 tokens, budget 8 -> keep last two
+        (1, 0, "user", "a b c d"),
+        (1, 1, "assistant", "e f g h"),
+        (1, 2, "user", "i j k l"),
+        # conv 2: single turn over budget -> kept, truncated=True
+        (2, 0, "user", " ".join(f"t{i}" for i in range(20))),
+        # conv 3: fits whole -> truncated=False
+        (3, 0, "user", "hi"),
+        (3, 1, "assistant", "hello there"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, turn long, role string, text string")
+    got = {r["conv_id"]: r for r in chat_assembly(df, max_tokens=8).collect()}
+    c1 = got[1]
+    assert c1["n_turns_total"] == 3 and c1["n_turns_kept"] == 2
+    assert c1["n_tokens_kept"] == 8 and c1["truncated"]
+    assert c1["text"] == (
+        "<|im_start|>assistant\ne f g h<|im_end|>\n"
+        "<|im_start|>user\ni j k l<|im_end|>"
+    )
+    assert got[2]["n_turns_kept"] == 1 and got[2]["truncated"]
+    assert got[3]["n_turns_kept"] == 2 and not got[3]["truncated"]
+    assert got[3]["text"].startswith("<|im_start|>user\nhi<|im_end|>")
+    with pytest.raises(ValueError, match="max_tokens"):
+        chat_assembly(df, max_tokens=0)

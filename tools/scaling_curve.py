@@ -125,6 +125,7 @@ HEAVY = {
     "span_corruption": "documents",
     "code_detect": "documents",
     "vocab_growth": "documents",
+    "chat_assembly": "documents",
     # r13 batch 7: ~9x token explode + keyed gram counts + coverage
     # joins (the heaviest text operator — expect ~linear, watch it)
     "gopher_repetition": "documents",
