@@ -999,7 +999,12 @@ def canonical_url(url: Column) -> Column:
     head = F.lower(
         F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     )
-    head = F.regexp_replace(head, ":(80|443)$", "")
+    # default-port stripping is SCHEME-SENSITIVE (r15 ADVICE): :80 is
+    # only a default for http and :443 only for https — stripping
+    # either blindly would merge http://host:443 (a real non-default
+    # port) with the bare host and drop a genuinely distinct page
+    head = F.regexp_replace(head, "^(http://.*):80$", "$1")
+    head = F.regexp_replace(head, "^(https://.*):443$", "$1")
     path = F.regexp_extract(
         u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
@@ -1154,9 +1159,14 @@ def chat_assembly(
             F.col(text_col),
             F.lit("<|im_end|>"),
         ).alias("__r"),
-        F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
-        .cast("bigint")
-        .alias("__tok"),
+        # NULL text counts as 0 tokens (the bestfit_pack NULL
+        # convention): without the coalesce, Spark's conditional SUM
+        # yields 0 for an all-NULL-text kept set while SQL SUM yields
+        # NULL — a cross-engine parity break (r15 ADVICE)
+        F.coalesce(
+            F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("__tok"),
     )
     w_desc = Window.partitionBy(conv_col).orderBy(F.col(order_col).desc())
     marked = rendered.select(

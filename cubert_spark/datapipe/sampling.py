@@ -941,7 +941,13 @@ def _adaptive_cut_salted(
 
     sc = F.col(score_col).cast("double")
     probs = [i / salt_buckets for i in range(1, salt_buckets)]
-    bounds = df.groupBy(group_col).agg(
+    # The group key is part of the NULL language here (the unsalted
+    # path ranks a NULL group like any other partition), so both
+    # broadcast joins below must be null-SAFE: a bare equi-join on
+    # group_col would silently drop every NULL-group row (r15 ADVICE,
+    # same in-band-NULL join class as temperature_mix). Spelled as an
+    # explicit eqNullSafe condition on a renamed right-side key.
+    bounds = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.percentile_approx(sc, probs, 10_000).alias("__bounds")
     )
     bucket = F.aggregate(
@@ -952,7 +958,11 @@ def _adaptive_cut_salted(
         lambda acc, x: acc + F.when(x < sc, 1).otherwise(0),
     )
     rows = (
-        df.join(F.broadcast(bounds), group_col)
+        df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
+        .drop("__g")
         # a group whose scores are ALL NULL yields NULL bounds ->
         # NULL bucket -> silently dropped by the offsets equi-join;
         # coalesce to the empty array so such groups land whole in
@@ -968,18 +978,18 @@ def _adaptive_cut_salted(
         F.col(score_col).asc_nulls_first(), F.col(id_col).asc_nulls_first()
     )
     local = rows.withColumn("__lr", F.row_number().over(wl))
-    cnts = local.groupBy(group_col, "__b").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    cnts = local.groupBy(
+        F.col(group_col).alias("__g"), F.col("__b").alias("__ob")
+    ).agg(F.count(F.lit(1)).alias("__c"))
     wo = (
-        Window.partitionBy(group_col)
-        .orderBy("__b")
+        Window.partitionBy("__g")
+        .orderBy("__ob")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wn = Window.partitionBy(group_col)
+    wn = Window.partitionBy("__g")
     offs = cnts.select(
-        group_col,
-        "__b",
+        "__g",
+        "__ob",
         F.coalesce(F.sum("__c").over(wo), F.lit(0).cast("bigint")).alias(
             "__off"
         ),
@@ -988,7 +998,11 @@ def _adaptive_cut_salted(
     cut = F.expr(f"(__n * CAST({int(drop_ppm)} AS BIGINT)) div 1000000")
     out_cols = [*df.columns, "grp_rank"]
     return (
-        local.join(F.broadcast(offs), [group_col, "__b"])
+        local.join(
+            F.broadcast(offs),
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col("__b") == F.col("__ob")),
+        )
         .withColumn(
             "grp_rank", (F.col("__off") + F.col("__lr")).cast("int")
         )

@@ -146,8 +146,9 @@ def tx_delta_rw(
             f"v{from_version}"
         )
     f_to = catalog.tx_files(path, to_v)
-    ins = [f for f in f_to if f not in set(f_from)]
-    ret = [f for f in f_from if f not in set(f_to)]
+    s_from, s_to = set(f_from), set(f_to)
+    ins = [f for f in f_to if f not in s_from]
+    ret = [f for f in f_from if f not in s_to]
     return (
         _read_files(spark, path, ins, to_v, merge_schema),
         _read_files(spark, path, ret, from_version, merge_schema),

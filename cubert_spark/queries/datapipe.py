@@ -3829,8 +3829,8 @@ WITH t AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
                   CASE WHEN doc_id % 2 = 0 THEN 'user'
                        ELSE 'assistant' END AS role,
                   text,
-                  CAST(len(string_split_regex(trim(text), '\\s+'))
-                       AS BIGINT) AS tok
+                  CAST(COALESCE(len(string_split_regex(trim(text), '\\s+')),
+                                0) AS BIGINT) AS tok
            FROM documents),
 r AS (SELECT conv_id, turn,
              '<|im_start|>' || role || chr(10) || text || '<|im_end|>' AS rr,
@@ -3998,7 +3998,9 @@ def q_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
     linear_probe_train): a least-squares linear probe predicting
     lang='en' from two scaled corpus features (n_chars/1000,
     tokens/100), fitted by 3 full-batch GD epochs at lr=1/8. Each
-    epoch's gradient is a DECIMAL-exact order-independent sum; every
+    epoch's gradient is a sorted two-level float fold (fixed-order
+    IEEE adds — see probe.py's module doc for why a DECIMAL cast is
+    unsound for arbitrary doubles); every
     scalar step is correctly-rounded IEEE — the weight TRAJECTORY
     (not just the final fit) hash-matches the oracle's unrolled
     3-epoch CTE replay, which is the whole point: a quality-filter
@@ -4148,9 +4150,13 @@ WITH u AS (
 ),
 pieces AS (
   SELECT doc_id,
-         lower(regexp_replace(
-             regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1),
-             ':(80|443)$', '')) AS head,
+         -- default-port strip is scheme-sensitive (:80 http-only,
+         -- :443 https-only) — matches canonical_url (r15 ADVICE)
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(nofrag,
+                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+             '^(http://.*):80$', '\\1'),
+             '^(https://.*):443$', '\\1') AS head,
          regexp_replace(regexp_replace(
              regexp_extract(nofrag,
                             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),

@@ -4277,6 +4277,11 @@ def test_adaptive_cut_salted_two_phase_on_planted_skew(spark):
     # a group whose scores are ALL NULL must not lose rows (NULL
     # percentile bounds -> NULL bucket was a silent-drop edge)
     rows += [(3000, "xx", None), (3001, "xx", None), (3002, "xx", None)]
+    # a NULL GROUP key (undetected-language docs) is part of the NULL
+    # language too: the unsalted window ranks it as its own partition,
+    # so the salted path's broadcast joins must be null-SAFE or every
+    # NULL-lang row silently vanishes (r15 ADVICE)
+    rows += [(4000 + i, None, 50 + i) for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
 
     base = sampling.adaptive_quality_cut(df, drop_ppm=300_000)
@@ -4344,6 +4349,10 @@ def test_canonical_url_merges_and_preserves(spark):
          "http://www.ex.com/a/b?id=1"),
         ("http://www.ex.com/a/b?id=1", "http://www.ex.com/a/b?id=1"),
         ("https://ex.com:443", "https://ex.com/"),
+        # default-port strip is scheme-sensitive: :443 under http and
+        # :80 under https are REAL non-default ports (r15 ADVICE)
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
         ("https://ex.com:8080/P", "https://ex.com:8080/P"),  # case kept
         ("https://ex.com/x?b=2&a=1", "https://ex.com/x?b=2&a=1"),  # order kept
         ("https://ex.com/x?utm_campaign=only", "https://ex.com/x"),
@@ -4509,3 +4518,28 @@ def test_chat_assembly_suffix_budget_and_render(spark):
     assert got[3]["text"].startswith("<|im_start|>user\nhi<|im_end|>")
     with pytest.raises(ValueError, match="max_tokens"):
         chat_assembly(df, max_tokens=0)
+
+
+def test_chat_assembly_null_text_counts_zero_tokens(spark):
+    """NULL-text turns count as 0 tokens (the bestfit_pack NULL
+    convention, r15 ADVICE): a conversation whose kept turns ALL have
+    NULL text must report n_tokens_kept=0 (not NULL) and
+    truncated=False — this is the exact case where Spark's
+    conditional SUM (0) and an uncoalesced SQL SUM (NULL) diverge."""
+    from cubert_spark.datapipe.curation import chat_assembly
+
+    rows = [
+        (1, 0, "user", None),
+        (1, 1, "assistant", None),
+        (2, 0, "user", "a b"),
+        (2, 1, "assistant", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn long, role string, text string"
+    )
+    got = {r["conv_id"]: r for r in chat_assembly(df, max_tokens=8).collect()}
+    c1 = got[1]
+    assert c1["n_turns_kept"] == 2
+    assert c1["n_tokens_kept"] == 0 and c1["truncated"] is False
+    # mixed NULL + real text: the NULL turn contributes 0, not NULL
+    assert got[2]["n_tokens_kept"] == 2 and not got[2]["truncated"]
