@@ -333,7 +333,14 @@ def _rotate_stdout_rows(
 _STDOUT_BUDGET = 1950
 
 
-def _stdout_payload(timings: dict, total: float, sf, rot: int | None = None) -> str:
+def _stdout_payload(
+    timings: dict,
+    total: float,
+    sf,
+    rot: int | None = None,
+    quiet: bool | None = None,
+    pyloop_ds: int | None = None,
+) -> str:
     """The ONE compact stdout line. The driver's capture keeps the
     last ~2 KB of output (the full medians+runs payload truncated the
     official record in r5 AND r6, and r7's line sat at 1,929 bytes
@@ -357,7 +364,12 @@ def _stdout_payload(timings: dict, total: float, sf, rot: int | None = None) -> 
     round-robin window of the rest, "rot" records the rotation index
     so the external record is self-describing — every declared row
     reaches some BENCH_r*.json within k=ceil(pool/width) rounds
-    instead of the r14 freeze-out."""
+    instead of the r14 freeze-out. 8 = + host attribution (r16):
+    "quiet" (the quietness-gate verdict: true/false, null = gate
+    never ran) and "pyloop_ds" (single-thread fingerprint in
+    DECIseconds) ride the external line, so a degraded-host capture
+    like BENCH_r15 (evening box, 0.52 s pyloop vs the 0.38 s anchor
+    window) is self-attributing without opening SCALE.md."""
     import json
 
     def render(decimals: int, rows: dict, dropped: int = 0) -> str:
@@ -370,11 +382,15 @@ def _stdout_payload(timings: dict, total: float, sf, rot: int | None = None) -> 
             "value": total,
             "unit": "sec",
             "queries": q,
-            "v": 7,
+            "v": 8,
             "sf": sf,
         }
         if rot is not None:
             d["rot"] = rot
+        # always emitted (null quiet = gate never ran): a missing key
+        # would be indistinguishable from a pre-v8 line
+        d["quiet"] = quiet
+        d["pyloop_ds"] = pyloop_ds
         if dropped:
             d["dropped"] = dropped
         return json.dumps(d, separators=(",", ":"))
@@ -712,7 +728,15 @@ def main() -> None:
         declared_order,
         rot,
     )
-    payload = _stdout_payload(stdout_rows, total, sf, rot=rot)
+    host = host_fingerprint()
+    payload = _stdout_payload(
+        stdout_rows,
+        total,
+        sf,
+        rot=rot,
+        quiet=quiet_pass,
+        pyloop_ds=int(round(host["pyloop10m_sec"] * 10)),
+    )
     detail = {
         "metric": "bench_total_wall_sec",
         "value": total,
@@ -727,8 +751,8 @@ def main() -> None:
         "anchor_violations": anchor_violations,
         "quiet_pass": quiet_pass,
         "stdout_rotation": rot,
-        "host": host_fingerprint(),
-        "bench_schema_version": 7,
+        "host": host,
+        "bench_schema_version": 8,
         "sf": sf,
     }
     # Anchor maintenance: ONLY a gate-verified quiet official pass may

@@ -180,6 +180,7 @@ def kneser_ney_lm(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: int = 2,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram model BUILD (public: Kneser &
     Ney 1995; Chen & Goodman 1998's interpolated form; the smoothing
@@ -215,8 +216,38 @@ def kneser_ney_lm(
     interpolation identity, so the table + the two factor columns
     evaluate ANY pair (the sum-to-1-per-context identity is pytest-
     pinned).
+
+    ``order`` (r15 VERDICT task 5 — KenLM's standard filter model is
+    a 5-gram): order >= 3 builds the full RECURSIVE interpolated-KN
+    model (Chen & Goodman 1998 eq. 18ff) under the same exact-
+    rational doctrine. Counts follow the KN prescription: the top
+    level uses raw n-gram counts; every middle level k uses
+    CONTINUATION counts N1+(. g) read off the raw (k+1)-gram table;
+    the unigram level is p_cont. All discounts are the fixed rational
+    D = 3/4, so every term stays one correctly-rounded divide of
+    exact bigint products and the interpolation is a fixed tree of
+    IEEE multiply/adds — bit-identical cross-engine with no rounding
+    step anywhere (the divide/multiply/add-only doctrine; pow/exp
+    never appear). Output for order >= 3: (w1..w{n}, c, prob,
+    lambda_top, p_backoff) for every OBSERVED n-gram, where
+    p_backoff is the (n-1)-level probability of w{n} given w2..w{n-1}
+    — prob = t_n + lambda_top * p_backoff by construction, and
+    unseen-context evaluation recurses exactly as in the bigram case.
+
+    Scale shape for order n: ONE window-explode definition (each
+    token position carries its next n-1 successors, null-padded at
+    doc end); every level-k table is a prefix aggregate of that
+    explode — n-1 token-keyed shuffles, model tables all vocabulary-
+    bounded, nothing corpus-quadratic. Spark recomputes the explode
+    per aggregate (lineage), trading n-1 scan passes for never
+    materializing a token-scale intermediate.
     """
     from cubert_spark.datapipe.dedup import _spread
+
+    if order < 2:
+        raise ValueError(f"kneser_ney_lm: order must be >= 2, got {order}")
+    if order > 2:
+        return _kneser_ney_higher(df, text_col, id_col, order)
 
     base = _spread(df, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__w")

@@ -1711,6 +1711,7 @@ def margin_from_candidates(
     pairs: DataFrame,
     k: int = 4,
     margin_threshold: float = 1.0,
+    bounded_sides: bool = True,
 ) -> DataFrame:
     """The margin + mutual-best rule of :func:`margin_align` applied
     to an ARBITRARY candidate pair set ``(x_id, y_id, cos)`` — the
@@ -1722,6 +1723,14 @@ def margin_from_candidates(
     cosines in rank order (fixed-order float adds — run-to-run
     deterministic, row-local); with exhaustive candidates this equals
     margin_align's exact avg_k up to float-vs-DECIMAL dot precision.
+
+    ``bounded_sides`` (r15 VERDICT task 4): True = the x side is a
+    bounded query set (the margin_align_prod row shape) so the avg_k
+    tables are hard-broadcast; False = full-corpus bitext mining (the
+    CCMatrix use: |X| ~ corpus) — NO broadcast hint, the avg_k joins
+    key on the same columns as the rank windows and AQE picks the
+    strategy (it still broadcasts when a side measures small, but a
+    corpus-sized side can shuffle instead of OOMing every executor).
     """
     from pyspark.sql import Window
 
@@ -1753,9 +1762,12 @@ def margin_from_candidates(
             side, (F.col("__s") / F.lit(float(k))).alias(f"__avg_{side}")
         )
 
+    ax, ay = _avg_k("x_id", "__rx"), _avg_k("y_id", "__ry")
+    if bounded_sides:
+        ax, ay = F.broadcast(ax), F.broadcast(ay)
     scored = (
-        ranked.join(F.broadcast(_avg_k("x_id", "__rx")), "x_id")
-        .join(F.broadcast(_avg_k("y_id", "__ry")), "y_id")
+        ranked.join(ax, "x_id")
+        .join(ay, "y_id")
         .withColumn(
             "margin",
             F.col("cos")
@@ -1790,6 +1802,7 @@ def margin_align_ann(
     n_lists: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    bounded_sides: bool = True,
 ) -> DataFrame:
     """PRODUCTION margin alignment (r14 VERDICT task 3): IVF
     candidate generation replaces margin_align's exact |X| x |Y| pair
@@ -1825,4 +1838,6 @@ def margin_align_ann(
         F.col("neighbor_id").alias("y_id"),
         "cos",
     )
-    return margin_from_candidates(pairs, k, margin_threshold)
+    return margin_from_candidates(
+        pairs, k, margin_threshold, bounded_sides=bounded_sides
+    )

@@ -1629,13 +1629,18 @@ def q_tx_maintain(spark: SparkSession, sf: str) -> DataFrame:
     (plans.ivm.maintain_join_tx over catalog.tx_commit chains — the
     reference's SummaryRewriter idea, AggregateRewriter.java:54,
     generalized from dated partitions to manifest-diffed snapshots):
-    orders and customer each get two append commits; the join MV is
-    materialized at (v1, v1) and maintained to the heads with
-    delta-sized work — the deltas are read from the MANIFEST file-set
-    difference (plans.ivm.tx_delta), never a row-level diff or a
-    replay. The oracle is the DIRECT RECOMPUTE of the final join —
-    result-identity of maintain vs recompute is the IVM contract.
-    Construction WRITES (once per session/sf — ``_materialize_once``)."""
+    orders gets two append commits; customer gets an append and then
+    an OVERWRITE commit (r15 VERDICT task 3: the overwrite leg
+    drops manifest files, so maintain_join_tx routes through the full
+    retract+insert rule ``maintain_join_rw`` — the hardest IVM case —
+    while the a side still exercises the cheap insert-only deltas in
+    the same maintenance). The join MV is materialized at (v1, v1)
+    and maintained to the heads; deltas are read from the MANIFEST
+    file-set difference (plans.ivm.tx_delta_rw), never a row-level
+    diff or a replay. The oracle is the DIRECT RECOMPUTE of the final
+    join — result-identity of maintain vs recompute is the IVM
+    contract. Construction WRITES (once per session/sf —
+    ``_materialize_once``)."""
     from cubert_spark.catalog import tx_commit, tx_read
     from cubert_spark.plans.ivm import maintain_join_tx
 
@@ -1649,12 +1654,18 @@ def q_tx_maintain(spark: SparkSession, sf: str) -> DataFrame:
     a2 = o.filter(F.col("o_orderkey") % 3 == 1)
     b1 = c.filter(F.col("o_custkey") % 2 == 0)
     b2 = c.filter(F.col("o_custkey") % 2 == 1)
+    # the overwrite head: replaces the v2 state (all customers) with
+    # the custkey%4 != 3 subset — retracts rows ALREADY IN the view
+    # and keeps rows that must survive, so a wrong retract rule can't
+    # hide in an empty intersection
+    b3 = c.filter(F.col("o_custkey") % 4 != 3)
 
     def _write(p):
         tx_commit(a1, f"{p}/a", mode="append")
         tx_commit(a2, f"{p}/a", mode="append")
         tx_commit(b1, f"{p}/b", mode="append")
         tx_commit(b2, f"{p}/b", mode="append")
+        tx_commit(b3, f"{p}/b", mode="overwrite")
 
     path = _materialize_once(spark, sf, "txivm", _write)
     j_old = tx_read(spark, f"{path}/a", version=1).join(
@@ -1682,7 +1693,7 @@ SELECT o_custkey % 10 AS bucket,
        {dsum_sql('c_acctbal')} AS bal_sum
 FROM orders
 JOIN customer ON c_custkey = o_custkey
-WHERE o_orderkey % 3 IN (0, 1)
+WHERE o_orderkey % 3 IN (0, 1) AND c_custkey % 4 <> 3
 GROUP BY o_custkey % 10
 """
 

@@ -23,12 +23,16 @@ def test_payload_fits_capture_window_at_worst_case_widths():
     several more rows."""
     bench = _bench()
     worst = {n: 99.9 for n in bench.BENCH_QUERIES}
-    p = bench._stdout_payload(worst, 9999.999, 0.1, rot=12)
+    p = bench._stdout_payload(
+        worst, 9999.999, 0.1, rot=12, quiet=False, pyloop_ds=999
+    )
     assert len(p) <= bench._STDOUT_BUDGET
     # headroom probe: +5 future queries still fit (possibly via the
     # integer-degrade rung, which is exactly what it exists for)
     bigger = dict(worst, **{f"future_query_{i}": 99.9 for i in range(5)})
-    p2 = bench._stdout_payload(bigger, 9999.999, 0.1)
+    p2 = bench._stdout_payload(
+        bigger, 9999.999, 0.1, quiet=False, pyloop_ds=999
+    )
     assert len(p2) <= bench._STDOUT_BUDGET
 
 
@@ -59,7 +63,9 @@ def test_rotation_covers_every_declared_row_within_k_rounds():
         rows = bench._rotate_stdout_rows(timings, declared_order, rot)
         assert set(bench.BASELINE_PINNED) <= set(rows)
         assert len(rows) <= bench.MAX_STDOUT_ROWS
-        p = bench._stdout_payload(rows, 9999.999, 0.1, rot=rot)
+        p = bench._stdout_payload(
+            rows, 9999.999, 0.1, rot=rot, quiet=False, pyloop_ds=999
+        )
         assert len(p) <= bench._STDOUT_BUDGET
         d = json.loads(p)
         assert d["rot"] == rot
@@ -152,6 +158,14 @@ def test_payload_is_parseable_json_with_contract_keys():
     assert set(d["queries"]) <= set(bench.BENCH_QUERIES)
     assert len(d["queries"]) + d.get("dropped", 0) == len(bench.BENCH_QUERIES)
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+    # v8 host-attribution keys (r15 VERDICT task 7): always present —
+    # null quiet means the gate never ran, distinct from a quiet pass
+    assert d["v"] == 8
+    assert "quiet" in d and d["quiet"] is None
+    assert "pyloop_ds" in d
+    p8 = bench._stdout_payload(t, 1.0, 0.1, quiet=True, pyloop_ds=4)
+    d8 = json.loads(p8)
+    assert d8["quiet"] is True and d8["pyloop_ds"] == 4
 
 
 def test_degrade_rung_kicks_in_rather_than_overflow():

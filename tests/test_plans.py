@@ -1005,3 +1005,40 @@ def test_advisor_1000x_sweep_no_unwaived_flips(spark):
     )
     stale = sorted(set(_ADVISOR_FLIP_WAIVERS) - set(flagged))
     assert stale == [], f"stale waivers (no longer flip at 1000x): {stale}"
+
+
+def test_margin_from_candidates_unbounded_sides_can_flip(spark):
+    """r15 VERDICT task 4: full-corpus bitext mining (CCMatrix-style,
+    |X| ~ corpus) must not hard-broadcast the avg_k tables — a
+    F.broadcast hint can never flip to shuffle, so a corpus-sized
+    side OOMs every executor. bounded_sides=False drops the hint:
+    with the broadcast threshold forced to -1 the avg_k joins plan as
+    shuffle joins (proof the plan CAN flip), while the default
+    bounded spelling keeps its hint-pinned broadcast under the same
+    threshold (the query-set-sized margin_align_prod shape). Both
+    spellings return identical rows."""
+    from cubert_spark.datapipe.similarity import margin_from_candidates
+    from cubert_spark.plans.assertions import explain_str
+
+    rows = [
+        (x, y, 1.0 - 0.01 * ((x * 7 + y * 3) % 40))
+        for x in range(20)
+        for y in range(20, 36)
+    ]
+    pairs = spark.createDataFrame(rows, "x_id long, y_id long, cos double")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unbounded = margin_from_candidates(pairs, k=4, bounded_sides=False)
+        bounded = margin_from_candidates(pairs, k=4)
+        pu, pb = explain_str(unbounded), explain_str(bounded)
+        assert "BroadcastHashJoin" not in pu, pu
+        assert "BroadcastHashJoin" in pb, pb
+        got_u = sorted(map(tuple, unbounded.collect()))
+        got_b = sorted(map(tuple, bounded.collect()))
+        assert got_u == got_b and len(got_u) > 0
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
