@@ -270,6 +270,15 @@ BENCH_QUERIES = [
     "vocab_growth",
     # SFT conversation assembly (one conv-key shuffle + bounded fold)
     "chat_assembly",
+    # r16: order-3 recursive KN (one window explode + per-level
+    # vocab-bounded prefix aggregates) and the fastText-table
+    # logistic probe (3 corpus scans + sorted two-level folds)
+    "kneser_ney_trigram",
+    "logistic_probe",
+    # r16: ICT pairs + bitext hard rules (both pure codegen
+    # projections, zero shuffles)
+    "ict_pairs",
+    "bitext_filter",
 ]
 
 #: The r01 baseline rows (BASELINE.md §2's protocol) — the judge's

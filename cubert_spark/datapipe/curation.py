@@ -1222,3 +1222,136 @@ def chat_assembly(
             | (F.col("n_tokens_kept") > max_tokens)
         ).alias("truncated"),
     )
+
+
+def ict_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sent_len: int = 12,
+    keep_one_in: int = 10,
+    salt: str = "ict",
+) -> DataFrame:
+    """Inverse Cloze Task pair generation (public: Lee et al. 2019,
+    "Latent Retrieval for Weakly Supervised Open Domain Question
+    Answering" §3.1 — the retriever-pretraining objective: one
+    sentence becomes the pseudo-query, the rest of its passage the
+    positive context; the sentence stays IN the context for 1/k of
+    examples so the model also learns string overlap). Deterministic
+    throughout: pseudo-sentences are fixed ``sent_len``-token windows
+    (the corpus has no sentence punctuation — the chunk_documents
+    convention), the query sentence and the keep decision are
+    content-hash draws (hash16), so pairs replay bit-for-bit across
+    runs/engines/repartitions.
+
+    Docs with fewer than 2 pseudo-sentences are absent (no context to
+    pair). Output: (id, n_sent, query_idx, kept_in_context, query,
+    context).
+
+    Scale shape (100 TB): zero shuffles, zero joins — the whole
+    operator is one codegen projection over the scan (split +
+    transform + filter + array_join); the training-pair export rides
+    the same pass."""
+    from cubert_spark.datapipe.sampling import hash16
+
+    if sent_len < 1:
+        raise ValueError(f"ict_pairs: sent_len must be >= 1, got {sent_len}")
+    if keep_one_in < 1:
+        raise ValueError(
+            f"ict_pairs: keep_one_in must be >= 1, got {keep_one_in}"
+        )
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    n_sent = F.expr(
+        f"(size(__w) + {sent_len - 1}) div {sent_len}"
+    ).cast("int")
+    sents = F.expr(
+        f"transform(sequence(0, ((size(__w) + {sent_len - 1}) div "
+        f"{sent_len}) - 1), i -> array_join(slice(__w, i * {sent_len} + 1, "
+        f"{sent_len}), ' '))"
+    )
+    staged = base.select(
+        F.col(id_col),
+        n_sent.alias("n_sent"),
+        sents.alias("__s"),
+        (hash16(F.col(id_col), salt) % n_sent).alias("query_idx"),
+        (hash16(F.col(id_col), salt + ":keep") % keep_one_in == 0).alias(
+            "kept_in_context"
+        ),
+    ).filter(F.col("n_sent") >= 2)
+    return staged.select(
+        F.col(id_col),
+        "n_sent",
+        "query_idx",
+        "kept_in_context",
+        F.element_at("__s", F.col("query_idx") + 1).alias("query"),
+        F.array_join(
+            F.filter(
+                F.col("__s"),
+                lambda s, i: (i != F.col("query_idx"))
+                | F.col("kept_in_context"),
+            ),
+            " ",
+        ).alias("context"),
+    )
+
+
+def bitext_filter(
+    df: DataFrame,
+    src_col: str = "src_text",
+    tgt_col: str = "tgt_text",
+    id_col: str = "pair_id",
+    max_ratio: int = 2,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Bitext hard-rule filtering (public: Bicleaner hardrules,
+    Ramirez-Sanchez et al. 2020; the WMT parallel-corpus-filtering
+    task lineage — the cheap rule tier every bitext pipeline runs
+    BEFORE model-based scoring like margin_align): flag and gate
+    candidate translation pairs on
+
+    - ``identical``: lowercased sides equal (copy, not translation);
+    - ``too_short``: either side under ``min_tokens`` tokens;
+    - ``ratio_ok``: token-length ratio within ``max_ratio``, spelled
+      as the integer cross-multiply max(n) <= ratio * min(n) — no
+      float division, engine-exact at any length;
+    - ``digit_ok``: the digit SEQUENCES of the two sides match
+      (numbers must survive translation — the hardrules number
+      check), digits extracted with one global regexp_replace;
+    - ``pass`` = none of the above violated.
+
+    Output: (id, n_src, n_tgt, identical, too_short, ratio_ok,
+    digit_ok, pass).
+
+    Scale shape (100 TB): pure codegen projection over the pair scan
+    — zero shuffles, zero joins; candidate-pair construction is
+    upstream (margin_align_ann / aligned-crawl keys)."""
+    if max_ratio < 1:
+        raise ValueError(
+            f"bitext_filter: max_ratio must be >= 1, got {max_ratio}"
+        )
+    src = F.col(src_col)
+    tgt = F.col(tgt_col)
+    n_src = F.size(F.split(src, " ")).cast("bigint")
+    n_tgt = F.size(F.split(tgt, " ")).cast("bigint")
+    digits = lambda c: F.regexp_replace(c, "[^0-9]", "")  # noqa: E731
+    staged = df.select(
+        F.col(id_col),
+        n_src.alias("n_src"),
+        n_tgt.alias("n_tgt"),
+        (F.lower(src) == F.lower(tgt)).alias("identical"),
+        ((n_src < min_tokens) | (n_tgt < min_tokens)).alias("too_short"),
+        (
+            F.greatest(n_src, n_tgt)
+            <= F.lit(int(max_ratio)) * F.least(n_src, n_tgt)
+        ).alias("ratio_ok"),
+        (digits(src) == digits(tgt)).alias("digit_ok"),
+    )
+    return staged.withColumn(
+        "pass",
+        ~F.col("identical")
+        & ~F.col("too_short")
+        & F.col("ratio_ok")
+        & F.col("digit_ok"),
+    )

@@ -305,3 +305,125 @@ def kneser_ney_lm(
             ),
         )
     )
+
+
+def _kneser_ney_higher(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Order-n (n >= 3) recursive interpolated KN — see kneser_ney_lm's
+    docstring for the math and the determinism argument. Level
+    tables:
+
+    - ``A_k`` (raw k-gram counts, k = 2..n): prefix aggregates of ONE
+      null-padded window explode (position i carries w[i..i+n-1];
+      try_element_at keeps ANSI mode happy at doc tails).
+    - top level n: t_n = (4c-3)/(4*den_n), lam_n = 3*typ_n/(4*den_n)
+      with den_n(h) = sum_w c(hw) (sum-to-1 normalization, the same
+      choice as the bigram path), typ_n(h) = N1+(h.).
+    - middle level k: continuation counts nc_k(g) = N1+(.g) = row
+      count of A_{k+1} grouped by its k-suffix; den_k(h) = N1+(.h.),
+      typ_k(h) = |{w : N1+(.hw) > 0}|.
+    - unigram: p1(w) = N1+(.w)/N1+(..) off A_2 (== the bigram path's
+      pcont_w).
+
+    Every observed n-gram's k-suffix is an observed continuation at
+    level k (the n-gram itself left-extends it), so the level joins
+    below are never null-producing inner joins."""
+    from cubert_spark.datapipe.dedup import _spread
+
+    base = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    fields = ", ".join(
+        f"try_element_at(__w, i + {j + 1}) AS g{j}" for j in range(n)
+    )
+    win = (
+        base.select(
+            F.expr(
+                "CASE WHEN size(__w) >= 1 THEN "
+                f"transform(sequence(0, size(__w) - 1), i -> "
+                f"struct({fields})) ELSE array() END"
+            ).alias("__win")
+        )
+        .select(F.explode_outer("__win").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select(*[F.col(f"b.g{j}").alias(f"g{j}") for j in range(n)])
+    )
+
+    def gram_counts(k: int) -> DataFrame:
+        # nulls are tail-padding only: g{k-1} present implies the
+        # whole k-prefix is present
+        return (
+            win.filter(F.col(f"g{k - 1}").isNotNull())
+            .groupBy(*[f"g{j}" for j in range(k)])
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    # model tables are vocabulary-bounded; checkpoint each A_k once so
+    # the token explode is not re-executed per downstream consumer
+    # (the components.py multi-consumer lineage rule)
+    a = {k: gram_counts(k).localCheckpoint(eager=True) for k in range(2, n + 1)}
+
+    top = a[n]
+    ctx = top.groupBy(*[f"g{j}" for j in range(n - 1)]).agg(
+        F.sum("c").alias("den_n"), F.count(F.lit(1)).alias("typ_n")
+    )
+    out = top.join(ctx, [f"g{j}" for j in range(n - 1)])
+
+    # middle levels: continuation tables off the raw (k+1)-gram counts
+    for k in range(2, n):
+        sfx = [f"g{j}" for j in range(1, k + 1)]  # k-suffix of A_{k+1}
+        ck = (
+            a[k + 1]
+            .groupBy(*[F.col(c).alias(f"m{k}_{i}") for i, c in enumerate(sfx)])
+            .agg(F.count(F.lit(1)).alias(f"nc{k}"))
+        )
+        dk = ck.groupBy(
+            *[F.col(f"m{k}_{i}").alias(f"d{k}_{i}") for i in range(k - 1)]
+        ).agg(
+            F.sum(f"nc{k}").alias(f"den{k}"),
+            F.count(F.lit(1)).alias(f"typ{k}"),
+        )
+        ck = ck.join(
+            dk,
+            [
+                ck[f"m{k}_{i}"] == dk[f"d{k}_{i}"]
+                for i in range(k - 1)
+            ],
+        ).drop(*[f"d{k}_{i}" for i in range(k - 1)])
+        # the top row's level-k gram is its tokens g{n-k}..g{n-1}
+        out = out.join(
+            ck,
+            [
+                out[f"g{n - k + i}"] == ck[f"m{k}_{i}"]
+                for i in range(k)
+            ],
+        ).drop(*[f"m{k}_{i}" for i in range(k)])
+
+    c1 = a[2].groupBy(F.col("g1").alias("m1_0")).agg(
+        F.count(F.lit(1)).alias("nc1")
+    )
+    nb = F.broadcast(a[2].agg(F.count(F.lit(1)).alias("n_bi")))
+    out = out.join(c1, out[f"g{n - 1}"] == c1["m1_0"]).drop("m1_0").crossJoin(
+        nb
+    )
+
+    def _div(num, den):
+        return num.cast("double") / den.cast("double")
+
+    # bottom-up interpolation: identical expression TREE on both
+    # engines -> identical correctly-rounded IEEE result
+    p = _div(F.col("nc1"), F.col("n_bi"))
+    for k in range(2, n):
+        t_k = _div(4 * F.col(f"nc{k}") - 3, 4 * F.col(f"den{k}"))
+        lam_k = _div(3 * F.col(f"typ{k}"), 4 * F.col(f"den{k}"))
+        p = t_k + lam_k * p
+    lam_top = _div(3 * F.col("typ_n"), 4 * F.col("den_n"))
+    prob = _div(4 * F.col("c") - 3, 4 * F.col("den_n")) + lam_top * p
+    return out.select(
+        *[F.col(f"g{j}").alias(f"w{j + 1}") for j in range(n)],
+        F.col("c"),
+        prob.alias("prob"),
+        lam_top.alias("lambda_top"),
+        p.alias("p_backoff"),
+    )

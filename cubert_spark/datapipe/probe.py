@@ -127,3 +127,122 @@ def linear_probe_train(
         + ["mse double"]
     )
     return spark.createDataFrame(out_rows, schema)
+
+
+#: fastText's sigmoid discretization constants (public: fastText
+#: src/utils.cc — the shallow quality classifiers train with a
+#: PRECOMPUTED 512-bin sigmoid table clipped at |z| = 8, not libm
+#: exp() per example).
+SIGMOID_TABLE_SIZE = 512
+MAX_SIGMOID = 8
+
+
+def sigmoid_table() -> list[float]:
+    """The fastText sigmoid table: t[i] = sigma(i*16/512 - 8) for
+    i = 0..512. Built ONCE driver-side (math.exp); the Spark
+    expression and the DuckDB oracle both embed THESE literals, so
+    the engines never call their own libm exp — the whole reason a
+    logistic-loss trajectory can be bit-exact cross-engine (the
+    module doc's exp() objection, answered the way fastText answers
+    it)."""
+    import math
+
+    step = 2 * MAX_SIGMOID / SIGMOID_TABLE_SIZE
+    return [
+        1.0 / (1.0 + math.exp(MAX_SIGMOID - i * step))
+        for i in range(SIGMOID_TABLE_SIZE + 1)
+    ]
+
+
+def logistic_probe_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str = "doc_id",
+    epochs: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 8,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Classification probe (r15 VERDICT task 6 — the fastText-style
+    quality-classifier shape; Joulin et al. 2017): fit a logistic
+    model p = sigma(w0 + w . x) on a {0,1} label by full-batch GD
+    from w = 0, with the SAME bit-reproducible discipline as
+    linear_probe_train:
+
+        z_i    = w0 + w . x_i                 (row-local doubles)
+        p_i    = table-sigma(z_i)             (fastText 512-bin
+                                               lookup, clip |z|>=8)
+        grad_j = 1/n * fold((p_i - y_i) x_ij) (sorted two-level fold)
+        w_j   -= lr * grad_j
+
+    The sigmoid is the fastText precomputed-table one (see
+    ``sigmoid_table``): index = clamp(floor((z+8)*32)) — add/multiply
+    by powers of two (exact) + floor (exact) + array lookup — so no
+    engine evaluates exp() and the trajectory hashes bit-identically.
+    The per-epoch metric is the Brier score mean((p-y)^2) (multiply/
+    add only; log-loss would reintroduce libm ln into the hashed
+    output).
+
+    Returns one row per epoch: (epoch, w0, w_<col>.., brier) — brier
+    under the PRE-update weights, weights after the step, exactly the
+    linear probe's reading-down-the-rows contract. Scale shape is
+    identical too: one two-level keyed aggregation per epoch, d+2
+    numbers collected."""
+    if epochs < 1:
+        raise ValueError(
+            f"logistic_probe_train: epochs must be >= 1, got {epochs}"
+        )
+    if not feature_cols:
+        raise ValueError("logistic_probe_train: feature_cols is empty")
+    spark = df.sparkSession
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    lr = lr_num / lr_den
+    d = len(feature_cols)
+    arr = F.array(*[F.lit(v) for v in sigmoid_table()])
+    scale = SIGMOID_TABLE_SIZE / (2 * MAX_SIGMOID)  # 32.0, exact
+    w = [0.0] * (d + 1)
+    out_rows = []
+    for epoch in range(1, epochs + 1):
+        z = F.lit(w[0])
+        for j, x in enumerate(xs):
+            z = z + F.lit(w[j + 1]) * x
+        idx = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(SIGMOID_TABLE_SIZE),
+                F.floor((z + F.lit(float(MAX_SIGMOID))) * F.lit(scale)).cast(
+                    "int"
+                ),
+            ),
+        )
+        p = (
+            F.when(z <= -float(MAX_SIGMOID), F.lit(0.0))
+            .when(z >= float(MAX_SIGMOID), F.lit(1.0))
+            .otherwise(F.element_at(arr, idx + 1))
+        )
+        r = p - y
+        terms = [("g0", r)] + [
+            (f"g{j + 1}", r * x) for j, x in enumerate(xs)
+        ] + [("se", r * r)]
+        lvl1 = df.groupBy((F.col(id_col) % n_shards).alias("__s")).agg(
+            *[_folded_sum(id_col, t, a) for a, t in terms],
+            F.count(F.lit(1)).alias("__n"),
+        )
+        lvl2 = lvl1.agg(
+            *[_folded_sum("__s", F.col(a), a) for a, _ in terms],
+            F.sum("__n").alias("n"),
+        )
+        row = lvl2.collect()[0]
+        n = float(row["n"])
+        brier = row["se"] / n
+        for j in range(d + 1):
+            w[j] = w[j] - lr * (row[f"g{j}"] / n)
+        out_rows.append((epoch, *w, brier))
+    schema = ", ".join(
+        ["epoch int", "w0 double"]
+        + [f"w_{c} double" for c in feature_cols]
+        + ["brier double"]
+    )
+    return spark.createDataFrame(out_rows, schema)

@@ -174,6 +174,25 @@ FOLDED: dict[str, str] = {
     "hashed_embedding": "dsir_weights (same md5 hashed-ngram "
                         "featurizer; the BOW row stays benched and "
                         "parity-gated)",
+    # r16 (rotation-budget folds — r15 VERDICT task 2: 151 declared
+    # outgrew the 150 driver slots per 3 rounds and zorder_roundtrip's
+    # green aged to 4 rounds; each fold's representative embeds or
+    # supersedes the folded row's machinery):
+    "margin_align": "margin_align_prod (runs margin_align's exact "
+                    "DECIMAL tier IN-QUERY as its ground-truth "
+                    "agreement contract; the exact tier stays benched "
+                    "and parity-gated)",
+    "semantic_dedup": "semantic_dedup_prod (runs the exact tier "
+                      "in-query as its agreement contract; stays "
+                      "benched and parity-gated)",
+    "avro_roundtrip": "avro_evolution (same avro writer/reader path; "
+                      "evolution adds reader-schema skip/pad on top "
+                      "of the identical roundtrip)",
+    "lm_perplexity": "perplexity_buckets (embeds lm_perplexity "
+                     "wholly as its scoring stage)",
+    "kneser_ney_lm": "kneser_ney_trigram (same KN build; the "
+                     "recursion's bottom two levels ARE the bigram "
+                     "math — continuation counts + p_cont)",
     # shard-routing family: rendezvous_shard stays declared
     "epoch_shuffle": "rendezvous_shard (same deterministic md5 "
                      "routing family; adds the seeded within-shard "

@@ -3993,6 +3993,58 @@ FROM bgc JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN nb
 """
 
 
+def q_kneser_ney_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-3 RECURSIVE interpolated Kneser-Ney build (datapipe.lm.
+    kneser_ney_lm(order=3) — r15 VERDICT task 5; KenLM's standard
+    filter model is a 5-gram and this is the order-parameterized
+    recursion at the first order that exercises it: raw counts at the
+    top, continuation counts N1+(.g) at the middle level, p_cont at
+    the bottom). Every term is a single correctly-rounded divide of
+    exact bigint counts and the interpolation is a fixed IEEE
+    multiply/add tree — bit-identical cross-engine, no rounding."""
+    from cubert_spark.datapipe.lm import kneser_ney_lm
+
+    d = load_table(spark, sf, "documents")
+    return kneser_ney_lm(d, order=3)
+
+
+SQL_KNESER_NEY_TRIGRAM = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+       FROM tk, LATERAL UNNEST(range(1, len(ws) - 1)) AS t(i)
+       WHERE len(ws) >= 3),
+a3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3),
+bgr AS (SELECT ws[i] AS v, ws[i + 1] AS w
+        FROM tk, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2),
+a2 AS (SELECT v, w, COUNT(*) AS c2 FROM bgr GROUP BY 1, 2),
+ctx3 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS den_n,
+                COUNT(*) AS typ_n
+         FROM a3 GROUP BY 1, 2),
+ck2 AS (SELECT w2 AS v, w3 AS w, COUNT(*) AS nc2 FROM a3 GROUP BY 1, 2),
+d2 AS (SELECT v, CAST(SUM(nc2) AS BIGINT) AS den2, COUNT(*) AS typ2
+       FROM ck2 GROUP BY 1),
+c1 AS (SELECT w, COUNT(*) AS nc1 FROM a2 GROUP BY 1),
+nb AS (SELECT COUNT(*) AS n_bi FROM a2)
+SELECT a3.w1, a3.w2, a3.w3, a3.c,
+       CAST(4 * a3.c - 3 AS DOUBLE) / CAST(4 * den_n AS DOUBLE)
+         + (CAST(3 * typ_n AS DOUBLE) / CAST(4 * den_n AS DOUBLE))
+           * (CAST(4 * nc2 - 3 AS DOUBLE) / CAST(4 * den2 AS DOUBLE)
+              + (CAST(3 * typ2 AS DOUBLE) / CAST(4 * den2 AS DOUBLE))
+                * (CAST(nc1 AS DOUBLE) / CAST(n_bi AS DOUBLE))) AS prob,
+       CAST(3 * typ_n AS DOUBLE) / CAST(4 * den_n AS DOUBLE) AS lambda_top,
+       CAST(4 * nc2 - 3 AS DOUBLE) / CAST(4 * den2 AS DOUBLE)
+         + (CAST(3 * typ2 AS DOUBLE) / CAST(4 * den2 AS DOUBLE))
+           * (CAST(nc1 AS DOUBLE) / CAST(n_bi AS DOUBLE)) AS p_backoff
+FROM a3
+JOIN ctx3 ON ctx3.w1 = a3.w1 AND ctx3.w2 = a3.w2
+JOIN ck2 ON ck2.v = a3.w2 AND ck2.w = a3.w3
+JOIN d2 ON d2.v = a3.w2
+JOIN c1 ON c1.w = a3.w3
+CROSS JOIN nb
+"""
+
+
 def q_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic in-engine training (datapipe.probe.
     linear_probe_train): a least-squares linear probe predicting
@@ -4087,6 +4139,221 @@ UNION ALL SELECT 2, w0, w1, w2, mse FROM w2
 UNION ALL SELECT 3, w0, w1, w2, mse FROM w3
 """
 )
+
+
+def q_logistic_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic in-engine CLASSIFIER training (datapipe.probe.
+    logistic_probe_train — r15 VERDICT task 6, the fastText-style
+    quality-classifier shape): logistic-loss full-batch GD predicting
+    lang='en' from the same two scaled corpus features as
+    linear_probe, 3 epochs at lr=1/8. The sigmoid is fastText's
+    512-bin precomputed table (clip |z|>=8) embedded as literals in
+    BOTH engines, so no libm exp() is ever evaluated; gradients are
+    sorted two-level float folds and the per-epoch metric is the
+    Brier score (multiply/add only) — the whole weight trajectory
+    hash-matches the oracle's unrolled 3-epoch CTE replay."""
+    from cubert_spark.datapipe.probe import logistic_probe_train
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (
+            F.size(F.split(F.col("text"), " ")).cast("double")
+            / F.lit(100.0)
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return logistic_probe_train(d, ["x1", "x2"], "y")
+
+
+def _logistic_epoch_sql(n: int) -> tuple[str, str]:
+    """(epoch CTE chain, weight CTE) for epoch n of the logistic
+    replay — mirrors logistic_probe_train exactly: z from the
+    previous weights, p via the shared literal sigmoid table (the
+    ``sig`` CTE), folds of (p-y)-weighted terms, update
+    w - 0.125 * (g / n)."""
+
+    def fold(expr: str, order: str, alias: str) -> str:
+        return (
+            f"list_reduce(list(CAST(({expr}) AS DOUBLE) ORDER BY {order}), "
+            f"(a, b) -> a + b) AS {alias}"
+        )
+
+    if n == 1:
+        z = "(0.0 + 0.0 * x1 + 0.0 * x2)"
+        src = "f"
+        wsrc = f"e{n}"
+        pw = ("0.0", "0.0", "0.0")
+    else:
+        z = "(w0 + w1 * x1 + w2 * x2)"
+        src = f"f CROSS JOIN w{n - 1}"
+        wsrc = f"e{n} CROSS JOIN w{n - 1} p"
+        pw = ("p.w0", "p.w1", "p.w2")
+    chain = (
+        f"e{n}z AS (SELECT doc_id, x1, x2, y, {z} AS z FROM {src}),\n"
+        f"e{n}p AS (SELECT doc_id, x1, x2, y, "
+        "CASE WHEN z <= -8.0 THEN 0.0 WHEN z >= 8.0 THEN 1.0 "
+        "ELSE sig.v END AS p "
+        f"FROM e{n}z LEFT JOIN sig ON sig.i = "
+        "LEAST(512, GREATEST(0, CAST(FLOOR((z + 8.0) * 32.0) AS INT)))),\n"
+        f"e{n}s AS (SELECT doc_id % 256 AS s, "
+        + ", ".join(
+            [
+                fold("(p - y)", "doc_id", "g0"),
+                fold("(p - y) * x1", "doc_id", "g1"),
+                fold("(p - y) * x2", "doc_id", "g2"),
+                fold("(p - y) * (p - y)", "doc_id", "se"),
+            ]
+        )
+        + f", COUNT(*) AS ns FROM e{n}p GROUP BY 1),\n"
+        f"e{n} AS (SELECT "
+        + ", ".join(fold(a, "s", a) for a in ("g0", "g1", "g2", "se"))
+        + f", CAST(SUM(ns) AS BIGINT) AS n FROM e{n}s)"
+    )
+    upd = ", ".join(
+        f"{pw[j]} - 0.125 * (g{j} / CAST(n AS DOUBLE)) AS w{j}"
+        for j in range(3)
+    )
+    weight = (
+        f"w{n} AS (SELECT {upd}, se / CAST(n AS DOUBLE) AS brier "
+        f"FROM {wsrc})"
+    )
+    return chain, weight
+
+
+def _logistic_probe_oracle() -> str:
+    from cubert_spark.datapipe.probe import sigmoid_table
+
+    values = ", ".join(
+        f"({i}, '{v!r}')" for i, v in enumerate(sigmoid_table())
+    )
+    return (
+        """
+WITH f AS (SELECT doc_id,
+                  CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+"""
+        # literals ride as STRINGS and cast VARCHAR->DOUBLE: a bare
+        # decimal literal parses as DECIMAL (whose multiplies blow the
+        # 38-digit scale) and DuckDB's DECIMAL->DOUBLE cast is NOT
+        # correctly rounded (measured 1-ulp drift: int128/10^scale in
+        # float arithmetic), while its string->double parser IS —
+        # so only the quoted spelling lands the bit-identical table
+        + "sig AS (SELECT i, CAST(v AS DOUBLE) AS v "
+        + f"FROM (VALUES {values}) AS t(i, v)),\n"
+        + ",\n".join(
+            part for k in (1, 2, 3) for part in _logistic_epoch_sql(k)
+        )
+        + """
+SELECT 1 AS epoch, w0, w1 AS w_x1, w2 AS w_x2, brier FROM w1
+UNION ALL SELECT 2, w0, w1, w2, brier FROM w2
+UNION ALL SELECT 3, w0, w1, w2, brier FROM w3
+"""
+    )
+
+
+SQL_LOGISTIC_PROBE = _logistic_probe_oracle()
+
+
+def q_ict_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse Cloze Task pairs (curation.ict_pairs — Lee et al. 2019
+    retriever pretraining): 12-token pseudo-sentences, content-hash
+    query pick, 1-in-10 keep-in-context rule; docs with < 2
+    pseudo-sentences absent. Pure codegen projection — zero joins,
+    zero shuffles."""
+    from cubert_spark.datapipe.curation import ict_pairs
+
+    return ict_pairs(load_table(spark, sf, "documents"))
+
+
+SQL_ICT_PAIRS = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+st AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n_sent
+       FROM tk),
+hx AS (SELECT doc_id, ws, n_sent,
+              CAST({_hash16_sql('doc_id', 'ict')} % n_sent AS INT)
+                  AS query_idx,
+              ({_hash16_sql('doc_id', 'ict:keep')} % 10 = 0)
+                  AS kept_in_context
+       FROM st WHERE n_sent >= 2),
+sg AS (SELECT doc_id, n_sent, query_idx, kept_in_context,
+              list_transform(range(0, n_sent),
+                  i -> array_to_string(ws[i * 12 + 1 : i * 12 + 12], ' '))
+                  AS s
+       FROM hx)
+SELECT doc_id, n_sent, query_idx, kept_in_context,
+       s[query_idx + 1] AS query,
+       array_to_string(list_filter(s,
+           (x, i) -> (i - 1) <> query_idx OR kept_in_context), ' ')
+           AS context
+FROM sg
+"""
+
+
+def q_bitext_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitext hard rules (curation.bitext_filter — Bicleaner
+    hardrules / WMT corpus-filtering lineage) on doc_id-keyed
+    decorated pairs (the injection idiom; the synthetic corpus has no
+    parallel text): branch 0 plants an identical pair, branch 1 a
+    3-token runt (short + ratio fail), branch 2 a digit-mismatched
+    pair, every other branch a token-reversed 'translation' that
+    passes all rules."""
+    from cubert_spark.datapipe.curation import bitext_filter
+
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    b = F.col("doc_id") % 12
+    tgt = (
+        F.when(b == 0, F.col("text"))
+        .when(b == 1, F.array_join(F.slice(toks, 1, 3), " "))
+        .when(
+            b == 2,
+            F.concat(
+                F.array_join(F.reverse(toks), " "), F.lit(" 4242")
+            ),
+        )
+        .otherwise(F.array_join(F.reverse(toks), " "))
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("src_text"),
+        tgt.alias("tgt_text"),
+    )
+    return bitext_filter(pairs)
+
+
+SQL_BITEXT_FILTER = """
+WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+            FROM documents),
+pr AS (SELECT doc_id AS pair_id, text AS src_text,
+              CASE WHEN doc_id % 12 = 0 THEN text
+                   WHEN doc_id % 12 = 1
+                       THEN array_to_string(ws[1:3], ' ')
+                   WHEN doc_id % 12 = 2
+                       THEN array_to_string(list_reverse(ws), ' ')
+                            || ' 4242'
+                   ELSE array_to_string(list_reverse(ws), ' ')
+              END AS tgt_text
+       FROM tk),
+nn AS (SELECT pair_id, src_text, tgt_text,
+              CAST(len(string_split(src_text, ' ')) AS BIGINT) AS n_src,
+              CAST(len(string_split(tgt_text, ' ')) AS BIGINT) AS n_tgt
+       FROM pr),
+fl AS (SELECT pair_id, n_src, n_tgt,
+              (lower(src_text) = lower(tgt_text)) AS identical,
+              (n_src < 4 OR n_tgt < 4) AS too_short,
+              (GREATEST(n_src, n_tgt) <= 2 * LEAST(n_src, n_tgt))
+                  AS ratio_ok,
+              (regexp_replace(src_text, '[^0-9]', '', 'g')
+               = regexp_replace(tgt_text, '[^0-9]', '', 'g')) AS digit_ok
+       FROM nn)
+SELECT pair_id, n_src, n_tgt, identical, too_short, ratio_ok, digit_ok,
+       (NOT identical AND NOT too_short AND ratio_ok AND digit_ok)
+           AS "pass"
+FROM fl
+"""
 
 
 def _decorated_urls(spark: SparkSession, sf: str) -> DataFrame:
@@ -4274,7 +4541,11 @@ QUERIES = {
     "semantic_dedup_prod": q_semantic_dedup_prod,
     "margin_align_prod": q_margin_align_prod,
     "kneser_ney_lm": q_kneser_ney_lm,
+    "kneser_ney_trigram": q_kneser_ney_trigram,
     "linear_probe": q_linear_probe,
+    "logistic_probe": q_logistic_probe,
+    "ict_pairs": q_ict_pairs,
+    "bitext_filter": q_bitext_filter,
     "url_dedup": q_url_dedup,
     "span_corruption": q_span_corruption,
     "code_detect": q_code_detect,
@@ -4337,7 +4608,11 @@ ORACLES = {
     "margin_align": SQL_MARGIN_ALIGN,
     "margin_align_prod": SQL_MARGIN_ALIGN_PROD,
     "kneser_ney_lm": SQL_KNESER_NEY_LM,
+    "kneser_ney_trigram": SQL_KNESER_NEY_TRIGRAM,
     "linear_probe": SQL_LINEAR_PROBE,
+    "logistic_probe": SQL_LOGISTIC_PROBE,
+    "ict_pairs": SQL_ICT_PAIRS,
+    "bitext_filter": SQL_BITEXT_FILTER,
     "url_dedup": SQL_URL_DEDUP,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "code_detect": SQL_CODE_DETECT,

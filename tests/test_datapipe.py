@@ -4337,6 +4337,77 @@ def test_kneser_ney_lm_identities_and_hand_values(spark):
         assert abs(total - 1.0) < 1e-9, (v, total)
 
 
+def test_kneser_ney_trigram_hand_values_and_sum_to_one(spark):
+    """Order-3 recursive KN on 'a b a b c' (trigrams aba/bab/abc):
+    hand-checked D=3/4 arithmetic at every level — top raw counts,
+    middle continuation counts N1+(.g) off the raw trigram table,
+    unigram p_cont off the bigram table — plus the per-context
+    sum-to-1 identity and order-2/order<2 contract checks."""
+    import pytest
+
+    from cubert_spark.datapipe.lm import kneser_ney_lm
+
+    d = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    rows = kneser_ney_lm(d, order=3).collect()
+    m = {(r["w1"], r["w2"], r["w3"]): r for r in rows}
+    assert set(m) == {("a", "b", "a"), ("b", "a", "b"), ("a", "b", "c")}
+    # context (a,b): den=2, typ=2 -> t3=1/8, lam=3/4; level-2 grams
+    # (b,a)/(b,c): nc2=1, den2(b)=2, typ2=2 -> t2=1/8, lam2=3/4;
+    # p1 = 1/3 each -> p_backoff=0.375, prob=1/8 + 0.75*0.375
+    for w3 in ("a", "c"):
+        r = m[("a", "b", w3)]
+        assert r["c"] == 1
+        assert r["lambda_top"] == 0.75
+        assert r["p_backoff"] == 0.375
+        assert r["prob"] == 0.40625
+    # context (b,a): den=1, typ=1 -> t3=1/4, lam=3/4; gram (a,b):
+    # nc2=1, den2(a)=1, typ2=1 -> t2=1/4, lam2=3/4; p1(b)=1/3
+    r = m[("b", "a", "b")]
+    assert r["p_backoff"] == 0.5 and r["prob"] == 0.625
+    # sum-to-1 per context: sum over observed w of (prob - lam*pbk)
+    # plus lam*1 (continuation probs sum to 1 over the vocab)
+    import collections
+
+    by_ctx = collections.defaultdict(list)
+    for (w1, w2, _), r in m.items():
+        by_ctx[(w1, w2)].append(r)
+    for ctx, rs in by_ctx.items():
+        lam = rs[0]["lambda_top"]
+        tot = sum(r["prob"] - lam * r["p_backoff"] for r in rs) + lam
+        assert abs(tot - 1.0) < 1e-12, (ctx, tot)
+    # order=2 keeps the bigram schema; order<2 raises
+    assert set(kneser_ney_lm(d, order=2).columns) == {
+        "v", "w", "c_vw", "prob", "lambda_v", "pcont_w"
+    }
+    with pytest.raises(ValueError, match="order"):
+        kneser_ney_lm(d, order=1)
+
+
+def test_kneser_ney_order4_identities(spark):
+    """The recursion generalizes past 3: order-4 on a 2-doc corpus
+    still satisfies the per-context sum-to-1 identity, probabilities
+    are in (0,1], and every observed 4-gram appears exactly once."""
+    from cubert_spark.datapipe.lm import kneser_ney_lm
+
+    docs = [
+        (1, "a b a b c a b a d e"),
+        (2, "b c a b a d a b c e"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = kneser_ney_lm(d, order=4).collect()
+    assert len(rows) == len({(r["w1"], r["w2"], r["w3"], r["w4"]) for r in rows})
+    assert all(0.0 < r["prob"] <= 1.0 for r in rows)
+    import collections
+
+    by_ctx = collections.defaultdict(list)
+    for r in rows:
+        by_ctx[(r["w1"], r["w2"], r["w3"])].append(r)
+    for ctx, rs in by_ctx.items():
+        lam = rs[0]["lambda_top"]
+        tot = sum(r["prob"] - lam * r["p_backoff"] for r in rs) + lam
+        assert abs(tot - 1.0) < 1e-12, (ctx, tot)
+
+
 def test_canonical_url_merges_and_preserves(spark):
     """canonical_url merges what URL semantics say is identical
     (case of scheme/host, :80/:443, //, trailing /, fragments,
@@ -4435,6 +4506,140 @@ def test_linear_probe_train_descends_and_is_partition_invariant(spark):
         linear_probe_train(df, ["x"], "y", epochs=0)
     with pytest.raises(ValueError, match="feature_cols"):
         linear_probe_train(df, [], "y")
+
+
+def test_logistic_probe_descends_and_matches_table_sigmoid(spark):
+    """Logistic GD via the fastText table sigmoid: the Brier score
+    decreases on a separable signal, the trajectory is bit-identical
+    under repartition, epoch-1 gradients equal the hand value (z=0 ->
+    p=0.5 everywhere), and the clip branches (|z| >= 8) hit exactly
+    0/1 probabilities."""
+    import pytest
+
+    from cubert_spark.datapipe.probe import (
+        MAX_SIGMOID,
+        SIGMOID_TABLE_SIZE,
+        logistic_probe_train,
+        sigmoid_table,
+    )
+
+    t = sigmoid_table()
+    assert len(t) == SIGMOID_TABLE_SIZE + 1
+    assert t[SIGMOID_TABLE_SIZE // 2] == 0.5  # sigma(0) exactly
+    assert t[0] < 1e-3 and t[-1] > 1 - 1e-3
+    rows = [
+        (i, (i % 10) / 10.0, 1.0 if i % 10 >= 5 else 0.0) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y double")
+    out = logistic_probe_train(df, ["x"], "y", id_col="doc_id", epochs=8)
+    got = out.orderBy("epoch").collect()
+    briers = [r["brier"] for r in got]
+    # table quantization holds p at 0.5 until |z| crosses a 1/32 bin
+    # (fastText behaves identically), so early epochs are FLAT, never
+    # worse — then the accumulated weights cross a bin and descend
+    assert all(b <= a for a, b in zip(briers, briers[1:])), briers
+    assert briers[-1] < briers[0], briers
+    # epoch 1: z=0 -> p=0.5; g0 = mean(0.5 - y) = 0.5 - 0.5 = 0;
+    # brier = mean((0.5-y)^2) = 0.25; w0 stays 0, w_x moves
+    assert got[0]["brier"] == 0.25
+    assert got[0]["w0"] == 0.0 and got[0]["w_x"] != 0.0
+    out2 = logistic_probe_train(
+        df.repartition(13), ["x"], "y", id_col="doc_id", epochs=8
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+    # clip: giant features drive |z| past MAX_SIGMOID after one step,
+    # and the run still completes with finite weights
+    big = spark.createDataFrame(
+        [(i, 100.0 * MAX_SIGMOID * (1 if i % 2 else -1), float(i % 2))
+         for i in range(20)],
+        "doc_id long, x double, y double",
+    )
+    rb = logistic_probe_train(big, ["x"], "y", epochs=2).collect()
+    assert all(abs(r["w_x"]) < float("inf") for r in rb)
+    with pytest.raises(ValueError, match="epochs"):
+        logistic_probe_train(df, ["x"], "y", epochs=0)
+    with pytest.raises(ValueError, match="feature_cols"):
+        logistic_probe_train(df, [], "y")
+
+
+def test_ict_pairs_query_context_split(spark):
+    """ict_pairs: the query is one pseudo-sentence, the context is
+    the rest in original order (query re-included only when the keep
+    draw fires), single-sentence docs are absent, and pairs replay
+    bit-for-bit under repartition; invalid geometry raises."""
+    import pytest
+
+    from cubert_spark.datapipe.curation import ict_pairs
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(30))),  # 3 sentences
+        (2, " ".join(f"u{i}" for i in range(12))),  # exactly 1 -> absent
+        (3, "short doc"),  # 1 partial sentence -> absent
+        (4, " ".join(f"v{i}" for i in range(25))),  # 3 (last partial)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in ict_pairs(df).collect()}
+    assert set(rows) == {1, 4}
+    for did, r in rows.items():
+        toks = dict(docs)[did].split(" ")
+        sents = [
+            " ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)
+        ]
+        assert r["n_sent"] == len(sents)
+        assert 0 <= r["query_idx"] < len(sents)
+        assert r["query"] == sents[r["query_idx"]]
+        if r["kept_in_context"]:
+            expect = " ".join(sents)
+        else:
+            expect = " ".join(
+                s for i, s in enumerate(sents) if i != r["query_idx"]
+            )
+        assert r["context"] == expect
+    again = {
+        r["doc_id"]: r for r in ict_pairs(df.repartition(7)).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    with pytest.raises(ValueError, match="sent_len"):
+        ict_pairs(df, sent_len=0)
+    with pytest.raises(ValueError, match="keep_one_in"):
+        ict_pairs(df, keep_one_in=0)
+
+
+def test_bitext_filter_rules(spark):
+    """bitext_filter: each hard rule fires on its planted violation
+    and a clean pair passes; the ratio rule is the integer
+    cross-multiply (boundary: 8 vs 4 tokens passes at ratio 2, 9 vs
+    4 fails)."""
+    import pytest
+
+    from cubert_spark.datapipe.curation import bitext_filter
+
+    pairs = [
+        (1, "a b c d e", "v w x y z"),  # clean -> pass
+        (2, "a b c d", "A B C D"),  # identical (case-folded)
+        (3, "a b c d e f", "x y"),  # too short + ratio
+        (4, "pay 12 euros now", "paga 21 euros ahora"),  # digit seq diff
+        (5, "pay 12 euros now", "paga 12 euros ahora"),  # digits match
+        (6, "a b c d e f g h", "w x y z"),  # 8 vs 4: ratio edge, ok
+        (7, "a b c d e f g h i", "w x y z"),  # 9 vs 4: ratio fail
+    ]
+    df = spark.createDataFrame(
+        pairs, "pair_id long, src_text string, tgt_text string"
+    )
+    got = {r["pair_id"]: r for r in bitext_filter(df).collect()}
+    assert got[1]["pass"] and not got[1]["identical"]
+    assert got[2]["identical"] and not got[2]["pass"]
+    assert got[3]["too_short"] and not got[3]["ratio_ok"]
+    assert not got[4]["digit_ok"] and not got[4]["pass"]
+    assert got[5]["digit_ok"] and got[5]["pass"]
+    assert got[6]["ratio_ok"] and got[6]["pass"]
+    assert not got[7]["ratio_ok"] and not got[7]["pass"]
+    with pytest.raises(ValueError, match="max_ratio"):
+        bitext_filter(df, max_ratio=0)
 
 
 def test_code_detect_rule_and_language_argmax(spark):

@@ -468,6 +468,8 @@ _LINT_ALLOWED = {
     # 1-row N1+(..) continuation-total crossJoin(broadcast) — the
     # lm_perplexity |V| shape
     "kneser_ney_lm": ("pairs",),
+    # same 1-row N1+(..) crossJoin(broadcast) stat-join as the bigram
+    "kneser_ney_trigram": ("pairs",),
     # r13 second half: 1-row shingled-corpus-count crossJoin
     "soft_dedup": ("pairs",),
     # inherits lm_perplexity's 1-row |vocab| crossJoin
@@ -871,6 +873,13 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
                      "if an open vocab outgrows the threshold they flip "
                      "to shuffle equi-joins, which IS the correct plan, "
                      "the lm_perplexity posture)",
+    "kneser_ney_trigram": "broadcast sides = the same vocabulary-"
+                          "bounded model tables as kneser_ney_lm, one "
+                          "set per recursion level (n-gram counts grow "
+                          "with DISTINCT grams, Heaps-law sublinear, "
+                          "not corpus rows); no hard hints anywhere — "
+                          "AQE flips any level that outgrows the "
+                          "threshold to a shuffle equi-join",
     # r13 two-level prefix-sum dictionary build: the factor model
     # scales the shard-offsets broadcast by corpus growth, but it has
     # exactly num_shards rows (spark.sql.shuffle.partitions — a config
