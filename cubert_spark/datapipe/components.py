@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from cubert_spark.checkpoints import eager_checkpoint, lazy_checkpoint
 
 
 def _cc_union_find(sym: DataFrame) -> DataFrame:
@@ -98,7 +99,7 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     if small_graph_edges and sym.count() <= small_graph_edges:
         return _cc_union_find(sym).persist()
@@ -120,7 +121,7 @@ def connected_components(
         # next iteration share one materialization; cut lineage every
         # checkpoint_every rounds so plan depth stays bounded.
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.transform(eager_checkpoint)
         else:
             new_labels = new_labels.persist()
         # round 1 always changes labels when any edge exists (every
@@ -237,19 +238,19 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # outdeg joins into every round; checkpointing it (and the node
     # set) keeps each round's plan two joins deep instead of replaying
     # the degree/distinct aggs per round
     outdeg = (
-        e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+        e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).transform(eager_checkpoint)
     )
     nodes = (
         e.select("u")
         .union(e.select(F.col("v").alias("u")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     n = nodes.count()  # cheap on the checkpointed node set
     base = (15 * scale) // (100 * n)
@@ -277,7 +278,7 @@ def pagerank(
         # (mid-loop only — a short fixed-iteration run stays ONE lazy
         # job with zero intermediate actions)
         if (i + 1) % 5 == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(eager_checkpoint)
     return ranks.select(F.col("u").alias("node"), "rank_q")
 
 
@@ -296,16 +297,20 @@ def bfs_hops(
 
     Each round is one equi-join (frontier onto the symmetrized edge
     set) + a left-anti dedup against the settled set — shuffle-on-key
-    only, no driver data. With a FIXED small bound the whole walk
-    stays ONE lazy job (no mid-loop actions); the plan doubles per
-    round (settled feeds both the anti-join and the union), so rounds
-    past ~5 cut lineage with a checkpoint — same policy as
-    :func:`pagerank`."""
+    only, no driver data. The whole walk stays ONE lazy job (no
+    mid-loop actions), but each round's new layer is LAZILY
+    localCheckpoint'ed (r16): ``nxt`` feeds both the union and the
+    next round's anti-join/frontier, so without the checkpoint the
+    round-h plan re-evaluates every earlier round's join 2^(h-depth)
+    times (plan audit: 21 scans for a 3-hop walk,
+    `plans/r16/bfs_hops_before.txt`). With it, each round's join runs
+    exactly once and later rounds read the layer's blocks — linear in
+    max_hops, still zero driver-side data."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     dist = (
         sources.select(F.col(source_col).alias("node"))
@@ -319,12 +324,11 @@ def bfs_hops(
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        nxt = reached.join(dist.select("node"), "node", "left_anti")
+        nxt = reached.join(
+            dist.select("node"), "node", "left_anti"
+        ).transform(lazy_checkpoint)
         dist = dist.unionByName(nxt.withColumn("hops", F.lit(h)))
         frontier = nxt
-        if h % 5 == 0 and h < max_hops:
-            dist = dist.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
     return dist
 
 
@@ -360,7 +364,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -382,7 +386,7 @@ def triangle_count(
     oriented = ranked.select(
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("w"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
     o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
     wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cubert_spark.datapipe.textstats import shingles
+from cubert_spark.checkpoints import lazy_checkpoint
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -158,7 +159,21 @@ def shingle_table(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         cond = None
         if max_doc_freq_frac is not None:
-            total = sh.select(F.countDistinct(id_col).alias("__n"))
+            # n_docs without re-running the explode (r16, guide §2.3):
+            # a doc produced >= 1 k-shingle iff its shingle ARRAY is
+            # non-empty, so the corpus stat folds over one array-build
+            # pass (N rows into countDistinct) instead of the exploded
+            # relation (~10x N rows) — same value by construction,
+            # including duplicate-id and null/short-doc handling.
+            total = (
+                _spread(df, id_col)
+                .select(
+                    F.col(id_col),
+                    F.size(shingles(F.col(text_col), k)).alias("__sz"),
+                )
+                .filter(F.col("__sz") > 0)
+                .select(F.countDistinct(id_col).alias("__n"))
+            )
             freq = freq.crossJoin(F.broadcast(total))
             cond = F.col("df") <= F.col("__n") * F.lit(float(max_doc_freq_frac))
         if max_doc_freq is not None:
@@ -341,11 +356,21 @@ def minhash_lsh_pairs(
     bands = lsh_bands(sig, id_col, num_hashes, band_size, hash_fn)
     ca = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     cb = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    # localCheckpoint (lazy, r16): `cand` feeds the id_a union, the
+    # id_b union AND the final verify join — without it the whole
+    # signature pipeline (shingle explode -> md5 lanes -> band
+    # self-join -> distinct) is re-evaluated once per consumer, 3x
+    # (plan audit: `plans/r16/minhash_lsh_before.txt`, 11 Generates).
+    # This is NOT the rejected sh-persist of the A/B note above: the
+    # materialized relation is the candidate PAIR LIST (near-dup
+    # population sized, tiny at any scale), not the 10x-corpus
+    # exploded shingle table; recomputed from parquet per invocation.
     cand = (
         ca.join(cb, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .transform(lazy_checkpoint)
     )
     # Exact verification restricted to candidate docs BEFORE the
     # inverted-index self-join: semi-join the shingle table down to

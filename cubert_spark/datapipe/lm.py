@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cubert_spark.datapipe.dedup import _spread
+from cubert_spark.checkpoints import eager_checkpoint
 
 
 def lm_perplexity(
@@ -53,7 +54,7 @@ def lm_perplexity(
         .filter(F.col("x").isNotNull())
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("c_x"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # |vocab| as a 1-row broadcast stat join (documented lint class)
     vocab = F.broadcast(uni.agg(F.count(F.lit(1)).alias("V")))
@@ -271,7 +272,7 @@ def kneser_ney_lm(
     bgc = (
         bg.groupBy("v", "w")
         .agg(F.count(F.lit(1)).alias("c_vw"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     ctx = bgc.groupBy("v").agg(
         F.sum("c_vw").alias("c_v"),
@@ -362,7 +363,7 @@ def _kneser_ney_higher(
     # model tables are vocabulary-bounded; checkpoint each A_k once so
     # the token explode is not re-executed per downstream consumer
     # (the components.py multi-consumer lineage rule)
-    a = {k: gram_counts(k).localCheckpoint(eager=True) for k in range(2, n + 1)}
+    a = {k: gram_counts(k).transform(eager_checkpoint) for k in range(2, n + 1)}
 
     top = a[n]
     ctx = top.groupBy(*[f"g{j}" for j in range(n - 1)]).agg(

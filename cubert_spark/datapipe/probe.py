@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from cubert_spark.checkpoints import lazy_checkpoint
 
 
 def _folded_sum(order_col: str, term, alias: str):
@@ -95,6 +96,16 @@ def linear_probe_train(
     y = F.col(label_col).cast("double")
     lr = lr_num / lr_den  # exact when lr_den is a power of two
     d = len(feature_cols)
+    # r16 (guide §5 cache-on-reuse + the module doc's own advice):
+    # checkpoint the bounded-width feature projection ONCE so epochs
+    # 2..n re-read blocks instead of re-running the upstream
+    # featurization. (Shipping the epoch weights as broadcast data
+    # instead of literals was ALSO tried to stabilize the codegen
+    # shape across epochs — it measured SLOWER: the 1-row nested-loop
+    # join costs more than the per-epoch recompile at these plan
+    # sizes — so weights stay literals.)
+    proj = list(dict.fromkeys([id_col, *feature_cols, label_col]))
+    df = df.select(*[F.col(c) for c in proj]).transform(lazy_checkpoint)
     w = [0.0] * (d + 1)  # [bias, w_1..w_d]
     out_rows = []
     for epoch in range(1, epochs + 1):
@@ -202,6 +213,11 @@ def logistic_probe_train(
     d = len(feature_cols)
     arr = F.array(*[F.lit(v) for v in sigmoid_table()])
     scale = SIGMOID_TABLE_SIZE / (2 * MAX_SIGMOID)  # 32.0, exact
+    # r16: same move as linear_probe_train (see its comment) —
+    # checkpoint the feature projection once; weights stay literals
+    # (the broadcast-weights variant measured slower there too).
+    proj = list(dict.fromkeys([id_col, *feature_cols, label_col]))
+    df = df.select(*[F.col(c) for c in proj]).transform(lazy_checkpoint)
     w = [0.0] * (d + 1)
     out_rows = []
     for epoch in range(1, epochs + 1):

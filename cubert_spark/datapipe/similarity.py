@@ -21,6 +21,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from cubert_spark.checkpoints import lazy_checkpoint
 
 
 def _dot_decimal(a: Column, b: Column) -> Column:
@@ -1170,12 +1171,21 @@ def semantic_dedup(
         best_j, _ = _argmax_centroid(F.col(vec_col), centroids, exact=exact)
     conv = _dec2dbl if exact else (lambda c: c.cast("double"))
     norm = F.sqrt(conv(dot(F.col(vec_col), F.col(vec_col))))
+    # localCheckpoint (lazy): `side` feeds BOTH sides of the cluster
+    # self-join AND the final anti-join — without it the centroid
+    # argmax (the a*N*k DECIMAL term that dominates the r13 cost
+    # model) is evaluated once per consumer, 3x total (plan audit:
+    # 3 corpus scans, `plans/r16/semantic_dedup_before.txt`).
+    # Materializing N*(id, vec, norm, list_id) rows once is the same
+    # trade gopher_repetition's base checkpoint makes; at 100 TB it
+    # is disk-backed block storage, linear in the corpus, and
+    # recomputed from parquet on every invocation (guide §2.4/§5).
     side = _spread(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         norm.alias("__n"),
         best_j.alias("list_id"),
-    )
+    ).transform(lazy_checkpoint)
     a = side.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "list_id",
@@ -1358,7 +1368,9 @@ def kmeans_lloyd(
     return df.sparkSession.createDataFrame(rows, out_schema)
 
 
-def _lloyd_argmin(cents: list[list[int]], kk: int):
+def _lloyd_argmin(
+    cents: list[list[int]], kk: int, cmat: Column | None = None
+):
     """(best_struct) column over ``__q``: lexicographic array_min of
     (dist, j) structs — min squared distance, ties to the smallest j.
     ONE lambda-based expression tree over the centroid matrix instead
@@ -1366,8 +1378,15 @@ def _lloyd_argmin(cents: list[list[int]], kk: int):
     arrays (the old build spent ~1.1s of pure driver time per
     iteration at k=8, dim=64 — py4j lit() is still per-element under
     the hood, so the win is the single small tree, not literal
-    shipping)."""
-    cmat = F.lit(cents).cast("array<array<bigint>>")
+    shipping). ``cmat`` optionally overrides the literal matrix with
+    a COLUMN holding the same bigints (bit-identical argmin). An r16
+    A/B flowed each Lloyd round's centroids through it as a 1-row
+    broadcast relation to share one codegen shape across rounds — it
+    measured SLOWER (the nested-loop join costs more than the
+    per-round recompile at this plan size), so the loop keeps
+    literals; the hook stays for callers with bigger plans."""
+    if cmat is None:
+        cmat = F.lit(cents).cast("array<array<bigint>>")
     idx = F.sequence(F.lit(0), F.lit(kk - 1))
     return F.array_min(
         F.zip_with(
@@ -1429,9 +1448,14 @@ def _lloyd(
             )
         ),
     ).otherwise(F.lit(True))
+    # localCheckpoint (lazy, r16): the quantized+guarded corpus is
+    # re-scanned once per Lloyd round (and once for the seed) — at
+    # any scale the rounds should read the materialized bigint
+    # vectors, not re-run scan+quantize+guard per iteration (the
+    # probe feature-projection move; guide §5 cache-on-reuse rule).
     base = base.withColumn("__km_guard", guard).filter("__km_guard").drop(
         "__km_guard"
-    )
+    ).transform(lazy_checkpoint)
     sizes: list[int] = [0] * kk
     for _ in range(iters):
         best = _lloyd_argmin(cents, kk)["j"]
@@ -1623,9 +1647,14 @@ def margin_align(
     consume (x, y, cos, rank) from ANY neighbor source.
 
     Output: (x_id, y_id, cos, margin) for kept pairs.
-    """
-    from pyspark.sql import Window
 
+    r16 optimization: the margin/mutual-best arithmetic is delegated to
+    :func:`margin_from_candidates` (bit-identical fold — see its
+    docstring), so the |X| x |Y| DECIMAL pair matrix is evaluated ONCE;
+    the old spelling's groupBy-avg_k + broadcast-join-back recomputed
+    the cross-join lineage three times (plan audit: 3 scans of each
+    side, `plans/r16/margin_align_before.txt`).
+    """
     _guard_small_query_side(x_df, max_x, "margin_align", known_x_count)
     x = F.broadcast(
         x_df.select(
@@ -1651,60 +1680,7 @@ def margin_align(
             / (F.col("__xn") * F.col("__yn"))
         ).alias("cos"),
     )
-    wx = Window.partitionBy("x_id").orderBy(F.col("cos").desc(), F.col("y_id"))
-    wy = Window.partitionBy("y_id").orderBy(F.col("cos").desc(), F.col("x_id"))
-    ranked = pairs.select(
-        "x_id",
-        "y_id",
-        "cos",
-        F.row_number().over(wx).alias("__rx"),
-        F.row_number().over(wy).alias("__ry"),
-    )
-
-    def _avg_k(side: str, rk: str) -> DataFrame:
-        # fold the k neighbor cosines in RANK order (sort_array on the
-        # (rank, cos) struct pins it), then one divide by the literal
-        # k — the fixed-order float fold both engines replay
-        folded = (
-            ranked.filter(F.col(rk) <= k)
-            .groupBy(side)
-            .agg(
-                F.aggregate(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col(rk), F.col("cos")))
-                    ),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["cos"],
-                ).alias("__s")
-            )
-        )
-        return folded.select(side, (F.col("__s") / F.lit(float(k))).alias(f"__avg_{side}"))
-
-    ax = _avg_k("x_id", "__rx")
-    ay = _avg_k("y_id", "__ry")
-    scored = (
-        ranked.join(F.broadcast(ax), "x_id")
-        .join(F.broadcast(ay), "y_id")
-        .withColumn(
-            "margin",
-            F.col("cos") / ((F.col("__avg_x_id") + F.col("__avg_y_id")) / F.lit(2.0)),
-        )
-    )
-    mx = Window.partitionBy("x_id").orderBy(F.col("margin").desc(), F.col("y_id"))
-    my = Window.partitionBy("y_id").orderBy(F.col("margin").desc(), F.col("x_id"))
-    best = (
-        scored.select(
-            "x_id",
-            "y_id",
-            "cos",
-            "margin",
-            F.row_number().over(mx).alias("__bx"),
-            F.row_number().over(my).alias("__by"),
-        )
-        .filter((F.col("__bx") == 1) & (F.col("__by") == 1))
-        .filter(F.col("margin") >= float(margin_threshold))
-    )
-    return best.select("x_id", "y_id", "cos", "margin")
+    return margin_from_candidates(pairs, k=k, margin_threshold=margin_threshold)
 
 
 def margin_from_candidates(
@@ -1724,50 +1700,47 @@ def margin_from_candidates(
     deterministic, row-local); with exhaustive candidates this equals
     margin_align's exact avg_k up to float-vs-DECIMAL dot precision.
 
-    ``bounded_sides`` (r15 VERDICT task 4): True = the x side is a
-    bounded query set (the margin_align_prod row shape) so the avg_k
-    tables are hard-broadcast; False = full-corpus bitext mining (the
-    CCMatrix use: |X| ~ corpus) — NO broadcast hint, the avg_k joins
-    key on the same columns as the rank windows and AQE picks the
-    strategy (it still broadcasts when a side measures small, but a
-    corpus-sized side can shuffle instead of OOMing every executor).
+    ``bounded_sides`` is retained for API compatibility but no longer
+    changes the plan: the r16 optimization replaced the avg_k
+    groupBy + join-back (which recomputed the candidate lineage three
+    times and, when bounded, hard-broadcast the avg_k tables — the
+    r15 VERDICT task-4 concern) with per-side WINDOW aggregates. The
+    fold is bit-identical — same multiset of (rank, cos) structs
+    (``when(rk <= k)`` nulls the rest and collect_list drops nulls),
+    same sort_array order, same left fold from 0.0, same divide by
+    the literal k — but the pair relation is now computed once and
+    never joined, so there is nothing to broadcast at ANY |X|: the
+    unbounded bitext-mining shape holds by construction.
+
+    Plan shape: three exchanges of the candidate set (x-stage: rank +
+    avg_x windows; y-stage: rank + avg_y + margin + best-y windows;
+    x-stage: best-x window) vs the old five exchanges plus two extra
+    evaluations of the candidate lineage.
     """
     from pyspark.sql import Window
 
     wx = Window.partitionBy("x_id").orderBy(F.col("cos").desc(), F.col("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.col("cos").desc(), F.col("x_id"))
-    ranked = pairs.select(
-        "x_id",
-        "y_id",
-        "cos",
-        F.row_number().over(wx).alias("__rx"),
-        F.row_number().over(wy).alias("__ry"),
-    )
 
-    def _avg_k(side: str, rk: str) -> DataFrame:
-        folded = (
-            ranked.filter(F.col(rk) <= k)
-            .groupBy(side)
-            .agg(
-                F.aggregate(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col(rk), F.col("cos")))
-                    ),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["cos"],
-                ).alias("__s")
-            )
-        )
-        return folded.select(
-            side, (F.col("__s") / F.lit(float(k))).alias(f"__avg_{side}")
-        )
+    def _avg_over(rk: str, part: str) -> Column:
+        # fold the k neighbor cosines in RANK order (sort_array on the
+        # (rank, cos) struct pins it), then one divide by the literal
+        # k — the fixed-order float fold both engines replay
+        return F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col(rk) <= k, F.struct(F.col(rk), F.col("cos")))
+                ).over(Window.partitionBy(part))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["cos"],
+        ) / F.lit(float(k))
 
-    ax, ay = _avg_k("x_id", "__rx"), _avg_k("y_id", "__ry")
-    if bounded_sides:
-        ax, ay = F.broadcast(ax), F.broadcast(ay)
     scored = (
-        ranked.join(ax, "x_id")
-        .join(ay, "y_id")
+        pairs.withColumn("__rx", F.row_number().over(wx))
+        .withColumn("__avg_x_id", _avg_over("__rx", "x_id"))
+        .withColumn("__ry", F.row_number().over(wy))
+        .withColumn("__avg_y_id", _avg_over("__ry", "y_id"))
         .withColumn(
             "margin",
             F.col("cos")
@@ -1777,14 +1750,8 @@ def margin_from_candidates(
     mx = Window.partitionBy("x_id").orderBy(F.col("margin").desc(), F.col("y_id"))
     my = Window.partitionBy("y_id").orderBy(F.col("margin").desc(), F.col("x_id"))
     best = (
-        scored.select(
-            "x_id",
-            "y_id",
-            "cos",
-            "margin",
-            F.row_number().over(mx).alias("__bx"),
-            F.row_number().over(my).alias("__by"),
-        )
+        scored.withColumn("__by", F.row_number().over(my))
+        .withColumn("__bx", F.row_number().over(mx))
         .filter((F.col("__bx") == 1) & (F.col("__by") == 1))
         .filter(F.col("margin") >= float(margin_threshold))
     )

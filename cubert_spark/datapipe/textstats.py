@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from cubert_spark.checkpoints import lazy_checkpoint
 
 #: Tiny per-language stopword lists for the n-gram/stopword language
 #: heuristic. Deliberately minimal & deterministic.
@@ -970,7 +971,7 @@ def gopher_repetition(
     )
     base = base.withColumn(
         "__nt", F.coalesce(F.size(F.col("__toks")), F.lit(0))
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
 
     # one exploded relation serves every n: n=1 doubles as the
     # token-length table, 2-4 feed the top-gram stats, 5-10 the
@@ -1040,6 +1041,12 @@ def gopher_repetition(
         (F.length(F.first("gram")) - (F.col("n") - 1).cast("bigint"))
         .alias("glen"),
     )
+    # (r16 A/B note: lazily localCheckpoint-ing `counts` — it feeds
+    # both the top-gram and the dup-coverage branch — measured SLOWER
+    # and far noisier at sf0.1: materializing the gram-keyed table,
+    # whose rows are near-distinct grams, costs more block I/O than
+    # the second explode+shuffle it saves. Recompute wins here, the
+    # same verdict as minhash's sh-persist A/B; left un-checkpointed.)
     top = (
         counts.filter(F.col("n").isin(2, 3, 4))
         .groupBy(id_col, "n")

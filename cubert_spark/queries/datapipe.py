@@ -18,6 +18,7 @@ from cubert_spark.datapipe import (
     textstats,
 )
 from cubert_spark.datapipe.multimodal import attach_blob_metadata, text_as_blob
+from cubert_spark.checkpoints import eager_checkpoint, lazy_checkpoint
 
 _EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 
@@ -948,7 +949,12 @@ def _ann_recall_contract(
     unstructured noise (max pairwise cos ~0.5): per-query recall on
     data with no true near neighbors is exactly what ANN is allowed
     to trade away, while a broken index drops to ~zero hits."""
-    hits = ann.select("query_id", "neighbor_id").join(
+    # localCheckpoint (lazy, r16): the ANN neighbor list feeds both the
+    # hit intersection and the per-query count — without it the whole
+    # index pipeline (quantizer + probe + rescore) runs once per
+    # consumer (guide §2.4). |q| * k rows; recomputed per invocation.
+    annp = ann.select("query_id", "neighbor_id").transform(lazy_checkpoint)
+    hits = annp.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
     )
@@ -959,7 +965,7 @@ def _ann_recall_contract(
     per_q = (
         q_df.select(F.col(id_col).alias("query_id"))
         .join(
-            ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n_ann")),
+            annp.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n_ann")),
             "query_id",
             "left",
         )
@@ -2277,14 +2283,23 @@ def q_semantic_dedup_prod(spark: SparkSession, sf: str) -> DataFrame:
     a row-local fixed-order projection, never a shuffle-ordered
     aggregate."""
     e = load_table(spark, sf, "embeddings")
-    exact = similarity.semantic_dedup(e, _SEMDEDUP_CENTROIDS, threshold=0.3)
+    # localCheckpoint (lazy, r16): each tier's kept set feeds BOTH the
+    # agreement intersection and its own count aggregate — without it
+    # the whole tier (centroid assignment + cluster-bounded pair
+    # stage) runs once per consumer (guide §2.4 diamond-lineage rule;
+    # plan audit: `plans/r16/semantic_dedup_prod_before.txt` shows 13
+    # embedding scans). Kept sets are id-sized; recomputed per
+    # invocation.
+    exact = similarity.semantic_dedup(
+        e, _SEMDEDUP_CENTROIDS, threshold=0.3
+    ).transform(lazy_checkpoint)
     prod = similarity.semantic_dedup(
         e,
         _SEMDEDUP_CENTROIDS,
         threshold=0.3,
         exact=False,
         assignment="hierarchical",
-    )
+    ).transform(lazy_checkpoint)
     inter = exact.select("vec_id").join(prod.select("vec_id"), "vec_id")
     stats = (
         e.agg(F.count(F.lit(1)).alias("n_total"))
@@ -2626,7 +2641,7 @@ def q_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     # the band table feeds FOUR consumers (batch slice, ledger slice,
     # both hit joins) — checkpoint once or the shingle+signature build
     # re-executes per branch (the components.py lineage pattern)
-    bands = bands.join(src, "doc_id").localCheckpoint(eager=True)
+    bands = bands.join(src, "doc_id").transform(eager_checkpoint)
     batch = bands.filter(F.col("source") == "src19")
     ledger = bands.filter(F.col("source") != "src19").select(
         "band_idx", "band_key"
@@ -3566,13 +3581,19 @@ def q_margin_align_prod(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     x = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 100))
     y = e.filter(F.col("vec_id") % 2 == 1)
+    # localCheckpoint (lazy, r16): each tier's kept pairs feed BOTH the
+    # agreement intersection and its own count aggregate — without it
+    # the whole tier (the DECIMAL pair matrix / the IVF probe chain)
+    # runs once per consumer (guide §2.4; plan audit:
+    # `plans/r16/margin_align_prod_before.txt` shows 24 embedding
+    # scans). Kept sets are pair-id-sized; recomputed per invocation.
     exact = similarity.margin_align(
         x, y, k=4, margin_threshold=1.0, max_x=None
-    ).select("x_id", "y_id")
+    ).select("x_id", "y_id").transform(lazy_checkpoint)
     prod = similarity.margin_align_ann(
         x, y, k=4, margin_threshold=1.0, n_lists=8, nprobe=6,
         candidates_per_x=32,
-    ).select("x_id", "y_id")
+    ).select("x_id", "y_id").transform(lazy_checkpoint)
     inter = exact.join(prod, ["x_id", "y_id"])
     stats = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

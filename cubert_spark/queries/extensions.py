@@ -1435,6 +1435,16 @@ def reset_materialized() -> None:
     for path in _MATERIALIZED.values():
         shutil.rmtree(path, ignore_errors=True)
     _MATERIALIZED.clear()
+    # Release prior constructions' localCheckpoint blocks (r16): the
+    # ledger holds every checkpoint taken since the last reset; by
+    # calling reset the caller declares those constructions stale, so
+    # their block storage is freed deterministically instead of
+    # lingering until a GC cycle (accumulated blocks measurably slow
+    # later queries in a long bench session — see
+    # cubert_spark/checkpoints.py).
+    from cubert_spark.checkpoints import release_checkpoints
+
+    release_checkpoints()
 
 
 _MATERIALIZED: dict[tuple, str] = {}

@@ -851,17 +851,18 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "semantic_dedup_prod": "broadcast sides = k fixed cluster centroids "
                            "+ 1-row agreement-count stats (the recall-"
                            "contract shape; corpus-independent)",
-    "margin_align": "broadcast sides = the guarded X side (max_x raises "
+    "margin_align": "broadcast side = the guarded X side (max_x raises "
                     "at scale; ANN tiers replace the exact pair matrix "
-                    "at 100 TB) + per-side avg_k tables",
+                    "at 100 TB); avg_k is a window fold since r16 — "
+                    "no avg_k joins left to flip",
     "margin_align_prod": "broadcast sides = the bounded X query set "
                          "(ids < 100, the ivf_topk convention), its "
-                         "IVF probe fan-out and avg_k tables, the "
-                         "exact ground-truth tier's guarded X-side "
-                         "broadcasts, and 1-row agreement-count stats "
-                         "(the recall-contract shape; every side is "
-                         "query-set- or centroid-sized, never corpus-"
-                         "sized)",
+                         "IVF probe fan-out, the exact ground-truth "
+                         "tier's guarded X-side broadcasts, and 1-row "
+                         "agreement-count stats (the recall-contract "
+                         "shape; every side is query-set- or centroid-"
+                         "sized, never corpus-sized; avg_k is a "
+                         "window fold since r16)",
     "bloom_prune": "broadcast side = fixed-width bloom bitmap (size set "
                    "by n_bits, not by the corpus)",
     "mixture_sample": "broadcast sides = per-dataset weight/stat table "
@@ -892,8 +893,12 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     # count, orders below the corpus; if one truly outgrows the
     # threshold AQE flips to shuffle join at runtime with no
     # correctness change
-    "minhash_lsh": "broadcast side = per-band doc-freq cut stats "
-                   "(distinct-band aggregate; AQE re-plans if it grows)",
+    # minhash_lsh's waiver retired r16: the candidate pair list is now
+    # lazily localCheckpoint'ed (one signature-pipeline evaluation
+    # instead of three), which truncates the advisor's view above it;
+    # the band-join shape it waived is unchanged in source
+    # (dedup.minhash_lsh_pairs) and stays advisor-covered via
+    # streaming ingest_neardup / the un-truncated fuzzy_pairs family.
     "ngram_jaccard_cut": "broadcast sides = 1-row shingled-corpus "
                          "count + the surviving-shingle keep set (a "
                          "df-cut DISTINCT-shingle aggregate, orders "
@@ -938,8 +943,12 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "jaccard_prefix": "prefix-posting sides grow with the corpus; the "
                       "operator is an inverted-index equi-join (never "
                       "all-pairs) and AQE re-plans the join strategy",
-    "bfs_hops": "frontier set grows with graph reach; hop cap bounds "
-                "it and AQE re-plans each iteration independently",
+    # bfs_hops' waiver retired r16: each BFS layer is now lazily
+    # localCheckpoint'ed (linear instead of 2^h round re-evaluation),
+    # which truncates the advisor's view above the final layer; the
+    # frontier-join shape it waived is unchanged in source
+    # (components.bfs_hops) and pagerank's waiver still covers the
+    # same iterative keyed-equi-join class.
     "pagerank": "degree/rank tables grow with the graph; iterations "
                 "are keyed equi-joins over checkpointed edges — AQE "
                 "picks the join strategy per iteration at true sizes",
@@ -1016,16 +1025,15 @@ def test_advisor_1000x_sweep_no_unwaived_flips(spark):
     assert stale == [], f"stale waivers (no longer flip at 1000x): {stale}"
 
 
-def test_margin_from_candidates_unbounded_sides_can_flip(spark):
-    """r15 VERDICT task 4: full-corpus bitext mining (CCMatrix-style,
-    |X| ~ corpus) must not hard-broadcast the avg_k tables — a
-    F.broadcast hint can never flip to shuffle, so a corpus-sized
-    side OOMs every executor. bounded_sides=False drops the hint:
-    with the broadcast threshold forced to -1 the avg_k joins plan as
-    shuffle joins (proof the plan CAN flip), while the default
-    bounded spelling keeps its hint-pinned broadcast under the same
-    threshold (the query-set-sized margin_align_prod shape). Both
-    spellings return identical rows."""
+def test_margin_from_candidates_has_no_avg_k_joins(spark):
+    """r15 VERDICT task 4, resolved structurally in r16: the avg_k
+    fold is a per-side WINDOW aggregate over the candidate relation,
+    so there are no avg_k joins at all — nothing to broadcast at ANY
+    |X|, bounded or corpus-sized (the old hard F.broadcast hint could
+    never flip to shuffle and would OOM on full-corpus bitext
+    mining). Pins: no join node in either spelling, exactly one
+    evaluation of the candidate source, and both spellings (the
+    bounded_sides flag is a retained no-op) return identical rows."""
     from cubert_spark.datapipe.similarity import margin_from_candidates
     from cubert_spark.plans.assertions import explain_str
 
@@ -1035,19 +1043,15 @@ def test_margin_from_candidates_unbounded_sides_can_flip(spark):
         for y in range(20, 36)
     ]
     pairs = spark.createDataFrame(rows, "x_id long, y_id long, cos double")
-    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        unbounded = margin_from_candidates(pairs, k=4, bounded_sides=False)
-        bounded = margin_from_candidates(pairs, k=4)
-        pu, pb = explain_str(unbounded), explain_str(bounded)
-        assert "BroadcastHashJoin" not in pu, pu
-        assert "BroadcastHashJoin" in pb, pb
-        got_u = sorted(map(tuple, unbounded.collect()))
-        got_b = sorted(map(tuple, bounded.collect()))
-        assert got_u == got_b and len(got_u) > 0
-    finally:
-        if saved is None:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        else:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    unbounded = margin_from_candidates(pairs, k=4, bounded_sides=False)
+    bounded = margin_from_candidates(pairs, k=4)
+    for p in (explain_str(unbounded), explain_str(bounded)):
+        assert "Join" not in p, p
+        # one evaluation of the candidate source (the old groupBy +
+        # join-back spelling scanned it three times); formatted
+        # explain lists a node in the tree AND its detail section, so
+        # one scan appears at most twice
+        assert 1 <= p.count("Scan ExistingRDD") <= 2, p
+    got_u = sorted(map(tuple, unbounded.collect()))
+    got_b = sorted(map(tuple, bounded.collect()))
+    assert got_u == got_b and len(got_u) > 0
