@@ -159,21 +159,16 @@ def shingle_table(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         cond = None
         if max_doc_freq_frac is not None:
-            # n_docs without re-running the explode (r16, guide §2.3):
-            # a doc produced >= 1 k-shingle iff its shingle ARRAY is
-            # non-empty, so the corpus stat folds over one array-build
-            # pass (N rows into countDistinct) instead of the exploded
-            # relation (~10x N rows) — same value by construction,
-            # including duplicate-id and null/short-doc handling.
-            total = (
-                _spread(df, id_col)
-                .select(
-                    F.col(id_col),
-                    F.size(shingles(F.col(text_col), k)).alias("__sz"),
-                )
-                .filter(F.col("__sz") > 0)
-                .select(F.countDistinct(id_col).alias("__n"))
-            )
+            # (r16 A/B note: deriving n_docs from a separate
+            # array-build pass — size(shingles) > 0 over N rows
+            # instead of countDistinct over the exploded ~10xN — is
+            # the same value and looks strictly cheaper, but measured
+            # SLOWER on every ngram_jaccard_cut composite: this
+            # spelling's exploded subtree is shared with the freq
+            # aggregate's exchange at runtime, so the "extra" explode
+            # is nearly free, while the array-build pass is a real
+            # extra scan of the text column. Left as-is.)
+            total = sh.select(F.countDistinct(id_col).alias("__n"))
             freq = freq.crossJoin(F.broadcast(total))
             cond = F.col("df") <= F.col("__n") * F.lit(float(max_doc_freq_frac))
         if max_doc_freq is not None:
