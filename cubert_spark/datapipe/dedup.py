@@ -479,6 +479,15 @@ def fuzzy_pairs(
                 *bcols)
         .select("__id", F.xxhash64("__var", *bcols).alias("__vk"))
     )
+    if max_dist == 2:
+        # lazy checkpoint (r16): at depth 2 the ~len^2/2-way variant
+        # Generate is the dominant cost and feeds both join sides —
+        # materializing the 16-byte posting projection once measured
+        # ~0.85x isolated (11.8 -> 9.6 s at sf0.1). At depth 1 the
+        # explode is len+1-cheap and the same checkpoint measured
+        # SLOWER (1.8 -> 2.4 s) — recompute wins there, so the cut is
+        # fan-out-conditional.
+        side = lazy_checkpoint(side)
     # the variant join carries ONLY (8-byte id, 8-byte key) per posting
     # — the value strings and block cols are re-fetched by id AFTER the
     # candidate set is distinct'd, so the two big shuffles (posting
