@@ -693,10 +693,18 @@ def main() -> None:
             timings, pq, pr, [n for n in requeued if n in pq]
         )
         anchor_violations = _anchor_regressed(medians, anchors, requeued)
-        quiet_pass = (
-            len(still_regressed) <= max(4, round(0.15 * len(shared)))
-            and not anchor_violations
-        )
+        # r16: under SPARK_GRAFT_REBASE_ANCHORS=1 the anchor clause is
+        # excluded from the quiet verdict — the flag's whole purpose is
+        # a NAMED environment change (recorded in SCALE.md) that makes
+        # the pinned anchors inapplicable, and before this fix the
+        # violations they produced gated the very rebase meant to
+        # replace them (unreachable escape hatch). The prev-spread
+        # clause still applies, so a genuinely loaded pass cannot
+        # launder itself via the flag.
+        _rebase = os.environ.get("SPARK_GRAFT_REBASE_ANCHORS") == "1"
+        quiet_pass = len(still_regressed) <= max(
+            4, round(0.15 * len(shared))
+        ) and (_rebase or not anchor_violations)
         if not quiet_pass:
             print(
                 f"# LOADED PASS: {len(still_regressed)}/{len(shared)} rows "
