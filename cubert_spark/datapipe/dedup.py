@@ -441,81 +441,181 @@ def fuzzy_pairs(
     if max_dist not in (1, 2):
         raise NotImplementedError("fuzzy_pairs supports max_dist in (1, 2)")
     c = F.col(col)
-    del1 = F.expr(
-        f"transform(sequence(1, length({col})), i ->"
-        f" concat(substr({col}, 1, i - 1), substr({col}, i + 1, length({col}))))"
-    )
-    variants = F.array_union(
-        F.array(c),
-        F.when(F.length(c) >= 1, del1).otherwise(F.array().cast("array<string>")),
-    )
-    if max_dist == 2:
-        # depth-2 deletions: drop positions i < j in one pass over the
-        # original (delete j first so i's index is unshifted)
-        del2 = F.expr(
-            f"flatten(transform(sequence(1, length({col}) - 1), i ->"
-            f" transform(sequence(i + 1, length({col})), j ->"
-            f" concat(substr({col}, 1, i - 1),"
-            f"        substr({col}, i + 1, j - i - 1),"
-            f"        substr({col}, j + 1, length({col}))))))"
-        )
-        # guard: sequence(1, 0) runs DESCENDING in Spark, so length<2
-        # strings must short-circuit to no depth-2 variants
-        variants = F.array_union(
-            variants,
-            F.when(F.length(c) >= 2, del2).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
     # join key = xxhash64 of the variant (with the block cols folded
     # in), not the variant string: the shuffle carries 8-byte keys, and
     # a hash collision merely ADDS a candidate pair that the exact
     # levenshtein + block-equality filter then rejects — results
     # identical by construction
-    bcols = list(block_cols or [])
-    side = (
-        _spread(df, id_col)
-        .select(F.col(id_col).alias("__id"), F.explode(variants).alias("__var"),
-                *bcols)
-        .select("__id", F.xxhash64("__var", *bcols).alias("__vk"))
-    )
-    if max_dist == 2:
-        # lazy checkpoint (r16): at depth 2 the ~len^2/2-way variant
-        # Generate is the dominant cost and feeds both join sides —
-        # materializing the 16-byte posting projection once measured
-        # ~0.85x isolated (11.8 -> 9.6 s at sf0.1). At depth 1 the
-        # explode is len+1-cheap and the same checkpoint measured
-        # SLOWER (1.8 -> 2.4 s) — recompute wins there, so the cut is
-        # fan-out-conditional.
-        side = lazy_checkpoint(side)
-    # the variant join carries ONLY (8-byte id, 8-byte key) per posting
+    #
+    # the posting joins carry ONLY (8-byte id, 8-byte key) per posting
     # — the value strings and block cols are re-fetched by id AFTER the
-    # candidate set is distinct'd, so the two big shuffles (posting
-    # join + distinct) move 16-byte rows instead of rows dragging two
-    # full strings (measured 1.4x at d=2 sf0.1 against the old
+    # candidate set is distinct'd, so the big shuffles (posting join +
+    # distinct) move 16-byte rows instead of rows dragging two full
+    # strings (measured 1.4x at d=2 sf0.1 against the old
     # value-carrying join under the same merge-hinted safe plan, and
     # 2x on the blocked gen1 curve; requires id_col unique per entity
     # — enforced by the raise_error guard on the re-fetch below)
-    a = side.select(F.col("__id").alias("id_a"), "__vk")
-    b = side.select(F.col("__id").alias("id_b"), "__vk")
+    #
     # distinct BEFORE the levenshtein: a true pair shares MANY variants
     # (up to ~len^2/2 at depth 2), so verifying per join row would run
     # the edit distance once per shared variant instead of once per
     # candidate pair (measured 3x at depth 2, sf0.1)
     #
-    # merge hint: NEVER let the planner broadcast a posting side. The
-    # 16-byte projection makes Catalyst's size estimate tiny, but the
-    # estimator does not model Generate's fan-out (~len^2/2 variants
-    # per row at d=2) — at gen1 the "small" side is 28M posting rows
-    # and the broadcast hash relation OOMs the executor heap (measured:
-    # 3/3 OOMs at local[32] before the hint). Sort-merge costs one
-    # spillable shuffle+sort per side — the minhash_lsh lesson.
-    cand = (
-        a.join(b.hint("merge"), "__vk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # merge hints everywhere: NEVER let the planner broadcast a posting
+    # side. The 16-byte projection makes Catalyst's size estimate tiny,
+    # but the estimator does not model Generate's fan-out (~len^2/2
+    # variants per row at d=2) — at gen1 the "small" side is 28M
+    # posting rows and the broadcast hash relation OOMs the executor
+    # heap (measured: 3/3 OOMs at local[32] before the hint).
+    # Sort-merge costs one spillable shuffle+sort per side — the
+    # minhash_lsh lesson.
+    bcols = list(block_cols or [])
+    if max_dist == 1:
+        del1 = F.expr(
+            f"transform(sequence(1, length({col})), i ->"
+            f" concat(substr({col}, 1, i - 1), substr({col}, i + 1, length({col}))))"
+        )
+        variants = F.array_union(
+            F.array(c),
+            F.when(F.length(c) >= 1, del1).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        # depth 1: recompute beats a posting checkpoint (1.8 -> 2.4 s
+        # measured at sf0.1 — the len+1 explode is cheaper than
+        # materializing the postings), and one unconstrained self-join
+        # is already near-minimal at this fan-out.
+        side = (
+            _spread(df, id_col)
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(variants).alias("__var"), *bcols)
+            .select("__id", F.xxhash64("__var", *bcols).alias("__vk"))
+        )
+        a = side.select(F.col("__id").alias("id_a"), "__vk")
+        b = side.select(F.col("__id").alias("id_b"), "__vk")
+        cand = (
+            a.join(b.hint("merge"), "__vk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        # depth 2 (r16 restructure): position-constrained deletion-
+        # neighborhood joins. The naive single join matches EVERY
+        # variant of a against EVERY variant of b, and its volume is
+        # dominated by depth-2 x depth-2 matches at UNRELATED deletion
+        # positions. The standard edit-script case analysis (public:
+        # the FastSS / Mor-Fraenkel deletion-dictionary line of work)
+        # shows most of that volume proves nothing:
+        #
+        #   lev(a, b) <= 2 decomposes by |len(a) - len(b)|:
+        #     0: identical | 1 sub | 2 subs | 1 ins + 1 del
+        #     1: 1 del     | 1 del + 1 sub
+        #     2: 2 dels
+        #
+        #   identical      -> orig  = orig          (J-A, d0 x d0)
+        #   1 sub          -> d1(p) = d1(p)  same p (J-A, d1 x d1)
+        #   ins + del      -> d1(p) = d1(q)  any    (J-A, d1 x d1)
+        #   2 subs         -> d2{p,q} = d2{p,q} at the SAME unordered
+        #                     position pair — deleting the two mismatch
+        #                     positions from both sides (J-B)
+        #   1 del          -> d1 = orig             (J-A, d1 x d0)
+        #   del + sub      -> d2 = d1       any     (J-C)
+        #   2 dels         -> d2 = orig             (J-C)
+        #
+        # So depth-2 variants never need to meet OTHER-position depth-2
+        # variants: J-B joins on xxhash64(variant, i, j) and the cross-
+        # position multiplicity (~len^2/2 shared variants per true
+        # pair) disappears. Completeness is unchanged — every lev<=2
+        # case above is produced by one of J-A/J-B/J-C, extra
+        # candidates (hash collisions, higher true distance) are
+        # trimmed by the same exact verify. Measured at sf0.1: join
+        # output 31.7M -> ~6M rows, distinct input likewise; the
+        # posting explode is shared by all three joins via one lazy
+        # checkpoint (28-byte rows; at depth 2 the ~len^2/2-way
+        # Generate dominates and feeds every join side — materializing
+        # it once measured ~0.85x isolated even under the old single
+        # join).
+        d0e = f"array(named_struct('d', 0, 'i', 0, 'j', 0, 'v', {col}))"
+        d1e = (
+            f"transform(sequence(1, length({col})), i -> named_struct("
+            f"'d', 1, 'i', i, 'j', 0, 'v',"
+            f" concat(substr({col}, 1, i - 1), substr({col}, i + 1, length({col})))))"
+        )
+        # depth-2 deletions: drop positions i < j in one pass over the
+        # original (delete j first so i's index is unshifted)
+        d2e = (
+            f"flatten(transform(sequence(1, length({col}) - 1), i ->"
+            f" transform(sequence(i + 1, length({col})), j -> named_struct("
+            f"'d', 2, 'i', i, 'j', j, 'v',"
+            f" concat(substr({col}, 1, i - 1),"
+            f"        substr({col}, i + 1, j - i - 1),"
+            f"        substr({col}, j + 1, length({col})))))))"
+        )
+        # guard: sequence(1, 0) runs DESCENDING in Spark, so short
+        # strings must short-circuit to empty variant arrays (and a
+        # NULL value rides the d0 posting only, exactly as before —
+        # IF(NULL >= n, ...) takes the else branch)
+        empty = (
+            "cast(array() as array<struct<d:int,i:int,j:int,v:string>>)"
+        )
+        postings = F.expr(
+            f"concat({d0e},"
+            f" if(length({col}) >= 1, {d1e}, {empty}),"
+            f" if(length({col}) >= 2, {d2e}, {empty}))"
+        )
+        side = (
+            _spread(df, id_col)
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(postings).alias("__p"), *bcols)
+            .select(
+                "__id",
+                F.col("__p.d").alias("__d"),
+                F.xxhash64(F.col("__p.v"), *bcols).alias("__vk"),
+                F.xxhash64(
+                    F.col("__p.v"), F.col("__p.i"), F.col("__p.j"), *bcols
+                ).alias("__pk"),
+            )
+        )
+        side = lazy_checkpoint(side)
+        p01 = side.filter(F.col("__d") <= 1)
+        p2 = side.filter(F.col("__d") == 2)
+        # J-A/J-C folded into ONE position-free join: ALL postings x
+        # depth<=1 postings on the plain variant hash. Covers
+        # identical (d0 x d0), 1 sub + ins+del (d1 x d1), 1 del
+        # (d1 x d0), and del+sub / 2 dels (d2 x d1 / d2 x d0) — every
+        # position-free case — while d2 x d2 pairs CANNOT form here
+        # (the right table has no depth-2 rows). One-directional by
+        # table for the cross-depth cases, so normalize with
+        # least/greatest BEFORE the a < b cut; same-depth pairs just
+        # appear in both orientations and collapse in the distinct.
+        jac = (
+            side.select(F.col("__id").alias("id_a"), "__vk")
+            .join(
+                p01.select(F.col("__id").alias("id_b"), "__vk").hint("merge"),
+                "__vk",
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        # J-B: depth-2 x depth-2 at the SAME deletion-position pair
+        # (2 subs) — keyed on the position-qualified hash
+        jb = (
+            p2.select(F.col("__id").alias("id_a"), "__pk")
+            .join(
+                p2.select(F.col("__id").alias("id_b"), "__pk").hint("merge"),
+                "__pk",
+            )
+            .select("id_a", "id_b")
+        )
+        cand = (
+            jac.unionByName(jb)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     # the re-fetch-by-id design REQUIRES one row per id (a duplicate id
     # would cross-product its values onto every candidate pair) — the
     # contract is enforced with the rs_join distributed-assertion
@@ -549,9 +649,20 @@ def fuzzy_pairs(
         # hashing the block into __vk already co-locates; the explicit
         # equality rejects hash collisions across blocks
         out = out.filter(F.col(f"__ba_{bc}").eqNullSafe(F.col(f"__bb_{bc}")))
+    # banded verify (r16, guide §4/§1): the 3-arg levenshtein computes
+    # only the |i-j| <= max_dist DP band and returns -1 past the
+    # threshold — ~(2d+1)/len of the full-matrix work per candidate
+    # (18-char names at d=2: ~3.6x fewer DP cells), with the RETURNED
+    # distance identical whenever it is <= max_dist, i.e. for every
+    # row this operator emits. The filter must exclude the -1
+    # sentinel explicitly (-1 <= max_dist would pass it).
     return (
-        out.select("id_a", "id_b", F.levenshtein("__va", "__vb").alias("dist"))
-        .filter(F.col("dist") <= max_dist)
+        out.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__va", "__vb", max_dist).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
     )
 
 

@@ -1901,6 +1901,44 @@ def test_fuzzy_pairs_depth2(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_pairs_depth2_bruteforce_random(spark):
+    """The r16 position-constrained join decomposition (J-A/J-C
+    position-free + J-B same-position depth-2) must stay COMPLETE on
+    arbitrary variable-length data: cross-check every pair against a
+    Python brute-force levenshtein over a dense random corpus (small
+    alphabet, lengths 0..6, duplicate strings, a NULL) where every
+    edit-script case — subs, ins+del shifts, 1/2-char length deltas —
+    occurs many times."""
+    import random
+
+    rng = random.Random(20160817)
+    rows = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))))
+            for i in range(60)]
+    rows.append((60, None))
+    rows.append((61, rows[0][1]))  # duplicate string, distinct id
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (ia, ib): lev(na, nb)
+        for ia, na in rows for ib, nb in rows
+        if ia < ib and na is not None and nb is not None
+        and lev(na, nb) <= 2
+    }
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in dedup.fuzzy_pairs(df, max_dist=2).collect()}
+    assert got == want
+
+
 def test_mp3_frame_parser_and_meta(spark):
     """Pure-spec MPEG frame walk: CBR stream arithmetic, ID3v2 skip,
     mono/stereo modes, and the data-error contract on garbage /
