@@ -257,6 +257,14 @@ def pagerank(
     ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("bigint"))
 
     for i in range(iterations):
+        # (r16 A/B note: pre-folding rank_q div deg on the |V|-row
+        # ranks⋈outdeg side before touching the edge list — one
+        # |E|-sized join per round instead of two — measured a
+        # consistent ~8% SLOWER at sf0.1 over two alternating passes
+        # (3.45-3.69 -> 3.86-3.97 s): the chained e⋈ranks⋈outdeg
+        # joins reuse one u-partitioning with no extra exchange, so
+        # the second join is probe-CPU only, while the pre-fold adds
+        # a join stage per round. Kept the chained spelling.)
         contrib = (
             e.join(ranks, "u")
             .join(outdeg, "u")

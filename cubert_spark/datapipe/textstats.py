@@ -467,24 +467,62 @@ def bm25_search(
         }
     )
     qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterm_list = sorted({term for _, term in qrows})
 
-    t = _spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
-        ).alias("term"),
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
-    tf = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    base = _spread(df, id_col)
+    # r16 restructure. The old spelling built the FULL corpus
+    # (doc, term) tf table and evaluated it four ways (hits, dfreq,
+    # dl, stats->dl) — four tokenizer passes and three corpus-wide
+    # shuffles for quantities the query set mostly doesn't need:
+    # - dl == the doc's total token count (sum over terms of tf), an
+    #   in-row size() of the token array that rides THROUGH the
+    #   pruned explode (the ngram_jaccard carry-|doc| move) — the
+    #   per-doc dl join vanishes entirely
+    # - the exploded tokens prune IN-ROW to the literal query-term
+    #   set before any aggregation (guide §3.2: reduce before the
+    #   exchange), so the only token shuffle is candidate-sized
+    # - df for the query terms comes from the pruned tf (identical
+    #   values: df counts docs containing the term)
+    # - corpus stats (N, T) are one separate scan folding size(toks)
+    #   in-row — a 1-row aggregate, no shuffle
+    # Two tokenizer passes total (stats + the pruned explode; the
+    # candidate-sized tf lazily checkpoints so its two consumers do
+    # not re-run the second), versus four full passes + three
+    # corpus-wide (doc, term) shuffles before.
+    stats = (
+        base.select(F.size(toks).cast("bigint").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__t"))
+    )
+
+    # both catalogued Generate traps apply (see ngram_jaccard_pairs):
+    # the token array is aliased in its own projection so the regexp
+    # runs once per doc (not once in the project and once in the
+    # Generate), and explode_outer + a null post-filter keeps
+    # InferFiltersFromGenerate from duplicating the array build
+    t = (
+        base.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("bigint").alias("dl"),
+            F.explode_outer(
+                F.filter(F.col("__toks"), lambda x: x.isin(qterm_list))
+            ).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
+    # candidate-sized; feeds both dfreq and hits
+    tf = t.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__t")
-    )
 
     hits = (
         tf.join(F.broadcast(qterms), "term")
         .join(dfreq, "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )
     num = F.lit(44) * F.col("tf") * F.col("__t") * (F.col("__n") + 1)
@@ -971,12 +1009,21 @@ def gopher_repetition(
     )
     base = base.withColumn(
         "__nt", F.coalesce(F.size(F.col("__toks")), F.lit(0))
+    ).withColumn(
+        # token mass folds in-row over the token array (bigint adds
+        # are associative-exact): no explode, no shuffle, no join —
+        # the r16 split of the old toklens.groupBy(id) spelling,
+        # which re-ran the 1x posexplode for this and the coverage
+        # join separately
+        "__mass",
+        F.coalesce(
+            F.aggregate(
+                F.col("__toks"), F.lit(0).cast("bigint"),
+                lambda a, x: a + F.length(x),
+            ),
+            F.lit(0).cast("bigint"),
+        ),
     ).transform(lazy_checkpoint)
-
-    # one exploded relation serves every n: n=1 doubles as the
-    # token-length table, 2-4 feed the top-gram stats, 5-10 the
-    # duplicate-coverage stats
-    ns = [2, 3, 4, 5, 6, 7, 8, 9, 10]
 
     def entry_builder(n: int):
         # a single-parameter lambda per n — a 2-arg lambda would make
@@ -992,24 +1039,40 @@ def gopher_repetition(
 
         return build
 
-    entries = F.flatten(
-        F.array(*[
-            F.when(
-                F.col("__nt") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__nt") - n),
-                    entry_builder(n),
-                ),
-            ).otherwise(
-                F.array().cast(
-                    "array<struct<n:int,pos:int,gram:string>>"
+    def gram_rows(ns: list[int]) -> DataFrame:
+        # one exploded relation per CONSUMER's n-range (r16): the old
+        # single 2..10 relation fed two branches whose n-filters push
+        # below the shuffle but cannot prune the gram-array build, so
+        # every gram STRING was concat'd twice (18x token count);
+        # per-branch builds do each gram once (9x total) with no
+        # checkpoint needed — each relation has exactly one consumer
+        entries = F.flatten(
+            F.array(*[
+                F.when(
+                    F.col("__nt") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("__nt") - n),
+                        entry_builder(n),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<n:int,pos:int,gram:string>>"
+                    )
                 )
-            )
-            for n in ns
-        ])
-    )
+                for n in ns
+            ])
+        )
+        return base.select(
+            F.col(id_col), F.explode(entries).alias("__e")
+        ).select(
+            F.col(id_col),
+            F.col("__e.n").alias("n"),
+            F.col("__e.pos").alias("pos"),
+            F.col("__e.gram").alias("gram"),
+        )
+
     # token lengths get their own 1x explode — routing them through
-    # the 8x gram explode would compute that generate twice
+    # the gram explodes would compute those generates twice
     toklens = base.select(
         F.col(id_col),
         F.posexplode(F.col("__toks")).alias("p", "__tok"),
@@ -1017,58 +1080,64 @@ def gopher_repetition(
         F.col(id_col), F.col("p").cast("int").alias("p"),
         F.length("__tok").cast("bigint").alias("__len"),
     )
-    mass = toklens.groupBy(id_col).agg(
-        F.sum("__len").alias("__mass")
-    )
-    grams = base.select(
-        F.col(id_col), F.explode(entries).alias("__e")
-    ).select(
-        F.col(id_col),
-        F.col("__e.n").alias("n"),
-        F.col("__e.pos").alias("pos"),
-        F.col("__e.gram").alias("gram"),
-    )
-    # the ONLY shuffle that moves gram strings: collecting the
-    # occurrence positions here means the coverage stage never
-    # re-joins the 8x gram relation on its string key (a second
-    # ~9x-token string shuffle in the first spelling of this
-    # operator, measured 16% slower at 10x). The position list is
-    # bounded by the doc's own occurrence count of that gram.
-    counts = grams.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.collect_list("pos").alias("__poss"),
-        # token chars of the gram = string length minus separators
-        (F.length(F.first("gram")) - (F.col("n") - 1).cast("bigint"))
-        .alias("glen"),
-    )
-    # (r16 A/B note: lazily localCheckpoint-ing `counts` — it feeds
-    # both the top-gram and the dup-coverage branch — measured SLOWER
-    # and far noisier at sf0.1: materializing the gram-keyed table,
-    # whose rows are near-distinct grams, costs more block I/O than
-    # the second explode+shuffle it saves. Recompute wins here, the
-    # same verdict as minhash's sh-persist A/B; left un-checkpointed.)
+    # (r16 A/B note: lazily localCheckpoint-ing the shared gram-count
+    # table — when it fed both branches — measured SLOWER and far
+    # noisier at sf0.1: materializing near-distinct gram rows costs
+    # more block I/O than the recompute it saves. The per-branch
+    # split above removes the diamond instead: nothing recomputes,
+    # nothing materializes.)
+    # the ONLY shuffles that move gram strings. The top-gram branch
+    # needs no occurrence positions (its agg is pure codegen); the
+    # coverage branch collects them here so it never re-joins the
+    # gram relation on its string key (a second string shuffle in
+    # the first spelling of this operator, measured 16% slower at
+    # 10x). The position list is bounded by the doc's own occurrence
+    # count of that gram.
     top = (
-        counts.filter(F.col("n").isin(2, 3, 4))
-        .groupBy(id_col, "n")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("negc"),
-                    F.col("gram").alias("g"),
-                    (F.col("cnt") * F.col("glen")).alias("numer"),
-                )
-            ).alias("__m")
-        )
+        gram_rows([2, 3, 4])
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(id_col)
         .agg(*[
-            F.sum(
-                F.when(F.col("n") == n, F.col("__m.numer")).otherwise(0)
-            ).alias(f"__top{n}")
+            # per-n argmin pivoted into ONE per-doc agg (the old
+            # spelling's intermediate (id, n) groupBy re-shuffled 3
+            # rows/doc): min(struct) over nulls for other n picks
+            # the same (max count, lexicographically smallest gram)
+            # winner; numer = cnt * token-chars of the gram
+            F.min(
+                F.when(
+                    F.col("n") == n,
+                    F.struct(
+                        (-F.col("cnt")).alias("negc"),
+                        F.col("gram").alias("g"),
+                        (
+                            F.col("cnt")
+                            * (
+                                F.length("gram")
+                                - (F.col("n") - 1).cast("bigint")
+                            )
+                        ).alias("numer"),
+                    ),
+                )
+            ).alias(f"__m{n}")
             for n in (2, 3, 4)
         ])
+        .select(
+            F.col(id_col),
+            *[
+                F.col(f"__m{n}.numer").alias(f"__top{n}")
+                for n in (2, 3, 4)
+            ],
+        )
     )
     dup_cov = (
-        counts.filter((F.col("n") >= 5) & (F.col("cnt") >= 2))
+        gram_rows([5, 6, 7, 8, 9, 10])
+        .groupBy(id_col, "n", "gram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.collect_list("pos").alias("__poss"),
+        )
+        .filter(F.col("cnt") >= 2)
         .select(
             F.col(id_col), F.col("n"),
             F.explode(F.col("__poss")).alias("pos"),
@@ -1090,8 +1159,7 @@ def gopher_repetition(
         ])
     )
     out = (
-        base.join(mass, id_col, "left")
-        .join(top, id_col, "left")
+        base.join(top, id_col, "left")
         .join(dup_cov, id_col, "left")
     )
 

@@ -839,7 +839,8 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     # fixed-size model/query artifacts the factor model over-scales:
     # these sides are constants of the workload (query sets, centroid
     # lists, PQ LUTs, band-count stats), not corpus-scaled relations
-    "bm25_search": "broadcast side = the fixed query-term set",
+    # (bm25_search's waiver retired r16: the in-row query-term prune
+    # + carried dl removed the corpus-scaled broadcast risk entirely)
     "embedding_topk": "broadcast side = the fixed query-vector set",
     "filtered_ann": "broadcast side = the fixed query-vector set",
     "ivf_topk": "broadcast sides = fixed centroid list + query set",
