@@ -102,7 +102,19 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 F.lit(0),
             ).alias(f"__fk{j}")
         )
-    one = F.broadcast(df.agg(*aggs))
+    # lazy checkpoint (r16): with FK rules the fused 1-row agg feeds
+    # the stack() report AND every foreign_key's n_checked crossJoin —
+    # without the cut each consumer re-runs the full table scan
+    # (3 scans for the 2-FK suite; dq_expectations A/B 2.1 -> 1.6 s at
+    # sf0.1, and 2 scans of the fact table saved at any scale).
+    # Without FK rules `one` has exactly one consumer, so the cut
+    # would be pure barrier overhead — skipped.
+    one = df.agg(*aggs)
+    if fk_rules:
+        from cubert_spark.checkpoints import lazy_checkpoint
+
+        one = one.transform(lazy_checkpoint)
+    one = F.broadcast(one)
 
     if agg_rules:
         # rule/column names are interpolated into a SQL stack()

@@ -251,6 +251,12 @@ def token_budget_select(
     )
     from cubert_spark.datapipe.dedup import _spread
 
+    # NOTE (r16 A/B, reverted): lazy-checkpointing this projection —
+    # it feeds the min/max/total stat and both consumers of ``t`` —
+    # measured consistently SLOWER at sf0.1 (1.2-1.5 -> 1.4-1.7 s over
+    # four interleaved sessions): the split-tokenize recompute is
+    # cheaper than materializing |docs| x 3 blocks plus the extra job
+    # barrier. Recompute kept.
     toks = _spread(df, id_col).select(
         F.col(id_col),
         F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint").alias(

@@ -601,6 +601,13 @@ def q_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
             dsum("o_totalprice").alias("monetary"),
         )
     )
+    # lazy checkpoint (r16): per_c feeds both the cutpoint agg and
+    # the scoring join — without the cut each consumer re-runs the
+    # orders scan + groupBy; |customers| x 4 narrow columns
+    # materialize cheaper than that recompute at any scale
+    from cubert_spark.checkpoints import lazy_checkpoint
+
+    per_c = per_c.transform(lazy_checkpoint)
     cuts = per_c.agg(
         *[
             F.expr(
