@@ -374,6 +374,14 @@ def triangle_count(
         .distinct()
         .transform(eager_checkpoint)
     )
+    # (r16 A/B note: deg has three consumers — the da/db orientation
+    # joins + the n_nodes agg — and checkpointing it looks like an
+    # obvious diamond cut, but it LOSES ~3x (4.0 -> 11.6 s at sf0.1,
+    # min-of-3 alternating stash arms, same session protocol): the
+    # block materialization + per-consumer broadcast-build jobs over
+    # the checkpointed relation cost far more than recomputing the
+    # 2|E| union+agg from e's blocks. Same verdict as the gopher
+    # gram-count checkpoint A/B. Kept uncheckpointed.)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
