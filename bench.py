@@ -349,6 +349,7 @@ def _stdout_payload(
     rot: int | None = None,
     quiet: bool | None = None,
     pyloop_ds: int | None = None,
+    anchor_rebase: bool = False,
 ) -> str:
     """The ONE compact stdout line. The driver's capture keeps the
     last ~2 KB of output (the full medians+runs payload truncated the
@@ -400,6 +401,11 @@ def _stdout_payload(
         # would be indistinguishable from a pre-v8 line
         d["quiet"] = quiet
         d["pyloop_ds"] = pyloop_ds
+        # r17 (ADVICE): a rebase-assisted quiet pass self-describes —
+        # emitted only when the flag fired, so an ordinary line's
+        # byte budget is unchanged and pre-r17 lines parse identically
+        if anchor_rebase:
+            d["anchor_rebase"] = True
         if dropped:
             d["dropped"] = dropped
         return json.dumps(d, separators=(",", ":"))
@@ -643,6 +649,7 @@ def main() -> None:
     # baseline) — recording true there would make an UNVERIFIED pass
     # indistinguishable from a gate-verified quiet one
     quiet_pass: bool | None = None
+    _rebase = os.environ.get("SPARK_GRAFT_REBASE_ANCHORS") == "1"
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     anchors_path = os.path.join(repo_dir, "BENCH_ANCHORS.json")
     anchors: dict = {}
@@ -701,7 +708,6 @@ def main() -> None:
         # replace them (unreachable escape hatch). The prev-spread
         # clause still applies, so a genuinely loaded pass cannot
         # launder itself via the flag.
-        _rebase = os.environ.get("SPARK_GRAFT_REBASE_ANCHORS") == "1"
         quiet_pass = len(still_regressed) <= max(
             4, round(0.15 * len(shared))
         ) and (_rebase or not anchor_violations)
@@ -753,6 +759,7 @@ def main() -> None:
         rot=rot,
         quiet=quiet_pass,
         pyloop_ds=int(round(host["pyloop10m_sec"] * 10)),
+        anchor_rebase=_rebase,
     )
     detail = {
         "metric": "bench_total_wall_sec",
@@ -767,6 +774,7 @@ def main() -> None:
         "still_regressed": still_regressed,
         "anchor_violations": anchor_violations,
         "quiet_pass": quiet_pass,
+        "anchor_rebase": _rebase,
         "stdout_rotation": rot,
         "host": host,
         "bench_schema_version": 8,
@@ -779,7 +787,7 @@ def main() -> None:
     # change recorded in SCALE.md (e.g. the r14->r15 host-placement
     # slowdown), never for routine runs.
     if sf_str == "0.1" and quiet_pass:
-        if os.environ.get("SPARK_GRAFT_REBASE_ANCHORS") == "1":
+        if _rebase:
             new_anchors = {n: medians[n] for n in BENCH_QUERIES if n in medians}
             print(
                 "# ANCHOR REBASE: re-pinned all anchors to this pass "

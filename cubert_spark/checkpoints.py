@@ -43,19 +43,53 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+#: Failures swallowed by release_checkpoints since process start —
+#: surfaced (r17, ADVICE): the release walks a private py4j chain
+#: (queryExecution().analyzed().rdd().unpersist) and a Spark upgrade
+#: that changes the localCheckpoint plan shape would otherwise turn
+#: the release into a silent no-op, re-introducing the cross-run
+#: block-litter drift this module exists to fix.
+_RELEASE_FAILURES = 0
+
+
 def release_checkpoints() -> int:
     """Unpersist the backing RDD of every registered checkpoint and
     clear the ledger; returns how many were released. Callers invoke
     this only between query constructions (the per-run reset hook), so
     every registered DataFrame is already dead to its consumers —
     unpersisting a truncated-lineage RDD is then a pure storage
-    release, never a recompute hazard."""
+    release, never a recompute hazard.
+
+    Contract (enforced by tests/test_checkpoints.py): every ledger
+    entry releases — the return value equals the number registered,
+    and the session's persistent-RDD map is empty afterwards. A
+    swallowed failure is counted in ``_RELEASE_FAILURES`` and logged
+    once per call, so a py4j-chain break under a Spark upgrade is a
+    visible warning, not silent litter."""
+    global _RELEASE_FAILURES
     n = 0
+    failed = 0
     for df in _LIVE:
         try:
+            sc = df.sparkSession._sc
+            if sc._jsc is None:  # context stopped (atexit ordering):
+                n += 1  # the JVM took the blocks with it — released
+                continue
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
             n += 1
         except Exception:  # noqa: BLE001 - best-effort storage release
-            pass
+            failed += 1
+    if failed:
+        import sys
+
+        _RELEASE_FAILURES += failed
+        print(
+            f"WARNING: release_checkpoints failed to unpersist {failed}/"
+            f"{len(_LIVE)} registered checkpoints (total failures this "
+            f"process: {_RELEASE_FAILURES}) — localCheckpoint blocks may "
+            "accumulate across runs; check the private py4j release "
+            "chain against this Spark version",
+            file=sys.stderr,
+        )
     _LIVE.clear()
     return n

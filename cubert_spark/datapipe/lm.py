@@ -351,19 +351,32 @@ def _kneser_ney_higher(
         .select(*[F.col(f"b.g{j}").alias(f"g{j}") for j in range(n)])
     )
 
+    # ONE corpus pass for ALL levels (r17): count the full null-padded
+    # n-tuples once (tail-padded rows keep their null g-columns as
+    # groupBy values), checkpoint that vocabulary-bounded table, and
+    # read every raw k-gram table off it as a re-aggregation —
+    # win.filter(g{k-1} NOT NULL).groupBy(g0..g{k-1}).count()
+    # == padded.filter(g{k-1} NOT NULL).groupBy(g0..g{k-1}).sum(c),
+    # because a position contributes to level k iff it has >= k
+    # successors (nulls are tail padding only: g{k-1} present implies
+    # the whole k-prefix is present). The r16 spelling checkpointed
+    # each A_k separately, paying n-1 full token-explode passes; this
+    # pays exactly one, and the A_k reaggregations run over the padded
+    # table's checkpointed blocks (orders below the corpus).
+    padded = (
+        win.groupBy(*[f"g{j}" for j in range(n)])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(eager_checkpoint)
+    )
+
     def gram_counts(k: int) -> DataFrame:
-        # nulls are tail-padding only: g{k-1} present implies the
-        # whole k-prefix is present
         return (
-            win.filter(F.col(f"g{k - 1}").isNotNull())
+            padded.filter(F.col(f"g{k - 1}").isNotNull())
             .groupBy(*[f"g{j}" for j in range(k)])
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("c").alias("c"))
         )
 
-    # model tables are vocabulary-bounded; checkpoint each A_k once so
-    # the token explode is not re-executed per downstream consumer
-    # (the components.py multi-consumer lineage rule)
-    a = {k: gram_counts(k).transform(eager_checkpoint) for k in range(2, n + 1)}
+    a = {k: gram_counts(k) for k in range(2, n + 1)}
 
     top = a[n]
     ctx = top.groupBy(*[f"g{j}" for j in range(n - 1)]).agg(

@@ -1687,7 +1687,6 @@ def margin_from_candidates(
     pairs: DataFrame,
     k: int = 4,
     margin_threshold: float = 1.0,
-    bounded_sides: bool = True,
 ) -> DataFrame:
     """The margin + mutual-best rule of :func:`margin_align` applied
     to an ARBITRARY candidate pair set ``(x_id, y_id, cos)`` — the
@@ -1700,8 +1699,10 @@ def margin_from_candidates(
     deterministic, row-local); with exhaustive candidates this equals
     margin_align's exact avg_k up to float-vs-DECIMAL dot precision.
 
-    ``bounded_sides`` is retained for API compatibility but no longer
-    changes the plan: the r16 optimization replaced the avg_k
+    (The former ``bounded_sides`` flag was REMOVED in r17 — it had
+    been a silent no-op since the r16 optimization, and a dead tuning
+    argument at call sites masks stale broadcast-vs-shuffle intent,
+    per the r16 ADVICE.) The r16 optimization replaced the avg_k
     groupBy + join-back (which recomputed the candidate lineage three
     times and, when bounded, hard-broadcast the avg_k tables — the
     r15 VERDICT task-4 concern) with per-side WINDOW aggregates. The
@@ -1769,7 +1770,6 @@ def margin_align_ann(
     n_lists: int = 16,
     nprobe: int = 4,
     seed: int = 42,
-    bounded_sides: bool = True,
 ) -> DataFrame:
     """PRODUCTION margin alignment (r14 VERDICT task 3): IVF
     candidate generation replaces margin_align's exact |X| x |Y| pair
@@ -1805,6 +1805,4 @@ def margin_align_ann(
         F.col("neighbor_id").alias("y_id"),
         "cos",
     )
-    return margin_from_candidates(
-        pairs, k, margin_threshold, bounded_sides=bounded_sides
-    )
+    return margin_from_candidates(pairs, k, margin_threshold)

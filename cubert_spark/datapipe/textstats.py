@@ -488,10 +488,13 @@ def bm25_search(
     #   values: df counts docs containing the term)
     # - corpus stats (N, T) are one separate scan folding size(toks)
     #   in-row — a 1-row aggregate, no shuffle
-    # Two tokenizer passes total (stats + the pruned explode; the
-    # candidate-sized tf lazily checkpoints so its two consumers do
-    # not re-run the second), versus four full passes + three
-    # corpus-wide (doc, term) shuffles before.
+    # Three tokenizer passes in the static plan (stats + one per tf
+    # consumer: dfreq and hits each evaluate the pruned explode; AQE
+    # exchange reuse collapses the identical tf exchanges at runtime)
+    # versus four full passes + three corpus-wide (doc, term)
+    # shuffles before. Lazy-checkpointing tf to dedupe the pass was
+    # A/B'd and REVERTED (2.0 -> 2.5 s at sf0.1: the materialization
+    # barrier costs more than the candidate-sized recompute).
     stats = (
         base.select(F.size(toks).cast("bigint").alias("dl"))
         .filter(F.col("dl") > 0)
@@ -961,251 +964,289 @@ def gopher_repetition(
     bit-for-bit in any engine. Empty/null docs pass every rule
     (nothing is repeated).
 
-    Scale shape (100 TB): line/para signals ride the scan in one
-    codegen projection; the n-gram signals explode to (doc, n, pos,
-    gram) — ~9x token count, the duplicate_spans class — then move
-    ONLY through keyed shuffles: gram counts, duplicated-occurrence
-    re-join, distinct covered positions, token-length join, per-doc
-    fold. No window is unpartitioned; nothing is quadratic in
-    document length (the in-array top_bigram_frac of
-    ``repetition_stats`` is — which is why this operator exists).
+    Scale shape (100 TB): every signal is PER-DOCUMENT (each former
+    groupBy key set included the doc id), so the whole rule set is one
+    zero-shuffle projection over the scan (r17): per n, the doc's
+    grams are array_sort'ed and counted by sorted-run folds —
+    O(L log L) per doc, NOT the quadratic in-array scan of
+    ``repetition_stats``'s top_bigram_frac (count-per-gram via a
+    nested filter), which is why the r13 spelling went distributed.
+    The r13-r16 distributed spelling exploded to (doc, n, pos, gram)
+    — ~9x token count — and moved the gram STRINGS through keyed
+    shuffles (gram counts, duplicated-occurrence re-join, distinct
+    covered positions, token-length join, per-doc fold: ~45x token
+    mass of shuffle payload for the n>=5 branch alone, the suite's
+    heaviest shuffle). Exact string equality on sorted runs replaces
+    every one of those exchanges with in-row folds; results are
+    bit-identical by construction (no hashing anywhere, unlike the
+    rejected xxhash64-gram design).
     """
     from cubert_spark.datapipe.dedup import _spread
 
     t = F.col(text_col)
     toks = F.split(t, r"\s+")
 
-    def seg_stats(sep: str):
-        units = F.filter(
-            F.split(t, sep), lambda x: F.trim(x) != F.lit("")
-        )
-        n = F.coalesce(F.size(units), F.lit(0))
-        nd = F.coalesce(F.size(F.array_distinct(units)), F.lit(0))
-        chars = F.coalesce(
-            F.aggregate(
-                units, F.lit(0).cast("bigint"),
-                lambda a, x: a + F.length(x),
-            ),
-            F.lit(0).cast("bigint"),
-        )
-        dchars = F.coalesce(
-            F.aggregate(
-                F.array_distinct(units), F.lit(0).cast("bigint"),
-                lambda a, x: a + F.length(x),
-            ),
-            F.lit(0).cast("bigint"),
-        )
-        return n.cast("bigint"), nd.cast("bigint"), chars, dchars
+    def let(val: Column, fn) -> Column:
+        # single-evaluation binding: fn's argument is a bound lambda
+        # VALUE, so k references cost one evaluation (Spark
+        # expressions are trees, not DAGs, and higher-order functions
+        # run interpreted with no codegen subexpression elimination —
+        # see the in-row note below)
+        return F.transform(F.array(val), fn).getItem(0)
 
-    nl, ndl, cl, cdl = seg_stats("\n")
-    np_, ndp, cp, cdp = seg_stats("\n\n")
+    def seg_struct(sep: str) -> Column:
+        # the split + trim-filter and its array_distinct each bind
+        # once; the old per-column spelling re-ran them 4-6x per row
+        def with_units(units: Column) -> Column:
+            def with_distinct(du: Column) -> Column:
+                z = F.lit(0).cast("bigint")
+                return F.struct(
+                    F.coalesce(F.size(units), F.lit(0))
+                    .cast("bigint")
+                    .alias("n"),
+                    F.coalesce(F.size(du), F.lit(0))
+                    .cast("bigint")
+                    .alias("nd"),
+                    F.coalesce(
+                        F.aggregate(
+                            units, z, lambda a, x: a + F.length(x)
+                        ),
+                        z,
+                    ).alias("c"),
+                    F.coalesce(
+                        F.aggregate(du, z, lambda a, x: a + F.length(x)),
+                        z,
+                    ).alias("dc"),
+                )
+
+            return let(F.array_distinct(units), with_distinct)
+
+        return let(
+            F.filter(F.split(t, sep), lambda x: F.trim(x) != F.lit("")),
+            with_units,
+        )
+
     base = _spread(df, id_col).select(
         F.col(id_col),
-        (nl - ndl).alias("__dl"), nl.alias("__nl"),
-        (cl - cdl).alias("__dlc"), cl.alias("__cl"),
-        (np_ - ndp).alias("__dp"), np_.alias("__np"),
-        (cp - cdp).alias("__dpc"), cp.alias("__cp"),
+        seg_struct("\n").alias("__ls"),
+        seg_struct("\n\n").alias("__ps"),
         toks.alias("__toks"),
     )
-    base = base.withColumn(
-        "__nt", F.coalesce(F.size(F.col("__toks")), F.lit(0))
-    ).withColumn(
-        # token mass folds in-row over the token array (bigint adds
-        # are associative-exact): no explode, no shuffle, no join —
-        # the r16 split of the old toklens.groupBy(id) spelling,
-        # which re-ran the 1x posexplode for this and the coverage
-        # join separately
-        "__mass",
-        F.coalesce(
-            F.aggregate(
-                F.col("__toks"), F.lit(0).cast("bigint"),
-                lambda a, x: a + F.length(x),
-            ),
-            F.lit(0).cast("bigint"),
-        ),
-    ).transform(lazy_checkpoint)
+    # (no checkpoint: since the r17 in-row rewrite below, base has a
+    # single consumer — the one staged projection chain)
 
-    def entry_builder(n: int):
-        # a single-parameter lambda per n — a 2-arg lambda would make
-        # pyspark pass the ARRAY INDEX as the second argument
-        def build(i: Column) -> Column:
+    # --- in-row n-gram signals (r17) -----------------------------------
+    # Every n-gram signal is per-document (each former groupBy key set
+    # included the doc id), so gram counting never needs to leave the
+    # row: sort the doc's grams (exact strings — nothing hashed) and
+    # read counts off the sorted runs. O(L log L) per doc — NOT the
+    # quadratic in-array scan repetition_stats uses. Two evaluation
+    # disciplines shape the spelling (higher-order functions are
+    # CodegenFallback: interpreted, no codegen subexpression
+    # elimination, so Spark expression TREES re-evaluate every
+    # repeated subexpression):
+    # 1. reused intermediates bind ONCE via the let idiom
+    #    transform(array(v), x -> body)[0] — x is a bound lambda
+    #    VALUE, so k references cost one evaluation (a naive tree
+    #    spelling re-sorted each gram array ~5-8x: 8.9 s vs the
+    #    4.45 s distributed baseline at sf0.1);
+    # 2. the nine gram levels build INCREMENTALLY in one fold (level
+    #    n = level n-1 zip'd with the n-shifted token array, one
+    #    binary space-concat per gram — identical strings to
+    #    concat_ws over the token slice because space-joining is
+    #    associative), which is ~n x fewer interpreted element ops
+    #    than per-gram slice+concat_ws, in ONE projection column —
+    #    chained per-level withColumns measured 2.4 s of per-run
+    #    DRIVER analysis (15+ eager re-analyses of a growing lambda-
+    #    heavy tree); the fold keeps construction at ~0.1 s.
+    tok = F.col("__toks")
+    # size() on a bound attribute is O(1); referencing the expression
+    # repeatedly inside the level guards costs nothing material
+    nt = F.coalesce(F.size(tok), F.lit(0))
+    zero = F.lit(0).cast("bigint")
+
+    ls, ps = F.col("__ls"), F.col("__ps")
+    carry_exprs = [
+        F.col(id_col),
+        (ls["n"] - ls["nd"]).alias("__dl"), ls["n"].alias("__nl"),
+        (ls["c"] - ls["dc"]).alias("__dlc"), ls["c"].alias("__cl"),
+        (ps["n"] - ps["nd"]).alias("__dp"), ps["n"].alias("__np"),
+        (ps["c"] - ps["dc"]).alias("__dpc"), ps["c"].alias("__cp"),
+        # token mass folds in-row over the token array (bigint adds
+        # are associative-exact): no explode, no shuffle, no join
+        F.coalesce(
+            F.aggregate(tok, zero, lambda a, x: a + F.length(x)), zero
+        ).alias("__mass"),
+    ]
+    carry = [
+        F.col(id_col),
+        "__dl", "__nl", "__dlc", "__cl",
+        "__dp", "__np", "__dpc", "__cp",
+        "__mass",
+    ]
+
+    # __lv = [grams(2), ..., grams(10)] — levels 2..10, each gram
+    # array built exactly once, all in one column
+    def next_level(cur: Column, n: Column) -> Column:
+        return F.when(
+            nt >= n,
+            F.zip_with(
+                F.slice(cur, 1, nt - n + 1),
+                F.slice(tok, n, nt - n + 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    levels = F.aggregate(
+        F.sequence(F.lit(2), F.lit(10)),
+        F.struct(
+            tok.alias("cur"),
+            F.array().cast("array<array<string>>").alias("out"),
+        ),
+        lambda acc, n: let(
+            next_level(acc["cur"], n),
+            lambda nx: F.struct(
+                nx.alias("cur"),
+                F.concat(acc["out"], F.array(nx)).alias("out"),
+            ),
+        ),
+        lambda acc: acc["out"],
+    )
+    staged = base.select(*carry_exprs, "__toks", levels.alias("__lv"))
+    lv = F.col("__lv")
+
+    def top_numer(n: int) -> Column:
+        # winner = (max count, ties to the lexicographically smallest
+        # gram), numer = cnt * token-chars — identical to the old
+        # min(struct(-cnt, gram, numer)) agg. One ascending sorted
+        # pass: a run's length exceeds the best only strictly, so an
+        # equal-count later (= lexicographically larger) gram never
+        # displaces the first. Grams are never '' (n >= 2 always has
+        # a separator), so the '' init sentinel cannot match a gram.
+        init = F.struct(
+            F.lit("").alias("pg"), zero.alias("run"),
+            zero.alias("bc"), F.lit("").alias("bg"),
+        )
+
+        def step(acc: Column, g: Column) -> Column:
+            run2 = F.when(g == acc["pg"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("bigint")
+            )
+            better = run2 > acc["bc"]
             return F.struct(
-                F.lit(n).alias("n"),
-                i.cast("int").alias("pos"),
-                F.concat_ws(
-                    " ", F.slice(F.col("__toks"), i + 1, n)
-                ).alias("gram"),
+                g.alias("pg"),
+                run2.alias("run"),
+                F.when(better, run2).otherwise(acc["bc"]).alias("bc"),
+                F.when(better, g).otherwise(acc["bg"]).alias("bg"),
             )
 
-        return build
+        # empty gram array -> bc=0, bg='' -> numer 0 (the old left
+        # join produced null there; the final coalesce made it 0)
+        return F.aggregate(
+            F.array_sort(lv.getItem(n - 2)),
+            init,
+            step,
+            lambda acc: acc["bc"]
+            * (F.length(acc["bg"]).cast("bigint") - F.lit(n - 1)),
+        )
 
-    def gram_rows(ns: list[int]) -> DataFrame:
-        # one exploded relation per CONSUMER's n-range (r16): the old
-        # single 2..10 relation fed two branches whose n-filters push
-        # below the shuffle but cannot prune the gram-array build, so
-        # every gram STRING was concat'd twice (18x token count);
-        # per-branch builds do each gram once (9x total) with no
-        # checkpoint needed — each relation has exactly one consumer
-        entries = F.flatten(
-            F.array(*[
-                F.when(
-                    F.col("__nt") >= n,
-                    F.transform(
-                        F.sequence(F.lit(0), F.col("__nt") - n),
-                        entry_builder(n),
+    def dup_chars(n: int) -> Column:
+        # duplicate-coverage: token positions inside any
+        # >=2-occurrence n-gram, deduped (array_distinct == the old
+        # (id, n, p).distinct()), each weighted by its token's length
+        # (the old toklens join, now an element_at into the row's own
+        # array). An entry of the (g, p)-sorted array is duplicated
+        # iff a neighbor shares its gram — exact string equality.
+        def with_srt(srt: Column) -> Column:
+            sz = F.size(srt)
+
+            def with_nxt(nxt: Column) -> Column:
+                # nxt[i] = (srt[i].g == srt[i+1].g); zip_with pads
+                # the sliced copy with null -> coalesce(.., false)
+                prv = F.concat(
+                    F.array(F.lit(False)), F.slice(nxt, 1, sz - 1)
+                )
+                dup_pos = F.filter(
+                    F.zip_with(
+                        srt,
+                        F.zip_with(nxt, prv, lambda x, y: x | y),
+                        lambda e, f: F.when(f, e["p"]).otherwise(-1),
                     ),
-                ).otherwise(
-                    F.array().cast(
-                        "array<struct<n:int,pos:int,gram:string>>"
+                    lambda p: p >= 0,
+                )
+                covered = F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            dup_pos, lambda p: F.sequence(p, p + n - 1)
+                        )
                     )
                 )
-                for n in ns
-            ])
-        )
-        return base.select(
-            F.col(id_col), F.explode(entries).alias("__e")
-        ).select(
-            F.col(id_col),
-            F.col("__e.n").alias("n"),
-            F.col("__e.pos").alias("pos"),
-            F.col("__e.gram").alias("gram"),
-        )
+                return F.aggregate(
+                    covered,
+                    zero,
+                    lambda a, p: a
+                    + F.length(F.element_at(tok, p + 1)).cast("bigint"),
+                )
 
-    # token lengths get their own 1x explode — routing them through
-    # the gram explodes would compute those generates twice
-    toklens = base.select(
-        F.col(id_col),
-        F.posexplode(F.col("__toks")).alias("p", "__tok"),
-    ).select(
-        F.col(id_col), F.col("p").cast("int").alias("p"),
-        F.length("__tok").cast("bigint").alias("__len"),
-    )
-    # (r16 A/B note: lazily localCheckpoint-ing the shared gram-count
-    # table — when it fed both branches — measured SLOWER and far
-    # noisier at sf0.1: materializing near-distinct gram rows costs
-    # more block I/O than the recompute it saves. The per-branch
-    # split above removes the diamond instead: nothing recomputes,
-    # nothing materializes.)
-    # the ONLY shuffles that move gram strings. The top-gram branch
-    # needs no occurrence positions (its agg is pure codegen); the
-    # coverage branch collects them here so it never re-joins the
-    # gram relation on its string key (a second string shuffle in
-    # the first spelling of this operator, measured 16% slower at
-    # 10x). The position list is bounded by the doc's own occurrence
-    # count of that gram.
-    top = (
-        gram_rows([2, 3, 4])
-        .groupBy(id_col, "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        .agg(*[
-            # per-n argmin pivoted into ONE per-doc agg (the old
-            # spelling's intermediate (id, n) groupBy re-shuffled 3
-            # rows/doc): min(struct) over nulls for other n picks
-            # the same (max count, lexicographically smallest gram)
-            # winner; numer = cnt * token-chars of the gram
-            F.min(
-                F.when(
-                    F.col("n") == n,
-                    F.struct(
-                        (-F.col("cnt")).alias("negc"),
-                        F.col("gram").alias("g"),
-                        (
-                            F.col("cnt")
-                            * (
-                                F.length("gram")
-                                - (F.col("n") - 1).cast("bigint")
-                            )
-                        ).alias("numer"),
+            body = let(
+                F.zip_with(
+                    srt,
+                    F.slice(srt, 2, sz),
+                    lambda a, b: F.coalesce(a["g"] == b["g"], F.lit(False)),
+                ),
+                with_nxt,
+            )
+            # sz < 2 can hold no duplicate; the guard also keeps the
+            # slice/zip tail arithmetic off empty arrays
+            return F.when(sz >= 2, body).otherwise(zero)
+
+        return let(
+            F.array_sort(
+                F.transform(
+                    lv.getItem(n - 2),
+                    lambda x, i: F.struct(
+                        x.alias("g"), i.cast("int").alias("p")
                     ),
                 )
-            ).alias(f"__m{n}")
-            for n in (2, 3, 4)
-        ])
-        .select(
-            F.col(id_col),
-            *[
-                F.col(f"__m{n}.numer").alias(f"__top{n}")
-                for n in (2, 3, 4)
-            ],
+            ),
+            with_srt,
         )
-    )
-    dup_cov = (
-        gram_rows([5, 6, 7, 8, 9, 10])
-        .groupBy(id_col, "n", "gram")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.collect_list("pos").alias("__poss"),
-        )
-        .filter(F.col("cnt") >= 2)
-        .select(
-            F.col(id_col), F.col("n"),
-            F.explode(F.col("__poss")).alias("pos"),
-        )
-        .select(
-            F.col(id_col), F.col("n"),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
-            ).alias("p"),
-        )
-        .distinct()
-        .join(toklens, [id_col, "p"])
-        .groupBy(id_col)
-        .agg(*[
-            F.sum(
-                F.when(F.col("n") == n, F.col("__len")).otherwise(0)
-            ).alias(f"__dup{n}")
-            for n in range(5, 11)
-        ])
-    )
-    out = (
-        base.join(top, id_col, "left")
-        .join(dup_cov, id_col, "left")
+
+    out = staged.select(
+        *carry,
+        *[top_numer(n).alias(f"__top{n}") for n in (2, 3, 4)],
+        *[dup_chars(n).alias(f"__dup{n}") for n in range(5, 11)],
     )
 
-    m = F.col("__mass")
     sig = [
-        ("dup_line_ppm", F.col("__dl"), F.col("__nl")),
-        ("dup_para_ppm", F.col("__dp"), F.col("__np")),
-        ("dup_line_char_ppm", F.col("__dlc"), F.col("__cl")),
-        ("dup_para_char_ppm", F.col("__dpc"), F.col("__cp")),
-        ("top2_char_ppm", F.col("__top2"), m),
-        ("top3_char_ppm", F.col("__top3"), m),
-        ("top4_char_ppm", F.col("__top4"), m),
-    ] + [
-        (f"dup{n}_char_ppm", F.col(f"__dup{n}"), m) for n in range(5, 11)
-    ]
-    # name the (numerator, denominator) pairs so the ppm is the exact
-    # integer `div` (no float detour; div-by-0 -> null -> 0)
-    named = out.select(
-        F.col(id_col),
-        *[
-            c
-            for name, x, denom in sig
-            for c in (
-                F.coalesce(x, F.lit(0).cast("bigint")).alias(f"__x_{name}"),
-                F.coalesce(denom, F.lit(0).cast("bigint")).alias(
-                    f"__d_{name}"
-                ),
-            )
-        ],
-    )
+        ("dup_line_ppm", "__dl", "__nl"),
+        ("dup_para_ppm", "__dp", "__np"),
+        ("dup_line_char_ppm", "__dlc", "__cl"),
+        ("dup_para_char_ppm", "__dpc", "__cp"),
+        ("top2_char_ppm", "__top2", "__mass"),
+        ("top3_char_ppm", "__top3", "__mass"),
+        ("top4_char_ppm", "__top4", "__mass"),
+    ] + [(f"dup{n}_char_ppm", f"__dup{n}", "__mass") for n in range(5, 11)]
+    # the ppm is the exact integer `div` (no float detour); every
+    # numerator/denominator is a non-null bigint attribute of `out`
+    # (seg_struct fields and folds all coalesce to 0), so the ppm and
+    # the keep cross-multiplication read the columns directly — the
+    # old intermediate __x_/__d_ renaming projection is fused away
+    # (one fewer eager analysis pass; values identical)
     keep = F.lit(True)
     cols = [F.col(id_col)]
-    for name, _, _ in sig:
+    for name, xn, dn in sig:
         cols.append(
             F.expr(
-                f"CASE WHEN __d_{name} > 0 THEN "
-                f"(__x_{name} * 1000000) div __d_{name} "
+                f"CASE WHEN {dn} > 0 THEN "
+                f"({xn} * 1000000) div {dn} "
                 f"ELSE CAST(0 AS BIGINT) END"
             ).alias(name)
         )
         pct = GOPHER_REPETITION_THRESHOLDS[name]
-        keep = keep & (
-            100 * F.col(f"__x_{name}") <= pct * F.col(f"__d_{name}")
-        )
+        keep = keep & (100 * F.col(xn) <= pct * F.col(dn))
     cols.append(keep.alias("keep"))
-    return named.select(*cols)
+    return out.select(*cols)
 
 
 #: Per-language code-signal regexes for code_detect — module-level so

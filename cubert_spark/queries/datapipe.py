@@ -3297,9 +3297,21 @@ def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     deterministically (paragraph break every 21 words, line break
     every 7, duplicated lines/paras planted on doc_id % 11 / % 23) —
     the in-query fixture convention of c4_filter. n-gram stats run
-    the DISTRIBUTED spelling: keyed shuffles only, nothing quadratic
-    in document length."""
-    d = load_table(spark, sf, "documents")
+    IN-ROW off sorted gram runs (r17): zero shuffles after the input
+    spread, nothing quadratic in document length.
+
+    The spread runs FIRST (r17): the fixture's two regexp_replace
+    passes are the expensive per-row prelude, and below the spread
+    exchange they single-thread on the one-split sf0.1 scan (measured
+    0.6 s of the row's 2.0 s); spreading the raw text parallelizes
+    them, and at real scale (scan splits >= cores) _spread is a no-op
+    so the plan is unchanged there."""
+    from cubert_spark.datapipe.dedup import _spread
+
+    d = _spread(
+        load_table(spark, sf, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     s1 = F.regexp_replace(F.col("text"), r"((\S+ ){20}\S+) ", "$1.\n\n")
     s2 = F.regexp_replace(s1, r"((\S+ ){6}\S+) ", "$1.\n")
     structured = F.concat(

@@ -1436,7 +1436,16 @@ def reset_materialized() -> None:
     across rounds. Deletion is safe by construction: every forgotten
     path was created by _materialize_once via mkdtemp (ours alone),
     and any live DataFrame still lazily reading one belongs to a
-    construction the caller has, by calling reset, declared stale."""
+    construction the caller has, by calling reset, declared stale.
+
+    ORDERING INVARIANT (r17, ADVICE): construct-then-reset-then-
+    EXECUTE is a bug at the call site. release_checkpoints() below
+    destroys the blocks of truncated-lineage RDDs, so a DataFrame
+    built BEFORE this call and executed AFTER it fails with
+    'Checkpoint block not found'. The sole production caller,
+    bench.timed_run, resets FIRST and constructs the query inside the
+    timed region afterwards — keep that order in any new caller; do
+    not cache query DataFrames across resets."""
     import shutil
 
     for path in _MATERIALIZED.values():

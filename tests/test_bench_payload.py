@@ -166,6 +166,14 @@ def test_payload_is_parseable_json_with_contract_keys():
     p8 = bench._stdout_payload(t, 1.0, 0.1, quiet=True, pyloop_ds=4)
     d8 = json.loads(p8)
     assert d8["quiet"] is True and d8["pyloop_ds"] == 4
+    # r17 (ADVICE): a rebase-assisted pass is self-describing on the
+    # external line; ordinary lines omit the key (byte budget + pre-
+    # r17 parse compatibility)
+    assert "anchor_rebase" not in d8
+    p9 = bench._stdout_payload(
+        t, 1.0, 0.1, quiet=True, pyloop_ds=4, anchor_rebase=True
+    )
+    assert json.loads(p9)["anchor_rebase"] is True
 
 
 def test_degrade_rung_kicks_in_rather_than_overflow():

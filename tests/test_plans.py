@@ -739,11 +739,11 @@ _SHUFFLE_CEILINGS = {
     # interval-merge window + the spans collect (duplicate_spans'
     # class: |tokens|-row spreads, all keyed)
     "decontaminate_spans": 3,
-    # r13 batch 7: the 13-signal repetition fold — gram counts,
-    # dup-occurrence re-join, distinct coverage, token-length join,
-    # per-doc top/coverage pivots + the 3-way final assembly joins;
-    # every one keyed, measured 8 on the demo plan
-    "gopher_repetition": 8,
+    # r17: the 13-signal repetition set is per-document, so the whole
+    # rule set is in-row sorted-run folds — the only exchange is the
+    # input _spread (a no-op at real scale). The r13-r16 distributed
+    # spelling (gram-count shuffles + coverage joins) measured 8.
+    "gopher_repetition": 1,
     # r13 batch 8: one codegen projection over the scan
     "refinedweb_lines": 0,
 }
@@ -977,14 +977,8 @@ _ADVISOR_FLIP_WAIVERS: dict[str, str] = {
     "token_mixture": "broadcast sides = per-source token-sum table "
                      "(|sources| rows, corpus-independent) + 1-row "
                      "total-T stat (mixture_sample's shape)",
-    # r13 batch 7: the per-doc signal aggregates (token mass, top-gram
-    # numerators, duplicate coverage) broadcast at test SF but grow
-    # with the corpus; every consumer is a doc_id/gram keyed equi-join
-    # so AQE flips them to shuffle joins at true sizes — the
-    # fuzzy_pairs re-fetch class
-    "gopher_repetition": "per-doc signal aggregates grow with the "
-                         "corpus; keyed equi-joins, AQE re-plans at "
-                         "runtime",
+    # (gopher_repetition's waiver retired in r17: all 13 repetition
+    # signals fold in-row now — no joins or broadcasts remain to flip)
 }
 
 
@@ -1032,9 +1026,9 @@ def test_margin_from_candidates_has_no_avg_k_joins(spark):
     so there are no avg_k joins at all — nothing to broadcast at ANY
     |X|, bounded or corpus-sized (the old hard F.broadcast hint could
     never flip to shuffle and would OOM on full-corpus bitext
-    mining). Pins: no join node in either spelling, exactly one
-    evaluation of the candidate source, and both spellings (the
-    bounded_sides flag is a retained no-op) return identical rows."""
+    mining). Pins: no join node, exactly one evaluation of the
+    candidate source. (The bounded_sides no-op flag the r16 spelling
+    retained was removed in r17 per ADVICE — one spelling now.)"""
     from cubert_spark.datapipe.similarity import margin_from_candidates
     from cubert_spark.plans.assertions import explain_str
 
@@ -1044,15 +1038,12 @@ def test_margin_from_candidates_has_no_avg_k_joins(spark):
         for y in range(20, 36)
     ]
     pairs = spark.createDataFrame(rows, "x_id long, y_id long, cos double")
-    unbounded = margin_from_candidates(pairs, k=4, bounded_sides=False)
-    bounded = margin_from_candidates(pairs, k=4)
-    for p in (explain_str(unbounded), explain_str(bounded)):
-        assert "Join" not in p, p
-        # one evaluation of the candidate source (the old groupBy +
-        # join-back spelling scanned it three times); formatted
-        # explain lists a node in the tree AND its detail section, so
-        # one scan appears at most twice
-        assert 1 <= p.count("Scan ExistingRDD") <= 2, p
-    got_u = sorted(map(tuple, unbounded.collect()))
-    got_b = sorted(map(tuple, bounded.collect()))
-    assert got_u == got_b and len(got_u) > 0
+    out = margin_from_candidates(pairs, k=4)
+    p = explain_str(out)
+    assert "Join" not in p, p
+    # one evaluation of the candidate source (the old groupBy +
+    # join-back spelling scanned it three times); formatted
+    # explain lists a node in the tree AND its detail section, so
+    # one scan appears at most twice
+    assert 1 <= p.count("Scan ExistingRDD") <= 2, p
+    assert len(out.collect()) > 0
