@@ -403,18 +403,40 @@ def triangle_count(
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("w"),
     ).transform(eager_checkpoint)
-    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
-    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
-    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
-    # close wedges against the canonical a<b edge set directly: the
-    # wedge filter is v1 < v2 BY ID, exactly e's orientation, so the
-    # both-directions union of oriented edges would shuffle 2|E| rows
-    # where |E| suffice
-    tri = wedges.join(
-        e, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+    # r17 (adjacency-list intersection, replacing the wedge join):
+    # tri = sum over oriented edges (u, w) of |N+(u) ∩ N+(w)| — each
+    # triangle a->b, a->c, b->c is counted exactly once, at edge
+    # (a, b) (c is a common out-neighbor; N+(c) contains neither).
+    # The old shape enumerated sum(outdeg^2) wedge ROWS and shuffled
+    # them by (v1, v2) into a closing SortMergeJoin against e — the
+    # d^2 term crossed the network. Here the d^2 work happens in-CPU
+    # (array_intersect over the two adjacency lists) and the only
+    # shuffles are |V| adjacency rows (sum of list sizes = |E|) + the
+    # |E|-row edge relation: the d^2 shuffle is gone. The second join
+    # does carry nbr(u) per edge through the w-exchange (sum-d^2
+    # bytes worst case), so at extreme hub skew the trade-off needs
+    # AQE's skew split — the orientation already bounds out-degree by
+    # O(sqrt|E|). A/B at sf0.1: 4.40 -> 2.74 s (min of 5
+    # each, same box, same protocol).
+    adj = oriented.groupBy("u").agg(
+        F.collect_list("w").alias("nbr")
+    )
+    ea = oriented.join(adj, "u")
+    eb = ea.join(
+        adj.select(F.col("u").alias("w"), F.col("nbr").alias("nbr_w")),
+        "w",
+    )
+    tri = eb.select(
+        F.size(F.array_intersect("nbr", "nbr_w")).alias("__t")
     )
     return (
-        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        # coalesce: an edgeless graph folds sum -> null where the old
+        # count(*) gave 0
+        tri.agg(
+            F.coalesce(F.sum("__t"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
         .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")

@@ -46,17 +46,71 @@ from pyspark.sql import functions as F
 from cubert_spark.checkpoints import lazy_checkpoint
 
 
-def _folded_sum(order_col: str, term, alias: str):
-    """Level-1 fold: sum ``term`` in ``order_col`` order within the
-    current group — F.aggregate over the sorted (order, term) structs,
-    == DuckDB list_reduce(list(term ORDER BY order))."""
-    return F.aggregate(
+def _term_fold(i: int):
+    """2-arg merge lambda for term i (a default-arg closure would make
+    pyspark count three parameters and bind the 3-arg HOF variant)."""
+    def f(acc, s):
+        return acc + s[f"t{i}"]
+
+    return f
+
+
+def _folded_sums(df: DataFrame, group, order_col: str, terms) -> DataFrame:
+    """All of a group's ordered float folds off ONE sorted struct list
+    (r17): the old per-term spelling (one _folded_sum agg per term) ran one
+    collect_list + sort_array per term — d+3 object aggs buffering the
+    same (order, ...) rows. Here the terms ride a single collected
+    struct, sorted once by ``order_col`` (the struct's FIRST field, so
+    sort_array's order on distinct keys is exactly the old per-term
+    order), and each term folds over that bound array in a follow-up
+    projection. Fold order and IEEE adds are identical term-for-term,
+    so the sums are bit-identical to the per-term spelling; ``group``
+    may be a (name, expr) pair. Appends count column ``__n``."""
+    gname, gexpr = group
+    lst = df.groupBy(gexpr.alias(gname)).agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col(order_col).alias("o"), term.alias("t")))
-        ),
-        F.lit(0.0),
-        lambda acc, s: acc + s["t"],
-    ).alias(alias)
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    *[t.alias(f"t{i}") for i, (_, t) in enumerate(terms)],
+                )
+            )
+        ).alias("__lst"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return lst.select(
+        F.col(gname),
+        *[
+            F.aggregate(F.col("__lst"), F.lit(0.0), _term_fold(i)).alias(a)
+            for i, (a, _) in enumerate(terms)
+        ],
+        F.col("__n"),
+    )
+
+
+def _lvl2_fold(lvl1: DataFrame, terms) -> DataFrame:
+    """Level-2 fold: shard sums folded in shard order, same
+    one-collected-struct spelling as :func:`_folded_sums` (order col
+    __s is unique per row, so struct sort == the old per-term sort);
+    n stays the exact bigint sum of the shard counts."""
+    lst = lvl1.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__s").alias("o"),
+                    *[F.col(a).alias(f"t{i}") for i, (a, _) in enumerate(terms)],
+                )
+            )
+        ).alias("__lst"),
+        F.sum("__n").alias("n"),
+    )
+    return lst.select(
+        *[
+            F.aggregate(F.col("__lst"), F.lit(0.0), _term_fold(i)).alias(a)
+            for i, (a, _) in enumerate(terms)
+        ],
+        F.col("n"),
+    )
 
 
 def linear_probe_train(
@@ -116,14 +170,10 @@ def linear_probe_train(
         terms = [("g0", r)] + [
             (f"g{j + 1}", r * x) for j, x in enumerate(xs)
         ] + [("sse", r * r)]
-        lvl1 = df.groupBy((F.col(id_col) % n_shards).alias("__s")).agg(
-            *[_folded_sum(id_col, t, a) for a, t in terms],
-            F.count(F.lit(1)).alias("__n"),
+        lvl1 = _folded_sums(
+            df, ("__s", F.col(id_col) % n_shards), id_col, terms
         )
-        lvl2 = lvl1.agg(
-            *[_folded_sum("__s", F.col(a), a) for a, _ in terms],
-            F.sum("__n").alias("n"),
-        )
+        lvl2 = _lvl2_fold(lvl1, terms)
         row = lvl2.collect()[0]
         n = float(row["n"])
         mse = row["sse"] / n
@@ -242,14 +292,10 @@ def logistic_probe_train(
         terms = [("g0", r)] + [
             (f"g{j + 1}", r * x) for j, x in enumerate(xs)
         ] + [("se", r * r)]
-        lvl1 = df.groupBy((F.col(id_col) % n_shards).alias("__s")).agg(
-            *[_folded_sum(id_col, t, a) for a, t in terms],
-            F.count(F.lit(1)).alias("__n"),
+        lvl1 = _folded_sums(
+            df, ("__s", F.col(id_col) % n_shards), id_col, terms
         )
-        lvl2 = lvl1.agg(
-            *[_folded_sum("__s", F.col(a), a) for a, _ in terms],
-            F.sum("__n").alias("n"),
-        )
+        lvl2 = _lvl2_fold(lvl1, terms)
         row = lvl2.collect()[0]
         n = float(row["n"])
         brier = row["se"] / n

@@ -431,6 +431,19 @@ def _argmax_centroid(
     20 s → 2 s at sf0.1 for the full IVF exact twin); the array form
     evaluates each dot exactly once, and struct ordering (−dot asc,
     j asc) IS the argmax-with-smallest-j rule."""
+    best = _argmax_struct(vec, centroids, exact)
+    return best["j"].cast("int"), -best["nd"]
+
+
+def _argmax_struct(
+    vec: Column, centroids: list[list[float]], exact: bool = True
+) -> Column:
+    """The raw (nd = −dot, j) winner struct behind
+    :func:`_argmax_centroid`. Callers needing BOTH fields must stage
+    THIS as a projection column and read the fields in a later
+    projection — destructuring the tuple form inline duplicates the
+    whole K-dot array_sort tree once per field (no codegen CSE on the
+    interpreted DECIMAL folds; the r17 pq_encode fix)."""
     vec_d = vec.cast("array<double>")
     dot = _dot_decimal if exact else _dot_double
     entries = F.array(
@@ -442,8 +455,7 @@ def _argmax_centroid(
             for j, c in enumerate(centroids)
         ]
     )
-    best = F.array_sort(entries)[0]
-    return best["j"].cast("int"), -best["nd"]
+    return F.array_sort(entries)[0]
 
 
 def _cents_lit(centroids: list[list[float]]) -> Column:
@@ -592,9 +604,17 @@ def ivf_assign_exact(
     i.e. exactly :func:`ivf_build`'s assignment rule. This checks the
     assignment stage of the IVF index deterministically; the trained-
     quantizer path (`ivf_topk`) remains recall-tested."""
-    best_j, best_dot = _argmax_centroid(F.col(vec_col), centroids)
-    return corpus.select(
-        F.col(id_col), best_j.alias("list_id"), _dec2dbl(best_dot).alias("dot")
+    # stage the winner struct once, read fields in a second projection
+    # (the pq_encode r17 fix: destructuring the (j, dot) pair inline
+    # evaluates the K-dot array_sort once PER FIELD)
+    staged = corpus.select(
+        F.col(id_col),
+        _argmax_struct(F.col(vec_col), centroids).alias("__b"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__b")["j"].cast("int").alias("list_id"),
+        _dec2dbl(-F.col("__b")["nd"]).alias("dot"),
     )
 
 
@@ -970,19 +990,29 @@ def pq_encode(
 
     corpus = _spread(corpus, id_col)
     vec = F.col(vec_col).cast("array<double>")
-    codes = []
-    dot0 = None
+    # r17: the per-subspace (−dot, j) winner STRUCT materializes as a
+    # projection column first, and codes/dot0 read its fields in a
+    # second projection. _argmax_centroid's (best_j, best_dot) pair is
+    # two expression TREES each containing the full K-dot array_sort —
+    # destructuring it inline evaluated every subspace's K DECIMAL
+    # dots twice (trees, not DAGs; no codegen CSE on the interpreted
+    # HOF folds). A/B at sf0.1: encode-only 2.04 -> ~1.0 s.
+    best_cols = []
     off = 1
     for m, cb in enumerate(codebooks):
         d_sub = len(cb[0])
         sub = F.slice(vec, off, d_sub)
-        best_j, best_dot = _argmax_centroid(sub, cb, exact)
-        codes.append(best_j)
-        if m == 0:
-            dot0 = _dec2dbl(best_dot) if exact else best_dot.cast("double")
+        best_cols.append(_argmax_struct(sub, cb, exact).alias(f"__b{m}"))
         off += d_sub
-    return corpus.select(
-        F.col(id_col), F.array(*codes).alias("codes"), dot0.alias("dot0")
+    staged = corpus.select(F.col(id_col), *best_cols)
+    b0 = F.col("__b0")["nd"]
+    dot0 = _dec2dbl(-b0) if exact else (-b0).cast("double")
+    return staged.select(
+        F.col(id_col),
+        F.array(
+            *[F.col(f"__b{m}")["j"].cast("int") for m in range(len(codebooks))]
+        ).alias("codes"),
+        dot0.alias("dot0"),
     )
 
 
