@@ -153,7 +153,12 @@ def cosine_topk(
             F.sqrt(_dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))).alias("__qnorm"),
         )
     )
-    c = corpus.select(
+    # _spread (r17): the |Q| x |C| DECIMAL scoring evaluates in the
+    # corpus scan stage (q broadcasts) — a one-split test input
+    # single-threads it; no-op at real scale
+    from cubert_spark.datapipe.dedup import _spread
+
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.sqrt(_dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))).alias("__cnorm"),
@@ -576,19 +581,38 @@ def _argmax_centroid_hierarchical(
         for grp in groups
     ]
     vec_d = vec.cast("array<double>")
-    cbest = _argmax_over(vec_d, _cents_lit(coarse), F.lit(len(groups)))
-    cg = -cbest["nj"]
     # ragged nested literals: cluster sizes vary; a parallel index
     # array maps each group-local winner back to its ORIGINAL j
     groups_lit = F.array(*[_cents_lit(grp) for grp in groups])
     idx_lit = F.array(
         *[F.array(*[F.lit(j) for j in idxs]) for idxs in idx_groups]
     )
-    members = F.element_at(groups_lit, cg + 1)
-    fbest = _argmax_over(vec_d, members, F.size(members))
-    fj = -fbest["nj"]
-    orig_j = F.element_at(F.element_at(idx_lit, cg + 1), fj + 1)
-    return orig_j.cast("int"), fbest["d"]
+
+    def _let(val: Column, fn) -> Column:
+        # single-evaluation binding (r17): the coarse winner feeds
+        # BOTH the member lookup and the index-map lookup — as a bare
+        # subexpression the coarse argmax tree evaluates once per
+        # reference (trees, not DAGs; interpreted HOFs get no codegen
+        # CSE), doubling the routing cost
+        return F.transform(F.array(val), fn).getItem(0)
+
+    def pick(cb: Column) -> Column:
+        cg = -cb["nj"]
+        members = F.element_at(groups_lit, cg + 1)
+        return _let(
+            _argmax_over(vec_d, members, F.size(members)),
+            lambda fb: F.struct(
+                F.element_at(
+                    F.element_at(idx_lit, cg + 1), -fb["nj"] + 1
+                ).alias("j"),
+                fb["d"].alias("d"),
+            ),
+        )
+
+    best = _let(
+        _argmax_over(vec_d, _cents_lit(coarse), F.lit(len(groups))), pick
+    )
+    return best["j"].cast("int"), best["d"]
 
 
 def ivf_assign_exact(
@@ -643,9 +667,13 @@ def ivf_exact_topk(
     Plan shape matches production ivf_topk: query side (|Q| * nprobe
     rows) broadcasts; corpus-side lists never shuffle (bucketed by
     list_id at scale)."""
+    from cubert_spark.datapipe.dedup import _spread
+
     norm = lambda v: F.sqrt(_dec2dbl(_dot_decimal(v, v)))  # noqa: E731
     best_j, _ = _argmax_centroid(F.col(vec_col), centroids)
-    c = corpus.select(
+    # _spread (r17): the per-row DECIMAL assignment + norms evaluate
+    # in the corpus scan stage — no-op at real scale
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cnorm"),
@@ -1483,6 +1511,14 @@ def _lloyd(
     # any scale the rounds should read the materialized bigint
     # vectors, not re-run scan+quantize+guard per iteration (the
     # probe feature-projection move; guide §5 cache-on-reuse rule).
+    # (r17 A/B note: spreading the quantized base before the
+    # checkpoint — so each Lloyd round's argmin parallelizes — was
+    # tried and REVERTED: 2.10 -> 2.34 s kmeans / 2.09 -> 2.35 s
+    # proto_prune at sf0.1, min-of-4 alternating stash arms. The
+    # extra exchange + 32-task scheduling per round costs more than
+    # the parallel distance math saves at this row count; unlike the
+    # margin/cosine cross-join tiers, the per-round work here is
+    # already one cheap pass over k x dim-bounded partial sums.)
     base = base.withColumn("__km_guard", guard).filter("__km_guard").drop(
         "__km_guard"
     ).transform(lazy_checkpoint)
@@ -1685,6 +1721,8 @@ def margin_align(
     the cross-join lineage three times (plan audit: 3 scans of each
     side, `plans/r16/margin_align_before.txt`).
     """
+    from cubert_spark.datapipe.dedup import _spread
+
     _guard_small_query_side(x_df, max_x, "margin_align", known_x_count)
     x = F.broadcast(
         x_df.select(
@@ -1695,7 +1733,10 @@ def margin_align(
             ),
         )
     )
-    y = y_df.select(
+    # _spread (r17): the |X| x |Y| DECIMAL pair matrix evaluates in the
+    # y-side scan stage (x broadcasts), and a one-split test input
+    # single-threads it — 3.9 -> ~1 s at sf0.1; no-op at real scale
+    y = _spread(y_df, id_col).select(
         F.col(id_col).alias("y_id"),
         F.col(vec_col).alias("__yv"),
         F.sqrt(_dec2dbl(_dot_decimal(F.col(vec_col), F.col(vec_col)))).alias(
