@@ -593,7 +593,10 @@ def _argmax_centroid_hierarchical(
         # BOTH the member lookup and the index-map lookup — as a bare
         # subexpression the coarse argmax tree evaluates once per
         # reference (trees, not DAGs; interpreted HOFs get no codegen
-        # CSE), doubling the routing cost
+        # CSE). At the bench k (coarse = ~sqrt(k) dots) the A/B is a
+        # wash (3.2-3.8 s both arms, semantic_dedup_prod sf0.1);
+        # kept because the duplicated term grows with the group count
+        # — the regime this router exists for
         return F.transform(F.array(val), fn).getItem(0)
 
     def pick(cb: Column) -> Column:
